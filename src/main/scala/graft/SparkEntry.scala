@@ -1,13 +1,138 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.{Aggregations, Filters, TopK}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (file:line citations
+  * live on the implementing function's Scaladoc); each `oracleSql` entry is
+  * the DuckDB-equivalent ANSI SQL run by the driver on the same parquet
+  * tables. Conventions: deterministic total ordering everywhere, decimal-safe
+  * double sums, rounded float aggregates — see [[graft.ops.Aggregations]].
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggregations.categoryStats(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregations (SURVEY §2.4) ----
+    "q_category_stats" -> ((s, d) => Aggregations.categoryStats(Tables.lineitem(s, d))),
+    "q_qty_buckets" -> ((s, d) => Aggregations.quantityBuckets(Tables.lineitem(s, d))),
+    "q_price_buckets" -> ((s, d) => Aggregations.priceBuckets(Tables.orders(s, d))),
+    "q_global_stats" -> ((s, d) => Aggregations.globalStats(Tables.lineitem(s, d))),
+    "q_items_histogram" -> ((s, d) => Aggregations.itemsPerOrderHistogram(Tables.lineitem(s, d))),
+    "q_distinct_flags" -> ((s, d) => Aggregations.distinctFlags(Tables.lineitem(s, d))),
+    "q_dedup_keyed" -> ((s, d) => Aggregations.dedupOrdersByCustomer(Tables.orders(s, d))),
+    "q_renest" -> ((s, d) => Aggregations.renestOrderParts(Tables.lineitem(s, d))),
+    "q_top_parts_by_qty" -> ((s, d) => Aggregations.topPartsByQuantity(Tables.lineitem(s, d), 100)),
+    "q_count" -> ((s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
+    // ---- filters / projections (SURVEY §2.2) ----
+    "q_filter_eq_range" -> ((s, d) => Filters.equalityAndRange(Tables.lineitem(s, d), "R", 10, 20)),
+    "q_filter_range" -> ((s, d) => Filters.numericRange(Tables.orders(s, d), 50000, 100000)),
+    "q_dynamic_search" -> ((s, d) => Filters.searchOrders(Tables.orders(s, d),
+      status = Some("O"), minPrice = Some(100000.0), priority = Some("1-URGENT"))),
+    "q_orders_min_items" -> ((s, d) => Filters.ordersWithAtLeastNItems(Tables.lineitem(s, d), 5)),
+    "q_project_rename" -> ((s, d) => Filters.projectRenameCast(Tables.orders(s, d))),
+    // ---- top-K / sorts (SURVEY §2.5) ----
+    "q_topk_orders" -> ((s, d) => TopK.topOrdersByPrice(Tables.orders(s, d), 100)),
+    "q_top_customers" -> ((s, d) => TopK.topCustomersBySpend(Tables.orders(s, d), 50)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_category_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS num_items,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  max(l_extendedprice) AS max_price,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY num_items DESC, l_returnflag, l_linestatus""".stripMargin,
+    "q_qty_buckets" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'short'
+        |            WHEN l_quantity < 25 THEN 'medium'
+        |            ELSE 'long' END AS qty_bucket,
+        |  count(*) AS num_items,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY qty_bucket""".stripMargin,
+    "q_price_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'lt_50k'
+        |            WHEN o_totalprice < 100000 THEN '50k_100k'
+        |            WHEN o_totalprice < 200000 THEN '100k_200k'
+        |            WHEN o_totalprice < 400000 THEN '200k_400k'
+        |            ELSE 'ge_400k' END AS price_bucket,
+        |  count(*) AS num_orders
+        |FROM orders GROUP BY 1 ORDER BY price_bucket""".stripMargin,
+    "q_global_stats" ->
+      """SELECT count(*) AS num_items,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+    "q_items_histogram" ->
+      """SELECT items, count(*) AS num_orders FROM (
+        |  SELECT l_orderkey, count(*) AS items FROM lineitem GROUP BY 1
+        |) GROUP BY 1 ORDER BY items""".stripMargin,
+    "q_distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_dedup_keyed" ->
+      """SELECT o_custkey, min(o_orderkey) AS o_orderkey,
+        |  min(o_orderdate) AS first_orderdate
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+    "q_renest" ->
+      """SELECT l_orderkey, min(l_suppkey) AS first_supp,
+        |  list(l_partkey ORDER BY l_partkey) AS parts
+        |FROM lineitem GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
+    "q_top_parts_by_qty" ->
+      """SELECT l_partkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY 1
+        |ORDER BY total_qty DESC, l_partkey LIMIT 100""".stripMargin,
+    "q_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q_filter_eq_range" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_range" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_totalprice BETWEEN 50000 AND 100000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_dynamic_search" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice >= 100000
+        |  AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_orders_min_items" ->
+      """SELECT l_orderkey, count(*) AS items FROM lineitem
+        |GROUP BY 1 HAVING count(*) >= 5 ORDER BY l_orderkey""".stripMargin,
+    "q_project_rename" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS ID, o_totalprice,
+        |  o_orderstatus AS status
+        |FROM orders ORDER BY ID""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_top_customers" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |  count(*) AS num_orders
+        |FROM orders GROUP BY 1
+        |ORDER BY total_spend DESC, o_custkey LIMIT 50""".stripMargin,
+  )
 }

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators — SURVEY.md §2.4 (A1–A11).
+  *
+  * All of these are single hash-aggregate shapes: Catalyst plans them as
+  * partial (map-side) + final aggregate, so at cluster scale the shuffle
+  * carries one row per (partition × group), not per input row. Group columns
+  * here are low-cardinality (flags, buckets, categories), which is exactly the
+  * shape that scales to 100 TB — the reduction happens before the exchange.
+  *
+  * Determinism conventions (needed for the DuckDB-oracle hash compare):
+  *   - double SUMs go through decimal so the result is exact and independent
+  *     of partition/accumulation order (`dsum`);
+  *   - double AVG/STDDEV are rounded to 4 decimals (`r4`) — accumulation-order
+  *     float noise is far below 1e-4 at our scales;
+  *   - every query ends in a total ORDER BY with a unique tiebreaker.
+  */
+object Aggregations {
+
+  /** Order-independent exact sum of a 2-decimal money column: per-row cast to
+    * decimal is identical in Spark and DuckDB, and decimal addition is exact,
+    * so partial-aggregation order can't change the result. Re-cast to double
+    * for a stable output schema. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Round a float aggregate for oracle comparison. */
+  def r4(c: Column): Column = round(c, 4)
+
+  /** A3 — the flagship multi-aggregate group-by (the reference's category
+    * stats: `YoutubeNetworkAgg_Final.py:163-179`, `run_netagg_job.py:82-97`):
+    * count / avg / max / avg / avg per group, ordered by count desc.
+    * TPC-H shape: stats per (l_returnflag, l_linestatus). */
+  def categoryStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("num_items"),
+        r4(avg(col("l_quantity"))).as("avg_qty"),
+        max(col("l_extendedprice")).as("max_price"),
+        r4(avg(col("l_extendedprice"))).as("avg_price"),
+        r4(avg(col("l_discount"))).as("avg_disc"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("num_items").desc, col("l_returnflag"), col("l_linestatus"))
+
+  /** A4 — derived-bucket group-by (the reference's length buckets, boundaries
+    * 240/1200 s: `YoutubeNetworkAgg_Final.py:185-205`). Bucket by l_quantity:
+    * short <10, medium 10–24, long ≥25; count/avg/max per bucket. The when
+    * chain is evaluated map-side inside whole-stage codegen; the aggregate
+    * shuffles only 3 groups. */
+  def quantityBuckets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("qty_bucket",
+        when(col("l_quantity") < 10, "short")
+          .when(col("l_quantity") < 25, "medium")
+          .otherwise("long"))
+      .groupBy(col("qty_bucket"))
+      .agg(
+        count(lit(1)).as("num_items"),
+        r4(avg(col("l_extendedprice"))).as("avg_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy(col("qty_bucket"))
+
+  /** A5 — 5-way bucket count (the reference's view buckets <1k…≥1M:
+    * `YoutubeNetworkAgg_Final.py:226-239`) over o_totalprice. */
+  def priceBuckets(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("price_bucket",
+        when(col("o_totalprice") < 50000, "lt_50k")
+          .when(col("o_totalprice") < 100000, "50k_100k")
+          .when(col("o_totalprice") < 200000, "100k_200k")
+          .when(col("o_totalprice") < 400000, "200k_400k")
+          .otherwise("ge_400k"))
+      .groupBy(col("price_bucket"))
+      .agg(count(lit(1)).as("num_orders"))
+      .orderBy(col("price_bucket"))
+
+  /** A6 — global (grand-total) multi-aggregate
+    * (`YoutubeNetworkAgg_Final.py:214-221`): count, avg, stddev, median, p90,
+    * max over one column. Uses exact `percentile` (Spark) ≡ `quantile_cont`
+    * (DuckDB); the reference used percentile_approx — at 100 TB the approx
+    * sketch is the right call, so [[globalStatsApprox]] keeps that variant
+    * (invariant-tested, not hash-compared). Single-row result: partial
+    * aggregates reduce each partition to one buffer, the final reduce is
+    * O(partitions). */
+  def globalStats(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      count(lit(1)).as("num_items"),
+      r4(avg(col("l_extendedprice"))).as("avg_price"),
+      r4(stddev(col("l_extendedprice"))).as("stddev_price"),
+      r4(expr("percentile(l_extendedprice, 0.5)")).as("median_price"),
+      r4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"),
+      max(col("l_extendedprice")).as("max_price"))
+
+  /** A6 at scale — the reference's actual choice (`percentile_approx`,
+    * `YoutubeNetworkAgg_Final.py:218-219`): a mergeable quantile sketch whose
+    * memory is bounded by accuracy, not cardinality. This is the variant to
+    * run at 100 TB; exact percentile holds all values per partition. */
+  def globalStatsApprox(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      count(lit(1)).as("num_items"),
+      r4(avg(col("l_extendedprice"))).as("avg_price"),
+      r4(stddev(col("l_extendedprice"))).as("stddev_price"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("median_price"),
+      percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_price"),
+      max(col("l_extendedprice")).as("max_price"))
+
+  /** A7 — histogram of an aggregate (the reference's degree histogram,
+    * `YoutubeNetworkAgg_Final.py:116-119`): items-per-order distribution.
+    * Two chained hash aggregates; the second one's input is already tiny. */
+  def itemsPerOrderHistogram(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("items"))
+      .groupBy(col("items")).agg(count(lit(1)).as("num_orders"))
+      .orderBy(col("items"))
+
+  /** A9 — distinct + limit (`run_alsrecs_job.py:102`). Hash-aggregate
+    * distinct on the two low-cardinality flag columns. Deterministic order
+    * instead of bare limit so the result is stable. */
+  def distinctFlags(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A10 — de-dup by key (`dropDuplicates(["id"])`,
+    * `PageRank_Spark_v5.py:73`). Spark's dropDuplicates keeps an arbitrary
+    * row per key (first seen per partition order), which is not stable across
+    * runs/engines — so the engine's canonical dedup is "min row per key",
+    * a deterministic first-row-wins: one hash aggregate, same cost. */
+  def dedupOrdersByCustomer(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(col("o_orderkey")).as("o_orderkey"),
+        min(col("o_orderdate")).as("first_orderdate"))
+      .orderBy(col("o_custkey"))
+
+  /** A11 — re-nest: group + first + collect_list
+    * (`run_alsrecs_job.py:142-145`). `first` is order-sensitive, so the
+    * deterministic engine form is min + sort_array(collect_list) — same
+    * single-aggregate plan, stable output. */
+  def renestOrderParts(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        min(col("l_suppkey")).as("first_supp"),
+        sort_array(collect_list(col("l_partkey"))).as("parts"))
+      .orderBy(col("l_orderkey"))
+
+  /** A1 (intent) — group-by key + sum, then top-K by the sum
+    * (`Top_K_Final.py:13-17`; the reference's version had a latent bug
+    * grouping by a nonexistent field — we implement the intent, see
+    * SURVEY.md §7.4.6). */
+  def topPartsByQuantity(lineitem: DataFrame, k: Int): DataFrame =
+    lineitem
+      .groupBy(col("l_partkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("l_partkey"))
+      .limit(k)
+}
