@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.graph.{Degrees, Edges}
 import graft.model.Tables
-import graft.ops.{Aggregations, Filters, TopK}
+import graft.ops.{Aggregations, Filters, Joins, TopK}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +44,31 @@ object SparkEntry {
     // ---- top-K / sorts (SURVEY §2.5) ----
     "q_topk_orders" -> ((s, d) => TopK.topOrdersByPrice(Tables.orders(s, d), 100)),
     "q_top_customers" -> ((s, d) => TopK.topCustomersBySpend(Tables.orders(s, d), 50)),
+    // ---- joins (SURVEY §2.3) ----
+    "q_star_join" -> ((s, d) => Joins.brandRevenue(
+      Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d))),
+    "q_point_lookup" -> ((s, d) => Joins.enrichTopOrders(
+      Tables.orders(s, d), Tables.customer(s, d), 20)),
+    // ---- array / graph derivation (SURVEY §2.6 / §2.8) ----
+    "q_related_arrays" -> ((s, d) =>
+      Edges.relatedArrays(Tables.lineitem(s, d))
+        .filter(col("n_related") >= 5).orderBy(col("id"))),
+    "q_edges_explode" -> ((s, d) =>
+      Edges.explodeEdges(Edges.relatedArrays(Tables.lineitem(s, d)))
+        .orderBy(col("src"), col("dst"))),
+    "q_cooccur_edges" -> ((s, d) =>
+      Edges.partCoOccurrence(Tables.lineitem(s, d))
+        .orderBy(col("src"), col("dst"))),
+    "q_out_degrees" -> ((s, d) =>
+      Degrees.outDegrees(Edges.partCoOccurrence(Tables.lineitem(s, d)))
+        .orderBy(col("id"))),
+    "q_degree_hist" -> ((s, d) =>
+      Degrees.outDegreeHistogram(Edges.partCoOccurrence(Tables.lineitem(s, d)))),
+    "q_degree_enrich" -> ((s, d) =>
+      Degrees.enrichWithOutDegree(
+        Tables.part(s, d).select(col("p_partkey").as("id"), col("p_brand")),
+        Edges.partCoOccurrence(Tables.lineitem(s, d)))
+        .orderBy(col("outDegree").desc, col("id")).limit(50)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -134,5 +160,63 @@ object SparkEntry {
         |  count(*) AS num_orders
         |FROM orders GROUP BY 1
         |ORDER BY total_spend DESC, o_custkey LIMIT 50""".stripMargin,
+    "q_star_join" ->
+      """SELECT p_brand, count(*) AS num_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    "q_point_lookup" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20) t
+        |LEFT JOIN customer ON t.o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_related_arrays" ->
+      """SELECT id, related, len(related) AS n_related FROM (
+        |  SELECT l_orderkey AS id, list(l_partkey ORDER BY l_partkey) AS related
+        |  FROM lineitem GROUP BY 1
+        |) WHERE len(related) >= 5 ORDER BY id""".stripMargin,
+    "q_edges_explode" ->
+      """SELECT id AS src, unnest(related) AS dst FROM (
+        |  SELECT l_orderkey AS id, list(l_partkey ORDER BY l_partkey) AS related
+        |  FROM lineitem GROUP BY 1
+        |) ORDER BY src, dst""".stripMargin,
+    "q_cooccur_edges" ->
+      """SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS weight
+        |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+    "q_out_degrees" ->
+      """SELECT src AS id, count(*) AS outDegree FROM (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2
+        |) GROUP BY 1 ORDER BY id""".stripMargin,
+    "q_degree_hist" ->
+      """SELECT outDegree, count(*) AS num_vertices FROM (
+        |  SELECT src, count(*) AS outDegree FROM (
+        |    SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |    GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |) GROUP BY 1 ORDER BY outDegree""".stripMargin,
+    "q_degree_enrich" ->
+      """SELECT p_partkey AS id, p_brand, coalesce(d.outDegree, 0) AS outDegree
+        |FROM part LEFT JOIN (
+        |  SELECT src, count(*) AS outDegree FROM (
+        |    SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |    GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |) d ON p_partkey = d.src
+        |ORDER BY outDegree DESC, id LIMIT 50""".stripMargin,
   )
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join operators — SURVEY.md §2.3 (J1–J3, S9).
+  *
+  * Join-strategy policy for 100 TB: dimension tables (part, supplier,
+  * customer, nation, region — and any top-K result) are broadcast so the fact
+  * scan never shuffles; only fact-to-fact joins (the co-occurrence self-join
+  * in graph.Edges) shuffle, and those shuffle on their join key so AQE can
+  * split skewed partitions. The reference's driver-side `find_one` loop
+  * (`run_pagerank_job.py:124-140`) — K network round-trips — becomes a single
+  * broadcast hash join here.
+  */
+object Joins {
+
+  /** J2 — dimension-lookup star join (`run_alsrecs_job.py:138-139`): fact
+    * lineitem joined to two dims, then aggregated. Both dims fit in a
+    * broadcast at any realistic scale (part/supplier grow ~linearly but stay
+    * 1000× smaller than lineitem; at true 100 TB part may exceed the
+    * broadcast threshold and Catalyst falls back to shuffled hash join on its
+    * own — the hint is advisory). */
+  def brandRevenue(lineitem: DataFrame, part: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("num_items"),
+        Aggregations.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("p_brand"))
+
+  /** S9/J3 — point lookup as a broadcast join: enrich a small top-K result
+    * with dimension attributes (replaces the reference's per-row
+    * `find_one` loop, `PageRank_Spark_v5.py:148-156`). The top-K side is 20
+    * rows — Spark broadcasts it; the customer scan is pruned to the join
+    * columns. */
+  def enrichTopOrders(orders: DataFrame, customer: DataFrame, k: Int): DataFrame = {
+    val top = TopK.topOrdersByPrice(orders, k)
+    top
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+        top("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+}
