@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{Degrees, Edges}
+import graft.graph.{Degrees, Edges, PageRankOp}
+import graft.ml.Recommend
 import graft.model.Tables
 import graft.ops.{Aggregations, Filters, Joins, TopK}
 
@@ -69,6 +70,24 @@ object SparkEntry {
         Tables.part(s, d).select(col("p_partkey").as("id"), col("p_brand")),
         Edges.partCoOccurrence(Tables.lineitem(s, d)))
         .orderBy(col("outDegree").desc, col("id")).limit(50)),
+    // ---- iterative / ML (SURVEY §2.8 G3, §2.9 M1-M3) — invariant-tested,
+    // no SQL oracle (rows-only driver check) ----
+    "q_pagerank_parts" -> ((s, d) => PageRankOp.topInfluencers(
+      s,
+      Edges.partCoOccurrence(Tables.lineitem(s, d)),
+      Tables.part(s, d).select(col("p_partkey").as("id"), col("p_brand"), col("p_name")),
+      k = 100)),
+    "q_pagerank_filtered" -> ((s, d) => {
+      val edges = Edges.partCoOccurrence(Tables.lineitem(s, d))
+        .select(col("src").cast("string"), col("dst").cast("string"))
+      val vertices = Degrees.outDegrees(edges).filter(col("outDegree") >= 5)
+        .select(col("id").cast("string"))
+      PageRankOp.runStringIds(s, vertices, edges)
+        .orderBy(col("pagerank").desc, col("id")).limit(100)
+    }),
+    "q_als_recommend" -> ((s, d) => Recommend.recommendForUsers(
+      s, Recommend.ratingTriples(Tables.orders(s, d), Tables.lineitem(s, d)),
+      nUsers = 100)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

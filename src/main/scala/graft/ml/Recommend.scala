@@ -1,0 +1,97 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.StringIndexer
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.Metadata
+
+/** ALS recommendation pipeline — SURVEY.md §2.9 (M1–M3) + R2/J2/A11.
+  *
+  * Mirrors the reference job (`run_alsrecs_job.py`): seeded 10% sample →
+  * StringIndexer ×2 (string user/item keys → dense ints, frequency-ordered)
+  * → ALS(maxIter 10, regParam 0.1, coldStartStrategy drop, fixed seed) →
+  * recommendForUserSubset(n users, 5 items) → explode the struct-array →
+  * broadcast dim joins to restore original keys → re-nest with
+  * collect_list. Floating-point training output is BLAS-sensitive, so
+  * correctness is structural (tested invariants: 5 recs per user, all keys
+  * resolve, score ordering), not value-equality — SURVEY.md §7.4.5.
+  *
+  * Scale: ALS is the one genuinely iterative-ML operator; spark.ml blocks
+  * the factor matrices and checkpoints lineage. The dims built for join-back
+  * are distinct-key projections (small) → broadcast.
+  */
+object Recommend {
+
+  /** Rating triples from the fixtures: customer × part with summed quantity
+    * as implicit rating (the reference's (uploader, video, rate) analogue),
+    * keys stringified so the StringIndexer leg (M1) is exercised exactly as
+    * in `run_alsrecs_job.py:60-66`. */
+  def ratingTriples(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")), // key-only projection
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        col("o_custkey").cast("string").as("userKey"),
+        col("l_partkey").cast("string").as("itemKey"))
+      .agg(sum(col("l_quantity")).cast("double").as("rating"))
+
+  /** Strip column metadata (the reference's serialization fix for
+    * StringIndexer label arrays, `run_alsrecs_job.py:12-22` / R5). */
+  def stripMetadata(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).as(c, Metadata.empty)).toSeq: _*)
+
+  /** M1–M3: full train + recommend flow. Returns the reference cache shape
+    * `{userId, userKey, recommendations: array<string>}`
+    * (`run_alsrecs_job.py:142-145`). */
+  def recommendForUsers(spark: SparkSession, triples: DataFrame,
+                        nUsers: Int = 500, nRecs: Int = 5,
+                        sampleFraction: Double = 0.10, seed: Long = 42L): DataFrame = {
+    // cache() pins the sampled rows: without it each downstream job recomputes
+    // the sample against whatever partitioning AQE picked for that job, and a
+    // per-partition-seeded sample over different partitions yields different
+    // rows — the indexer then meets labels it never fit (S6-style pin,
+    // `YoutubeNetworkAgg_Final.py:79`).
+    val sampled = triples.sample(withReplacement = false, sampleFraction, seed)
+      .na.drop(Seq("userKey", "itemKey", "rating"))
+      .cache()
+
+    val userIdx = new StringIndexer().setInputCol("userKey").setOutputCol("userId")
+    val itemIdx = new StringIndexer().setInputCol("itemKey").setOutputCol("itemId")
+    val indexed0 = itemIdx.fit(sampled).transform(
+      userIdx.fit(sampled).transform(sampled))
+    val indexed = stripMetadata(indexed0)
+      .select(
+        col("userId").cast("int").as("userId"),
+        col("itemId").cast("int").as("itemId"),
+        col("rating"))
+      .cache()
+
+    val model = new ALS()
+      .setMaxIter(10).setRegParam(0.1).setSeed(seed)
+      .setUserCol("userId").setItemCol("itemId").setRatingCol("rating")
+      .setColdStartStrategy("drop")
+      .fit(indexed)
+
+    val users = indexed.select(col("userId")).distinct()
+      .orderBy(col("userId")).limit(nUsers)
+    val recs = model.recommendForUserSubset(users, nRecs)
+
+    // R2: explode struct-array; J2: broadcast dim join back to original keys;
+    // A11: re-nest, order inside each list by descending score.
+    val itemDim = indexed0.select(col("itemId").cast("int").as("itemId"), col("itemKey"))
+      .dropDuplicates("itemId")
+    val userDim = indexed0.select(col("userId").cast("int").as("userId"), col("userKey"))
+      .dropDuplicates("userId")
+    recs
+      .select(col("userId"), explode(col("recommendations")).as("rec"))
+      .select(col("userId"), col("rec.itemId").as("itemId"), col("rec.rating").as("score"))
+      .join(broadcast(itemDim), Seq("itemId"), "left")
+      .join(broadcast(userDim), Seq("userId"), "left")
+      .groupBy(col("userId"))
+      .agg(
+        first(col("userKey")).as("userKey"), // 1:1 with userId — deterministic
+        reverse(array_sort(collect_list(struct(col("score"), col("itemKey")))))
+          .getField("itemKey").as("recommendations"))
+  }
+}

@@ -1,0 +1,32 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+class RecommendSpec extends SparkSpec {
+
+  test("ALS pipeline: structural invariants on sf0.001") {
+    val triples = Recommend.ratingTriples(Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    // full sample at tiny scale so the user subset is non-trivial
+    val recs = Recommend.recommendForUsers(spark, triples,
+      nUsers = 20, nRecs = 5, sampleFraction = 1.0).cache()
+    assert(recs.count() == 20)
+    // every user gets exactly 5 recommendations, all resolved to real part keys
+    val sizes = recs.select(size(col("recommendations"))).distinct().collect().map(_.getInt(0)).toSet
+    assert(sizes == Set(5))
+    val nullKeys = recs.filter(col("userKey").isNull ||
+      exists(col("recommendations"), _.isNull)).count()
+    assert(nullKeys == 0)
+  }
+
+  test("ratingTriples aggregates quantity per (customer, part)") {
+    import spark.implicits._
+    val orders = Seq((1L, 7L), (2L, 7L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq((1L, 100L, 2.0), (2L, 100L, 3.0), (2L, 200L, 1.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+    val got = Recommend.ratingTriples(orders, li)
+      .as[(String, String, Double)].collect().toSet
+    assert(got == Set(("7", "100", 5.0), ("7", "200", 1.0)))
+  }
+}

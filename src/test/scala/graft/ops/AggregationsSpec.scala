@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit fixtures pin the semantics SURVEY.md §5.2 calls out: bucket boundary
+  * values, deterministic dedup, decimal-exact sums. */
+class AggregationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantityBuckets: boundary values land in the right bucket") {
+    val li = Seq(9.99, 10.0, 24.99, 25.0, 1.0, 50.0)
+      .map(q => (1L, q, 100.0)).toDF("l_orderkey", "l_quantity", "l_extendedprice")
+    val got = Aggregations.quantityBuckets(li)
+      .select("qty_bucket", "num_items").as[(String, Long)].collect().toMap
+    assert(got == Map("short" -> 2L, "medium" -> 2L, "long" -> 2L))
+  }
+
+  test("dsum is exact and order-independent") {
+    val df1 = (1 to 1000).map(i => i + 0.01).toDF("x").repartition(7)
+    val df2 = (1 to 1000).reverse.map(i => i + 0.01).toDF("x").repartition(3)
+    val s1 = df1.agg(Aggregations.dsum(col("x"))).head.getDouble(0)
+    val s2 = df2.agg(Aggregations.dsum(col("x"))).head.getDouble(0)
+    assert(s1 == s2)
+    assert(s1 == 500510.0)
+  }
+
+  test("dedupOrdersByCustomer keeps the min row per key (deterministic)") {
+    val orders = Seq(
+      (10L, 1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      (7L, 1L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+      (3L, 2L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = Aggregations.dedupOrdersByCustomer(orders)
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 7L, 2L -> 3L))
+  }
+
+  test("categoryStats groups sum to total count on real fixture") {
+    val li = graft.model.Tables.lineitem(spark, sf)
+    val stats = Aggregations.categoryStats(li)
+    assert(stats.agg(sum("num_items")).head.getLong(0) == li.count())
+  }
+
+  test("globalStats approx variant brackets exact median") {
+    val li = graft.model.Tables.lineitem(spark, sf)
+    val exact = Aggregations.globalStats(li).head
+    val approx = Aggregations.globalStatsApprox(li).head
+    val exactMedian = exact.getDouble(exact.fieldIndex("median_price"))
+    val approxMedian = approx.getDouble(approx.fieldIndex("median_price"))
+    assert(math.abs(exactMedian - approxMedian) / exactMedian < 0.05)
+  }
+}
