@@ -3,10 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.graph.{Degrees, Edges, PageRankOp}
 import graft.ml.Recommend
 import graft.model.Tables
+import graft.multimodal.Multimodal
 import graft.ops.{Aggregations, Filters, Joins, TopK}
+import graft.sim.Similarity
+import graft.streaming.Streams
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -88,6 +93,37 @@ object SparkEntry {
     "q_als_recommend" -> ((s, d) => Recommend.recommendForUsers(
       s, Recommend.ratingTriples(Tables.orders(s, d), Tables.lineitem(s, d)),
       nUsers = 100)),
+    // ---- text analysis (north-star) ----
+    "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
+    "q_quality_scores" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
+    "q_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    "q_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "q_winnow_fps" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))),
+    // ---- dedup (north-star) ----
+    "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "q_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(Tables.documents(s, d))),
+    "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 10)),
+    // ---- similarity search (north-star) ----
+    "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(
+      Tables.embeddings(s, d), 0L to 9L, k = 10)),
+    "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(
+      Tables.embeddings(s, d), 0L to 9L, k = 10)),
+    "q_cosine_near_dups" -> ((s, d) => Similarity.cosineNearDups(
+      Tables.embeddings(s, d), threshold = 0.35)),
+    // ---- events / sessionization (north-star; streaming twin in
+    // graft.streaming.Streams runs the same expressions incrementally) ----
+    "q_hourly_events" -> ((s, d) => Streams.hourlyCountsBatch(Tables.events(s, d))),
+    "q_user_sessions" -> ((s, d) => Streams.userSessionsBatch(Tables.events(s, d))),
+    // ---- multimodal plumbing (north-star; decode is a marked stub) ----
+    "q_media_meta" -> ((s, d) => Multimodal.largeLandscapeImages(
+      Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
+    "q_media_frames" -> ((s, d) => Multimodal.sampleFrames(
+      Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
+    "q_media_features" -> ((s, d) => Multimodal.extractFeatures(
+      s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+      .toDF().select(col("media_id"), col("media_type"), col("n_bytes"), col("features"))
+      .orderBy(col("media_id"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -237,5 +273,118 @@ object SparkEntry {
         |  ) GROUP BY 1
         |) d ON p_partkey = d.src
         |ORDER BY outDegree DESC, id LIMIT 50""".stripMargin,
+    "q_token_stats" ->
+      """SELECT doc_id, len(toks) AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+        |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |        / greatest(len(toks), 1), 4) AS avg_token_len
+        |FROM (SELECT doc_id, text,
+        |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_scores" ->
+      """SELECT doc_id,
+        |  round(least(greatest(length(txt),1) / 500.0, 1.0), 4) AS length_score,
+        |  round((length(txt) - length(regexp_replace(txt, '[^a-z0-9\s]', '', 'g')))
+        |        * 1.0 / greatest(length(txt), 1), 4) AS punct_ratio,
+        |  round(len(list_filter(toks, x -> list_contains(
+        |        ['the','a','an','of','to','and','in','is','it','for','on','with'], x)))
+        |        * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio,
+        |  round(0.5 * least(greatest(length(txt),1) / 500.0, 1.0)
+        |      + 0.3 * (len(list_filter(toks, x -> list_contains(
+        |            ['the','a','an','of','to','and','in','is','it','for','on','with'], x)))
+        |            * 1.0 / greatest(len(toks), 1))
+        |      + 0.2 * (1.0 - (length(txt) - length(regexp_replace(txt, '[^a-z0-9\s]', '', 'g')))
+        |            * 1.0 / greatest(length(txt), 1)), 4) AS quality_score
+        |FROM (SELECT doc_id, lower(text) AS txt,
+        |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN m = 0 THEN 'und'
+        |       WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de'
+        |       WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred,
+        |  m AS lang_score
+        |FROM (
+        |  SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+        |    greatest(s_en, s_de, s_es, s_fr, s_zh) AS m
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(toks, x -> list_contains(['the','a','of','to','and','is'], x))) AS s_en,
+        |      len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+        |      len(list_filter(toks, x -> list_contains(['el','la','de','que','los','es'], x))) AS s_es,
+        |      len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une'], x))) AS s_fr,
+        |      len(list_filter(toks, x -> list_contains(['de5','shi4','bu4','le5','zai4','ren2'], x))) AS s_zh
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |          FROM documents)))
+        |ORDER BY doc_id""".stripMargin,
+    "q_fingerprints" ->
+      """SELECT doc_id, substr(md5(array_to_string(
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_exact_dedup" ->
+      """SELECT substr(md5(array_to_string(
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')), 1, 16) AS fp,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ann_brute" ->
+      """SELECT query_id, rnk, neighbor_id, cos_sim FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                 CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                     CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rnk
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0,1,2,3,4,5,6,7,8,9))
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q_cosine_near_dups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_user_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
   )
 }

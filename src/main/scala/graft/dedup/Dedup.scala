@@ -1,0 +1,175 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines (north-star scope).
+  *
+  * Four tiers, cheapest first — the standard corpus-dedup funnel:
+  *   1. exact (hash group-by)                — one shuffle on a 16-byte key;
+  *   2. n-gram Jaccard via shingle join      — exact near-dup, quadratic only
+  *      within shared-shingle buckets;
+  *   3. MinHash + LSH banding                — near-dup at corpus scale: the
+  *      candidate join is on band keys, so cost is O(candidates), not O(n²);
+  *   4. SimHash + Hamming banding            — 64-bit sketch, 8 bytes/doc of
+  *      shuffle, the cheapest wide-net pass.
+  * At 100 TB only (1), (3) and (4) are viable corpus-wide; (2) is the
+  * verifier you run on the candidate pairs the sketches surface — which is
+  * exactly how [[minhashNearDups]] composes them.
+  *
+  * Everything is built-in array/hash expressions (no UDFs): signatures are
+  * computed map-side inside codegen, and the only shuffles are the
+  * candidate-key group-bys.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Tier 1 — exact dedup: group by content fingerprint, keep the smallest
+    * doc_id (deterministic winner; `dropDuplicates` would keep an arbitrary
+    * row — SURVEY.md §2.4 A10). */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_doc_id"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word k-shingles of a document, distinct. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val t = TextAnalysis.tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(k)))))
+  }
+
+  /** One row per (doc_id, shingle). The explode is a map-side Generator. */
+  def shingleRows(documents: DataFrame, k: Int = 3): DataFrame =
+    documents.select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
+
+  /** Tier 2 — exact n-gram Jaccard near-dup pairs: join docs on shared
+    * shingles, count the intersection, derive |A∪B| = |A|+|B|−|A∩B|.
+    * The join key is the shingle, so only documents sharing text ever meet —
+    * no cross join. Output: (doc_a < doc_b, jaccard ≥ threshold). */
+  def ngramJaccardPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val rows = shingleRows(documents, k)
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = rows.withColumnsRenamed(Map("doc_id" -> "doc_a"))
+    val b = rows.withColumnsRenamed(Map("doc_id" -> "doc_b"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_shingles" -> "n_a")), Seq("doc_a"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_shingles" -> "n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** Tier 3a — MinHash signatures: numPerm independent permutations
+    * approximated as xxhash64(shingle, seed); signature[j] = min over
+    * shingles. Pure array fold, map-side, ~numPerm×|shingles| hash calls. */
+  def minhashSignatures(documents: DataFrame, k: Int = 3, numPerm: Int = 64): DataFrame =
+    documents
+      .select(col("doc_id"), shingles(col("text"), k).as("sh")) // materialize once
+      .select(
+        col("doc_id"),
+        transform(sequence(lit(0), lit(numPerm - 1)),
+          j => array_min(transform(col("sh"), s => xxhash64(s, j)))).as("signature"))
+
+  /** Tier 3b — LSH banding: split the signature into bands of r rows; docs
+    * sharing any band hash are candidates. Probability a pair with Jaccard s
+    * collides: 1−(1−s^r)^b — the (b, r) choice tunes the S-curve. The
+    * group-by key is (band index, band hash): only colliding docs shuffle
+    * together. */
+  def lshCandidates(signatures: DataFrame, bands: Int = 16): DataFrame = {
+    val sigSize = 64 // numPerm of minhashSignatures default
+    val r = sigSize / bands
+    // xxhash64 hashes the band's sub-array directly (it supports array input)
+    val banded = signatures.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map { bnd =>
+        xxhash64(slice(col("signature"), bnd * r + 1, r), lit(bnd))
+      }: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val a = banded.withColumnRenamed("doc_id", "doc_a")
+    val b = banded.withColumnRenamed("doc_id", "doc_b")
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Tier 3 composed — MinHash/LSH candidates verified with exact Jaccard
+    * (the candidate set is tiny, so the exact verify is cheap even at
+    * corpus scale). */
+  def minhashNearDups(documents: DataFrame, k: Int = 3, numPerm: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(documents, k, numPerm), bands)
+    val docs = documents.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    cands
+      .join(docs.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
+      .join(docs.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** Tier 4a — 64-bit SimHash: each token hash votes ±1 per bit position;
+    * the sketch sets bit i when the vote sum is positive. One aggregate
+    * fold over token hashes — map-side, 8 bytes per document out. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    // shift amounts are lambda-bound Columns, so go through the SQL functions
+    // (the Scala shiftright/shiftleft overloads only take Int positions)
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (v, i) => v + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  def simhashes(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), simhash(col("text")).as("simhash"))
+
+  /** Tier 4b — SimHash near-dups: candidate pairs share at least one of four
+    * 16-bit bands (any pair within Hamming distance 3 must agree on ≥1 band
+    * — pigeonhole), verified with exact bit_count(xor) ≤ maxHamming. */
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhashes(documents)
+    val banded = sh.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map { bnd =>
+        shiftright(col("simhash"), bnd * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    val a = banded.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sh_a"))
+    val b = banded.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sh_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -23,6 +23,19 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events fixture carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark only reads as raw longs (`spark.sql.legacy.parquet.nanosAsLong`,
+    * set by Verify/Bench/tests). Convert to microsecond timestamps at the
+    * source boundary — sub-microsecond digits are zero in the fixtures, so
+    * the truncation is lossless and DuckDB-comparable. */
+  private def nanosToTs(df: DataFrame, c: String): DataFrame =
+    if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+      // integer `div`, not `/`: float division of an ~1e18 nano count loses
+      // precision below the microsecond and truncates off-by-one
+      df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr(s"$c div 1000")))
+    else df
+
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
@@ -30,7 +43,7 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame     = nanosToTs(load(spark, dir, "events"), "ts")
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

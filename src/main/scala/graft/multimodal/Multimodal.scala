@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing (north-star scope).
+  *
+  * Media is carried as an opaque `binary` column plus a typed metadata
+  * struct — the schema a 100 TB multimodal corpus actually uses (content
+  * bytes inline or as object-store pointers; metadata queryable without
+  * decoding). The Spark-side plumbing — schema, batch shape, partition-wise
+  * processing via `mapPartitions` over a typed Dataset (the JVM analogue of
+  * `mapInPandas`: one iterator per partition, amortizing per-batch decoder
+  * init), frame sampling as a Generator — is real and tested.
+  *
+  * The actual codec calls are STUBBED with a deterministic fake (this
+  * container has no image/audio libraries): [[decodeStub]] derives
+  * pseudo-features from a content hash. Swapping in a real decoder changes
+  * only that one function.
+  */
+object Multimodal {
+
+  case class MediaRecord(
+      media_id: Long,
+      media_type: String,        // "image" | "audio" | "video"
+      content: Array[Byte],      // opaque payload (or object-store pointer)
+      width: Int, height: Int, duration_ms: Long)
+
+  case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      features: Array[Float])    // decoder output embedding
+
+  /** Derive a media table from the documents fixture: text bytes as the
+    * opaque payload, metadata from deterministic hashing. Stands in for
+    * `spark.read.format("binaryFile")` over a media bucket. */
+  def mediaFromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      get(array(lit("image"), lit("audio"), lit("video")),
+        pmod(xxhash64(col("doc_id")), lit(3)).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("content"),
+      (pmod(xxhash64(col("doc_id"), lit(1)), lit(1920)) + 1).cast("int").as("width"),
+      (pmod(xxhash64(col("doc_id"), lit(2)), lit(1080)) + 1).cast("int").as("height"),
+      pmod(xxhash64(col("doc_id"), lit(3)), lit(600000)).as("duration_ms"))
+
+  /** STUB decoder: a real implementation would hand `content` to an image /
+    * audio codec. The fake derives `featureDim` floats in [-1, 1) from a
+    * rolling FNV-style hash of the payload — deterministic, so the plumbing
+    * (batching, schema, null-safety) is testable end-to-end. */
+  def decodeStub(content: Array[Byte], featureDim: Int): Array[Float] = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < content.length) { h = (h ^ content(i)) * 0x100000001b3L; i += 1 }
+    Array.tabulate(featureDim) { d =>
+      val x = h ^ (0x9e3779b97f4a7c15L * (d + 1))
+      ((x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+    }
+  }
+
+  /** Partition-wise feature extraction: typed `mapPartitions`, one decoder
+    * "session" per partition (the expensive-init amortization pattern of
+    * `mapInPandas`). */
+  def extractFeatures(spark: SparkSession, media: DataFrame, featureDim: Int = 8): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // real code: val decoder = Codec.open(...) — once per partition
+      it.map { m =>
+        MediaFeatures(m.media_id, m.media_type, m.content.length.toLong,
+          decodeStub(m.content, featureDim))
+      }
+    }
+  }
+
+  /** Metadata-only pruning query: the win of carrying typed metadata beside
+    * the blob — selects never touch `content`, so the columnar reader skips
+    * the heavy column entirely (check ReadSchema in the plan). */
+  def largeLandscapeImages(media: DataFrame): DataFrame =
+    media
+      .filter(col("media_type") === "image" && col("width") > col("height"))
+      .select(col("media_id"), col("width"), col("height"))
+      .orderBy(col("media_id"))
+
+  /** Frame sampling as a Generator: split the payload into fixed-size
+    * "frames" and emit every strideth one — the video-keyframe access
+    * pattern, map-side, no shuffle. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame =
+    media
+      .filter(col("media_type") === "video")
+      .select(col("media_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((length(col("content")).cast("int") - 1) / frameBytes).cast("int")),
+          // lambda-bound start position -> SQL substring via call_function
+          i => call_function("substring", col("content"), i * frameBytes + 1, lit(frameBytes)))))
+      .withColumnsRenamed(Map("pos" -> "frame_no", "col" -> "frame"))
+      .filter(pmod(col("frame_no"), lit(stride)) === 0)
+      .select(col("media_id"), col("frame_no"), xxhash64(col("frame")).as("frame_hash"))
+      .orderBy(col("media_id"), col("frame_no"))
+}

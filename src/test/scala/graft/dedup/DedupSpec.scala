@@ -1,0 +1,67 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("exactDedup: identical normalized text collapses, distinct text survives") {
+    val d = Seq(
+      (1L, "hello  world"), (2L, "hello world"), (3L, "other text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(d).as[(String, Long, Long)].collect()
+    assert(got.length == 2)
+    assert(got.find(_._2 == 1L).get._3 == 2L) // docs 1+2 merged, min id kept
+  }
+
+  test("ngramJaccardPairs finds the planted near-duplicates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.9)
+    assert(pairs.count() > 0)
+  }
+
+  test("minhash LSH recall: catches every pair with jaccard >= 0.9") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("minhashNearDups jaccard values equal the exact computation") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toMap2
+    val viaLsh = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toMap2
+    viaLsh.foreach { case (pair, j) =>
+      assert(exact.get(pair).contains(j), s"pair $pair: lsh=$j exact=${exact.get(pair)}")
+    }
+  }
+
+  implicit class PairMap(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map { case (a, b, j) => (a, b) -> j }.toMap
+  }
+
+  test("simhash: deterministic, zero hamming for identical text") {
+    val d = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val sh = Dedup.simhashes(d).as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("simhashNearDups surfaces the planted near-duplicates at small hamming") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhashNearDups(docs, maxHamming = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(sim).size.toDouble / exact.size
+    assert(recall >= 0.8, s"simhash recall $recall over ${exact.size} true pairs")
+  }
+}

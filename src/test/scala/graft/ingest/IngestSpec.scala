@@ -1,0 +1,38 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sentinel coercion: parse failures and nulls become -1") {
+    val raw = Seq(
+      ("v1", "alice", "Music", "120", "300", "1000", "4.5", "10", "2", "a,b,c"),
+      ("v2", "bob", null, "oops", null, "-", "bad", "5", "1", "")
+    ).toDF("id", "uploader", "category", "age", "length", "views", "rate",
+      "ratings", "comments", "related")
+    val typed = Ingest.typedVideos(raw)
+    val r = typed.filter(col("id") === "v2").head
+    assert(r.getInt(r.fieldIndex("age")) == -1)
+    assert(r.getInt(r.fieldIndex("length")) == -1)
+    assert(r.getLong(r.fieldIndex("views")) == -1L)
+    assert(r.getDouble(r.fieldIndex("rate")) == -1.0)
+    assert(r.getSeq[String](r.fieldIndex("related")).isEmpty)
+    val ok = typed.filter(col("id") === "v1").head
+    assert(ok.getInt(ok.fieldIndex("age")) == 120)
+    assert(ok.getSeq[String](ok.fieldIndex("related")) == Seq("a", "b", "c"))
+  }
+
+  test("dedupAppend skips already-present and in-batch duplicate keys") {
+    val dir = Files.createTempDirectory("graft-ingest").toFile
+    val path = s"${dir.getAbsolutePath}/videos"
+    val b1 = Seq(("v1", 1), ("v2", 2), ("v2", 22)).toDF("id", "x")
+    assert(Ingest.dedupAppend(spark, b1, path, "id") == 2L) // in-batch dup dropped
+    val b2 = Seq(("v2", 3), ("v3", 4)).toDF("id", "x")
+    assert(Ingest.dedupAppend(spark, b2, path, "id") == 1L) // v2 already present
+    assert(spark.read.parquet(path).count() == 3L)
+    assert(Ingest.dedupAppend(spark, b1, path, "id") == 0L) // idempotent replay
+  }
+}

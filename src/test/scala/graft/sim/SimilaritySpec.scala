@@ -1,0 +1,56 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity and orthogonality") {
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val sims = d.as("a").join(d.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(sims((1L, 2L)) == 1.0)
+    assert(sims((1L, 3L)) == 0.0)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val got = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), Seq(0L, 1L), k = 5)
+    val byQuery = got.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(byQuery == Map(0L -> 5L, 1L -> 5L))
+    // ranks are contiguous and scores non-increasing within each query
+    val rows = got.select("query_id", "rnk", "cos_sim").as[(Long, Long, Double)]
+      .collect().groupBy(_._1)
+    rows.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 5L))
+      assert(sorted.sliding(2).forall { case Array(x, y) => x._3 >= y._3; case _ => true })
+    }
+  }
+
+  test("lshTopK finds an exact duplicate vector (same bucket guaranteed)") {
+    val base = Tables.embeddings(spark, sf)
+    val dup = base.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = base.unionByName(dup)
+    val got = Similarity.lshTopK(corpus, Seq(7L), k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.head._3 == 10007L && got.head._4 == 1.0) // its clone at rank 1
+  }
+
+  test("lsh candidates rank consistently with brute force where buckets overlap") {
+    val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), Seq(3L), k = 200)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].collect().toMap
+    val lsh = Similarity.lshTopK(Tables.embeddings(spark, sf), Seq(3L), k = 10)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].collect()
+    lsh.foreach { case (n, c) =>
+      assert(brute.get(n).forall(_ == c), s"neighbor $n: lsh=$c brute=${brute.get(n)}")
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ev(id: Long, t: String, uid: Long, typ: String, v: Double): Streams.Event =
+    Streams.Event(id, Timestamp.valueOf(t), uid, typ, v, "{}")
+
+  val batch1 = Seq(
+    ev(1, "2024-01-01 00:05:00", 1, "click", 1.0),
+    ev(2, "2024-01-01 00:20:00", 1, "error", 2.0),
+    ev(3, "2024-01-01 01:10:00", 2, "click", 3.0))
+  val batch2 = Seq(
+    ev(4, "2024-01-01 01:30:00", 1, "click", 4.0),
+    ev(5, "2024-01-01 02:05:00", 2, "error", 5.0))
+
+  test("streaming tumblingCounts over two batches equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumble")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("tumble")
+        .select(col("window_start").cast("string"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      val batch = Streams.tumblingCounts((batch1 ++ batch2).toDF())
+        .select(col("window_start").cast("string"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.exists { case (w, t, n, _) =>
+        w.startsWith("2024-01-01 01:00") && t == "click" && n == 2 })
+    } finally q.stop()
+  }
+
+  test("runningUserProfile carries state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.runningUserProfile(spark, mem.toDS())
+      .writeStream.format("memory").queryName("profiles")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val last = spark.table("profiles")
+        .groupBy("user_id").agg(max(struct(col("n_events"), col("n_errors"), col("max_value"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.n_errors"), col("s.max_value"))
+        .as[(Long, Long, Long, Double)].collect().toMap2
+      assert(last(1L) == (3L, 1L, 4.0)) // 3 events over both batches, state kept
+      assert(last(2L) == (2L, 1L, 5.0))
+    } finally q.stop()
+  }
+
+  implicit class M(rows: Array[(Long, Long, Long, Double)]) {
+    def toMap2: Map[Long, (Long, Long, Double)] =
+      rows.map { case (u, a, b, c) => u -> ((a, b, c)) }.toMap
+  }
+
+  test("batch session windows split on the 5-minute gap") {
+    val events = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 00:04:00", 1, "click", 1.0), // same session (4m gap)
+      ev(3, "2024-01-01 00:09:00", 1, "click", 1.0), // same session (5m - 1ms? no: exactly 5m gap -> new)
+      ev(4, "2024-01-01 00:30:00", 1, "click", 1.0)  // new session
+    ).toDF()
+    val got = Streams.userSessionsBatch(events)
+      .select(col("session_start").cast("string"), col("n_events"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("2024-01-01 00:00:00", 3L), ("2024-01-01 00:30:00", 1L)))
+  }
+}

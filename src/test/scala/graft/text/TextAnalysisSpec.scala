@@ -1,0 +1,54 @@
+package graft.text
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenStats: hand-computed counts") {
+    val d = Seq((1L, "Hello world, nice day")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(d).head
+    assert(r.getLong(r.fieldIndex("n_tokens")) == 4L)      // whitespace tokens
+    assert(r.getLong(r.fieldIndex("n_bpe_tokens")) == 5L)  // comma splits off
+    // tokens: hello(5) world,(6) nice(4) day(3) -> 18/4 = 4.5
+    assert(r.getDouble(r.fieldIndex("avg_token_len")) == 4.5)
+  }
+
+  test("languageId: marker words win; no markers -> und") {
+    val d = Seq(
+      (1L, "the cat is on the mat"),
+      (2L, "der hund ist nicht da"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(d)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("fingerprint is whitespace-normalization invariant") {
+    val d = Seq((1L, "a  b\tc"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(d).as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("winnowing fingerprints overlap heavily for near-identical docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val edited = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, base), (2L, edited), (3L, far)).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(d).as[(Long, Seq[Long])].collect().toMap
+    def overlap(a: Seq[Long], b: Seq[Long]) =
+      a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+    assert(overlap(fp(1L), fp(2L)) > 0.5)
+    assert(overlap(fp(1L), fp(3L)) == 0.0)
+  }
+
+  test("quality score components are bounded and blended") {
+    val d = Seq((1L, "the a of to and is it for on with")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScores(d).head
+    val stop = r.getDouble(r.fieldIndex("stopword_ratio"))
+    assert(stop == 1.0) // all 10 tokens are stopwords
+    val q = r.getDouble(r.fieldIndex("quality_score"))
+    assert(q > 0.0 && q <= 1.0)
+  }
+}
