@@ -83,8 +83,9 @@ object SparkEntry {
       Tables.part(s, d).select(col("p_partkey").as("id"), col("p_brand"), col("p_name")),
       k = 100)),
     "q_pagerank_filtered" -> ((s, d) => {
+      // cache: the edge list feeds both the vertex filter and the ranked run
       val edges = Edges.partCoOccurrence(Tables.lineitem(s, d))
-        .select(col("src").cast("string"), col("dst").cast("string"))
+        .select(col("src").cast("string"), col("dst").cast("string")).cache()
       val vertices = Degrees.outDegrees(edges).filter(col("outDegree") >= 5)
         .select(col("id").cast("string"))
       PageRankOp.runStringIds(s, vertices, edges)

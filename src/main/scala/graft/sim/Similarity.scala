@@ -21,10 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double precision. */
+  /** dot(a, b) in double precision — a native codegen'd Expression
+    * ([[graft.functions.DotProduct]]): the HOF route
+    * (aggregate∘zip_with) is interpreted per element and was the inner loop
+    * of every O(n²) similarity job. Index-order summation, so results are
+    * bit-identical to the HOF version and to DuckDB's list functions. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -51,6 +51,17 @@ class GraphSpec extends SparkSpec {
     assert(ranks == again)
   }
 
+  test("DataFrame pageRank matches GraphX on the same graph") {
+    val edges = Edges.partCoOccurrence(graft.model.Tables.lineitem(spark, sf))
+      .select(col("src"), col("dst"))
+    val df = PageRankOp.runLongIds(spark, edges).as[(Long, Double)].collect().toMap
+    val gx = PageRankOp.runGraphX(spark, edges).as[(Long, Double)].collect().toMap
+    assert(df.keySet == gx.keySet)
+    df.foreach { case (id, r) =>
+      assert(math.abs(r - gx(id)) < 1e-6, s"vertex $id: df=$r gx=${gx(id)}")
+    }
+  }
+
   test("runStringIds drops edges with endpoints outside the vertex set") {
     val vertices = Seq("a", "b", "c").toDF("id")
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "zz"), ("zz", "a"))
