@@ -26,9 +26,11 @@ object Explain {
         org.apache.spark.sql.execution.FormattedMode)
       println(s"\n========== $name ==========")
       println(plan)
+      // (codegen spans aren't visible pre-execution under AQE, so no
+      // codegen flag here; ALS's CartesianProduct is MLlib's blocked
+      // cross-join in recommendForUserSubset — expected.)
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "no-WholeStageCodegen" -> !plan.contains("WholeStageCodegen"),
         "SortMergeJoin" -> plan.contains("SortMergeJoin"))
         .collect { case (f, true) => f }
       if (flags.nonEmpty) println(s"[flags] $name: ${flags.mkString(", ")}")

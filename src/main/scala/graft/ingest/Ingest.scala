@@ -38,6 +38,54 @@ object Ingest {
       sentinel(col("comments"), "bigint").as("comments"),
       filter(split(coalesce(col("related"), lit("")), ","), x => x =!= "").as("related"))
 
+  /** S1 — streaming XML scan, Spark-native: the reference's incremental
+    * `iterparse` over a too-big-for-RAM crawl file
+    * (`YoutubeDataset_loader_final.py:75-108`) maps to the built-in XML
+    * source (Spark 4 ships it), which streams row-tags without
+    * materializing the document; partitioned, so a 100 TB crawl splits
+    * across executors instead of one driver loop. Attributes surface with
+    * the `_` prefix; child `<related>` elements arrive as an array. */
+  /** Explicit all-strings schema: skips the inference pass entirely (one
+    * scan instead of two over a 100 TB crawl) and sidesteps the Stax
+    * attribute caster throwing on values like `length=""` that inference
+    * typed numeric from earlier rows — typing is OUR job, one projection
+    * later, with sentinels. */
+  val xmlVideoSchema: StructType = StructType(
+    Seq("_id", "_uploader", "_category", "_age", "_length", "_views",
+      "_rate", "_ratings", "_comments").map(StructField(_, StringType)) :+
+      StructField("related", ArrayType(StringType)))
+
+  def readVideosXml(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", "video")
+      .option("attributePrefix", "_")
+      .schema(xmlVideoSchema)
+      .load(path)
+
+  /** S2 for the XML shape: attribute columns (all read as strings via an
+    * explicit projection) through the same sentinel coercion. */
+  def typedVideosFromXml(raw: DataFrame): DataFrame = {
+    val related =
+      if (raw.columns.contains("related"))
+        raw.schema("related").dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            coalesce(col("related").cast("array<string>"), array())
+          case _ => filter(array(col("related").cast("string")), x => x.isNotNull)
+        }
+      else array()
+    raw.select(
+      col("_id").cast("string").as("id"),
+      col("_uploader").cast("string").as("uploader"),
+      col("_category").cast("string").as("category"),
+      sentinel(col("_age")).as("age"),
+      sentinel(col("_length")).as("length"),
+      sentinel(col("_views"), "bigint").as("views"),
+      sentinel(col("_rate"), "double").as("rate"),
+      sentinel(col("_ratings"), "bigint").as("ratings"),
+      sentinel(col("_comments"), "bigint").as("comments"),
+      related.as("related"))
+  }
+
   /** S3 — dedup-append sink: the `insert_many(ordered=False)` +
     * swallow-duplicate-key pattern becomes an anti-join against the existing
     * keys, then an append. Exactly-once per batch; the anti join broadcasts

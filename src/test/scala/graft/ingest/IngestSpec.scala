@@ -25,6 +25,34 @@ class IngestSpec extends SparkSpec {
     assert(ok.getSeq[String](ok.fieldIndex("related")) == Seq("a", "b", "c"))
   }
 
+  test("XML ingest: rowTag streaming scan + sentinel typing end-to-end") {
+    val dir = Files.createTempDirectory("graft-xml").toFile
+    val xml = new java.io.File(dir, "videos.xml")
+    val w = new java.io.PrintWriter(xml)
+    w.write(
+      """<videos>
+        |  <video id="v1" uploader="alice" category="Music" age="120" length="300"
+        |         views="1000" rate="4.5" ratings="10" comments="2">
+        |    <related>v2</related><related>v3</related>
+        |  </video>
+        |  <video id="v2" uploader="bob" category="UNA" age="oops" length=""
+        |         views="bad" rate="x" ratings="-" comments="1"/>
+        |</videos>""".stripMargin)
+    w.close()
+    val typed = Ingest.typedVideosFromXml(
+      Ingest.readVideosXml(spark, xml.getAbsolutePath))
+    val rows = typed.orderBy(col("id")).collect()
+    assert(rows.length == 2)
+    val v1 = rows(0)
+    assert(v1.getString(v1.fieldIndex("id")) == "v1")
+    assert(v1.getInt(v1.fieldIndex("age")) == 120)
+    assert(v1.getSeq[String](v1.fieldIndex("related")) == Seq("v2", "v3"))
+    val v2 = rows(1)
+    assert(v2.getInt(v2.fieldIndex("age")) == -1)     // "oops" -> sentinel
+    assert(v2.getLong(v2.fieldIndex("views")) == -1L) // "bad" -> sentinel
+    assert(v2.getSeq[String](v2.fieldIndex("related")).isEmpty)
+  }
+
   test("dedupAppend skips already-present and in-batch duplicate keys") {
     val dir = Files.createTempDirectory("graft-ingest").toFile
     val path = s"${dir.getAbsolutePath}/videos"
