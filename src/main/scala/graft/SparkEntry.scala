@@ -110,6 +110,8 @@ object SparkEntry {
       Tables.embeddings(s, d), 0L to 9L, k = 10)),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(
       Tables.embeddings(s, d), 0L to 9L, k = 10)),
+    "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(
+      s, Tables.embeddings(s, d), 0L to 9L, k = 10)),
     "q_cosine_near_dups" -> ((s, d) => Similarity.cosineNearDups(
       Tables.embeddings(s, d), threshold = 0.35)),
     // ---- events / sessionization (north-star; streaming twin in

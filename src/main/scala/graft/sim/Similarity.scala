@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,6 +89,75 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** IVF (inverted-file) ANN — the other classic scale path: a k-means
+    * coarse quantizer (spark.ml, seeded) partitions the corpus into nlist
+    * cells; each query probes its nprobe nearest centroids and ranks
+    * exactly within those cells only. Versus hyperplane LSH: data-adaptive
+    * cells (better recall on clustered corpora) at the cost of a training
+    * pass. The centroid table is tiny → broadcast; the candidate join is an
+    * equi-join on cell id, so corpus-side work is one scan + one shuffle by
+    * cell. */
+  def ivfTopK(spark: SparkSession, embeddings: DataFrame, queryIds: Seq[Long],
+              k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val vecs = embeddings
+      .withColumn("v", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("v").setPredictionCol("cell")
+    val model = km.fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .cache()
+    val centroids = model.clusterCenters.zipWithIndex
+    val centDf = spark.createDataFrame(
+        centroids.map { case (c, i) => (i, c.toArray) }.toSeq)
+      .toDF("cell", "centroid")
+    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // nprobe nearest cells per query (centroid table broadcast)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_to_cent").desc, col("cell"))
+    val probes = q.join(broadcast(centDf))
+      .withColumn("cos_to_cent",
+        cosine(col("q_emb").cast("array<double>"), col("centroid")))
+      .withColumn("p", row_number().over(wProbe))
+      .filter(col("p") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probes
+      .join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Near-dup pairs at corpus scale: candidates = same hyperplane-LSH
+    * bucket (equi-join, no n² expansion), verified with exact cosine.
+    * Recall < 1 by construction — raise it with fewer planes (coarser
+    * buckets) or multiple tables; the exact [[cosineNearDups]] is the
+    * correctness baseline it's tested against. */
+  def cosineNearDupsLSH(embeddings: DataFrame, threshold: Double,
+                        planes: Int = 8, dim: Int = 64): DataFrame = {
+    val signed = embeddings.select(
+      col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), planes, dim).as("bucket"))
+    val a = signed.withColumnsRenamed(Map("vec_id" -> "id_a", "embedding" -> "emb_a"))
+    val b = signed.withColumnsRenamed(Map("vec_id" -> "id_b", "embedding" -> "emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Embedding-cosine near-dup pairs: all (a < b) with cosine ≥ threshold.

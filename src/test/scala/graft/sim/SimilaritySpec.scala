@@ -44,6 +44,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._3 == 10007L && got.head._4 == 1.0) // its clone at rank 1
   }
 
+  test("ivfTopK: recall vs brute force is high and scores are exact") {
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), queries, k = 10)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)].collect()
+    val bruteMap = brute.map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf = Similarity.ivfTopK(spark, Tables.embeddings(spark, sf), queries,
+      k = 10, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)].collect()
+    // every IVF hit that brute force also ranked must carry the identical score
+    ivf.foreach { case (q, n, c) =>
+      bruteMap.get((q, n)).foreach(bc => assert(bc == c, s"($q,$n): ivf=$c brute=$bc"))
+    }
+    val recall = ivf.count { case (q, n, _) => bruteMap.contains((q, n)) }.toDouble / brute.length
+    assert(recall >= 0.5, s"IVF recall $recall") // nprobe=4 of 8 cells
+  }
+
+  test("cosineNearDupsLSH pairs are a subset of exact pairs with equal scores") {
+    val exact = Similarity.cosineNearDups(Tables.embeddings(spark, sf), 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val lsh = Similarity.cosineNearDupsLSH(Tables.embeddings(spark, sf), 0.3, planes = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, c) =>
+      assert(exact.get((a, b)).contains(c), s"pair ($a,$b) lsh=$c exact=${exact.get((a, b))}")
+    }
+  }
+
   test("lsh candidates rank consistently with brute force where buckets overlap") {
     val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), Seq(3L), k = 200)
       .select("neighbor_id", "cos_sim").as[(Long, Double)].collect().toMap

@@ -65,6 +65,30 @@ class StreamsSpec extends SparkSpec {
       rows.map { case (u, a, b, c) => u -> ((a, b, c)) }.toMap
   }
 
+  test("file-stream source: incremental parquet ingest matches batch aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    val path = dir.getAbsolutePath
+    // write the real events fixture out in two "arriving" chunks
+    val events = graft.model.Tables.events(spark, sf).cache()
+    events.filter(col("event_id") % 2 === 0).write.parquet(s"$path/chunk=0")
+    events.filter(col("event_id") % 2 === 1).write.parquet(s"$path/chunk=1")
+    val stream = Streams.readEventsStream(spark, s"$path/chunk=*")
+    val q = Streams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("filetumble")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("filetumble")
+        .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
+        .as[(String, String, Long)].collect().toSet
+      val batch = Streams.tumblingCounts(events)
+        .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch session windows split on the 5-minute gap") {
     val events = Seq(
       ev(1, "2024-01-01 00:00:00", 1, "click", 1.0),
