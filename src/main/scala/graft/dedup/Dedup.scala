@@ -170,8 +170,24 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  def simhashes(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), simhash(col("text")).as("simhash"))
+  /** [[simhash]] as 64 codegen'd conditional-sum aggregates over exploded
+    * token rows (the same interpreted-HOF → hash-aggregate rewrite as
+    * MinHash; the column expression form is kept for composability and as
+    * the semantics reference — [[DedupSpec]] pins them equal). */
+  def simhashes(documents: DataFrame): DataFrame = {
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    documents
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
 
   /** Tier 4b — SimHash near-dups: candidate pairs share at least one of four
     * 16-bit bands (any pair within Hamming distance 3 must agree on ≥1 band

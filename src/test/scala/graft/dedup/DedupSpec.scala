@@ -48,6 +48,13 @@ class DedupSpec extends SparkSpec {
       rows.map { case (a, b, j) => (a, b) -> j }.toMap
   }
 
+  test("aggregate-form simhashes equals the column-expression simhash") {
+    val viaAgg = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
+    val viaExpr = docs.select(col("doc_id"), Dedup.simhash(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg == viaExpr)
+  }
+
   test("simhash: deterministic, zero hamming for identical text") {
     val d = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "completely different words here")).toDF("doc_id", "text")
