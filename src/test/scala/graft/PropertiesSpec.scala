@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{Aggregations, Filters, TopK}
+
+/** Property tests (SURVEY.md §5.3): operator laws that must hold for any
+  * input, checked over ScalaCheck-generated fixtures (seeded, so runs are
+  * reproducible; Gen driven directly — no scalatest bridge needed). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  def samples[A](g: Gen[A], n: Int = 8): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  val ordersGen: Gen[List[(Long, Long, Double, String)]] =
+    Gen.nonEmptyListOf(for {
+      ok <- Gen.choose(1L, 50L)
+      ck <- Gen.choose(1L, 10L)
+      price <- Gen.choose(1, 500000).map(_ / 100.0)
+      st <- Gen.oneOf("O", "F", "P")
+    } yield (ok, ck, price, st)).map(_.distinctBy(_._1))
+
+  test("top-K is a prefix of the full sort") {
+    for (rows <- samples(ordersGen); k <- Seq(1, 3, 10)) {
+      val df = rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val topK = TopK.topOrdersByPrice(df, k).select("o_orderkey").as[Long].collect().toSeq
+      val full = df.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey").as[Long].collect().toSeq
+      assert(topK == full.take(k))
+    }
+  }
+
+  test("bucket counts always sum to the row count") {
+    for (rows <- samples(ordersGen)) {
+      val df = rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val total = Aggregations.priceBuckets(df).agg(sum("num_orders")).head.getLong(0)
+      assert(total == rows.length)
+    }
+  }
+
+  test("adding predicates never grows the dynamic-filter result") {
+    for (rows <- samples(ordersGen); minP <- Seq(0.0, 1000.0, 4000.0)) {
+      val df = rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val none = Filters.dynamicFilter(df, Seq.empty).count()
+      val one = Filters.dynamicFilter(df, Seq(col("o_totalprice") >= minP)).count()
+      val two = Filters.dynamicFilter(df,
+        Seq(col("o_totalprice") >= minP, col("o_orderstatus") === "O")).count()
+      assert(none >= one && one >= two)
+    }
+  }
+
+  test("keyed dedup is idempotent and keyed-unique") {
+    for (rows <- samples(ordersGen)) {
+      val df = rows.map { case (ok, ck, _, _) =>
+        (ok, ck, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      }.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      val once = Aggregations.dedupOrdersByCustomer(df)
+      assert(once.select("o_custkey").distinct().count() == once.count())
+      val twice = Aggregations.dedupOrdersByCustomer(
+        once.select(col("o_orderkey"), col("o_custkey"),
+          col("first_orderdate").as("o_orderdate")))
+      assert(twice.collect().toSet == once.collect().toSet)
+    }
+  }
+
+  test("exact decimal sum equals BigDecimal reference for any partitioning") {
+    val xsGen = Gen.nonEmptyListOf(Gen.choose(1, 10000000).map(_ / 100.0))
+    for (xs <- samples(xsGen); parts <- Seq(1, 3, 8)) {
+      val got = xs.toDF("x").repartition(parts)
+        .agg(Aggregations.dsum(col("x"))).head.getDouble(0)
+      val expected = xs.map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(got == expected)
+    }
+  }
+}

@@ -1,0 +1,37 @@
+package graft.serve
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed co-located join plans with zero shuffle exchanges") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val li = Tables.lineitem(spark, sf)
+    val or = Tables.orders(spark, sf)
+    Bucketing.writeBucketed(
+      li.select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+      "li_bucketed", s"$wh/li", "l_orderkey", 8)
+    Bucketing.writeBucketed(
+      or.select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+      "or_bucketed", s"$wh/or", "l_orderkey", 8)
+
+    // disable auto-broadcast so both plans are sort-merge joins: the only
+    // difference left is whether the inputs need an Exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.colocatedJoin(spark, "li_bucketed", "or_bucketed", "l_orderkey")
+      assert(Bucketing.isShuffleFree(joined), "bucketed join must not shuffle:\n" +
+        joined.queryExecution.executedPlan)
+      // and it is still correct
+      val expected = li.join(or, li("l_orderkey") === or("o_orderkey")).count()
+      assert(joined.count() == expected)
+
+      // the non-bucketed twin DOES shuffle (so the assertion above is meaningful)
+      val plain = li.select(col("l_orderkey"), col("l_quantity"))
+        .join(or.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"))
+      assert(!Bucketing.isShuffleFree(plain))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
