@@ -105,6 +105,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "q_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(Tables.documents(s, d))),
     "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 10)),
+    "q_winnow_neardups" -> ((s, d) => Dedup.winnowNearDups(Tables.documents(s, d))),
     // ---- similarity search (north-star) ----
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(
       Tables.embeddings(s, d), 0L to 9L, k = 10)),

@@ -150,6 +150,27 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------------------ winnowing
+
+  /** Winnowing near-dups: documents sharing ≥ minShared selected
+    * rolling-hash fingerprints ([[graft.text.TextAnalysis.winnowFingerprints]])
+    * are near-dup candidates — the MOSS-style scheme, robust to insertions
+    * because fingerprints are window-local. Join is on fingerprint value:
+    * only docs sharing content ever meet. */
+  def winnowNearDups(documents: DataFrame, k: Int = 4, w: Int = 5,
+                     minShared: Int = 3): DataFrame = {
+    val fps = graft.text.TextAnalysis.winnowFingerprints(documents, k, w)
+      .select(col("doc_id"), explode(col("winnow_fp")).as("fp"))
+    val a = fps.withColumnRenamed("doc_id", "doc_a")
+    val b = fps.withColumnRenamed("doc_id", "doc_b")
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** Tier 4a — 64-bit SimHash: each token hash votes ±1 per bit position;

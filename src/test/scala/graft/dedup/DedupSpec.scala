@@ -55,6 +55,15 @@ class DedupSpec extends SparkSpec {
     assert(viaAgg == viaExpr)
   }
 
+  test("winnowNearDups finds the planted near-duplicates") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val winnow = Dedup.winnowNearDups(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(winnow).size.toDouble / exact.size
+    assert(recall >= 0.9, s"winnow recall $recall over ${exact.size} true pairs")
+  }
+
   test("simhash: deterministic, zero hamming for identical text") {
     val d = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "completely different words here")).toDF("doc_id", "text")
