@@ -138,7 +138,12 @@ object Dedup {
   def minhashNearDups(documents: DataFrame, k: Int = 3, numPerm: Int = 64,
                       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val cands = lshCandidates(minhashSignatures(documents, k, numPerm), bands)
-    val docs = documents.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    // shingle sets re-collected from the codegen'd row form — the array-HOF
+    // shingles() would re-tokenize per lambda element (see
+    // TextAnalysis.winnowFingerprintRows on why staging can't fix that)
+    val docs = shingleRows(documents, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh"))
     cands
       .join(docs.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
       .join(docs.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
@@ -158,11 +163,20 @@ object Dedup {
     * because fingerprints are window-local. Join is on fingerprint value:
     * only docs sharing content ever meet. */
   def winnowNearDups(documents: DataFrame, k: Int = 4, w: Int = 5,
-                     minShared: Int = 3): DataFrame = {
-    val fps = graft.text.TextAnalysis.winnowFingerprints(documents, k, w)
-      .select(col("doc_id"), explode(col("winnow_fp")).as("fp"))
-    val a = fps.withColumnRenamed("doc_id", "doc_a")
-    val b = fps.withColumnRenamed("doc_id", "doc_b")
+                     minShared: Int = 3, maxDocFreq: Int = 50): DataFrame = {
+    val fps = graft.text.TextAnalysis.winnowFingerprintRows(documents, k, w)
+    // Doc-frequency cap: winnowing biases selection toward globally small
+    // hash values, so a fingerprint common to the corpus gets selected by
+    // EVERY document containing it — without this cap one ubiquitous fp
+    // shared by n docs contributes n²/2 join rows (observed: 926 s at
+    // sf0.1 vs ~4 s with the cap). A fingerprint in >maxDocFreq docs
+    // carries no near-dup signal anyway — classic stop-shingle removal.
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    val a = kept.withColumnRenamed("doc_id", "doc_a")
+    val b = kept.withColumnRenamed("doc_id", "doc_b")
     a.join(b, Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))

@@ -109,17 +109,39 @@ object TextAnalysis {
     * the classic local fingerprinting scheme for near-dup detection that is
     * robust to insertions. Pure array expressions, map-side. Uses xxhash64
     * (not in DuckDB) → invariant-tested, rows-only at the oracle gate. */
-  def winnowFingerprints(documents: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
-    val t = tokens(col("text"))
-    val shingleHashes = transform(
-      sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
-      i => xxhash64(concat_ws(" ", slice(t, i, lit(k)))))
-    val mins = transform(
-      sequence(lit(1), greatest(size(shingleHashes) - (w - 1), lit(1))),
-      i => array_min(slice(shingleHashes, i, lit(w))))
-    documents.select(
-      col("doc_id"),
-      array_sort(array_distinct(mins)).as("winnow_fp"))
-      .orderBy(col("doc_id"))
+  /** Row form: one (doc_id, fp) row per distinct selected fingerprint.
+    * Shingles come from window `lead` over posexploded tokens and the
+    * per-window minimum from a sliding ROWS frame — both codegen'd. The
+    * array-HOF formulation of this op was catastrophically slow: nested
+    * lambdas re-evaluate their inner arrays per element (interpreted), and
+    * CollapseProject undoes any attempt to stage the arrays as separate
+    * projections — measured ~900 s at sf0.1 vs ~2 s for this form. */
+  def winnowFingerprintRows(documents: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wlead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until k).map(i => lead(col("tok"), i).over(wlead))
+    val shingled = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"), posexplode(col("toks")))
+      .withColumnsRenamed(Map("col" -> "tok"))
+      .select(col("doc_id"), col("n"), col("pos"),
+        xxhash64(concat_ws(" ", (col("tok") +: leads): _*)).as("sh"))
+      .filter(col("pos") <= greatest(col("n") - k, lit(0)))
+    val wmin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    shingled
+      .withColumn("fp", min(col("sh")).over(wmin))
+      // valid window starts: shingleCount − w (the frame at the last valid
+      // start still spans w rows; a shorter-than-w doc keeps start 0 whose
+      // frame naturally truncates — matching slice semantics)
+      .filter(col("pos") <= greatest(col("n") - (k - 1) - w, lit(0)))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
   }
+
+  def winnowFingerprints(documents: DataFrame, k: Int = 4, w: Int = 5): DataFrame =
+    winnowFingerprintRows(documents, k, w)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("fp"))).as("winnow_fp"))
+      .orderBy(col("doc_id"))
 }
