@@ -81,6 +81,18 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose content fingerprint was
+    * already seen, with state bounded by the watermark (an id seen again
+    * after `delay` is treated as new — the standard stream-dedup contract;
+    * unbounded exactness would need unbounded state). The streaming half of
+    * the dedup funnel in [[graft.dedup.Dedup]]: the same fingerprint column
+    * drives both the batch corpus pass and the ingest-time stream filter. */
+  def streamingDedup(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("fp", xxhash64(col("event_type"), col("props"), col("value")))
+      .withWatermark("ts", delay)
+      .dropDuplicates("fp", "ts")
+
   /** Batch twin of [[tumblingCounts]] for the DuckDB oracle: identical
     * semantics, date_trunc instead of window() for a flat schema. */
   def hourlyCountsBatch(events: DataFrame): DataFrame =

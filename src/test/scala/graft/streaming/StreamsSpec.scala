@@ -89,6 +89,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup drops repeated fingerprints across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.streamingDedup(mem.toDF())
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    try {
+      // same (type, props, value, ts) appears in both batches -> kept once
+      val dup = ev(1, "2024-01-01 00:05:00", 1, "click", 1.0)
+      mem.addData(dup, ev(2, "2024-01-01 00:06:00", 2, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(dup.copy(event_id = 99), ev(3, "2024-01-01 00:07:00", 3, "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dedupstream")
+      assert(got.count() == 3) // 4 events in, 1 duplicate dropped
+      assert(got.filter(col("event_type") === "click").count() == 1)
+    } finally q.stop()
+  }
+
   test("batch session windows split on the 5-minute gap") {
     val events = Seq(
       ev(1, "2024-01-01 00:00:00", 1, "click", 1.0),
