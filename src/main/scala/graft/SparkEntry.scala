@@ -124,6 +124,11 @@ object SparkEntry {
       Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
     "q_media_frames" -> ((s, d) => Multimodal.sampleFrames(
       Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
+    "q_media_resize" -> ((s, d) => Multimodal.resizeImages(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)), maxWidth = 640)
+      .select(col("media_id"), col("media_type"), col("width"), col("height"),
+        length(col("content")).as("n_bytes"))
+      .orderBy(col("media_id"))),
     "q_media_features" -> ((s, d) => Multimodal.extractFeatures(
       s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
       .toDF().select(col("media_id"), col("media_type"), col("n_bytes"), col("features"))

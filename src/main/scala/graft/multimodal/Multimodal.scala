@@ -82,6 +82,25 @@ object Multimodal {
       .select(col("media_id"), col("width"), col("height"))
       .orderBy(col("media_id"))
 
+  /** Resize stub: a real implementation decodes, scales, re-encodes; the
+    * deterministic fake truncates the payload proportionally to the pixel
+    * ratio. The Spark-side contract is the real part — metadata updated in
+    * lockstep with content, aspect ratio preserved via integer math,
+    * non-images pass through untouched. */
+  def resizeImages(media: DataFrame, maxWidth: Int): DataFrame = {
+    val isWide = col("media_type") === "image" && col("width") > maxWidth
+    val newH = (col("height").cast("long") * maxWidth / col("width")).cast("int")
+    val scale = (lit(maxWidth.toDouble) * newH.cast("double")) /
+      (col("width").cast("double") * col("height").cast("double"))
+    val newLen = greatest((length(col("content")).cast("double") * scale).cast("int"), lit(1))
+    media // content first, then height, then width — each reads the originals
+      .withColumn("content",
+        when(isWide, call_function("substring", col("content"), lit(1), newLen))
+          .otherwise(col("content")))
+      .withColumn("height", when(isWide, newH).otherwise(col("height")))
+      .withColumn("width", when(isWide, lit(maxWidth)).otherwise(col("width")))
+  }
+
   /** Frame sampling as a Generator: split the payload into fixed-size
     * "frames" and emit every strideth one — the video-keyframe access
     * pattern, map-side, no shuffle. */

@@ -39,6 +39,26 @@ class MultimodalSpec extends SparkSpec {
     assert(readSchema.contains("width"))
   }
 
+  test("resizeImages: aspect ratio kept, metadata and payload shrink together, non-images untouched") {
+    import spark.implicits._
+    val resized = Multimodal.resizeImages(media, maxWidth = 100).cache()
+    val wide = resized.filter(col("media_type") === "image")
+    assert(wide.filter(col("width") > 100).count() == 0)
+    // aspect ratio preserved within integer rounding for resized rows
+    val pairs = media.filter(col("media_type") === "image" && col("width") > 100)
+      .select(col("media_id"), (col("height").cast("double") / col("width")).as("ar0"))
+      .join(resized.select(col("media_id"),
+        (col("height").cast("double") / col("width")).as("ar1")), Seq("media_id"))
+      .select(abs(col("ar0") - col("ar1"))).as[Double].collect()
+    assert(pairs.nonEmpty && pairs.forall(_ < 0.02))
+    // non-image payloads byte-identical
+    val untouched = media.filter(col("media_type") =!= "image")
+      .select(col("media_id"), xxhash64(col("content")).as("h0"))
+      .join(resized.select(col("media_id"), xxhash64(col("content")).as("h1")), Seq("media_id"))
+      .filter(col("h0") =!= col("h1")).count()
+    assert(untouched == 0)
+  }
+
   test("sampleFrames keeps every 4th frame only") {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(media)
