@@ -40,6 +40,10 @@ object SparkEntry {
     "q_renest" -> ((s, d) => Aggregations.renestOrderParts(Tables.lineitem(s, d))),
     "q_top_parts_by_qty" -> ((s, d) => Aggregations.topPartsByQuantity(Tables.lineitem(s, d), 100)),
     "q_count" -> ((s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
+    "q_rollup" -> ((s, d) => Aggregations.rollupStats(Tables.lineitem(s, d))),
+    "q_distinct_count" -> ((s, d) =>
+      // approx twin stays engine-side only: sketch values differ per engine
+      Aggregations.distinctPartsPerFlag(Tables.lineitem(s, d)).drop("n_parts_approx")),
     // ---- filters / projections (SURVEY §2.2) ----
     "q_filter_eq_range" -> ((s, d) => Filters.equalityAndRange(Tables.lineitem(s, d), "R", 10, 20)),
     "q_filter_range" -> ((s, d) => Filters.numericRange(Tables.orders(s, d), 50000, 100000)),
@@ -193,6 +197,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1
         |ORDER BY total_qty DESC, l_partkey LIMIT 100""".stripMargin,
     "q_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS num_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_filter_eq_range" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
         |FROM lineitem

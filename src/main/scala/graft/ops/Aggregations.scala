@@ -154,6 +154,26 @@ object Aggregations {
         sort_array(collect_list(col("l_partkey"))).as("parts"))
       .orderBy(col("l_orderkey"))
 
+  /** Beyond the reference (it has no grouping sets — SURVEY §2.4 note):
+    * ROLLUP over the flag hierarchy, the standard subtotal report. Catalyst
+    * expands the rollup into one Expand + hash aggregate — a single
+    * shuffle regardless of level count. */
+  def rollupStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("num_items"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact distinct count per group (the reference never counts distinct;
+    * at 100 TB the approx_count_distinct twin is the right default, kept
+    * alongside for the bench). */
+  def distinctPartsPerFlag(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
+      .orderBy(col("l_returnflag"))
+
   /** A1 (intent) — group-by key + sum, then top-K by the sum
     * (`Top_K_Final.py:13-17`; the reference's version had a latent bug
     * grouping by a nonexistent field — we implement the intent, see
