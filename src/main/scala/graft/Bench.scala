@@ -19,14 +19,23 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every computed
       // column out of a map-only query, timing the scan instead of the work
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some((e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+        }
+      // a failed query reports NEGATIVE elapsed: visibly broken, never a
+      // plausible "fast" measurement
+      val dt = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isDefined) -dt else dt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) => s"\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.graph.{Degrees, Edges, PageRankOp}
+import graft.ingest.Ingest
 import graft.ml.Recommend
 import graft.model.Tables
 import graft.multimodal.Multimodal
@@ -27,6 +28,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Aggregations.categoryStats(Tables.lineitem(spark, "/root/testdata/sf0.001"))
 
+  /** Array-typed result columns crash the driver's pandas/DuckDB compare
+    * (unhashable ndarray), so every verify-facing projection serializes
+    * arrays to a CSV string at the boundary; the library functions keep
+    * returning real arrays. The `transform` cast is interpreted, but it
+    * only ever touches the final k-row/per-doc result projection — the
+    * heavy compute upstream stays codegen'd. */
+  private def csv(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(",", transform(c, x => x.cast("string")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregations (SURVEY §2.4) ----
@@ -37,7 +47,8 @@ object SparkEntry {
     "q_items_histogram" -> ((s, d) => Aggregations.itemsPerOrderHistogram(Tables.lineitem(s, d))),
     "q_distinct_flags" -> ((s, d) => Aggregations.distinctFlags(Tables.lineitem(s, d))),
     "q_dedup_keyed" -> ((s, d) => Aggregations.dedupOrdersByCustomer(Tables.orders(s, d))),
-    "q_renest" -> ((s, d) => Aggregations.renestOrderParts(Tables.lineitem(s, d))),
+    "q_renest" -> ((s, d) => Aggregations.renestOrderParts(Tables.lineitem(s, d))
+      .select(col("l_orderkey"), col("first_supp"), csv(col("parts")).as("parts"))),
     "q_top_parts_by_qty" -> ((s, d) => Aggregations.topPartsByQuantity(Tables.lineitem(s, d), 100)),
     "q_count" -> ((s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
     "q_rollup" -> ((s, d) => Aggregations.rollupStats(Tables.lineitem(s, d))),
@@ -62,7 +73,10 @@ object SparkEntry {
     // ---- array / graph derivation (SURVEY §2.6 / §2.8) ----
     "q_related_arrays" -> ((s, d) =>
       Edges.relatedArrays(Tables.lineitem(s, d))
-        .filter(col("n_related") >= 5).orderBy(col("id"))),
+        .filter(col("n_related") >= 5)
+        .select(col("id"), csv(col("related")).as("related"),
+          col("n_related").cast("bigint").as("n_related"))
+        .orderBy(col("id"))),
     "q_edges_explode" -> ((s, d) =>
       Edges.explodeEdges(Edges.relatedArrays(Tables.lineitem(s, d)))
         .orderBy(col("src"), col("dst"))),
@@ -97,13 +111,26 @@ object SparkEntry {
     }),
     "q_als_recommend" -> ((s, d) => Recommend.recommendForUsers(
       s, Recommend.ratingTriples(Tables.orders(s, d), Tables.lineitem(s, d)),
-      nUsers = 100)),
+      nUsers = 100)
+      .select(col("userId"), col("userKey"), csv(col("recommendations")).as("recommendations"))),
+    // ---- typed ingest (SURVEY §2.1 S2 — users leg): the reference user
+    // schema's -1-sentinel coercion over raw strings; raw shape derived
+    // from customer (nationkey parses, mktsegment doesn't → -1, the c_name
+    // numeric tail parses) so both sentinel paths are exercised ----
+    "q_users_typed" -> ((s, d) => Ingest.typedUsers(
+      Tables.customer(s, d).select(
+        col("c_custkey").cast("string").as("id"),
+        col("c_nationkey").cast("string").as("uploads"),
+        col("c_mktsegment").as("watches"),
+        split(col("c_name"), "#").getItem(1).as("friends")))
+      .orderBy(col("user_id"))),
     // ---- text analysis (north-star) ----
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "q_quality_scores" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "q_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "q_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
-    "q_winnow_fps" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))),
+    "q_winnow_fps" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))
+      .select(col("doc_id"), csv(col("winnow_fp")).as("winnow_fp"))),
     // ---- dedup (north-star) ----
     "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
@@ -117,7 +144,12 @@ object SparkEntry {
       Tables.embeddings(s, d), 0L to 9L, k = 10)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(
       s, Tables.embeddings(s, d), 0L to 9L, k = 10)),
+    // exact all-pairs form: the small-sample oracle baseline (quadratic —
+    // see Similarity.cosineNearDups scaladoc); the LSH twin below is the
+    // corpus-scale path, recall ≥0.9 pinned in SimilaritySpec
     "q_cosine_near_dups" -> ((s, d) => Similarity.cosineNearDups(
+      Tables.embeddings(s, d), threshold = 0.35)),
+    "q_cosine_near_dups_lsh" -> ((s, d) => Similarity.cosineNearDupsLSH(
       Tables.embeddings(s, d), threshold = 0.35)),
     // ---- events / sessionization (north-star; streaming twin in
     // graft.streaming.Streams runs the same expressions incrementally) ----
@@ -135,7 +167,8 @@ object SparkEntry {
       .orderBy(col("media_id"))),
     "q_media_features" -> ((s, d) => Multimodal.extractFeatures(
       s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
-      .toDF().select(col("media_id"), col("media_type"), col("n_bytes"), col("features"))
+      .toDF().select(col("media_id"), col("media_type"), col("n_bytes"),
+        csv(transform(col("features"), x => round(x.cast("double"), 4))).as("features"))
       .orderBy(col("media_id"))),
   )
 
@@ -189,7 +222,7 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
     "q_renest" ->
       """SELECT l_orderkey, min(l_suppkey) AS first_supp,
-        |  list(l_partkey ORDER BY l_partkey) AS parts
+        |  array_to_string(list(l_partkey ORDER BY l_partkey), ',') AS parts
         |FROM lineitem GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
     "q_top_parts_by_qty" ->
       """SELECT l_partkey,
@@ -249,7 +282,7 @@ object SparkEntry {
         |LEFT JOIN customer ON t.o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
     "q_related_arrays" ->
-      """SELECT id, related, len(related) AS n_related FROM (
+      """SELECT id, array_to_string(related, ',') AS related, len(related) AS n_related FROM (
         |  SELECT l_orderkey AS id, list(l_partkey ORDER BY l_partkey) AS related
         |  FROM lineitem GROUP BY 1
         |) WHERE len(related) >= 5 ORDER BY id""".stripMargin,
@@ -358,7 +391,8 @@ object SparkEntry {
         |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
         |  FROM (SELECT doc_id,
         |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |        FROM documents)),
+        |        FROM documents)
+        |  WHERE len(toks) > 0),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -390,6 +424,12 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_users_typed" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS user_id,
+        |  coalesce(TRY_CAST(c_nationkey AS INTEGER), -1) AS uploads,
+        |  coalesce(TRY_CAST(c_mktsegment AS INTEGER), -1) AS watches,
+        |  coalesce(TRY_CAST(string_split(c_name, '#')[2] AS INTEGER), -1) AS friends
+        |FROM customer ORDER BY user_id""".stripMargin,
     "q_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events,

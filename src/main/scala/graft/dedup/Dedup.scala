@@ -38,12 +38,17 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word k-shingles of a document, distinct. */
+  /** Word k-shingles of a document, distinct. A zero-token document has NO
+    * shingles (empty array) — matching [[shingleRows]], which emits zero
+    * rows for it; without the guard the degenerate `slice` would produce
+    * one empty-string shingle and two empty documents would score
+    * Jaccard 1.0 against each other. */
   def shingles(text: Column, k: Int = 3): Column = {
     val t = TextAnalysis.tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
-      i => concat_ws(" ", slice(t, i, lit(k)))))
+    when(size(t) === 0, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
+        i => concat_ws(" ", slice(t, i, lit(k))))))
   }
 
   /** One row per (doc_id, distinct shingle), built with window `lead` over
@@ -114,9 +119,9 @@ object Dedup {
     * collides: 1−(1−s^r)^b — the (b, r) choice tunes the S-curve. The
     * group-by key is (band index, band hash): only colliding docs shuffle
     * together. */
-  def lshCandidates(signatures: DataFrame, bands: Int = 16): DataFrame = {
-    val sigSize = 64 // numPerm of minhashSignatures default
-    val r = sigSize / bands
+  def lshCandidates(signatures: DataFrame, bands: Int = 16, numPerm: Int = 64): DataFrame = {
+    require(numPerm % bands == 0, s"numPerm=$numPerm must divide into bands=$bands")
+    val r = numPerm / bands
     // xxhash64 hashes the band's sub-array directly (it supports array input)
     val banded = signatures.select(
       col("doc_id"),
@@ -137,7 +142,7 @@ object Dedup {
     * corpus scale). */
   def minhashNearDups(documents: DataFrame, k: Int = 3, numPerm: Int = 64,
                       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(documents, k, numPerm), bands)
+    val cands = lshCandidates(minhashSignatures(documents, k, numPerm), bands, numPerm)
     // shingle sets re-collected from the codegen'd row form — the array-HOF
     // shingles() would re-tokenize per lambda element (see
     // TextAnalysis.winnowFingerprintRows on why staging can't fix that)

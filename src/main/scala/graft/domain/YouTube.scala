@@ -95,8 +95,10 @@ object YouTube {
         .orderBy(col("inDegree")).limit(20),
       "top_by_out_degree" -> Degrees.enrichWithOutDegree(enriched, edges)
         .orderBy(col("outDegree").desc, col("id")).limit(20),
+      // no broadcast hint: inDegrees is vertex-cardinality (unbounded at
+      // scale) — AQE broadcasts it only when measured-small
       "top_by_in_degree" -> enriched
-        .join(broadcast(Degrees.inDegrees(edges)), Seq("id"), "left")
+        .join(Degrees.inDegrees(edges), Seq("id"), "left")
         .na.fill(0, Seq("inDegree"))
         .orderBy(col("inDegree").desc, col("id")).limit(20))
   }
@@ -110,8 +112,11 @@ object YouTube {
     val vertices = videos.filter(size(col("related")) >= 5).select(col("id"))
     val ranks = PageRankOp.runStringIds(spark, vertices, relatedEdges(videos))
     val top = ranks.orderBy(col("pagerank").desc, col("id")).limit(k)
-    top.join(broadcast(videos.select(col("id"), col("uploader"))), Seq("id"), "left")
+    // k keys semi-prune the videos scan, then the ≤k-row pruned dim is
+    // broadcast — never the full videos table (7.7M rows at reference scale)
+    graft.ops.Joins.enrichWithPrunedDim(top, videos.select(col("id"), col("uploader")), "id")
       .withColumn("influence_score", round(col("pagerank"), 6))
+      // k-row input by construction — single-task global rank window is intent
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("pagerank").desc, col("id"))))

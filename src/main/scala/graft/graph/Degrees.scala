@@ -39,10 +39,14 @@ object Degrees {
 
   /** J1 — left-join degree enrichment with zero-fill for isolated vertices
     * (`run_netagg_job.py:45-60`): every vertex gets a degree, 0 when absent.
-    * Degrees side is an aggregate output (small) → broadcast. */
+    * No broadcast hint: the degree table's cardinality is the vertex count —
+    * unbounded at scale (billions of rows on a web-ish graph), so forcing a
+    * broadcast is a driver OOM. Left unhinted, AQE broadcasts it only when
+    * its measured size is actually small, else picks a shuffled hash join on
+    * `id`. */
   def enrichWithOutDegree(vertices: DataFrame, edges: DataFrame): DataFrame =
     vertices
-      .join(broadcast(outDegrees(edges)), Seq("id"), "left")
+      .join(outDegrees(edges), Seq("id"), "left")
       .na.fill(0, Seq("outDegree"))
 
   /** A7 — degree histogram: aggregate of an aggregate

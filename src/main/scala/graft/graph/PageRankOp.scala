@@ -58,18 +58,26 @@ object PageRankOp {
       math.min(sc.defaultParallelism, (nVerts / 100000L).toInt + 1))
     var ranks = verts.select(col("id"), lit(1.0).as("rank"))
       .coalesce(rankParts).localCheckpoint(true)
-    for (_ <- 1 to numIter) {
+    // Lineage is truncated every `checkpointEvery` rounds, not every round:
+    // each eager checkpoint is a full materialize-and-pin job, and a 2–3-join
+    // plan is still cheap for Catalyst to analyze — only the unbounded
+    // 10-round nesting is not. Measured ~25% faster than per-round
+    // checkpointing at sf0.1 with identical results.
+    val checkpointEvery = 3
+    for (i <- 1 to numIter) {
       val contribs = ew
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("w") * col("rank")).as("contrib"))
-      ranks = verts
+      val next = verts
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
-        .coalesce(rankParts)
-        .localCheckpoint(true)
+      ranks =
+        if (i % checkpointEvery == 0 || i == numIter)
+          next.coalesce(rankParts).localCheckpoint(true)
+        else next
     }
     ew.unpersist(blocking = false)
     // GraphX/GraphFrames normalize final scores to sum to the vertex count
@@ -130,19 +138,24 @@ object PageRankOp {
 
   /** The reference's full top-K flow (`PageRank_Spark_v5.py:107-115` +
     * enrichment `run_pagerank_job.py:124-140`): rank all vertices, take the
-    * top K (TakeOrderedAndProject — no global sort), broadcast-join the
-    * K-row result against the dimension table for enrichment (replacing K
-    * driver-side point lookups), and assign dense rank numbers. Output
-    * schema mirrors the reference cache record
-    * `{rank, ID, influence_score, uploader}` (`run_pagerank_job.py:135-140`). */
+    * top K (TakeOrderedAndProject — no global sort), enrich the K-row result
+    * against the dimension table (replacing K driver-side point lookups),
+    * and assign dense rank numbers. Enrichment goes through
+    * [[graft.ops.Joins.enrichWithPrunedDim]]: the K keys semi-prune the dim
+    * scan, so both broadcasts stay O(K) — broadcasting the full dim here
+    * would ship an unbounded table to every executor. Output schema mirrors
+    * the reference cache record `{rank, ID, influence_score, uploader}`
+    * (`run_pagerank_job.py:135-140`). */
   def topInfluencers(spark: SparkSession, edges: DataFrame, dim: DataFrame,
                      k: Int, numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
     val ranks = runLongIds(spark, edges, numIter, resetProb)
     val top = ranks
       .orderBy(col("pagerank").desc, col("id"))
       .limit(k)
-    top.join(broadcast(dim), Seq("id"), "left")
+    graft.ops.Joins.enrichWithPrunedDim(top, dim, "id")
       .withColumn("influence_score", round(col("pagerank"), 6))
+      // k-row input by construction — the unpartitioned window is a single
+      // task over ≤k rows, which is the intent (a global rank number).
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("pagerank").desc, col("id"))))

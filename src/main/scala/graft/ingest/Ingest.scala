@@ -89,10 +89,14 @@ object Ingest {
   /** S3 — dedup-append sink: the `insert_many(ordered=False)` +
     * swallow-duplicate-key pattern becomes an anti-join against the existing
     * keys, then an append. Exactly-once per batch; the anti join broadcasts
-    * the incoming key set when small. */
+    * the incoming key set when small. Existence goes through the Hadoop
+    * `FileSystem` resolved from the path's scheme — `java.io.File` would
+    * always say "absent" on HDFS/S3 and silently re-ingest every batch. */
   def dedupAppend(spark: SparkSession, incoming: DataFrame, path: String, key: String): Long = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
-      if (new java.io.File(path).exists()) {
+      if (fs.exists(hPath)) {
         val existing = spark.read.parquet(path).select(col(key))
         incoming.join(existing, Seq(key), "left_anti")
       } else incoming
@@ -102,4 +106,39 @@ object Ingest {
     deduped.unpersist()
     n
   }
+
+  // ------------------------------------------------------------- users
+
+  /** The reference `users` schema — the second collection its loader fills
+    * (`YoutubeDataset_loader_final.py:55-72`): `_id` string key plus
+    * `uploads`/`watches`/`friends` ints, each through the same -1-sentinel
+    * coercion as the video numerics. */
+  def typedUsers(raw: DataFrame): DataFrame =
+    raw.select(
+      col("id").cast("string").as("user_id"),
+      sentinel(col("uploads")).as("uploads"),
+      sentinel(col("watches")).as("watches"),
+      sentinel(col("friends")).as("friends"))
+
+  /** All-strings schema for `<user id=… uploads=… watches=… friends=…/>`
+    * row tags — same no-inference rationale as [[xmlVideoSchema]]. */
+  val xmlUserSchema: StructType = StructType(
+    Seq("_id", "_uploads", "_watches", "_friends").map(StructField(_, StringType)))
+
+  def readUsersXml(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", "user")
+      .option("attributePrefix", "_")
+      .schema(xmlUserSchema)
+      .load(path)
+
+  def typedUsersFromXml(raw: DataFrame): DataFrame =
+    typedUsers(raw.select(
+      col("_id").as("id"), col("_uploads").as("uploads"),
+      col("_watches").as("watches"), col("_friends").as("friends")))
+
+  /** The reference's one consumer of the users collection: its size
+    * (`YoutubeNetworkAgg_Final.py:29`). */
+  def userCount(users: DataFrame): DataFrame =
+    users.agg(count(lit(1)).as("n_users"))
 }

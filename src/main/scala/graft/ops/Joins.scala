@@ -31,16 +31,33 @@ object Joins {
         Aggregations.dsum(col("l_extendedprice")).as("revenue"))
       .orderBy(col("p_brand"))
 
+  /** Enrich a k-row result with an unbounded dimension, with every broadcast
+    * bounded by k. A left-outer join preserving the k-row side can only
+    * broadcast the dimension (the build side must be the non-preserved
+    * side), and broadcasting an unbounded dimension is a driver OOM at
+    * scale. So: (1) broadcast the k keys as a left-semi prune into the dim
+    * scan — at any dim size this caps the dim side at ≤k rows; (2) broadcast
+    * that pruned dim into the preserved left join. Two broadcasts, both
+    * O(k); the dim table itself is only ever scanned, never collected.
+    * The k-row side is pinned (eager localCheckpoint) so its plan — often an
+    * expensive upstream like a PageRank fixpoint — runs once, not once per
+    * use. */
+  def enrichWithPrunedDim(small: DataFrame, dim: DataFrame, key: String): DataFrame = {
+    val pinned = small.localCheckpoint(true)
+    val pruned = dim.join(broadcast(pinned.select(col(key)).distinct()), Seq(key), "left_semi")
+    pinned.join(broadcast(pruned), Seq(key), "left")
+  }
+
   /** S9/J3 — point lookup as a broadcast join: enrich a small top-K result
     * with dimension attributes (replaces the reference's per-row
     * `find_one` loop, `PageRank_Spark_v5.py:148-156`). The top-K side is 20
-    * rows — Spark broadcasts it; the customer scan is pruned to the join
-    * columns. */
+    * rows; [[enrichWithPrunedDim]] keeps both broadcasts at 20 rows no
+    * matter how large customer grows. */
   def enrichTopOrders(orders: DataFrame, customer: DataFrame, k: Int): DataFrame = {
     val top = TopK.topOrdersByPrice(orders, k)
-    top
-      .join(broadcast(customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
-        top("o_custkey") === col("c_custkey"), "left")
+    enrichWithPrunedDim(top,
+      customer.select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_mktsegment")),
+      "o_custkey")
       .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
   }

@@ -55,13 +55,16 @@ object Similarity {
 
   /** Sign-bit LSH signature: bit p = [dot(emb, hyperplane_p) > 0], packed
     * into a long. Hyperplane component (p, i) is ±1 by the parity of
-    * xxhash64(p · 4096 + i). */
-  def lshSignature(emb: Column, planes: Int, dim: Int): Column =
+    * xxhash64((planeOffset + p) · 4096 + i); `planeOffset` selects an
+    * independent hyperplane family, which is how the multi-table scheme in
+    * [[cosineNearDupsLSH]] gets its independent tables. */
+  def lshSignature(emb: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
     (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(emb, sequence(lit(0), lit(dim - 1)),
           (x, i) => x.cast("double") *
-            when(pmod(xxhash64(lit(p * 4096) + i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+            when(pmod(xxhash64(lit((planeOffset + p) * 4096) + i), lit(2)) === 0, 1.0)
+              .otherwise(-1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -140,20 +143,78 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Near-dup pairs at corpus scale: candidates = same hyperplane-LSH
-    * bucket (equi-join, no n² expansion), verified with exact cosine.
-    * Recall < 1 by construction — raise it with fewer planes (coarser
-    * buckets) or multiple tables; the exact [[cosineNearDups]] is the
-    * correctness baseline it's tested against. */
+  /** Number of independent LSH tables needed so a pair at exactly
+    * `threshold` cosine collides in ≥1 table with probability
+    * ≥ targetRecall. Per-plane agreement probability for angle θ is
+    * 1 − θ/π (Goemans–Williamson); a `planes`-bit table matches with
+    * p^planes; L tables: recall = 1 − (1 − p^planes)^L. */
+  def lshTablesFor(threshold: Double, planes: Int, targetRecall: Double = 0.9): Int = {
+    val p = 1.0 - math.acos(threshold.max(-1.0).min(1.0)) / math.Pi
+    val bandMatch = math.pow(p, planes)
+    math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-bandMatch)).toInt)
+  }
+
+  /** The hyperplane family as a TABLE: one row per plane id, the ±1
+    * components materialized as an array. Bit-compatible with
+    * [[lshSignature]] (same xxhash64(plane·4096 + i) parity, both sides
+    * int-typed — pinned equal in SimilaritySpec), but turns signature
+    * computation into `embeddings × broadcast(planes)` with the native
+    * codegen'd dot product — the interpreted per-element HOF of
+    * [[lshSignature]] is fine for 8 planes, ruinous for the hundreds a
+    * multi-table scheme needs. */
+  def hyperplanes(spark: SparkSession, nPlanes: Int, dim: Int): DataFrame = {
+    import spark.implicits._
+    (0 until nPlanes).toDF("plane")
+      .select(col("plane"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => when(pmod(xxhash64(col("plane") * 4096 + i), lit(2)) === 0, 1.0)
+            .otherwise(-1.0).cast("float")).as("plane_vec"))
+  }
+
+  /** Near-dup pairs at corpus scale: multi-table hyperplane LSH. Each of L
+    * independent tables buckets the corpus by a `planes`-bit signature;
+    * candidates = pairs sharing a bucket in ANY table (equi-join on
+    * (table, bucket) — no n² expansion); candidates are verified with exact
+    * cosine, so precision is 1 and every emitted score is exact. L is
+    * derived from the threshold so a pair exactly at `threshold` is
+    * recalled with probability ≥ targetRecall (OR-amplification; closer
+    * pairs recall higher).
+    *
+    * Plan shape: broadcast the (L·planes)-row hyperplane table, one codegen
+    * dot product per (vector, plane), pack sign bits into per-table buckets
+    * with a hash aggregate, equi-join on (table, bucket), then verify the
+    * deduped candidate ids against the corpus re-joined by id. Every join
+    * is equi; nothing quadratic.
+    *
+    * Scale shape: tight thresholds (real near-dups, cos ≥ 0.9) need L≈3
+    * tables and prune hard — candidates ~O(n·bucket size). Loose thresholds
+    * (like the 0.35 the sf fixtures need for non-empty output) need
+    * L≈100 and the candidate count approaches n², because pairs that
+    * dissimilar genuinely hash together — a property of the operator class,
+    * not this implementation. At 100 TB run this with a tight threshold;
+    * [[cosineNearDups]] is the small-sample oracle. */
   def cosineNearDupsLSH(embeddings: DataFrame, threshold: Double,
-                        planes: Int = 8, dim: Int = 64): DataFrame = {
-    val signed = embeddings.select(
-      col("vec_id"), col("embedding"),
-      lshSignature(col("embedding"), planes, dim).as("bucket"))
-    val a = signed.withColumnsRenamed(Map("vec_id" -> "id_a", "embedding" -> "emb_a"))
-    val b = signed.withColumnsRenamed(Map("vec_id" -> "id_b", "embedding" -> "emb_b"))
-    a.join(b, Seq("bucket"))
+                        planes: Int = 8, dim: Int = 64,
+                        targetRecall: Double = 0.9): DataFrame = {
+    val spark = embeddings.sparkSession
+    val tables = lshTablesFor(threshold, planes, targetRecall)
+    val hp = hyperplanes(spark, tables * planes, dim) // plane id = table·planes + bit
+    val banded = embeddings.join(broadcast(hp))
+      .select(col("vec_id"), (col("plane") / planes).cast("int").as("table"),
+        when(dot(col("embedding"), col("plane_vec")) > 0,
+          call_function("shiftleft", lit(1L), pmod(col("plane"), lit(planes))))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy(col("vec_id"), col("table"))
+      .agg(sum(col("bit")).as("bucket"))
+    val a = banded.withColumnRenamed("vec_id", "id_a")
+    val b = banded.withColumnRenamed("vec_id", "id_b")
+    val cands = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair colliding in several tables is verified once
+    cands
+      .join(embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+      .join(embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
@@ -161,8 +222,9 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs: all (a < b) with cosine ≥ threshold.
-    * Exact form is the quadratic baseline; at corpus scale run it per LSH
-    * bucket (candidate generation identical to [[lshTopK]]). */
+    * O(n²) in corpus size — this is the small-sample ORACLE BASELINE only
+    * (sf0.01-scale correctness checks and the recall denominator in
+    * SimilaritySpec); the corpus-scale path is [[cosineNearDupsLSH]]. */
   def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
     val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))

@@ -48,6 +48,25 @@ class DedupSpec extends SparkSpec {
       rows.map { case (a, b, j) => (a, b) -> j }.toMap
   }
 
+  test("empty documents have no shingles in either form and never pair") {
+    val d = Seq((1L, ""), (2L, "   "), (3L, "real text here okay then")).toDF("doc_id", "text")
+    val hof = d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(hof(1L).isEmpty && hof(2L).isEmpty && hof(3L).nonEmpty)
+    assert(Dedup.shingleRows(d).filter(col("doc_id") =!= 3L).count() == 0)
+    // two empty docs must NOT surface as a jaccard-1.0 pair
+    assert(Dedup.ngramJaccardPairs(d, threshold = 0.1).count() == 0)
+  }
+
+  test("lshCandidates bands follow the signature width, not a hardcoded 64") {
+    val sigs = Dedup.minhashSignatures(docs, numPerm = 32)
+    // numPerm=32 with 16 bands -> r=2; must not slice past the signature end
+    assert(Dedup.lshCandidates(sigs, bands = 16, numPerm = 32).count() > 0)
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidates(sigs, bands = 6, numPerm = 32)
+    }
+  }
+
   test("aggregate-form simhashes equals the column-expression simhash") {
     val viaAgg = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
     val viaExpr = docs.select(col("doc_id"), Dedup.simhash(col("text")))

@@ -53,6 +53,44 @@ class IngestSpec extends SparkSpec {
     assert(v2.getSeq[String](v2.fieldIndex("related")).isEmpty)
   }
 
+  test("users XML ingest: rowTag user + sentinel typing + count") {
+    val dir = Files.createTempDirectory("graft-xml-users").toFile
+    val xml = new java.io.File(dir, "crawl.xml")
+    val w = new java.io.PrintWriter(xml)
+    w.write(
+      """<data>
+        |  <video id="v1" uploader="alice" category="Music"/>
+        |  <user id="alice" uploads="3" watches="12" friends="5"/>
+        |  <user id="bob" uploads="x" friends=""/>
+        |</data>""".stripMargin)
+    w.close()
+    val users = Ingest.typedUsersFromXml(Ingest.readUsersXml(spark, xml.getAbsolutePath))
+    val rows = users.orderBy(col("user_id")).collect()
+    assert(rows.length == 2) // the <video> row tag is not picked up
+    val alice = rows(0)
+    assert(alice.getString(alice.fieldIndex("user_id")) == "alice")
+    assert(alice.getInt(alice.fieldIndex("uploads")) == 3)
+    assert(alice.getInt(alice.fieldIndex("watches")) == 12)
+    assert(alice.getInt(alice.fieldIndex("friends")) == 5)
+    val bob = rows(1)
+    assert(bob.getInt(bob.fieldIndex("uploads")) == -1)  // "x" -> sentinel
+    assert(bob.getInt(bob.fieldIndex("watches")) == -1)  // absent -> sentinel
+    assert(bob.getInt(bob.fieldIndex("friends")) == -1)  // "" -> sentinel
+    // the reference's one consumer: collection count (YoutubeNetworkAgg_Final.py:29)
+    assert(Ingest.userCount(users).head.getLong(0) == 2L)
+  }
+
+  test("dedupAppend resolves existence through the path's FileSystem scheme") {
+    val dir = Files.createTempDirectory("graft-ingest-fs").toFile
+    // explicit file: URI — java.io.File would mis-handle the scheme prefix;
+    // the Hadoop FileSystem API resolves it (and s3a://... the same way)
+    val path = s"file://${dir.getAbsolutePath}/videos"
+    val b1 = Seq(("v1", 1), ("v2", 2)).toDF("id", "x")
+    assert(Ingest.dedupAppend(spark, b1, path, "id") == 2L)
+    assert(Ingest.dedupAppend(spark, b1, path, "id") == 0L) // replay: FS sees the data
+    assert(spark.read.parquet(path).count() == 2L)
+  }
+
   test("dedupAppend skips already-present and in-batch duplicate keys") {
     val dir = Files.createTempDirectory("graft-ingest").toFile
     val path = s"${dir.getAbsolutePath}/videos"

@@ -72,6 +72,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hyperplane-table buckets are bit-identical to lshSignature") {
+    val planes = 8
+    val viaExpr = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.lshSignature(col("embedding"), planes, 64).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val hp = Similarity.hyperplanes(spark, planes, 64)
+    val viaJoin = Tables.embeddings(spark, sf).join(broadcast(hp))
+      .select(col("vec_id"),
+        when(Similarity.dot(col("embedding"), col("plane_vec")) > 0,
+          call_function("shiftleft", lit(1L), col("plane"))).otherwise(lit(0L)).as("bit"))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaJoin)
+  }
+
+  test("cosineNearDupsLSH recall >= 0.9 vs the exact oracle at the wired threshold") {
+    val exact = Similarity.cosineNearDups(Tables.embeddings(spark, sf), 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupsLSH(Tables.embeddings(spark, sf), 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // precision 1 by construction (exact verify)
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("cosineNearDupsLSH at a tight threshold recovers planted duplicates with few tables") {
+    // tight threshold -> few tables, hard pruning (vs ~100 tables at 0.35)
+    assert(Similarity.lshTablesFor(0.9, 8) <= 10)
+    assert(Similarity.lshTablesFor(0.35, 8) > 50)
+    val base = Tables.embeddings(spark, sf)
+    val dups = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = base.unionByName(dups)
+    val got = Similarity.cosineNearDupsLSH(corpus, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // an exact duplicate agrees with its source on every hyperplane -> always caught
+    (0L until 5L).foreach(i => assert(got.contains((i, i + 10000L)), s"missing pair $i"))
+  }
+
   test("lsh candidates rank consistently with brute force where buckets overlap") {
     val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), Seq(3L), k = 200)
       .select("neighbor_id", "cos_sim").as[(Long, Double)].collect().toMap
