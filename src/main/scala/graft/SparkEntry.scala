@@ -108,6 +108,9 @@ object SparkEntry {
         .select(col("id").cast("string"))
       PageRankOp.runStringIds(s, vertices, edges)
         .orderBy(col("pagerank").desc, col("id")).limit(100)
+        // rounded at the verify boundary so the cross-engine hash compare
+        // tolerates sum-order FP drift (selection/order use the full value)
+        .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
     }),
     "q_als_recommend" -> ((s, d) => Recommend.recommendForUsers(
       s, Recommend.ratingTriples(Tables.orders(s, d), Tables.lineitem(s, d)),
@@ -171,6 +174,25 @@ object SparkEntry {
         csv(transform(col("features"), x => round(x.cast("double"), 4))).as("features"))
       .orderBy(col("media_id"))),
   )
+
+  /** The PageRank fixpoint as oracle SQL: DuckDB forbids aggregates in a
+    * recursive CTE term, so the FIXED 10-iteration loop (the reference's
+    * semantics — maxIter, not tolerance) unrolls into 10 chained CTEs, each
+    * one contribution join + re-rank. `edgesRel` names the edge CTE the
+    * iterations read. Exactly [[graft.graph.PageRankOp.pageRank]]:
+    * rank'(v) = 0.15 + 0.85·Σ rank(u)/outdeg(u), rank₀ = 1, final scores
+    * normalized to sum to the vertex count. */
+  private def pageRankIterSql(edgesRel: String): String =
+    (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT v.id, 0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank FROM verts v
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r${i - 1}.rank / d.outdeg) AS contrib
+         |    FROM $edgesRel e JOIN r${i - 1} ON e.src = r${i - 1}.id
+         |    JOIN outdeg d ON e.src = d.id GROUP BY 1
+         |  ) c ON v.id = c.id
+         |),""".stripMargin
+    }.mkString("\n")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -424,6 +446,44 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_pagerank_parts" ->
+      s"""WITH edges AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2
+        |),
+        |verts AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+        |outdeg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),
+        |r0 AS (SELECT id, 1.0 AS rank FROM verts),
+        |${pageRankIterSql("edges")}
+        |norm AS (SELECT count(*)::DOUBLE / sum(rank) AS s FROM r10),
+        |top AS (SELECT id, rank * (SELECT s FROM norm) AS pagerank FROM r10
+        |        ORDER BY pagerank DESC, id LIMIT 100)
+        |SELECT row_number() OVER (ORDER BY pagerank DESC, id) AS rank,
+        |  t.id, p.p_brand, p.p_name, round(pagerank, 6) AS influence_score
+        |FROM top t LEFT JOIN part p ON t.id = p.p_partkey
+        |ORDER BY rank""".stripMargin,
+    "q_pagerank_filtered" ->
+      s"""WITH edges AS (
+        |  SELECT CAST(a.l_partkey AS VARCHAR) AS src, CAST(b.l_partkey AS VARCHAR) AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2
+        |),
+        |verts AS (SELECT src AS id FROM edges GROUP BY 1 HAVING count(*) >= 5),
+        |fedges AS (
+        |  SELECT e.src, e.dst FROM edges e
+        |  JOIN verts vs ON e.src = vs.id JOIN verts vd ON e.dst = vd.id
+        |),
+        |outdeg AS (SELECT src AS id, count(*) AS outdeg FROM fedges GROUP BY 1),
+        |r0 AS (SELECT id, 1.0 AS rank FROM verts),
+        |${pageRankIterSql("fedges")}
+        |norm AS (SELECT count(*)::DOUBLE / sum(rank) AS s FROM r10)
+        |SELECT id, round(rank * (SELECT s FROM norm), 6) AS pagerank
+        |FROM r10 ORDER BY rank * (SELECT s FROM norm) DESC, id LIMIT 100""".stripMargin,
     "q_users_typed" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS user_id,
         |  coalesce(TRY_CAST(c_nationkey AS INTEGER), -1) AS uploads,

@@ -119,7 +119,7 @@ object YouTube {
       // k-row input by construction — single-task global rank window is intent
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("pagerank").desc, col("id"))))
+          .orderBy(col("pagerank").desc, col("id"))).cast("bigint"))
       .select(col("rank"), col("id").as("ID"), col("influence_score"), col("uploader"))
   }
 

@@ -158,7 +158,7 @@ object PageRankOp {
       // task over ≤k rows, which is the intent (a global rank number).
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("pagerank").desc, col("id"))))
+          .orderBy(col("pagerank").desc, col("id"))).cast("bigint"))
       .drop("pagerank")
   }
 }

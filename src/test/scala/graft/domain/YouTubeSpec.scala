@@ -67,8 +67,8 @@ class YouTubeSpec extends SparkSpec {
     val ids = top.select("ID").as[String].collect().toSet
     assert(ids == Set("v01", "v06", "v08"))
     assert(top.columns.toSeq == Seq("rank", "ID", "influence_score", "uploader"))
-    val ranks = top.select("rank").as[Int].collect().sorted.toSeq
-    assert(ranks == Seq(1, 2, 3))
+    val ranks = top.select("rank").as[Long].collect().sorted.toSeq
+    assert(ranks == Seq(1L, 2L, 3L))
     // v01<->v06 form a 2-cycle (plus v08 -> v01): rank mass oscillates with
     // period 2, and at the fixed 10th iteration v06 holds the peak — the
     // reference's fixed-iteration semantics, not the fixpoint's

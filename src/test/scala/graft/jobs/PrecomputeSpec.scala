@@ -13,9 +13,9 @@ class PrecomputeSpec extends SparkSpec {
     val pr = Caches.read(spark, s"$out/pagerank_cache",
       Seq("rank", "ID", "influence_score", "uploader"))
     assert(pr.count() > 0)
-    // ranks are 1..N dense
-    val ranks = pr.select("rank").collect().map(_.getInt(0)).sorted
-    assert(ranks.head == 1 && ranks.toSeq == (1 to ranks.length))
+    // ranks are 1..N dense (bigint, matching the oracle's row_number type)
+    val ranks = pr.select("rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.head == 1L && ranks.toSeq == (1L to ranks.length.toLong))
 
     val cats = Caches.read(spark, s"$out/category_stats",
       Seq("l_returnflag", "num_items", "avg_qty", "max_price"))
