@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** Library entry point for `spark.sql.extensions` — the deployment path that
+  * makes graft's native expressions available to EVERY session on a cluster
+  * (pure SQL users included) without code changes:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * or programmatically `SparkSession.builder().withExtensions(new
+  * GraftExtensions())`. This registers the same builders as
+  * [[org.apache.spark.sql.graftbridge.Bridge.registerFunction]] does for a
+  * single session, but at session-build time through the supported
+  * extensions API — the (c)-tier integration point of the custom-operator
+  * ladder (SURVEY.md §7.3), where custom rules/strategies would also hook in
+  * if an operator ever needs one (none does today; Catalyst handles every
+  * current plan shape).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product(a, b) takes exactly two array arguments")
+        DotProduct(args.head, args(1))
+      }))
+  }
+}

@@ -134,6 +134,10 @@ object SparkEntry {
     "q_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "q_winnow_fps" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))
       .select(col("doc_id"), csv(col("winnow_fp")).as("winnow_fp"))),
+    "q_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
+    "q_scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_emails"), col("n_urls"),
+        substring(md5(col("scrubbed")), 1, 16).as("scrub_fp"))),
     // ---- dedup (north-star) ----
     "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
@@ -400,6 +404,31 @@ object SparkEntry {
     "q_fingerprints" ->
       """SELECT doc_id, substr(md5(array_to_string(
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |         ELSE [] END AS shs
+        |  FROM t)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END, 4) AS dup_token_ratio,
+        |  len(shs) AS n_shingles,
+        |  round(CASE WHEN len(shs) = 0 THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(shs)) * 1.0 / len(shs) END, 4) AS dup_shingle_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_scrub_pii" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  substr(md5(regexp_replace(
+        |    regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g')), 1, 16) AS scrub_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_exact_dedup" ->
       """SELECT substr(md5(array_to_string(

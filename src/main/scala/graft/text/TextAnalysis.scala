@@ -144,4 +144,58 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("fp"))).as("winnow_fp"))
       .orderBy(col("doc_id"))
+
+  /** Within-document repetition (the Gopher-rules quality signal): the
+    * fraction of duplicate tokens and duplicate k-shingles inside each doc.
+    * Heavily repetitive text (boilerplate, generated spam) scores high and
+    * gets filtered before training. Row form — posexplode_outer (so empty
+    * docs still report, with zero ratios) + window `lead` shingling +
+    * count/count_distinct hash aggregates; only full k-shingles count.
+    * Map-side until the per-doc aggregate; one shuffle on doc_id. */
+  def repetitionStats(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until k).map(i => lead(col("tok"), i).over(w))
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"), posexplode_outer(col("toks")))
+      .withColumnsRenamed(Map("col" -> "tok"))
+      .withColumn("shingle", // null past the last full-shingle start (and for empty docs)
+        when(col("pos") <= col("n") - k, concat_ws(" ", (col("tok") +: leads): _*)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("tok")).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct_tokens"),
+        count(col("shingle")).as("n_shingles"),
+        countDistinct(col("shingle")).as("n_distinct_shingles"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(when(col("n_tokens") === 0, 0.0)
+          .otherwise(lit(1.0) - col("n_distinct_tokens").cast("double") /
+            col("n_tokens").cast("double")), 4).as("dup_token_ratio"),
+        col("n_shingles"),
+        round(when(col("n_shingles") === 0, 0.0)
+          .otherwise(lit(1.0) - col("n_distinct_shingles").cast("double") /
+            col("n_shingles").cast("double")), 4).as("dup_shingle_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII / URL scrubbing — the standard pre-training redaction pass. Both
+    * patterns are dialect-portable (plain character classes, no lookarounds)
+    * so the oracle runs the identical regexes. Map-side, no shuffle: at
+    * 100 TB this is a pure scan-transform-write job. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+
+  def scrubPii(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .cast("bigint").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlPattern), lit(0)))
+        .cast("bigint").as("n_urls"),
+      regexp_replace(regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>").as("scrubbed"))
+      .orderBy(col("doc_id"))
 }

@@ -43,6 +43,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(overlap(fp(1L), fp(3L)) == 0.0)
   }
 
+  test("repetitionStats: repeated text scores high, varied text zero, empty doc reports zeros") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),      // 1 distinct token, 1 distinct shingle
+      (2L, "one two three four five six"),        // all distinct
+      (3L, ""),                                   // empty -> zero ratios, still a row
+      (4L, "ab cd")                               // < k tokens -> no shingles
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getDouble(2) > 0.8 && r(1L).getDouble(4) == 0.75) // 4 shingles, 1 distinct
+    assert(r(2L).getDouble(2) == 0.0 && r(2L).getDouble(4) == 0.0)
+    assert(r(3L).getLong(1) == 0L && r(3L).getDouble(2) == 0.0 && r(3L).getDouble(4) == 0.0)
+    assert(r(4L).getLong(3) == 0L && r(4L).getDouble(4) == 0.0)
+  }
+
+  test("scrubPii replaces emails and urls and counts them") {
+    val d = Seq(
+      (1L, "contact alice@example.com or visit https://example.com/page?q=1 now"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.scrubPii(d).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 1L && r(1L).getLong(2) == 1L)
+    assert(r(1L).getString(3) == "contact <EMAIL> or visit <URL> now")
+    assert(r(2L).getLong(1) == 0L && r(2L).getString(3) == "no pii here at all")
+  }
+
   test("quality score components are bounded and blended") {
     val d = Seq((1L, "the a of to and is it for on with")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityScores(d).head
