@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trend harness: replicate the sf tables at 1×/2×/4×/8× with shifted
+  * keys (so cardinalities actually grow — new orders, parts, documents,
+  * vectors, users), run the scale-path queries at each multiple through the
+  * NORMAL `SparkEntry.queries` surface, and print seconds per multiple.
+  *
+  * The point is the TREND, not the absolute numbers: the banded/bucketed
+  * operators (MinHash, SimHash, winnowing, LSH near-dup, co-occurrence,
+  * PageRank, sessionization) must grow ~linearly in input size; anything
+  * super-linear here would be quadratic at 100 TB. The exact all-pairs
+  * baselines are intentionally excluded — they are documented small-sample
+  * oracles.
+  *
+  * Usage: runMain graft.Stress [sfDir] [outBase] [multiples csv]
+  */
+object Stress {
+
+  /** Union `mult` copies of each table with per-copy key shifts. Dimensions
+    * and fact keys shift together so joins keep their selectivity; document
+    * text gets a per-copy suffix (copies are near-dups of the original, so
+    * the dedup funnels see planted clusters at every scale); embeddings get
+    * one perturbed component (small angle change — near-dup, not identical). */
+  def scaleTables(spark: SparkSession, inDir: String, outDir: String, mult: Int): Unit = {
+    val OrderShift = 1000000000L
+    val KeyShift = 10000000L
+    def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until mult).map(i => shift(df, i)).reduce(_ unionByName _)
+
+    val li = spark.read.parquet(s"$inDir/lineitem.parquet")
+    copies(li) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * OrderShift))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * KeyShift))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * KeyShift))
+    }.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val ord = spark.read.parquet(s"$inDir/orders.parquet")
+    copies(ord) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * OrderShift))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * KeyShift))
+    }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    val cust = spark.read.parquet(s"$inDir/customer.parquet")
+    copies(cust) { (d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * KeyShift))
+    }.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    val part = spark.read.parquet(s"$inDir/part.parquet")
+    copies(part) { (d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(i * KeyShift))
+    }.write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+    val supp = spark.read.parquet(s"$inDir/supplier.parquet")
+    copies(supp) { (d, i) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * KeyShift))
+    }.write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+
+    val docs = spark.read.parquet(s"$inDir/documents.parquet")
+    copies(docs) { (d, i) =>
+      d.withColumn("doc_id", col("doc_id") + lit(i * KeyShift))
+        .withColumn("text",
+          if (i == 0) col("text") else concat(col("text"), lit(s" stresscopy$i")))
+    }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$inDir/embeddings.parquet")
+    copies(emb) { (d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * KeyShift))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else concat(
+            array((element_at(col("embedding"), 1) + lit(i * 0.05f)).cast("float")),
+            slice(col("embedding"), 2, 10000)))
+    }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val ev = spark.read.parquet(s"$inDir/events.parquet")
+    copies(ev) { (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * OrderShift))
+        .withColumn("user_id", col("user_id") + lit(i * KeyShift))
+    }.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // pass-through dims some queries expect to exist
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$inDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  /** Scale-path queries only: banded/bucketed/aggregating operators whose
+    * 100 TB viability is the claim under test. */
+  val StressQueries: Seq[String] = Seq(
+    "q_category_stats", "q_top_customers", "q_star_join", "q_cooccur_edges",
+    "q_degree_hist", "q_pagerank_parts", "q_exact_dedup", "q_minhash_neardups",
+    "q_simhash_neardups", "q_winnow_neardups", "q_cosine_near_dups_lsh",
+    "q_hourly_events", "q_user_sessions", "q_token_stats", "q_repetition")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outBase = if (args.length > 1) args(1) else "/tmp/graft_stress"
+    val multiples = (if (args.length > 2) args(2) else "1,2,4,8")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup (see Bench)
+    spark.range(1000000).selectExpr("sum(id) AS s")
+      .write.format("noop").mode("overwrite").save()
+
+    val rows = multiples.map { m =>
+      val dir = s"$outBase/x$m"
+      scaleTables(spark, sfDir, dir, m)
+      val times = StressQueries.map { q =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+        q -> (System.nanoTime() - t0) / 1e9
+      }
+      m -> times
+    }
+    // one JSON line per query: seconds at each multiple + the 8x/1x ratio
+    val m0 = multiples.head
+    rows.head._2.map(_._1).foreach { q =>
+      val series = rows.map { case (m, ts) => m -> ts.find(_._1 == q).get._2 }
+      val ratio = series.last._2 / series.head._2
+      val pts = series.map { case (m, s) => s""""x$m":${f"$s%.2f"}""" }.mkString(",")
+      println(s"""{"query":"$q",$pts,"ratio_x${series.last._1}_vs_x$m0":${f"$ratio%.2f"}}""")
+    }
+    spark.stop()
+  }
+}
