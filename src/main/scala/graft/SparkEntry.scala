@@ -188,7 +188,10 @@ object SparkEntry {
     * normalized to sum to the vertex count. */
   private def pageRankIterSql(edgesRel: String): String =
     (1 to 10).map { i =>
-      s"""r$i AS (
+      // MATERIALIZED: DuckDB inlines CTEs, which would re-evaluate the edge
+      // self-join once per reference (~13x) and spill; pinning each stage
+      // keeps the oracle linear in iterations
+      s"""r$i AS MATERIALIZED (
          |  SELECT v.id, 0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank FROM verts v
          |  LEFT JOIN (
          |    SELECT e.dst AS id, sum(r${i - 1}.rank / d.outdeg) AS contrib
@@ -370,12 +373,12 @@ object SparkEntry {
         |  round(len(list_filter(toks, x -> list_contains(
         |        ['the','a','an','of','to','and','in','is','it','for','on','with'], x)))
         |        * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio,
-        |  round(0.5 * least(greatest(length(txt),1) / 500.0, 1.0)
-        |      + 0.3 * (len(list_filter(toks, x -> list_contains(
+        |  round(0.5 * round(least(greatest(length(txt),1) / 500.0, 1.0), 4)
+        |      + 0.3 * round(len(list_filter(toks, x -> list_contains(
         |            ['the','a','an','of','to','and','in','is','it','for','on','with'], x)))
-        |            * 1.0 / greatest(len(toks), 1))
-        |      + 0.2 * (1.0 - (length(txt) - length(regexp_replace(txt, '[^a-z0-9\s]', '', 'g')))
-        |            * 1.0 / greatest(length(txt), 1)), 4) AS quality_score
+        |            * 1.0 / greatest(len(toks), 1), 4)
+        |      + 0.2 * (1.0 - round((length(txt) - length(regexp_replace(txt, '[^a-z0-9\s]', '', 'g')))
+        |            * 1.0 / greatest(length(txt), 1), 4)), 5) AS quality_score
         |FROM (SELECT doc_id, lower(text) AS txt,
         |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
         |      FROM documents)
@@ -476,15 +479,15 @@ object SparkEntry {
         |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
     "q_pagerank_parts" ->
-      s"""WITH edges AS (
+      s"""WITH edges AS MATERIALIZED (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
         |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
         |  GROUP BY 1, 2
         |),
-        |verts AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
-        |outdeg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),
+        |verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+        |outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),
         |r0 AS (SELECT id, 1.0 AS rank FROM verts),
         |${pageRankIterSql("edges")}
         |norm AS (SELECT count(*)::DOUBLE / sum(rank) AS s FROM r10),
@@ -495,19 +498,19 @@ object SparkEntry {
         |FROM top t LEFT JOIN part p ON t.id = p.p_partkey
         |ORDER BY rank""".stripMargin,
     "q_pagerank_filtered" ->
-      s"""WITH edges AS (
+      s"""WITH edges AS MATERIALIZED (
         |  SELECT CAST(a.l_partkey AS VARCHAR) AS src, CAST(b.l_partkey AS VARCHAR) AS dst
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
         |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
         |  GROUP BY 1, 2
         |),
-        |verts AS (SELECT src AS id FROM edges GROUP BY 1 HAVING count(*) >= 5),
-        |fedges AS (
+        |verts AS MATERIALIZED (SELECT src AS id FROM edges GROUP BY 1 HAVING count(*) >= 5),
+        |fedges AS MATERIALIZED (
         |  SELECT e.src, e.dst FROM edges e
         |  JOIN verts vs ON e.src = vs.id JOIN verts vd ON e.dst = vd.id
         |),
-        |outdeg AS (SELECT src AS id, count(*) AS outdeg FROM fedges GROUP BY 1),
+        |outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM fedges GROUP BY 1),
         |r0 AS (SELECT id, 1.0 AS rank FROM verts),
         |${pageRankIterSql("fedges")}
         |norm AS (SELECT count(*)::DOUBLE / sum(rank) AS s FROM r10)

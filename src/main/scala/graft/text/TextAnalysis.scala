@@ -61,7 +61,13 @@ object TextAnalysis {
       round(lengthScore, 4).as("length_score"),
       round(punctRatio, 4).as("punct_ratio"),
       round(stopRatio, 4).as("stopword_ratio"),
-      round(lit(0.5) * lengthScore + lit(0.3) * stopRatio + lit(0.2) * (lit(1.0) - punctRatio), 4)
+      // blend the ROUNDED components: 4-decimal inputs make the blend exact
+      // at ≤5 decimals, so round(…,5) never sits on a half-ulp boundary —
+      // blending full-precision ratios diverged cross-engine at sf0.1 (four
+      // docs landed exactly on .5e-4 and the engines' rounding split). Also
+      // makes the score recomputable from the published component columns.
+      round(lit(0.5) * round(lengthScore, 4) + lit(0.3) * round(stopRatio, 4)
+        + lit(0.2) * (lit(1.0) - round(punctRatio, 4)), 5)
         .as("quality_score"))
       .orderBy(col("doc_id"))
   }
