@@ -138,6 +138,9 @@ object SparkEntry {
     "q_scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(Tables.documents(s, d))
       .select(col("doc_id"), col("n_emails"), col("n_urls"),
         substring(md5(col("scrubbed")), 1, 16).as("scrub_fp"))),
+    // ---- corpus-hygiene funnel (north-star composition; MinHash stage is
+    // spec-pinned, the oracle covers the scrub→quality→exact prefix) ----
+    "q_clean_corpus" -> ((s, d) => graft.jobs.CleanCorpus.stages(Tables.documents(s, d))),
     // ---- dedup (north-star) ----
     "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
@@ -433,6 +436,32 @@ object SparkEntry {
         |    regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[^\s]+', '<URL>', 'g')), 1, 16) AS scrub_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_clean_corpus" ->
+      """WITH scrubbed AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g') AS text
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |    round(0.5 * round(least(greatest(length(txt),1) / 500.0, 1.0), 4)
+        |        + 0.3 * round(len(list_filter(toks, x -> list_contains(
+        |              ['the','a','an','of','to','and','in','is','it','for','on','with'], x)))
+        |              * 1.0 / greatest(len(toks), 1), 4)
+        |        + 0.2 * (1.0 - round((length(txt) - length(regexp_replace(txt, '[^a-z0-9\s]', '', 'g')))
+        |              * 1.0 / greatest(length(txt), 1), 4)), 5) AS quality_score
+        |  FROM (SELECT doc_id, text, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM scrubbed)),
+        |q AS (SELECT doc_id, text FROM scored WHERE quality_score >= 0.3),
+        |e AS (SELECT min(doc_id) AS doc_id FROM (
+        |    SELECT doc_id, substr(md5(array_to_string(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')), 1, 16) AS fp
+        |    FROM q) GROUP BY fp)
+        |SELECT 'a_input' AS stage, count(*) AS n_docs FROM documents
+        |UNION ALL SELECT 'b_quality', count(*) FROM q
+        |UNION ALL SELECT 'c_exact_dedup', count(*) FROM e
+        |ORDER BY stage""".stripMargin,
     "q_exact_dedup" ->
       """SELECT substr(md5(array_to_string(
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')), 1, 16) AS fp,

@@ -1,0 +1,71 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** The end-to-end training-data hygiene funnel — the composition a 100 TB
+  * corpus actually runs, wired from the engine's own operators in the
+  * standard cheapest-first order:
+  *
+  *   1. PII/URL scrub   (map-side regex, no shuffle)
+  *   2. quality gate    (map-side score, no shuffle)
+  *   3. exact dedup     (one shuffle on a 16-byte fingerprint)
+  *   4. near-dup removal (MinHash + LSH banding — candidates only, no n²)
+  *
+  * Each stage strictly reduces the corpus, so the expensive stages see the
+  * fewest documents. Near-dup removal keeps the smaller doc_id of every
+  * verified pair and drops the other side — deterministic, and transitive
+  * chains (a~b, b~c) collapse to the smallest member because every
+  * larger-id member appears on the drop side of some pair.
+  */
+object CleanCorpus {
+
+  /** Stage 1+2: scrubbed text and its quality score, one map-side pass. */
+  def scrubbedWithQuality(documents: DataFrame): DataFrame = {
+    val scrubbed = TextAnalysis.scrubPii(documents)
+      .select(col("doc_id"), col("scrubbed").as("text"))
+    TextAnalysis.qualityScores(scrubbed)
+      .join(scrubbed, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("quality_score"))
+  }
+
+  /** The full funnel. Returns the cleaned corpus (doc_id, text). */
+  def run(spark: SparkSession, documents: DataFrame,
+          minQuality: Double = 0.3, jaccardThreshold: Double = 0.5): DataFrame = {
+    val quality = scrubbedWithQuality(documents)
+      .filter(col("quality_score") >= minQuality)
+      .select(col("doc_id"), col("text"))
+    val exactKept = quality
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = quality.join(exactKept, Seq("doc_id"), "left_semi")
+    val dropNearDups = Dedup.minhashNearDups(exact, threshold = jaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    exact.join(dropNearDups, Seq("doc_id"), "left_anti")
+  }
+
+  /** Per-stage survivor counts for the oracle-checkable prefix of the
+    * funnel (scrub → quality → exact dedup; the MinHash stage hashes with
+    * xxhash64, which the oracle engine lacks — its semantics are pinned by
+    * CleanCorpusSpec instead). Stage names are prefixed for stable
+    * ordering. */
+  def stages(documents: DataFrame, minQuality: Double = 0.3): DataFrame = {
+    val sq = scrubbedWithQuality(documents).cache()
+    val quality = sq.filter(col("quality_score") >= minQuality)
+    val exact = quality
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    Seq(
+      ("a_input", documents.count()),
+      ("b_quality", quality.count()),
+      ("c_exact_dedup", exact.count()))
+      .toDF("stage", "n_docs")
+      .orderBy(col("stage"))
+  }
+}
