@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: one iterator per partition, amortizing per-batch decoder
   * init), frame sampling as a Generator — is real and tested.
   *
-  * The actual codec calls are STUBBED with a deterministic fake (this
-  * container has no image/audio libraries): [[decodeStub]] derives
-  * pseudo-features from a content hash. Swapping in a real decoder changes
-  * only that one function.
+  * Image decode is REAL for every format the JDK's `javax.imageio` ships
+  * codecs for (PNG, JPEG, BMP, GIF, WBMP) — [[decodeImage]],
+  * [[imageFeatures]], [[resizeImagesReal]]; no external libraries needed,
+  * so the same jar decodes on any executor. Payloads ImageIO cannot parse
+  * (audio, video, proprietary formats — this container ships no codecs for
+  * those) fall back to [[decodeStub]], a clearly-marked deterministic fake
+  * that keeps the pipeline contract testable end-to-end.
   */
 object Multimodal {
 
@@ -61,14 +64,80 @@ object Multimodal {
 
   /** Partition-wise feature extraction: typed `mapPartitions`, one decoder
     * "session" per partition (the expensive-init amortization pattern of
-    * `mapInPandas`). */
+    * `mapInPandas`). Tries the REAL JDK image decoder first; undecodable
+    * payloads get the deterministic stub so the column is always total. */
   def extractFeatures(spark: SparkSession, media: DataFrame, featureDim: Int = 8): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      // real code: val decoder = Codec.open(...) — once per partition
+      // ImageIO plugin scan once per partition, not once per row
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        MediaFeatures(m.media_id, m.media_type, m.content.length.toLong,
-          decodeStub(m.content, featureDim))
+        val feats = decodeImage(m.content)
+          .map(img => imageFeatures(img, featureDim))
+          .getOrElse(decodeStub(m.content, featureDim))
+        MediaFeatures(m.media_id, m.media_type, m.content.length.toLong, feats)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- real
+  // JDK-codec image path (PNG/JPEG/BMP/GIF — javax.imageio, zero deps)
+
+  /** Real decode: None when no installed ImageIO reader understands the
+    * payload (then callers fall back to the stub or pass through). */
+  def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+    catch { case _: Exception => None }
+
+  /** Real features from decoded pixels: [width, height, meanR, meanG,
+    * meanB, …luma histogram] padded/truncated to `featureDim`. Deterministic
+    * — pure pixel arithmetic. */
+  def imageFeatures(img: java.awt.image.BufferedImage, featureDim: Int): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    val lumaBuckets = new Array[Long](math.max(featureDim - 5, 1))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val (r, g, b) = ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+        sr += r; sg += g; sb += b
+        val luma = (r * 299 + g * 587 + b * 114) / 1000
+        lumaBuckets((luma * lumaBuckets.length) / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    val head = Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n)
+    (head ++ lumaBuckets.map(_ / n)).padTo(featureDim, 0.0f).take(featureDim)
+  }
+
+  /** Real resize: decode, scale preserving aspect ratio (bilinear), re-encode
+    * PNG, update metadata in lockstep. Non-decodable or already-narrow rows
+    * pass through untouched. Partition-wise like [[extractFeatures]]. */
+  def resizeImagesReal(spark: SparkSession, media: DataFrame, maxWidth: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        decodeImage(m.content) match {
+          case Some(img) if img.getWidth > maxWidth =>
+            val newW = maxWidth
+            val newH = math.max(1, (img.getHeight.toLong * maxWidth / img.getWidth).toInt)
+            val scaled = new java.awt.image.BufferedImage(
+              newW, newH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, newW, newH, null)
+            g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", out)
+            m.copy(content = out.toByteArray, width = newW, height = newH)
+          case _ => m
+        }
       }
     }
   }

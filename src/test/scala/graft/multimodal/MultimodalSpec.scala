@@ -59,6 +59,46 @@ class MultimodalSpec extends SparkSpec {
     assert(untouched == 0)
   }
 
+  /** A real PNG payload: w×h with a left-black / right-white split. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real JDK decode: PNG payloads yield pixel-true features, junk falls back to the stub") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "image", pngBytes(40, 20), 40, 20, 0L),
+      Multimodal.MediaRecord(2L, "image", "not an image at all".getBytes, 0, 0, 0L))
+    val feats = Multimodal.extractFeatures(spark, rows.toDF(), featureDim = 8)
+      .collect().map(f => f.media_id -> f.features).toMap
+    // real path: [w, h, meanR, meanG, meanB, ...luma hist]; half-black/half-white
+    assert(feats(1L)(0) == 40.0f && feats(1L)(1) == 20.0f)
+    assert(math.abs(feats(1L)(2) - 127.5f) < 1.0f) // mean of 0 and 255
+    // junk payload: deterministic stub, values in [-1, 1)
+    assert(feats(2L).forall(v => v >= -1.0f && v < 1.0f))
+    assert(feats(2L).toSeq == Multimodal.decodeStub("not an image at all".getBytes, 8).toSeq)
+  }
+
+  test("real resize: decoded dimensions shrink with aspect kept; junk passes through") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "image", pngBytes(100, 60), 100, 60, 0L),
+      Multimodal.MediaRecord(2L, "image", "junk".getBytes, 0, 0, 0L))
+    val resized = Multimodal.resizeImagesReal(spark, rows.toDF(), maxWidth = 50)
+      .collect().map(r => r.media_id -> r).toMap
+    val r1 = resized(1L)
+    assert(r1.width == 50 && r1.height == 30)
+    // the re-encoded payload really is a 50x30 image
+    val back = Multimodal.decodeImage(r1.content).get
+    assert(back.getWidth == 50 && back.getHeight == 30)
+    assert(resized(2L).content.toSeq == "junk".getBytes.toSeq) // untouched
+  }
+
   test("sampleFrames keeps every 4th frame only") {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(media)
