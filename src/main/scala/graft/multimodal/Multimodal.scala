@@ -142,6 +142,50 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------- real
+  // JDK audio path (WAV/AIFF/AU — javax.sound.sampled, zero deps)
+
+  case class AudioFeatures(
+      media_id: Long, decoded: Boolean, sample_rate: Float, channels: Int,
+      n_frames: Long, duration_ms: Long, rms: Float, peak: Float)
+
+  /** Real audio parse: format metadata + signal features (RMS and peak of
+    * the normalized 16-bit PCM signal). `decoded=false` rows carry zeros —
+    * the payload had no JDK-readable audio header (MP3/OGG need external
+    * codecs; WAV/AIFF/AU do not). */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          val durMs = (frames * 1000L / fmt.getSampleRate.toLong).max(0L)
+          // signal stats over 16-bit signed PCM (the common WAV shape)
+          var (sumSq, peak, n) = (0.0, 0.0f, 0L)
+          if (fmt.getSampleSizeInBits == 16) {
+            val bytes = in.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            while (bb.remaining() >= 2) {
+              val s = bb.getShort / 32768.0f
+              sumSq += s * s; if (math.abs(s) > peak) peak = math.abs(s); n += 1
+            }
+          }
+          val rms = if (n > 0) math.sqrt(sumSq / n).toFloat else 0.0f
+          AudioFeatures(m.media_id, decoded = true, fmt.getSampleRate,
+            fmt.getChannels, frames, durMs, rms, peak)
+        } catch {
+          case _: Exception =>
+            AudioFeatures(m.media_id, decoded = false, 0.0f, 0, 0L, 0L, 0.0f, 0.0f)
+        }
+      }
+    }
+  }
+
   /** Metadata-only pruning query: the win of carrying typed metadata beside
     * the blob — selects never touch `content`, so the columnar reader skips
     * the heavy column entirely (check ReadSchema in the plan). */

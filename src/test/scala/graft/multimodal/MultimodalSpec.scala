@@ -99,6 +99,38 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(2L).content.toSeq == "junk".getBytes.toSeq) // untouched
   }
 
+  /** A real WAV payload: 16-bit mono PCM sine at the given amplitude. */
+  private def wavBytes(sampleRate: Float, seconds: Double, amplitude: Double): Array[Byte] = {
+    val n = (sampleRate * seconds).toInt
+    val samples = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(samples).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until n)
+      bb.putShort((math.sin(2 * math.Pi * 440 * i / sampleRate) * amplitude * 32767).toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real JDK audio: WAV metadata and signal stats are pixel^W sample-true; junk flagged undecoded") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "audio", wavBytes(8000f, 0.5, 0.5), 0, 0, 0L),
+      Multimodal.MediaRecord(2L, "audio", "definitely not audio".getBytes, 0, 0, 0L))
+    val f = Multimodal.extractAudioFeatures(spark, rows.toDF())
+      .collect().map(a => a.media_id -> a).toMap
+    val a1 = f(1L)
+    assert(a1.decoded && a1.sample_rate == 8000f && a1.channels == 1)
+    assert(a1.duration_ms == 500L && a1.n_frames == 4000L)
+    // RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ~ 0.354
+    assert(math.abs(a1.rms - 0.354f) < 0.01f, s"rms ${a1.rms}")
+    assert(math.abs(a1.peak - 0.5f) < 0.01f)
+    assert(!f(2L).decoded && f(2L).rms == 0.0f)
+  }
+
   test("sampleFrames keeps every 4th frame only") {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(media)
