@@ -165,6 +165,7 @@ object SparkEntry {
     // graft.streaming.Streams runs the same expressions incrementally) ----
     "q_hourly_events" -> ((s, d) => Streams.hourlyCountsBatch(Tables.events(s, d))),
     "q_user_sessions" -> ((s, d) => Streams.userSessionsBatch(Tables.events(s, d))),
+    "q_top_event_types" -> ((s, d) => Streams.topEventTypesPerHour(Tables.events(s, d))),
     // ---- multimodal plumbing (north-star; decode is a marked stub) ----
     "q_media_meta" -> ((s, d) => Multimodal.largeLandscapeImages(
       Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
@@ -556,6 +557,14 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_top_event_types" ->
+      """SELECT window_start, event_type, n_events, rnk FROM (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    count(*) AS n_events,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+        |      ORDER BY count(*) DESC, event_type) AS rnk
+        |  FROM events GROUP BY 1, 2)
+        |WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin,
     "q_user_sessions" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,

@@ -19,8 +19,28 @@ object Caches {
     * (`guiV5.py:72-78`): missing columns fail fast at serve time. */
   def read(spark: SparkSession, path: String, requiredColumns: Seq[String]): DataFrame = {
     val df = spark.read.parquet(path)
-    val missing = requiredColumns.filterNot(df.columns.contains)
-    require(missing.isEmpty, s"cache at $path missing required columns: ${missing.mkString(", ")}")
+    requireColumns(df, path, requiredColumns)
     df
+  }
+
+  /** Literal-parity JSON cache twins (`run_netagg_job.py:198-221` writes
+    * JSON; `guiV5.py:59-78` reads it): for consumers that genuinely need the
+    * reference's file format. An explicit schema on read — a JSON cache
+    * read with inference costs a second pass and can silently widen types;
+    * parquet remains the default (pruned scans, typed). */
+  def writeJson(result: DataFrame, path: String): Unit =
+    result.coalesce(1).write.mode("overwrite").json(path)
+
+  def readJson(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType,
+               requiredColumns: Seq[String]): DataFrame = {
+    val df = spark.read.schema(schema).json(path)
+    requireColumns(df, path, requiredColumns)
+    df
+  }
+
+  private def requireColumns(df: DataFrame, path: String, required: Seq[String]): Unit = {
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"cache at $path missing required columns: ${missing.mkString(", ")}")
   }
 }

@@ -102,6 +102,22 @@ object Streams {
         graft.ops.Aggregations.dsum(col("value")).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Top-K event types per hour: grouped count + per-window rank. Catalyst
+    * plans the rank filter as a WindowGroupLimit (rank-limit pushdown) — a
+    * per-partition top-K before the window sort, so the full per-hour
+    * ordering is never materialized; asserted in PlanHygieneSpec. */
+  def topEventTypesPerHour(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("window_start"), col("rnk"))
+  }
+
   /** Batch session windows (session_window works in batch mode too). */
   def userSessionsBatch(events: DataFrame, gap: String = "5 minutes"): DataFrame =
     events

@@ -51,6 +51,11 @@ class PlanHygieneSpec extends SparkSpec {
       s"expected two broadcast dim joins:\n$p")
   }
 
+  test("per-group top-K plans a WindowGroupLimit, not a full per-group sort") {
+    val p = plan("q_top_event_types")
+    assert(p.contains("WindowGroupLimit"), s"rank-limit not pushed down:\n$p")
+  }
+
   test("no CartesianProduct in any equi-expressible query plan") {
     val excluded = Set(
       "q_ann_brute", "q_cosine_near_dups", // documented non-equi oracles
