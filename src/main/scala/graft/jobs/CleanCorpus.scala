@@ -48,6 +48,23 @@ object CleanCorpus {
     exact.join(dropNearDups, Seq("doc_id"), "left_anti")
   }
 
+  /** CLI: clean a documents table end-to-end and write the surviving
+    * corpus. Usage: runMain graft.jobs.CleanCorpus <sfDir> <outPath> */
+  def main(args: Array[String]): Unit = {
+    val (sfDir, out) = (args(0), args(1))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val cleaned = run(spark, docs).cache()
+    cleaned.write.mode("overwrite").parquet(out)
+    println(s"[clean-corpus] input=${docs.count()} survivors=${cleaned.count()} -> $out")
+    spark.stop()
+  }
+
   /** Per-stage survivor counts for the oracle-checkable prefix of the
     * funnel (scrub → quality → exact dedup; the MinHash stage hashes with
     * xxhash64, which the oracle engine lacks — its semantics are pinned by

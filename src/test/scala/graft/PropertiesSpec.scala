@@ -66,6 +66,40 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  val textGen: Gen[List[(Long, String)]] =
+    Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 1000L)
+      words <- Gen.listOfN(12, Gen.oneOf(
+        "the", "cat", "runs", "alice@example.com", "https://x.io/p", "",
+        "word", "and", "it", "###", "a1b2"))
+    } yield (id, words.mkString(" "))).map(_.distinctBy(_._1))
+
+  test("PII scrub is idempotent: scrubbing scrubbed text changes nothing") {
+    import graft.text.TextAnalysis
+    for (rows <- samples(textGen, 4)) {
+      val docs = rows.toDF("doc_id", "text")
+      val once = TextAnalysis.scrubPii(docs)
+        .select(col("doc_id"), col("scrubbed").as("text"))
+      val twice = TextAnalysis.scrubPii(once)
+      val diff = twice.filter(col("scrubbed") =!= col("text") ||
+        col("n_emails") =!= 0 || col("n_urls") =!= 0)
+      assert(diff.count() == 0, "scrub not idempotent")
+    }
+  }
+
+  test("repetition ratios stay in [0,1] and zero-shingle docs report zero") {
+    import graft.text.TextAnalysis
+    for (rows <- samples(textGen, 4)) {
+      val stats = TextAnalysis.repetitionStats(rows.toDF("doc_id", "text")).collect()
+      stats.foreach { r =>
+        val (tok, sh) = (r.getDouble(2), r.getDouble(4))
+        assert(tok >= 0.0 && tok <= 1.0 && sh >= 0.0 && sh <= 1.0, s"ratios out of range: $r")
+        if (r.getLong(3) == 0L) assert(sh == 0.0)
+      }
+      assert(stats.length == rows.length) // every doc reports, even empty ones
+    }
+  }
+
   test("exact decimal sum equals BigDecimal reference for any partitioning") {
     val xsGen = Gen.nonEmptyListOf(Gen.choose(1, 10000000).map(_ / 100.0))
     for (xs <- samples(xsGen); parts <- Seq(1, 3, 8)) {
