@@ -119,6 +119,16 @@ object Stress {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
         q -> (System.nanoTime() - t0) / 1e9
+      } :+ {
+        // the LSH near-dup at its INTENDED tight threshold (the wired 0.35
+        // is the loose fixture threshold, whose candidate set is ~all-pairs
+        // by construction — see Similarity.cosineNearDupsLSH scaladoc); the
+        // scaled copies plant real cos≥0.99 near-dups for this to find
+        val t0 = System.nanoTime()
+        graft.sim.Similarity.cosineNearDupsLSH(
+            graft.model.Tables.embeddings(spark, dir), threshold = 0.9)
+          .write.format("noop").mode("overwrite").save()
+        "lsh_neardups_tight_0.9" -> (System.nanoTime() - t0) / 1e9
       }
       m -> times
     }

@@ -72,19 +72,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("hyperplane-table buckets are bit-identical to lshSignature") {
+  test("hyperplane-table buckets are bit-identical to lshSignature, any table offset") {
     val planes = 8
-    val viaExpr = Tables.embeddings(spark, sf)
-      .select(col("vec_id"), Similarity.lshSignature(col("embedding"), planes, 64).as("sig"))
-      .as[(Long, Long)].collect().toMap
-    val hp = Similarity.hyperplanes(spark, planes, 64)
-    val viaJoin = Tables.embeddings(spark, sf).join(broadcast(hp))
-      .select(col("vec_id"),
-        when(Similarity.dot(col("embedding"), col("plane_vec")) > 0,
-          call_function("shiftleft", lit(1L), col("plane"))).otherwise(lit(0L)).as("bit"))
-      .groupBy(col("vec_id")).agg(sum(col("bit")).as("sig"))
-      .as[(Long, Long)].collect().toMap
-    assert(viaExpr == viaJoin)
+    for (offset <- Seq(0, 24)) { // table 0 and table 3 of the multi-table scheme
+      val viaExpr = Tables.embeddings(spark, sf)
+        .select(col("vec_id"),
+          Similarity.lshSignature(col("embedding"), planes, 64, planeOffset = offset).as("sig"))
+        .as[(Long, Long)].collect().toMap
+      val hp = Similarity.hyperplanes(spark, offset + planes, 64)
+        .filter(col("plane") >= offset)
+      val viaJoin = Tables.embeddings(spark, sf).join(broadcast(hp))
+        .select(col("vec_id"),
+          when(Similarity.dot(col("embedding"), col("plane_vec")) > 0,
+            call_function("shiftleft", lit(1L), col("plane") - offset)).otherwise(lit(0L)).as("bit"))
+        .groupBy(col("vec_id")).agg(sum(col("bit")).as("sig"))
+        .as[(Long, Long)].collect().toMap
+      assert(viaExpr == viaJoin, s"offset $offset")
+    }
   }
 
   test("cosineNearDupsLSH recall >= 0.9 vs the exact oracle at the wired threshold") {
