@@ -231,15 +231,31 @@ object Dedup {
 
   /** Tier 4b — SimHash near-dups: candidate pairs share at least one of four
     * 16-bit bands (any pair within Hamming distance 3 must agree on ≥1 band
-    * — pigeonhole), verified with exact bit_count(xor) ≤ maxHamming. */
-  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * — pigeonhole), verified with exact bit_count(xor) ≤ maxHamming.
+    *
+    * Band values live in a FIXED 16-bit space, so at corpus scale random
+    * collisions grow as n²/65k per band — the same occupancy trap the
+    * hyperplane-LSH path had (SURVEY §8 round-2 stress). Mitigation here is
+    * a document-frequency cap on band values, as in [[winnowNearDups]]: a
+    * band value shared by more than `maxBandFreq` documents is dominated by
+    * random collisions and carries no near-dup signal, so its n²-ish bucket
+    * is dropped instead of joined. True near-dup pairs agree on ~all four
+    * bands, so losing one saturated band barely dents recall (pinned in
+    * DedupSpec). */
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
+                      maxBandFreq: Int = 1000): DataFrame = {
     val sh = simhashes(documents)
-    val banded = sh.select(
+    val banded0 = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { bnd =>
         shiftright(col("simhash"), bnd * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    val rare = banded0.groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBandFreq)
+      .select(col("band"), col("band_val"))
+    val banded = banded0.join(rare, Seq("band", "band_val"))
     val a = banded.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sh_a"))
     val b = banded.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sh_b"))
     a.join(b, Seq("band", "band_val"))

@@ -99,4 +99,16 @@ class DedupSpec extends SparkSpec {
     val recall = exact.intersect(sim).size.toDouble / exact.size
     assert(recall >= 0.8, s"simhash recall $recall over ${exact.size} true pairs")
   }
+
+  test("simhash band-frequency cap drops saturated bands without losing tight pairs") {
+    // exact duplicates: hamming 0, all four bands shared (deterministic).
+    // Every band value here has df = 2, so cap = 1 drops all shared bands
+    // and must kill the pair; the default cap must keep it.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, base), (2L, base), (3L, "something else entirely here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashNearDups(d, maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 0L)))
+    assert(Dedup.simhashNearDups(d, maxHamming = 0, maxBandFreq = 1).count() == 0)
+  }
 }
