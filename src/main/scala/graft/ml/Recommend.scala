@@ -77,17 +77,21 @@ object Recommend {
       .orderBy(col("userId")).limit(nUsers)
     val recs = model.recommendForUserSubset(users, nRecs)
 
-    // R2: explode struct-array; J2: broadcast dim join back to original keys;
-    // A11: re-nest, order inside each list by descending score.
+    // R2: explode struct-array; J2: dim join back to original keys via the
+    // pruned-dim pattern (the key dictionaries are sample-cardinality —
+    // unbounded at scale — while the recs side is nUsers·nRecs rows, so the
+    // nUsers·nRecs keys semi-prune the dims and only the pruned ≤k-row
+    // results broadcast); A11: re-nest, list ordered by descending score.
     val itemDim = indexed0.select(col("itemId").cast("int").as("itemId"), col("itemKey"))
       .dropDuplicates("itemId")
     val userDim = indexed0.select(col("userId").cast("int").as("userId"), col("userKey"))
       .dropDuplicates("userId")
-    recs
+    val exploded = recs
       .select(col("userId"), explode(col("recommendations")).as("rec"))
       .select(col("userId"), col("rec.itemId").as("itemId"), col("rec.rating").as("score"))
-      .join(broadcast(itemDim), Seq("itemId"), "left")
-      .join(broadcast(userDim), Seq("userId"), "left")
+    graft.ops.Joins.enrichWithPrunedDim(
+      graft.ops.Joins.enrichWithPrunedDim(exploded, itemDim, "itemId"),
+      userDim, "userId")
       .groupBy(col("userId"))
       .agg(
         first(col("userKey")).as("userKey"), // 1:1 with userId — deterministic
