@@ -26,7 +26,10 @@ object TextAnalysis {
     regexp_extract_all(lower(text), lit(BpePattern), lit(0))
 
   /** Per-document token statistics: whitespace count, BPE-ish count, mean
-    * token length. */
+    * token length. Σ token lengths = count of non-whitespace characters
+    * (tokens are exactly the non-whitespace runs), so the mean needs no
+    * per-element array fold — the `aggregate` HOF form of that sum is
+    * interpreted per token, this regex length is whole-stage codegen. */
   def tokenStats(documents: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     documents.select(
@@ -34,7 +37,7 @@ object TextAnalysis {
       size(t).cast("bigint").as("n_tokens"),
       size(bpeTokens(col("text"))).cast("bigint").as("n_bpe_tokens"),
       round(
-        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        length(regexp_replace(col("text"), "\\s", "")).cast("double") /
           greatest(size(t), lit(1)).cast("double"), 4).as("avg_token_len"))
       .orderBy(col("doc_id"))
   }
