@@ -13,11 +13,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup outside the timed region: without it the first measured query
     // absorbs several seconds of classloader + codegen-compiler startup and
-    // its number is position-dependent, not workload-dependent
-    spark.range(1000000).selectExpr("sum(id) AS s")
-      .write.format("noop").mode("overwrite").save()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
-      .write.format("noop").mode("overwrite").save()
+    // its number is position-dependent, not workload-dependent. Best-effort:
+    // a missing warmup table must not kill the run before the per-query
+    // harness (which contains failures) even starts.
+    try {
+      spark.range(1000000).selectExpr("sum(id) AS s")
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // optional args: bench only the named queries (local profiling aid)
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap

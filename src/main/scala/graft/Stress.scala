@@ -115,30 +115,43 @@ object Stress {
     val rows = multiples.map { m =>
       val dir = s"$outBase/x$m"
       scaleTables(spark, sfDir, dir, m)
-      val times = StressQueries.map { q =>
+      // a failing query reports negative time (as in Bench) instead of
+      // aborting the run and discarding every multiple already measured
+      def timed(name: String)(body: => Unit): (String, Double) = {
         val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
-        q -> (System.nanoTime() - t0) / 1e9
-      } :+ {
+        val ok =
+          try { body; true }
+          catch { case e: Throwable =>
+            System.err.println(s"[stress] $name failed at x$m: ${e.getClass.getSimpleName}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) dt else -dt)
+      }
+      val times = StressQueries.map { q =>
+        timed(q)(SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+      } :+
         // the LSH near-dup at its INTENDED tight threshold (the wired 0.35
         // is the loose fixture threshold, whose candidate set is ~all-pairs
         // by construction — see Similarity.cosineNearDupsLSH scaladoc); the
         // scaled copies plant real cos≥0.99 near-dups for this to find
-        val t0 = System.nanoTime()
-        graft.sim.Similarity.cosineNearDupsLSH(
-            graft.model.Tables.embeddings(spark, dir), threshold = 0.9)
-          .write.format("noop").mode("overwrite").save()
-        "lsh_neardups_tight_0.9" -> (System.nanoTime() - t0) / 1e9
-      }
+        timed("lsh_neardups_tight_0.9")(
+          graft.sim.Similarity.cosineNearDupsLSH(
+              graft.model.Tables.embeddings(spark, dir), threshold = 0.9)
+            .write.format("noop").mode("overwrite").save())
       m -> times
     }
     // one JSON line per query: seconds at each multiple + the 8x/1x ratio
     val m0 = multiples.head
+    // locale-proof 2-decimal rendering: f"%.2f" follows the JVM default
+    // locale (comma decimals on e.g. de_DE would corrupt the JSON)
+    def r2(x: Double): Double = math.round(x * 100.0) / 100.0
     rows.head._2.map(_._1).foreach { q =>
       val series = rows.map { case (m, ts) => m -> ts.find(_._1 == q).get._2 }
       val ratio = series.last._2 / series.head._2
-      val pts = series.map { case (m, s) => s""""x$m":${f"$s%.2f"}""" }.mkString(",")
-      println(s"""{"query":"$q",$pts,"ratio_x${series.last._1}_vs_x$m0":${f"$ratio%.2f"}}""")
+      val pts = series.map { case (m, s) => s""""x$m":${r2(s)}""" }.mkString(",")
+      println(s"""{"query":"$q",$pts,"ratio_x${series.last._1}_vs_x$m0":${r2(ratio)}}""")
     }
     spark.stop()
   }

@@ -244,7 +244,10 @@ object Dedup {
     * DedupSpec). */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
                       maxBandFreq: Int = 1000): DataFrame = {
-    val sh = simhashes(documents)
+    // pin the sketches (8 bytes/doc): the band-frequency filter AND the
+    // candidate join both read them, and without pinning the 64-vote
+    // aggregation pipeline would run twice
+    val sh = simhashes(documents).localCheckpoint(true)
     val banded0 = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { bnd =>

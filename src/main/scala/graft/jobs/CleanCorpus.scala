@@ -78,11 +78,11 @@ object CleanCorpus {
       .agg(min(col("doc_id")).as("doc_id"))
     val spark = documents.sparkSession
     import spark.implicits._
-    Seq(
+    val counts = Seq(
       ("a_input", documents.count()),
       ("b_quality", quality.count()),
       ("c_exact_dedup", exact.count()))
-      .toDF("stage", "n_docs")
-      .orderBy(col("stage"))
+    sq.unpersist() // all three counts are consumed eagerly above
+    counts.toDF("stage", "n_docs").orderBy(col("stage"))
   }
 }

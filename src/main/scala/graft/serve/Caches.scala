@@ -34,9 +34,13 @@ object Caches {
   def readJson(spark: SparkSession, path: String,
                schema: org.apache.spark.sql.types.StructType,
                requiredColumns: Seq[String]): DataFrame = {
-    val df = spark.read.schema(schema).json(path)
-    requireColumns(df, path, requiredColumns)
-    df
+    // validate against the FILE's actual fields: an explicit read schema
+    // materializes missing columns as all-null, so checking the schema'd
+    // DataFrame would pass vacuously and serve nulls. Caches are
+    // report-sized (coalesce(1)), so the inference pass is cheap.
+    val actual = spark.read.json(path)
+    requireColumns(actual, path, requiredColumns)
+    spark.read.schema(schema).json(path)
   }
 
   private def requireColumns(df: DataFrame, path: String, required: Seq[String]): Unit = {

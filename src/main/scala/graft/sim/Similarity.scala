@@ -209,6 +209,14 @@ object Similarity {
         math.max(8, math.ceil(math.log(n / 4.0) / math.log(2.0)).toInt)
       }
     val tables = lshTablesFor(threshold, nPlanes, targetRecall)
+    // fail fast instead of OOMing on a multi-million-row hyperplane
+    // broadcast: a loose threshold at large n demands an absurd table count
+    // — that regime is all-pairs by nature, use the exact oracle or a
+    // tighter threshold (see scaladoc)
+    require(tables <= 1024,
+      s"cosineNearDupsLSH: threshold=$threshold at $nPlanes planes needs $tables LSH tables " +
+        "(> 1024) for the target recall — too loose to prune; raise the threshold " +
+        "or run the exact cosineNearDups on a sample")
     val hp = hyperplanes(spark, tables * nPlanes, dim) // plane id = table·planes + bit
     val banded = embeddings.join(broadcast(hp))
       .select(col("vec_id"), (col("plane") / nPlanes).cast("int").as("table"),

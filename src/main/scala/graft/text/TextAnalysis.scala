@@ -36,8 +36,11 @@ object TextAnalysis {
       col("doc_id"),
       size(t).cast("bigint").as("n_tokens"),
       size(bpeTokens(col("text"))).cast("bigint").as("n_bpe_tokens"),
+      // lower() first: tokens are lowercased and case folding can change
+      // string LENGTH (e.g. U+0130 lowers to two chars), so measuring the
+      // raw text would diverge from the mean length of the reported tokens
       round(
-        length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+        length(regexp_replace(lower(col("text")), "\\s", "")).cast("double") /
           greatest(size(t), lit(1)).cast("double"), 4).as("avg_token_len"))
       .orderBy(col("doc_id"))
   }

@@ -16,4 +16,15 @@ class CachesSpec extends SparkSpec {
       Caches.readJson(spark, s"$dir/c", df.schema, Seq("nonexistent"))
     }
   }
+
+  test("JSON read fails fast when the FILE lacks a required schema column") {
+    // an explicit read schema materializes missing columns as all-null, so
+    // validation must look at the file's actual fields, not the schema'd df
+    val dir = Files.createTempDirectory("graft-json-cache2").toString
+    val full = Seq((1L, "a", 2.5)).toDF("id", "name", "score")
+    Caches.writeJson(full.drop("score"), s"$dir/c") // producer forgot a column
+    intercept[IllegalArgumentException] {
+      Caches.readJson(spark, s"$dir/c", full.schema, Seq("id", "name", "score"))
+    }
+  }
 }
