@@ -70,6 +70,47 @@ object SparkEntry {
       Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d))),
     "q_point_lookup" -> ((s, d) => Joins.enrichTopOrders(
       Tables.orders(s, d), Tables.customer(s, d), 20)),
+    "q_anti_join" -> ((s, d) => Joins.customersWithoutOrders(
+      Tables.customer(s, d), Tables.orders(s, d), inYear = 1995)),
+    "q_semi_join" -> ((s, d) => Joins.partsWithBulkShipments(
+      Tables.part(s, d), Tables.lineitem(s, d), minQty = 48)),
+    "q_set_ops" -> ((s, d) => Joins.customerChurn(Tables.orders(s, d), 1995, 1996)),
+    // ---- temporal joins (north-star; ops/Temporal.scala) ----
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errs = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("err_event_id"))
+      graft.ops.Temporal.asofJoin(clicks, errs, "user_id", "ts")
+        .orderBy(col("event_id"))
+    }),
+    "q_band_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"), col("ts"))
+      graft.ops.Temporal.timeProximityPairs(clicks, errs, "user_id", windowSec = 3600)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(abs(col("_lus") - col("_rus"))).as("min_dt_us"))
+        .orderBy(col("user_id"))
+    }),
+    // ---- window analytics (north-star; ops/Windows.scala) ----
+    "q_order_gaps" -> ((s, d) => graft.ops.Windows.customerOrderGaps(Tables.orders(s, d))),
+    // ---- cube (SURVEY §2.4 family; ops/Aggregations.cubeStats) ----
+    "q_cube" -> ((s, d) => Aggregations.cubeStats(Tables.lineitem(s, d))),
+    // ---- stratified sampling (north-star; ops/Sampling.scala) ----
+    "q_stratified_sample" -> ((s, d) => graft.ops.Sampling.stratifiedSampleReport(
+      Tables.events(s, d), "event_type", "event_id",
+      Map("click" -> 0.5, "error" -> 1.0, "view" -> 0.1,
+        "purchase" -> 1.0, "signup" -> 0.05))),
+    // ---- decontamination (north-star; dedup/Dedup.contaminationReport) ----
+    "q_decontaminate" -> ((s, d) => Dedup.contaminationReport(Tables.documents(s, d))),
+    // ---- embedding hygiene (north-star; sim/Similarity.embeddingNorms) ----
+    "q_embedding_norms" -> ((s, d) => Similarity.embeddingNorms(Tables.embeddings(s, d))),
     // ---- array / graph derivation (SURVEY §2.6 / §2.8) ----
     "q_related_arrays" -> ((s, d) =>
       Edges.relatedArrays(Tables.lineitem(s, d))
@@ -577,5 +618,103 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 48)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT o_custkey, 'churned' AS cohort
+        |FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'retained'
+        |FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |ORDER BY cohort, o_custkey""".stripMargin,
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |errs AS (
+        |  SELECT user_id, ts, max(event_id) AS err_event_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  e.ts AS asof_ts, e.err_event_id AS asof_err_event_id
+        |FROM clicks c ASOF LEFT JOIN errs e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q_band_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+        |errs AS (
+        |  SELECT user_id, event_id AS err_id, ts FROM events WHERE event_type = 'error')
+        |SELECT c.user_id, count(*) AS n_pairs,
+        |  min(abs(epoch_us(c.ts) - epoch_us(e.ts))) AS min_dt_us
+        |FROM clicks c JOIN errs e ON c.user_id = e.user_id
+        |  AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 3600000000
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    "q_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS order_seq,
+        |  date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr AS DOUBLE) AS running_spend,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+        |    / count(*) OVER w3, 4) AS mavg3_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING),
+        |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  count(*) AS num_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n_sampled FROM events
+        |  WHERE event_id % 1000 < CASE event_type
+        |    WHEN 'click' THEN 500 WHEN 'error' THEN 1000 WHEN 'view' THEN 100
+        |    WHEN 'purchase' THEN 1000 WHEN 'signup' THEN 50 ELSE -1 END
+        |  GROUP BY 1),
+        |t AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY 1)
+        |SELECT t.event_type, n_total, coalesce(n_sampled, 0) AS n_sampled,
+        |  round(coalesce(n_sampled, 0) * 1.0 / n_total, 4) AS achieved_rate
+        |FROM t LEFT JOIN s USING (event_type) ORDER BY event_type""".stripMargin,
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 4, 1) + 1),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) > 0),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+        |corpus AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_contaminated FROM corpus
+        |  WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1)
+        |SELECT s.doc_id, s.n_shingles,
+        |  coalesce(h.n_contaminated, 0) AS n_contaminated,
+        |  round(coalesce(h.n_contaminated, 0) * 1.0 / s.n_shingles, 4) AS contamination
+        |FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_embedding_norms" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,
+        |  round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
   )
 }

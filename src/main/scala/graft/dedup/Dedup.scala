@@ -97,6 +97,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Benchmark decontamination — the training-data hygiene step n-gram
+    * dedup doesn't cover: score every corpus document by how many of its
+    * k-shingles also appear in a benchmark/eval set, so contaminated
+    * documents can be dropped before training. Same scale shape as
+    * [[ngramJaccardPairs]]: the only join is an equi-join on the shingle
+    * (left-semi against the distinct benchmark shingle set — at production
+    * scale that set is millions of rows, far too big to broadcast, and the
+    * semi join shuffles on the shingle key like any fact-fact join).
+    * `benchmarkPred` selects the benchmark docs; here a doc_id mod — in
+    * production a membership table. Output: every non-benchmark doc with
+    * its shingle count, overlap count, and contamination ratio. */
+  def contaminationReport(documents: DataFrame, k: Int = 5, benchMod: Int = 20): DataFrame = {
+    val sh = shingleRows(documents, k)
+    val isBench = pmod(col("doc_id"), lit(benchMod)) === 0
+    val benchShingles = sh.filter(isBench).select(col("shingle")).distinct()
+    val corpus = sh.filter(!isBench)
+    val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = corpus
+      .join(benchShingles, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    sizes
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+          / col("n_shingles"), 4).as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Tier 3a — MinHash signatures: numPerm independent permutations

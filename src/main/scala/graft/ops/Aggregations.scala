@@ -164,6 +164,23 @@ object Aggregations {
       .agg(count(lit(1)).as("num_items"), dsum(col("l_extendedprice")).as("sum_price"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE over (returnflag, linestatus): all four grouping combinations in
+    * one Expand + single-shuffle hash aggregate (same plan family as
+    * [[rollupStats]]). `gid` is Spark's `grouping_id` — bit i set when
+    * grouping column i is rolled up — matching SQL `GROUPING(a, b)`
+    * bit-for-bit, so the oracle compares it directly. Rolled-up labels
+    * surface as "ALL" to keep the output null-free and sortable. */
+  def cubeStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("num_items"), dsum(col("l_extendedprice")).as("sum_price"),
+        grouping_id().cast("bigint").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("gid"), col("num_items"), col("sum_price"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
   /** Exact distinct count per group (the reference never counts distinct;
     * at 100 TB the approx_count_distinct twin is the right default, kept
     * alongside for the bench). */

@@ -48,6 +48,48 @@ object Joins {
     pinned.join(broadcast(pruned), Seq(key), "left")
   }
 
+  /** Anti join — entities with no matching facts (customers with no order
+    * in a given year). Catalyst plans left_anti as a broadcast/shuffled hash join
+    * with early-out probing: the fact side is only ever hashed on its join
+    * key projection, never materialized wide. The reference has no semi/anti
+    * joins (SURVEY.md §2.3); a data pipeline needs them constantly
+    * (orphan detection, holdout construction). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame, inYear: Int): DataFrame =
+    customer
+      .join(orders.filter(year(col("o_orderdate")) === inYear)
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Semi join — entities with at least one qualifying fact (parts that ever
+    * shipped in bulk). The filter is pushed below the join, so the fact scan
+    * prunes to (l_partkey, l_quantity) and the semi join stops at first
+    * match per key — no fact-side aggregation or distinct. */
+  def partsWithBulkShipments(part: DataFrame, lineitem: DataFrame, minQty: Int): DataFrame =
+    part
+      .join(lineitem.filter(col("l_quantity") >= minQty)
+          .select(col("l_partkey").as("p_partkey")),
+        Seq("p_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+
+  /** Set operations over keyed extracts (SURVEY.md §2.12: the reference has
+    * none) — churn analysis: customers active in year A but gone in year B,
+    * and the loyal intersection. EXCEPT/INTERSECT plan as aggregate-free
+    * left-anti / left-semi joins over distinct keys — same scale shape as
+    * the joins above. */
+  def customerChurn(orders: DataFrame, yearA: Int, yearB: Int): DataFrame = {
+    def active(y: Int) = orders
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val churned = active(yearA).except(active(yearB))
+      .select(col("o_custkey"), lit("churned").as("cohort"))
+    val retained = active(yearA).intersect(active(yearB))
+      .select(col("o_custkey"), lit("retained").as("cohort"))
+    churned.unionByName(retained).orderBy(col("cohort"), col("o_custkey"))
+  }
+
   /** S9/J3 — point lookup as a broadcast join: enrich a small top-K result
     * with dimension attributes (replaces the reference's per-row
     * `find_one` loop, `PageRank_Spark_v5.py:148-156`). The top-K side is 20

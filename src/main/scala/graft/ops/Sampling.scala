@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stratified sampling for training-data curation (north-star scope; the
+  * reference's only sampling is a flat seeded 10% before ALS,
+  * `run_alsrecs_job.py:55` — SURVEY.md §2.5 O5).
+  *
+  * Two flavors, both map-side (zero shuffle — the filter composes with
+  * whatever follows):
+  *   - [[modStratifiedSample]]: deterministic quota sampling on a stable
+  *     row id — `id mod 1000 < quota(stratum)`. Reproducible across runs,
+  *     engines, and retries (the property that matters when the sample
+  *     defines a training set); exactly checkable by the SQL oracle.
+  *   - [[rngStratifiedSample]]: Spark's Bernoulli `sampleBy` — unbiased
+  *     when ids may carry structure, but only replayable within one
+  *     partitioning (seeded rand is evaluated per row in partition order).
+  */
+object Sampling {
+
+  /** Deterministic per-stratum quota filter: keep a row iff
+    * `pmod(idCol, 1000) < round(fraction(stratum) · 1000)`. Unlisted strata
+    * are dropped. Quotas quantize to 1/1000ths — the resolution of the mod
+    * space; at production scale use a 64-bit hash of a business key as
+    * `idCol` (sequential ids can alias generation patterns). */
+  def modStratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                          fractions: Map[String, Double]): DataFrame = {
+    val quota = fractions.foldLeft(lit(-1L)) { case (acc, (stratum, frac)) =>
+      when(col(strataCol) === stratum, lit(math.round(frac * 1000))).otherwise(acc)
+    }
+    df.filter(pmod(col(idCol), lit(1000L)) < quota)
+  }
+
+  /** Per-stratum counts before/after sampling — the audit report a quota
+    * sample ships with (achieved rate vs requested). */
+  def stratifiedSampleReport(df: DataFrame, strataCol: String, idCol: String,
+                             fractions: Map[String, Double]): DataFrame = {
+    val sampled = modStratifiedSample(df, strataCol, idCol, fractions)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n_sampled"))
+    df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_total"))
+      .join(sampled, Seq(strataCol), "left")
+      .select(col(strataCol), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        round(coalesce(col("n_sampled"), lit(0L)).cast("double") / col("n_total"), 4)
+          .as("achieved_rate"))
+      .orderBy(col(strataCol))
+  }
+
+  /** Seeded Bernoulli stratified sample (`DataFrameStatFunctions.sampleBy`).
+    * Kept for API completeness; cache() the result before branching reuse —
+    * seeded rand re-evaluates under AQE partition drift (engine-wide rule,
+    * see the ALS sample). */
+  def rngStratifiedSample(df: DataFrame, strataCol: String,
+                          fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+}

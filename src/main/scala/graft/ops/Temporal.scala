@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal join operators (north-star scope — the reference is batch-only
+  * with no time axis; these are the joins a large-scale event/training-data
+  * pipeline needs that plain equi-joins can't express).
+  *
+  * Both operators are built on the shapes that survive 100 TB:
+  *   - [[asofJoin]] is the union–merge pattern: tag both sides, union, one
+  *     window pass per key. One shuffle on the key, zero range expansion —
+  *     the naive formulation (inequality join + max) explodes to
+  *     |left|×|right| pairs per key before aggregating.
+  *   - [[timeProximityPairs]] is the bucketed band join: quantize time into
+  *     `windowSec` buckets, replicate the right side into its 3 adjacent
+  *     buckets, equi-join on (key, bucket), then apply the exact band
+  *     predicate. The join is an equi hash join AQE can plan and skew-split;
+  *     candidate count is bounded by real temporal locality instead of
+  *     |left|×|right| per key.
+  */
+object Temporal {
+
+  /** As-of join: for every left row, attach the single most recent right row
+    * with `right.ts <= left.ts` and the same key (the standard "latest state
+    * at event time" lookup). Right rows must be unique per (key, ts) —
+    * pre-aggregate to enforce (deterministic output; ties inside a timestamp
+    * have no defined "latest").
+    *
+    * Implementation: tag sides, union, and take `last(right, ignoreNulls)`
+    * over a (key, ts, side) window — right sorts before left at equal ts, so
+    * a right row at exactly left.ts is visible (>= semantics, matching SQL
+    * ASOF JOIN). Left rows with no prior right row keep nulls (LEFT ASOF). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    val rStruct = StructType(right.schema.filterNot(f => f.name == key))
+    val lStruct = StructType(left.schema)
+    val tagged = left
+      .select(col(key), col(ts).as("_t"), lit(1).as("_side"),
+        struct(left.columns.map(col): _*).as("_l"),
+        lit(null).cast(rStruct).as("_r"))
+      .unionByName(right
+        .select(col(key), col(ts).as("_t"), lit(0).as("_side"),
+          lit(null).cast(lStruct).as("_l"),
+          struct(right.columns.filterNot(_ == key).map(col): _*).as("_r")))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_l.*") +:
+        rStruct.fieldNames.toSeq.map(f =>
+          col(s"_match.$f").as(s"asof_$f")): _*)
+  }
+
+  /** Band (time-proximity) join: all (left, right) pairs with the same key
+    * and |left.ts − right.ts| ≤ windowSec, compared in exact microseconds
+    * (sub-second event timestamps make whole-second comparison lossy).
+    * Each right row is replicated into its own and both neighboring buckets,
+    * so every qualifying pair meets in exactly one equi-join bucket — no
+    * duplicates, no distinct needed. */
+  def timeProximityPairs(left: DataFrame, right: DataFrame, key: String,
+                         windowSec: Int): DataFrame = {
+    val usec = windowSec * 1000000L
+    val lb = left
+      .withColumn("_lus", unix_micros(col("ts")))
+      .withColumn("_b", floor(col("_lus") / usec))
+    val rb = right
+      .withColumn("_rus", unix_micros(col("ts")))
+      .withColumn("_b", explode(array(
+        floor(col("_rus") / usec) - 1,
+        floor(col("_rus") / usec),
+        floor(col("_rus") / usec) + 1)))
+      .drop("ts")
+    lb.join(rb, Seq(key, "_b"))
+      .filter(abs(col("_lus") - col("_rus")) <= usec)
+      .drop("_b")
+  }
+}

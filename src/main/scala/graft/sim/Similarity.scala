@@ -33,6 +33,24 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-vector norm/moment report — the embedding-hygiene pass before any
+    * similarity work (zero vectors break cosine; wild norms flag a broken
+    * encoder). Pure map-side over the native dot-product expression: one
+    * codegen'd loop per row, no shuffle, no HOF. */
+  def embeddingNorms(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        round(sqrt(dot(col("embedding"), col("embedding"))), 4).as("l2_norm"),
+        round(aggregateMean(col("embedding")), 6).as("mean_val"))
+      .orderBy(col("vec_id"))
+
+  /** Mean of an array<float> without the interpreted `aggregate` HOF:
+    * dot(v, ones) is the element sum via the codegen'd native expression
+    * (array_repeat is a plain codegen'd collection op, not a lambda HOF). */
+  private def aggregateMean(v: Column): Column =
+    dot(v, array_repeat(lit(1.0f), size(v))) / size(v)
+
   /** Exact top-k cosine neighbors for each query vector (query ids drawn
     * from the corpus itself). Ties broken by neighbor id; scores rounded for
     * cross-engine comparison. */

@@ -1,0 +1,206 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Round-3 operators: temporal joins, window analytics, sampling,
+  * semi/anti/set ops, cube, decontamination, embedding norms. */
+class Round3OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // ------------------------------------------------------------- as-of join
+
+  test("asofJoin attaches the most recent right row at or before left.ts") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),   // after r2 -> matches r2
+      (2L, 10L, ts("2024-01-01 08:59:59")),   // before any right -> null
+      (3L, 10L, ts("2024-01-01 09:30:00")),   // exactly r1's ts -> matches r1 (>=)
+      (4L, 20L, ts("2024-01-01 12:00:00")))   // other key, one match
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 101L), // r1
+      (10L, ts("2024-01-01 09:45:00"), 102L), // r2
+      (20L, ts("2024-01-01 11:00:00"), 201L))
+      .toDF("user_id", "ts", "err_event_id")
+    val got = Temporal.asofJoin(left, right, "user_id", "ts")
+      .select(col("event_id"), col("asof_err_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(102L), 2L -> None, 3L -> Some(101L), 4L -> Some(201L)))
+  }
+
+  test("asofJoin matches SQL ASOF semantics against a windowed reference") {
+    val events = graft.model.Tables.events(spark, sf)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errs = events.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("err_event_id"))
+    val got = Temporal.asofJoin(clicks, errs, "user_id", "ts")
+    // independent formulation: inequality join + max-ts pick
+    val best = clicks.as("c")
+      .join(errs.as("e"), col("c.user_id") === col("e.user_id") && col("e.ts") <= col("c.ts"))
+      .groupBy(col("c.event_id").as("event_id"))
+      .agg(max(struct(col("e.ts"), col("e.err_event_id"))).as("m"))
+      .select(col("event_id"), col("m.err_event_id").as("ref_match"))
+    val joined = got.join(best, Seq("event_id"), "left")
+    assert(joined.filter(
+      coalesce(col("asof_err_event_id"), lit(-1L)) =!= coalesce(col("ref_match"), lit(-1L)))
+      .count() == 0)
+    assert(got.count() == clicks.count())
+  }
+
+  // ------------------------------------------------------------- band join
+
+  test("timeProximityPairs finds exactly the pairs within the band") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 23:59:30")),  // crosses a bucket boundary
+      (3L, 200L, ts("2024-01-01 10:00:00")))  // key isolation
+      .toDF("click_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 11L, ts("2024-01-01 10:00:30")), // 30s from click 1 -> in
+      (100L, 12L, ts("2024-01-01 10:02:00")), // 120s from click 1 -> out
+      (100L, 13L, ts("2024-01-02 00:00:29")), // 59s from click 2, next bucket -> in
+      (200L, 14L, ts("2024-01-01 10:00:10"))) // other key -> pairs with click 3 only
+      .toDF("user_id", "err_id", "ts")
+    val got = Temporal.timeProximityPairs(left, right, "user_id", windowSec = 60)
+      .select(col("click_id"), col("err_id")).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 11L), (2L, 13L), (3L, 14L)))
+  }
+
+  test("timeProximityPairs emits no duplicate pairs across buckets") {
+    val left = Seq((1L, 1L, ts("2024-01-01 00:00:59"))).toDF("user_id", "click_id", "ts")
+    val right = Seq((1L, 9L, ts("2024-01-01 00:01:01"))).toDF("user_id", "err_id", "ts")
+    assert(Temporal.timeProximityPairs(left, right, "user_id", 60).count() == 1)
+  }
+
+  // ------------------------------------------------------- window analytics
+
+  test("customerOrderGaps computes lag gaps, running and moving spend") {
+    val orders = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), 100.0),
+      (2L, 10L, ts("2024-01-11 00:00:00"), 200.0),
+      (3L, 10L, ts("2024-01-31 00:00:00"), 400.0),
+      (4L, 10L, ts("2024-02-01 00:00:00"), 800.0),
+      (5L, 20L, ts("2024-01-05 00:00:00"), 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = Windows.customerOrderGaps(orders)
+      .select(col("o_orderkey"), col("gap_days"), col("running_spend"), col("mavg3_spend"))
+      .as[(Long, Option[Long], Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((None, 100.0, 100.0)))
+    assert(got(2L) == ((Some(10L), 300.0, 150.0)))
+    assert(got(3L) == ((Some(20L), 700.0, 233.3333)))
+    assert(got(4L) == ((Some(1L), 1500.0, 466.6667)))
+    assert(got(5L) == ((None, 50.0, 50.0)))
+  }
+
+  // ------------------------------------------------------------- sampling
+
+  test("modStratifiedSample keeps quota rows and drops unlisted strata") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "stratum")
+    val got = Sampling.modStratifiedSample(df, "stratum", "id",
+      Map("a" -> 0.5)) // b unlisted -> dropped
+    val rows = got.select(col("id"), col("stratum")).as[(Long, String)].collect()
+    assert(rows.forall(_._2 == "a"))
+    assert(rows.forall(_._1 % 1000 < 500))
+    // even ids 0..998 with id mod 1000 < 500 -> 0,2,..,498 = 250 rows
+    assert(rows.length == 250)
+  }
+
+  test("modStratifiedSample is deterministic across runs") {
+    val df = (0L until 500L).map(i => (i, "x")).toDF("id", "stratum")
+    val a = Sampling.modStratifiedSample(df, "stratum", "id", Map("x" -> 0.3))
+      .select(col("id")).as[Long].collect().toSet
+    val b = Sampling.modStratifiedSample(df, "stratum", "id", Map("x" -> 0.3))
+      .select(col("id")).as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("stratifiedSampleReport reports totals, sampled and rate per stratum") {
+    val df = (0L until 1000L).map(i => (i, if (i < 600) "big" else "small")).toDF("id", "stratum")
+    val got = Sampling.stratifiedSampleReport(df, "stratum", "id",
+      Map("big" -> 0.1, "small" -> 1.0))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // ids 0..599 mod 1000 < 100 -> 100 sampled; 600..999 all sampled
+    assert(got("big") == ((600L, 100L, 0.1667)))
+    assert(got("small") == ((400L, 400L, 1.0)))
+  }
+
+  // ------------------------------------------------- semi / anti / set ops
+
+  test("customersWithoutOrders is the year-scoped anti join") {
+    val customer = Seq((1L, "c1", "SEG"), (2L, "c2", "SEG"), (3L, "c3", "SEG"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, ts("1995-03-01 00:00:00")),
+      (11L, 2L, ts("1996-03-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = Joins.customersWithoutOrders(customer, orders, 1995)
+      .select(col("c_custkey")).as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L))
+  }
+
+  test("customerChurn labels churned and retained cohorts") {
+    val orders = Seq(
+      (1L, 1L, ts("1995-06-01 00:00:00")),  // cust 1: 1995 only -> churned
+      (2L, 2L, ts("1995-06-01 00:00:00")),  // cust 2: both -> retained
+      (3L, 2L, ts("1996-06-01 00:00:00")),
+      (4L, 3L, ts("1996-06-01 00:00:00")))  // cust 3: 1996 only -> absent
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = Joins.customerChurn(orders, 1995, 1996)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "churned"), (2L, "retained")))
+  }
+
+  // ------------------------------------------------------------------ cube
+
+  test("cubeStats emits all four grouping sets consistently") {
+    val lineitem = graft.model.Tables.lineitem(spark, sf)
+    val got = Aggregations.cubeStats(lineitem).cache()
+    val total = got.filter(col("gid") === 3)
+    assert(total.count() == 1)
+    val n = lineitem.count()
+    assert(total.select(col("num_items")).as[Long].head() == n)
+    // leaf cells (gid 0) sum to the grand total
+    assert(got.filter(col("gid") === 0).agg(sum(col("num_items"))).as[Long].head() == n)
+    // rolled-up labels surface as ALL, never null
+    assert(got.filter(col("l_returnflag").isNull || col("l_linestatus").isNull).count() == 0)
+    got.unpersist()
+  }
+
+  // ------------------------------------------------------- decontamination
+
+  test("contaminationReport flags corpus docs sharing shingles with benchmark docs") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),        // benchmark (id % 20 == 0)
+      (1L, "alpha beta gamma delta epsilon eta theta"),   // shares 5-gram prefix
+      (2L, "one two three four five six seven"))          // disjoint
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.contaminationReport(docs, k = 5, benchMod = 20)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(!got.contains(0L))                    // benchmark docs excluded
+    assert(got(1L)._2 == 1L && got(1L)._3 > 0.0) // "alpha beta gamma delta epsilon" shared
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0.0)
+  }
+
+  // ------------------------------------------------------- embedding norms
+
+  test("embeddingNorms computes dim, l2 and mean") {
+    val rows = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)))
+    val got = rows.toDF("vec_id", "embedding")
+    val out = graft.sim.Similarity.embeddingNorms(got)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 5.0, 3.5)))
+    assert(out(2L) == ((2L, 0.0, 0.0)))
+  }
+}
