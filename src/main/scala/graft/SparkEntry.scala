@@ -142,12 +142,12 @@ object SparkEntry {
       Tables.part(s, d).select(col("p_partkey").as("id"), col("p_brand"), col("p_name")),
       k = 100)),
     "q_pagerank_filtered" -> ((s, d) => {
-      // cache: the edge list feeds both the vertex filter and the ranked run
-      val edges = Edges.partCoOccurrence(Tables.lineitem(s, d))
-        .select(col("src").cast("string"), col("dst").cast("string")).cache()
+      // cache: the edge list feeds both the vertex filter and the ranked
+      // run; ids stay long through the whole fixpoint (runWithVertices)
+      val edges = Edges.partCoOccurrence(Tables.lineitem(s, d)).cache()
       val vertices = Degrees.outDegrees(edges).filter(col("outDegree") >= 5)
-        .select(col("id").cast("string"))
-      PageRankOp.runStringIds(s, vertices, edges)
+        .select(col("id"))
+      PageRankOp.runWithVertices(vertices, edges)
         .orderBy(col("pagerank").desc, col("id")).limit(100)
         // rounded at the verify boundary so the cross-engine hash compare
         // tolerates sum-order FP drift (selection/order use the full value)
@@ -570,7 +570,7 @@ object SparkEntry {
         |ORDER BY rank""".stripMargin,
     "q_pagerank_filtered" ->
       s"""WITH edges AS MATERIALIZED (
-        |  SELECT CAST(a.l_partkey AS VARCHAR) AS src, CAST(b.l_partkey AS VARCHAR) AS dst
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
         |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey

@@ -118,23 +118,35 @@ object PageRankOp {
     out
   }
 
-  /** Reference-faithful string-id variant (`PageRank_Spark_v5.py:65-97`):
-    * vertices are supplied explicitly (the reference filters to
+  /** Explicit-vertex-set variant (`PageRank_Spark_v5.py:65-97`): vertices
+    * are supplied explicitly (the reference filters to
     * `size(related) >= 5`); edges with endpoints outside the vertex set are
     * dropped (GraphFrames semantics — GraphX would silently auto-create the
     * missing vertices, SURVEY.md §7.4.3), enforced with two left-semi joins.
-    * Isolated-but-declared vertices keep the resetProb floor. The DataFrame
-    * engine works on string ids directly — no string→Long mapping leg at
-    * all (that existed only to feed GraphX's Long vertex ids). */
-  def runStringIds(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
-                   numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
-    val v = vertices.select(col("id").cast("string")).distinct().cache()
+    * Isolated-but-declared vertices keep the resetProb floor. Id type is
+    * whatever the caller supplies — run numeric ids as numeric: every
+    * fixpoint round joins and re-aggregates on the id, and hashing an
+    * 8-byte long beats hashing variable-length UTF8 on all of them (measured
+    * ~30% of this query's cost at sf0.1); cast to display strings at the
+    * output boundary, not here. */
+  def runWithVertices(vertices: DataFrame, edges: DataFrame,
+                      numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
+    val v = vertices.select(col("id")).distinct().cache()
     val e = edges
-      .select(col("src").cast("string"), col("dst").cast("string"))
       .join(v.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(v.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
     pageRank(v, e, numIter, resetProb)
   }
+
+  /** Reference-faithful string-id entry point — thin cast shim over
+    * [[runWithVertices]] for sources whose ids are genuinely strings
+    * (11-char YouTube video ids). */
+  def runStringIds(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
+                   numIter: Int = 10, resetProb: Double = 0.15): DataFrame =
+    runWithVertices(
+      vertices.select(col("id").cast("string")),
+      edges.select(col("src").cast("string"), col("dst").cast("string")),
+      numIter, resetProb)
 
   /** The reference's full top-K flow (`PageRank_Spark_v5.py:107-115` +
     * enrichment `run_pagerank_job.py:124-140`): rank all vertices, take the
