@@ -94,7 +94,11 @@ object Stress {
     "q_category_stats", "q_top_customers", "q_star_join", "q_cooccur_edges",
     "q_degree_hist", "q_pagerank_parts", "q_exact_dedup", "q_minhash_neardups",
     "q_simhash_neardups", "q_winnow_neardups", "q_cosine_near_dups_lsh",
-    "q_hourly_events", "q_user_sessions", "q_token_stats", "q_repetition")
+    "q_hourly_events", "q_user_sessions", "q_token_stats", "q_repetition",
+    // round 3: temporal joins (union-merge / bucketed band), window
+    // analytics, decontamination shingle join, set-op anti joins
+    "q_asof_join", "q_band_join", "q_order_gaps", "q_decontaminate",
+    "q_set_ops", "q_stratified_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -56,6 +56,39 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"rank-limit not pushed down:\n$p")
   }
 
+  test("as-of join compiles to a windowed merge — zero join operators") {
+    // the union-merge pattern's whole point: no range join, no nested loop,
+    // not even an equi join — one window pass after a union
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), s"as-of join planned a join operator:\n$p")
+    assert(p.contains("Window"), s"no window operator in as-of plan:\n$p")
+  }
+
+  test("band join is an equi hash/merge join, never a nested loop") {
+    val p = plan("q_band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join fell back to a non-equi physical join:\n$p")
+    assert(p.contains("Join"), s"expected an equi join on (key, bucket):\n$p")
+  }
+
+  test("anti and semi joins plan their dedicated join types") {
+    assert(plan("q_anti_join").contains("LeftAnti"))
+    assert(plan("q_semi_join").contains("LeftSemi"))
+  }
+
+  test("cube plans a single Expand + hash aggregate") {
+    val p = plan("q_cube")
+    assert(p.contains("Expand"), s"cube did not plan an Expand:\n$p")
+  }
+
+  test("mod-based stratified sampling is a pure map-side filter") {
+    val df = graft.ops.Sampling.modStratifiedSample(
+      graft.model.Tables.events(spark, sf), "event_type", "event_id",
+      Map("click" -> 0.5, "error" -> 1.0))
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), s"sampling filter introduced a shuffle:\n$p")
+  }
+
   test("no CartesianProduct in any equi-expressible query plan") {
     val excluded = Set(
       "q_ann_brute", "q_cosine_near_dups", // documented non-equi oracles
