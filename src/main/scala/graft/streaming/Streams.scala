@@ -93,6 +93,30 @@ object Streams {
       .withWatermark("ts", delay)
       .dropDuplicates("fp", "ts")
 
+  /** Stream-stream interval join — the streaming twin of
+    * [[graft.ops.Temporal.timeProximityPairs]]: click events joined to
+    * error events of the same user within ±`windowSec`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can size and EVICT the join state (an unbounded stream-stream
+    * join would buffer both streams forever — at 100 TB/day the watermark
+    * delay is the state-size knob, same rule as the windowed aggs).
+    * Emits (user_id, click_id, err_id, dt_us). */
+  def clickErrorPairsStream(clicks: DataFrame, errors: DataFrame,
+                            windowSec: Int, delay: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    val e = errors.select(col("event_id").as("err_id"),
+        col("user_id").as("e_user_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", delay)
+    c.join(e,
+        col("user_id") === col("e_user_id") &&
+          col("e_ts") >= col("c_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+          col("e_ts") <= col("c_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("click_id"), col("err_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("e_ts"))).as("dt_us"))
+  }
+
   /** Batch twin of [[tumblingCounts]] for the DuckDB oracle: identical
     * semantics, date_trunc instead of window() for a flat schema. */
   def hourlyCountsBatch(events: DataFrame): DataFrame =

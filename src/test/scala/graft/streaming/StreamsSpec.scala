@@ -108,6 +108,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch band join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Streams.Event]
+    val errors = MemoryStream[Streams.Event]
+    val q = Streams.clickErrorPairsStream(clicks.toDF(), errors.toDF(), windowSec = 60)
+      .writeStream.format("memory").queryName("bandstream")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        ev(1, "2024-01-01 00:10:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 00:20:00", 2, "click", 1.0))
+      errors.addData(
+        ev(10, "2024-01-01 00:10:30", 1, "error", 1.0), // 30s after click 1 -> pair
+        ev(11, "2024-01-01 00:25:00", 2, "error", 1.0)) // 5m after click 2 -> out
+      q.processAllAvailable()
+      // second batch: a pair that spans batches (click arrives after its error)
+      clicks.addData(ev(3, "2024-01-01 00:26:00", 2, "click", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("bandstream")
+        .select(col("click_id"), col("err_id"), col("dt_us"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == Set((1L, 10L, -30000000L), (3L, 11L, 60000000L)))
+      // batch twin over the union of both sides agrees
+      val all = Seq(
+        ev(1, "2024-01-01 00:10:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 00:20:00", 2, "click", 1.0),
+        ev(3, "2024-01-01 00:26:00", 2, "click", 1.0),
+        ev(10, "2024-01-01 00:10:30", 1, "error", 1.0),
+        ev(11, "2024-01-01 00:25:00", 2, "error", 1.0)).toDF()
+      val batch = graft.ops.Temporal.timeProximityPairs(
+        all.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts")),
+        all.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"), col("ts")),
+        "user_id", 60)
+        .select(col("click_id"), col("err_id")).as[(Long, Long)].collect().toSet
+      assert(streamed.map(t => (t._1, t._2)) == batch)
+    } finally q.stop()
+  }
+
   test("batch session windows split on the 5-minute gap") {
     val events = Seq(
       ev(1, "2024-01-01 00:00:00", 1, "click", 1.0),
