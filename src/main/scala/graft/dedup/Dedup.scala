@@ -105,9 +105,11 @@ object Dedup {
     * (left-semi against the distinct benchmark shingle set — at production
     * scale that set is millions of rows, far too big to broadcast, and the
     * semi join shuffles on the shingle key like any fact-fact join).
-    * `benchmarkPred` selects the benchmark docs; here a doc_id mod — in
-    * production a membership table. Output: every non-benchmark doc with
-    * its shingle count, overlap count, and contamination ratio. */
+    * Benchmark membership is `doc_id mod benchMod == 0` here (a stand-in
+    * predicate — in production swap the `isBench` expression for a semi
+    * join against the eval-set membership table). Output: every
+    * non-benchmark doc with its shingle count, overlap count, and
+    * contamination ratio. */
   def contaminationReport(documents: DataFrame, k: Int = 5, benchMod: Int = 20): DataFrame = {
     val sh = shingleRows(documents, k)
     val isBench = pmod(col("doc_id"), lit(benchMod)) === 0

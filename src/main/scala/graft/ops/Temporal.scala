@@ -41,6 +41,10 @@ object Temporal {
         struct(left.columns.map(col): _*).as("_l"),
         lit(null).cast(rStruct).as("_r"))
       .unionByName(right
+        // null-timestamp right rows can never be "the latest state at or
+        // before t" (SQL ASOF: a NULL comparison never matches) — and under
+        // nulls-first ordering they would otherwise win for early left rows
+        .filter(col(ts).isNotNull)
         .select(col(key), col(ts).as("_t"), lit(0).as("_side"),
           lit(null).cast(lStruct).as("_l"),
           struct(right.columns.filterNot(_ == key).map(col): _*).as("_r")))
@@ -62,18 +66,18 @@ object Temporal {
     * so every qualifying pair meets in exactly one equi-join bucket — no
     * duplicates, no distinct needed. */
   def timeProximityPairs(left: DataFrame, right: DataFrame, key: String,
-                         windowSec: Int): DataFrame = {
+                         windowSec: Int, ts: String = "ts"): DataFrame = {
     val usec = windowSec * 1000000L
     val lb = left
-      .withColumn("_lus", unix_micros(col("ts")))
+      .withColumn("_lus", unix_micros(col(ts)))
       .withColumn("_b", floor(col("_lus") / usec))
     val rb = right
-      .withColumn("_rus", unix_micros(col("ts")))
+      .withColumn("_rus", unix_micros(col(ts)))
       .withColumn("_b", explode(array(
         floor(col("_rus") / usec) - 1,
         floor(col("_rus") / usec),
         floor(col("_rus") / usec) + 1)))
-      .drop("ts")
+      .drop(ts)
     lb.join(rb, Seq(key, "_b"))
       .filter(abs(col("_lus") - col("_rus")) <= usec)
       .drop("_b")

@@ -29,8 +29,11 @@ object Layout {
   def writeEventsByDay(events: DataFrame, path: String): Unit =
     events
       .withColumn("event_date", to_date(col("ts")))
+      // event_date leads the sort: Spark's planned-write inserts its own
+      // local sort on the partition column otherwise, which would both
+      // re-sort every partition and void the (user_id, ts) ordering
       .repartition(col("event_date"))
-      .sortWithinPartitions(col("user_id"), col("ts"))
+      .sortWithinPartitions(col("event_date"), col("user_id"), col("ts"))
       .write.partitionBy("event_date").mode("overwrite").parquet(path)
 
   /** Read one day back: the date predicate must show up as a partition

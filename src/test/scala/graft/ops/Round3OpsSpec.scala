@@ -33,6 +33,17 @@ class Round3OpsSpec extends SparkSpec {
     assert(got == Map(1L -> Some(102L), 2L -> None, 3L -> Some(101L), 4L -> Some(201L)))
   }
 
+  test("asofJoin ignores null-timestamp right rows (SQL ASOF semantics)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, None, 999L),                                // null ts -> never matches
+      (10L, Some(ts("2024-01-01 09:00:00")), 101L))
+      .toDF("user_id", "ts", "err_event_id")
+    val got = Temporal.asofJoin(left, right, "user_id", "ts")
+      .select(col("asof_err_event_id")).as[Option[Long]].head()
+    assert(got == Some(101L))
+  }
+
   test("asofJoin matches SQL ASOF semantics against a windowed reference") {
     val events = graft.model.Tables.events(spark, sf)
     val clicks = events.filter(col("event_type") === "click")
