@@ -176,6 +176,8 @@ object SparkEntry {
     "q_winnow_fps" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))
       .select(col("doc_id"), csv(col("winnow_fp")).as("winnow_fp"))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
+    "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
+    "q_tfidf" -> ((s, d) => TextAnalysis.topTermsTfIdf(Tables.documents(s, d))),
     "q_scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(Tables.documents(s, d))
       .select(col("doc_id"), col("n_emails"), col("n_urls"),
         substring(md5(col("scrubbed")), 1, 16).as("scrub_fp"))),
@@ -711,6 +713,30 @@ object SparkEntry {
         |  coalesce(h.n_contaminated, 0) AS n_contaminated,
         |  round(coalesce(h.n_contaminated, 0) * 1.0 / s.n_shingles, 4) AS contamination
         |FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+        |SELECT term, CAST(sum(tf) AS BIGINT) AS freq, count(*) AS doc_freq
+        |FROM tf GROUP BY term
+        |ORDER BY freq DESC, term LIMIT 100""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rnk, term, tfidf FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) DESC, tf.term) AS rnk
+        |  FROM tf JOIN df USING (term), n)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_embedding_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,

@@ -106,6 +106,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary: top-k tokens by total frequency with document
+    * frequency alongside — the first artifact of tokenizer training.
+    * Shape: explode → one partial+final hash aggregate on the term (the
+    * count AND the distinct-doc count come from one grouped pass over
+    * (doc_id, term) rows, not two corpus scans) → TakeOrdered(k). */
+  def vocabulary(documents: DataFrame, k: Int = 100): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).as("freq"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(k)
+
+  /** Top terms per document by TF-IDF (ln(N/df) variant). Two grouped
+    * aggregates + a WindowGroupLimit-rankable per-doc top-k; the document
+    * count joins in as a one-row broadcast, never a driver-side constant
+    * (the plan stays a single lazy DAG). Ranking uses the ROUNDED score
+    * (then the term) so cross-engine libm drift below 1e-4 cannot flip
+    * ranks: ties at equal rounded score are broken lexicographically in
+    * both engines. */
+  def topTermsTfIdf(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .join(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Content fingerprint: 64-bit hex from the md5 of whitespace-normalized
     * text — the cheap exact-identity key for dedup joins (md5 exists in both
     * engines, so this one is oracle-checkable, unlike xxhash64). */

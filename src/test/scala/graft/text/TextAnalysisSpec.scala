@@ -77,4 +77,30 @@ class TextAnalysisSpec extends SparkSpec {
     val q = r.getDouble(r.fieldIndex("quality_score"))
     assert(q > 0.0 && q <= 1.0)
   }
+
+  test("vocabulary counts corpus and document frequency with deterministic top-k") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "zebra")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(d, k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // the: freq 3 (2+1), df 2; sat: freq 2, df 2; then alphabetical among freq-1
+    assert(got.take(2) == Seq(("the", 3L, 2L), ("sat", 2L, 2L)))
+    assert(got(2) == (("cat", 1L, 1L)))
+  }
+
+  test("topTermsTfIdf ranks distinctive terms above ubiquitous ones") {
+    val d = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "cherry shared"),
+      (3L, "durian shared")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTermsTfIdf(d, k = 2)
+      .as[(Long, Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // "shared" has df=3 -> idf ln(1)=0; never beats a distinctive term
+    assert(got(1L) == Seq("apple", "banana"))
+    assert(got(2L).head == "cherry")
+    assert(got(3L).head == "durian")
+  }
 }
