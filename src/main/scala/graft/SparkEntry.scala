@@ -737,6 +737,42 @@ object SparkEntry {
         |      ORDER BY round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) DESC, tf.term) AS rnk
         |  FROM tf JOIN df USING (term), n)
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // media fixture metadata in SQL: the same salted 32-bit multiplicative
+    // mix as Multimodal.mix (plain int64 arithmetic in both engines)
+    "q_media_meta" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][
+        |      CAST((doc_id * 2654435761 + 0) % 4294967296 % 3 AS INT) + 1] AS media_type,
+        |    CAST((doc_id * 2654435761 + 40503) % 4294967296 % 1920 + 1 AS INT) AS width,
+        |    CAST((doc_id * 2654435761 + 81006) % 4294967296 % 1080 + 1 AS INT) AS height
+        |  FROM documents)
+        |SELECT media_id, width, height FROM media
+        |WHERE media_type = 'image' AND width > height
+        |ORDER BY media_id""".stripMargin,
+    "q_media_resize" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][
+        |      CAST((doc_id * 2654435761 + 0) % 4294967296 % 3 AS INT) + 1] AS media_type,
+        |    CAST((doc_id * 2654435761 + 40503) % 4294967296 % 1920 + 1 AS INT) AS width,
+        |    CAST((doc_id * 2654435761 + 81006) % 4294967296 % 1080 + 1 AS INT) AS height,
+        |    octet_length(encode(text)) AS n0
+        |  FROM documents),
+        |resized AS (
+        |  SELECT media_id, media_type,
+        |    media_type = 'image' AND width > 640 AS wide,
+        |    -- Spark casts double->int by truncation; DuckDB CAST rounds
+        |    CAST(trunc(height * 640.0 / width) AS INT) AS new_h,
+        |    width, height, n0
+        |  FROM media)
+        |SELECT media_id, media_type,
+        |  CASE WHEN wide THEN 640 ELSE width END AS width,
+        |  CASE WHEN wide THEN new_h ELSE height END AS height,
+        |  CAST(CASE WHEN wide THEN greatest(CAST(trunc(
+        |      n0 * ((640.0 * new_h) / (width * 1.0 * height))) AS INT), 1)
+        |    ELSE n0 END AS INT) AS n_bytes
+        |FROM resized ORDER BY media_id""".stripMargin,
     "q_embedding_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing (north-star scope).
@@ -35,18 +35,25 @@ object Multimodal {
       n_bytes: Long,
       features: Array[Float])    // decoder output embedding
 
+  /** Salted 32-bit multiplicative mix of the doc id — plain int64
+    * arithmetic, so the DuckDB oracle reproduces the fixture metadata
+    * exactly (xxhash64, the previous derivation, exists only in Spark,
+    * which kept every metadata query at the weaker rows-only gate). */
+  private def mix(id: Column, salt: Int): Column =
+    pmod(id * lit(2654435761L) + lit(salt * 40503L), lit(4294967296L))
+
   /** Derive a media table from the documents fixture: text bytes as the
-    * opaque payload, metadata from deterministic hashing. Stands in for
-    * `spark.read.format("binaryFile")` over a media bucket. */
+    * opaque payload, metadata from deterministic integer mixing. Stands in
+    * for `spark.read.format("binaryFile")` over a media bucket. */
   def mediaFromDocuments(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id").as("media_id"),
       get(array(lit("image"), lit("audio"), lit("video")),
-        pmod(xxhash64(col("doc_id")), lit(3)).cast("int")).as("media_type"),
+        pmod(mix(col("doc_id"), 0), lit(3)).cast("int")).as("media_type"),
       encode(col("text"), "UTF-8").as("content"),
-      (pmod(xxhash64(col("doc_id"), lit(1)), lit(1920)) + 1).cast("int").as("width"),
-      (pmod(xxhash64(col("doc_id"), lit(2)), lit(1080)) + 1).cast("int").as("height"),
-      pmod(xxhash64(col("doc_id"), lit(3)), lit(600000)).as("duration_ms"))
+      (pmod(mix(col("doc_id"), 1), lit(1920)) + 1).cast("int").as("width"),
+      (pmod(mix(col("doc_id"), 2), lit(1080)) + 1).cast("int").as("height"),
+      pmod(mix(col("doc_id"), 3), lit(600000)).as("duration_ms"))
 
   /** STUB decoder: a real implementation would hand `content` to an image /
     * audio codec. The fake derives `featureDim` floats in [-1, 1) from a
