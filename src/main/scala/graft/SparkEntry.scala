@@ -738,7 +738,26 @@ object SparkEntry {
         |  FROM tf JOIN df USING (term), n)
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     // media fixture metadata in SQL: the same salted 32-bit multiplicative
-    // mix as Multimodal.mix (plain int64 arithmetic in both engines)
+    // mix as Multimodal.mix (plain int64 arithmetic in both engines).
+    // q_media_frames leans on the fixture payload being ASCII text: byte
+    // frames == char frames, so DuckDB's VARCHAR substr/md5 reproduce
+    // Spark's binary substring/md5 byte-for-byte.
+    "q_media_frames" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][
+        |      CAST((doc_id * 2654435761 + 0) % 4294967296 % 3 AS INT) + 1] AS media_type,
+        |    text, length(text) AS n
+        |  FROM documents),
+        |frames AS (
+        |  SELECT media_id, i AS frame_no,
+        |    substr(text, CAST(i * 32 + 1 AS INT), 32) AS frame
+        |  FROM media, LATERAL (SELECT unnest(range(0,
+        |    CAST(floor((n - 1) / 32.0) AS BIGINT) + 1)) AS i)
+        |  WHERE media_type = 'video')
+        |SELECT media_id, frame_no, substr(md5(frame), 1, 16) AS frame_hash
+        |FROM frames WHERE frame_no % 4 = 0
+        |ORDER BY media_id, frame_no""".stripMargin,
     "q_media_meta" ->
       """WITH media AS (
         |  SELECT doc_id AS media_id,

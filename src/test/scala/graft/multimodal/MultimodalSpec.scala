@@ -134,7 +134,7 @@ class MultimodalSpec extends SparkSpec {
   test("sampleFrames keeps every 4th frame only") {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(media)
-      .select("frame_no").as[Int].collect()
+      .select("frame_no").as[Long].collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_ % 4 == 0))
   }
