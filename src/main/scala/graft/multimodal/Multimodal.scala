@@ -230,6 +230,9 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame =
     media
       .filter(col("media_type") === "video")
+      // an empty payload has no frames — and without the guard Spark's
+      // sequence(0, -1) would auto-step DOWN and fabricate one
+      .filter(length(col("content")) > 0)
       .select(col("media_id"),
         posexplode(transform(
           sequence(lit(0),

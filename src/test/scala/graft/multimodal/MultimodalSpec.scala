@@ -138,4 +138,11 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.nonEmpty)
     assert(frames.forall(_ % 4 == 0))
   }
+
+  test("sampleFrames emits zero frames for an empty payload") {
+    import spark.implicits._
+    val empty = Seq((1L, "video", Array.emptyByteArray, 0, 0, 0L))
+      .toDF("media_id", "media_type", "content", "width", "height", "duration_ms")
+    assert(Multimodal.sampleFrames(empty).count() == 0)
+  }
 }
