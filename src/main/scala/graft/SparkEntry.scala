@@ -147,7 +147,9 @@ object SparkEntry {
       val edges = Edges.partCoOccurrence(Tables.lineitem(s, d)).cache()
       val vertices = Degrees.outDegrees(edges).filter(col("outDegree") >= 5)
         .select(col("id"))
-      PageRankOp.runWithVertices(vertices, edges)
+      val ranked = PageRankOp.runWithVertices(vertices, edges)
+      edges.unpersist(blocking = false) // fixpoint ran eagerly inside
+      ranked
         .orderBy(col("pagerank").desc, col("id")).limit(100)
         // rounded at the verify boundary so the cross-engine hash compare
         // tolerates sum-order FP drift (selection/order use the full value)

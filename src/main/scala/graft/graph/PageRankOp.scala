@@ -85,6 +85,12 @@ object PageRankOp {
     // reference score 442.8 ≫ 1 comes from exactly this normalization).
     val stats = ranks.agg(sum(col("rank")).as("s"), count(lit(1)).as("n")).head
     val scale = stats.getLong(1).toDouble / stats.getDouble(0)
+    // the fixpoint ran eagerly (checkpoints + the stats action), so every
+    // cache this function pinned is releasable NOW — the returned frame's
+    // lineage bottoms out at the final rank checkpoint. A long-lived
+    // session (bench loop, notebook) would otherwise accumulate one leaked
+    // vertex cache per PageRank call.
+    verts.unpersist(blocking = false)
     ranks.select(col("id"), (col("rank") * scale).as("pagerank"))
   }
 
@@ -95,7 +101,9 @@ object PageRankOp {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    pageRank(vertices, e, numIter, resetProb)
+    val out = pageRank(vertices, e, numIter, resetProb)
+    e.unpersist(blocking = false) // fixpoint materialized — see pageRank
+    out
   }
 
   /** GraphX Pregel leg — the reference's actual engine
@@ -135,7 +143,9 @@ object PageRankOp {
     val e = edges
       .join(v.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(v.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-    pageRank(v, e, numIter, resetProb)
+    val out = pageRank(v, e, numIter, resetProb)
+    v.unpersist(blocking = false) // fixpoint materialized — see pageRank
+    out
   }
 
   /** Reference-faithful string-id entry point — thin cast shim over
