@@ -95,7 +95,7 @@ object SparkEntry {
       graft.ops.Temporal.timeProximityPairs(clicks, errs, "user_id", windowSec = 3600)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
-          min(abs(col("_lus") - col("_rus"))).as("min_dt_us"))
+          min(abs(col("dt_us"))).as("min_dt_us"))
         .orderBy(col("user_id"))
     }),
     // ---- window analytics (north-star; ops/Windows.scala) ----

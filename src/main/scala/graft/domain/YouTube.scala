@@ -110,7 +110,7 @@ object YouTube {
     * `{rank, ID, influence_score, uploader}`. */
   def influencers(spark: SparkSession, videos: DataFrame, k: Int = 500): DataFrame = {
     val vertices = videos.filter(size(col("related")) >= 5).select(col("id"))
-    val ranks = PageRankOp.runStringIds(spark, vertices, relatedEdges(videos))
+    val ranks = PageRankOp.runStringIds(vertices, relatedEdges(videos))
     val top = ranks.orderBy(col("pagerank").desc, col("id")).limit(k)
     // k keys semi-prune the videos scan, then the ≤k-row pruned dim is
     // broadcast — never the full videos table (7.7M rows at reference scale)

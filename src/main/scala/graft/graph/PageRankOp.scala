@@ -151,7 +151,7 @@ object PageRankOp {
   /** Reference-faithful string-id entry point — thin cast shim over
     * [[runWithVertices]] for sources whose ids are genuinely strings
     * (11-char YouTube video ids). */
-  def runStringIds(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
+  def runStringIds(vertices: DataFrame, edges: DataFrame,
                    numIter: Int = 10, resetProb: Double = 0.15): DataFrame =
     runWithVertices(
       vertices.select(col("id").cast("string")),

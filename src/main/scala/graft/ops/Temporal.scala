@@ -80,6 +80,10 @@ object Temporal {
       .drop(ts)
     lb.join(rb, Seq(key, "_b"))
       .filter(abs(col("_lus") - col("_rus")) <= usec)
-      .drop("_b")
+      // public shape: the pair's time delta is part of the API; the bucket
+      // and epoch internals are not. Shared non-key column names must be
+      // pre-renamed by the caller, as for any self-join.
+      .withColumn("dt_us", col("_lus") - col("_rus"))
+      .drop("_b", "_lus", "_rus")
   }
 }

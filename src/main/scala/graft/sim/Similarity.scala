@@ -37,13 +37,21 @@ object Similarity {
     * similarity work (zero vectors break cosine; wild norms flag a broken
     * encoder). Pure map-side over the native dot-product expression: one
     * codegen'd loop per row, no shuffle, no HOF. */
-  def embeddingNorms(embeddings: DataFrame): DataFrame =
+  def embeddingNorms(embeddings: DataFrame): DataFrame = {
+    // empty vectors report null, not 0.0/NaN — matching SQL aggregate
+    // semantics (list_sum of an empty list is NULL), so the oracle compare
+    // holds even when the corpus contains the broken rows this pass hunts
+    val empty = size(col("embedding")) === 0
     embeddings
       .select(col("vec_id"),
         size(col("embedding")).cast("bigint").as("dim"),
-        round(sqrt(dot(col("embedding"), col("embedding"))), 4).as("l2_norm"),
-        round(aggregateMean(col("embedding")), 6).as("mean_val"))
+        when(empty, lit(null))
+          .otherwise(round(sqrt(dot(col("embedding"), col("embedding"))), 4))
+          .as("l2_norm"),
+        when(empty, lit(null))
+          .otherwise(round(aggregateMean(col("embedding")), 6)).as("mean_val"))
       .orderBy(col("vec_id"))
+  }
 
   /** Mean of an array<float> without the interpreted `aggregate` HOF:
     * dot(v, ones) is the element sum via the codegen'd native expression

@@ -66,7 +66,7 @@ class GraphSpec extends SparkSpec {
     val vertices = Seq("a", "b", "c").toDF("id")
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "zz"), ("zz", "a"))
       .toDF("src", "dst") // zz is dangling — GraphFrames semantics drop both edges
-    val ranks = PageRankOp.runStringIds(spark, vertices, edges)
+    val ranks = PageRankOp.runStringIds(vertices, edges)
     val ids = ranks.select("id").as[String].collect().toSet
     assert(ids == Set("a", "b", "c")) // isolated-but-declared vertices kept, zz absent
     // surviving chain a -> b -> c: rank accumulates down the chain

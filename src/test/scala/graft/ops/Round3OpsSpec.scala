@@ -203,15 +203,17 @@ class Round3OpsSpec extends SparkSpec {
 
   // ------------------------------------------------------- embedding norms
 
-  test("embeddingNorms computes dim, l2 and mean") {
+  test("embeddingNorms computes dim, l2 and mean; empty vectors report null") {
     val rows = Seq(
       (1L, Array(3.0f, 4.0f)),
-      (2L, Array(0.0f, 0.0f)))
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array.empty[Float]))    // broken-encoder row: null, not 0.0/NaN
     val got = rows.toDF("vec_id", "embedding")
     val out = graft.sim.Similarity.embeddingNorms(got)
-      .as[(Long, Long, Double, Double)].collect()
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    assert(out(1L) == ((2L, 5.0, 3.5)))
-    assert(out(2L) == ((2L, 0.0, 0.0)))
+    assert(out(1L) == ((2L, Some(5.0), Some(3.5))))
+    assert(out(2L) == ((2L, Some(0.0), Some(0.0))))
+    assert(out(3L) == ((0L, None, None)))
   }
 }
