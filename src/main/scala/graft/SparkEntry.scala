@@ -51,6 +51,8 @@ object SparkEntry {
       .select(col("l_orderkey"), col("first_supp"), csv(col("parts")).as("parts"))),
     "q_top_parts_by_qty" -> ((s, d) => Aggregations.topPartsByQuantity(Tables.lineitem(s, d), 100)),
     "q_count" -> ((s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
+    "q_winsorize" -> ((s, d) => Aggregations.winsorizedPriceStats(Tables.orders(s, d))),
+    "q_quality_deciles" -> ((s, d) => Aggregations.qualityDeciles(Tables.documents(s, d))),
     "q_rollup" -> ((s, d) => Aggregations.rollupStats(Tables.lineitem(s, d))),
     "q_distinct_count" -> ((s, d) =>
       // approx twin stays engine-side only: sketch values differ per engine
@@ -287,6 +289,46 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         |  max(l_extendedprice) AS max_price
         |FROM lineitem""".stripMargin,
+    "q_winsorize" ->
+      """WITH pct AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.05) AS p_lo,
+        |    quantile_cont(o_totalprice, 0.95) AS p_hi
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, count(*) AS n,
+        |  round(any_value(p.p_lo), 4) AS p_lo,
+        |  round(any_value(p.p_hi), 4) AS p_hi,
+        |  CAST(sum(CASE WHEN o.o_totalprice < p.p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |  CAST(sum(CASE WHEN o.o_totalprice > p.p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |  round(CAST(sum(CAST(round(least(greatest(o.o_totalprice, p.p_lo), p.p_hi), 2)
+        |        AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS mean_winsorized
+        |FROM orders o JOIN pct p USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q_quality_deciles" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    round(0.5 * round(least(greatest(length(txt), 1) / 500.0, 1.0), 4)
+        |        + 0.3 * round(len(list_filter(toks, x -> list_contains(
+        |              ['the','a','an','of','to','and','in','is','it','for','on','with'], x)))
+        |              * 1.0 / greatest(len(toks), 1), 4)
+        |        + 0.2 * (1.0 - round((length(txt) - length(regexp_replace(txt, '[^a-z0-9\s]', '', 'g')))
+        |              * 1.0 / greatest(length(txt), 1), 4)), 5) AS quality_score
+        |  FROM (SELECT doc_id, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |cuts AS (SELECT quantile_cont(quality_score,
+        |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c FROM scored)
+        |SELECT decile, count(*) AS n_docs,
+        |  min(quality_score) AS min_score, max(quality_score) AS max_score
+        |FROM (
+        |  SELECT quality_score,
+        |    1 + (quality_score > c[1])::BIGINT + (quality_score > c[2])::BIGINT
+        |      + (quality_score > c[3])::BIGINT + (quality_score > c[4])::BIGINT
+        |      + (quality_score > c[5])::BIGINT + (quality_score > c[6])::BIGINT
+        |      + (quality_score > c[7])::BIGINT + (quality_score > c[8])::BIGINT
+        |      + (quality_score > c[9])::BIGINT AS decile
+        |  FROM scored, cuts)
+        |GROUP BY 1 ORDER BY decile""".stripMargin,
     "q_items_histogram" ->
       """SELECT items, count(*) AS num_orders FROM (
         |  SELECT l_orderkey, count(*) AS items FROM lineitem GROUP BY 1

@@ -181,6 +181,57 @@ object Aggregations {
         col("gid"), col("num_items"), col("sum_price"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
+  /** Winsorization report — per-group p05/p95 clipping, the standard
+    * outlier-robust cleaning pass before a numeric column feeds training.
+    * One grouped exact-percentile aggregate (a single buffer holds both
+    * quantiles), broadcast back onto the facts (group count is dimension-
+    * sized), then boundary counts + the clipped mean. Clipped values are
+    * rounded to cents before the decimal-exact sum, so the mean is
+    * accumulation-order-free and cross-engine deterministic. */
+  def winsorizedPriceStats(orders: DataFrame,
+                           lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val pct = orders.groupBy(col("o_orderpriority"))
+      .agg(expr(s"percentile(o_totalprice, array(${lo}D, ${hi}D))").as("ps"))
+      .select(col("o_orderpriority"),
+        element_at(col("ps"), 1).as("p_lo"), element_at(col("ps"), 2).as("p_hi"))
+    val clipped = least(greatest(col("o_totalprice"), col("p_lo")), col("p_hi"))
+    orders.join(broadcast(pct), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("p_lo")), 4).as("p_lo"),
+        round(first(col("p_hi")), 4).as("p_hi"),
+        sum(when(col("o_totalprice") < col("p_lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("o_totalprice") > col("p_hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        round(sum(round(clipped, 2).cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 4).as("mean_winsorized"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Decile report over the document quality score — rank bucketing, the
+    * complement of the fixed-boundary bucket queries (A4/A5). NOT a global
+    * NTILE window (that moves the whole corpus through one sorted
+    * partition): the nine cut points come from one exact-percentile
+    * aggregate, broadcast back, and bucketing is a map-side comparison
+    * chain. Ties land in one decile together (cut-point semantics, unlike
+    * NTILE's even split), which is what a reproducible quality gate wants.
+    * Empty deciles (heavy ties) are simply absent from the report. */
+  def qualityDeciles(documents: DataFrame): DataFrame = {
+    val ps = (1 to 9).map(_ / 10.0).mkString("array(", "D, ", "D)")
+    val scored = graft.text.TextAnalysis.qualityScores(documents)
+    val cuts = scored.agg(expr(s"percentile(quality_score, $ps)").as("cuts"))
+    val decile = (1 to 9).foldLeft(lit(1L)) { (acc, k) =>
+      acc + when(col("quality_score") > element_at(col("cuts"), k), 1L).otherwise(0L)
+    }
+    scored.join(broadcast(cuts))
+      .withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality_score")).as("min_score"),
+        max(col("quality_score")).as("max_score"))
+      .orderBy(col("decile"))
+  }
+
   /** Exact distinct count per group (the reference never counts distinct;
     * at 100 TB the approx_count_distinct twin is the right default, kept
     * alongside for the bench). */

@@ -216,4 +216,42 @@ class Round3OpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, Some(0.0), Some(0.0))))
     assert(out(3L) == ((0L, None, None)))
   }
+
+  // ------------------------------------------------- winsorize / deciles
+
+  test("winsorizedPriceStats clips at the per-group percentiles") {
+    val orders = ((1 to 98).map(i => (i.toLong, "P", i * 100.0)) ++
+      Seq((99L, "P", 1000000.0), (100L, "P", 0.01)))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val r = Aggregations.winsorizedPriceStats(orders).head()
+    assert(r.getLong(r.fieldIndex("n")) == 100L)
+    // exactly the values strictly outside [p05, p95] are counted
+    val pLo = r.getDouble(r.fieldIndex("p_lo"))
+    val pHi = r.getDouble(r.fieldIndex("p_hi"))
+    val expLo = orders.filter(col("o_totalprice") < pLo).count()
+    val expHi = orders.filter(col("o_totalprice") > pHi).count()
+    assert(r.getLong(r.fieldIndex("n_clipped_lo")) == expLo && expLo > 0)
+    assert(r.getLong(r.fieldIndex("n_clipped_hi")) == expHi && expHi > 0)
+    // the winsorized mean is immune to the outlier magnitude
+    val r2 = Aggregations.winsorizedPriceStats(
+      orders.withColumn("o_totalprice",
+        when(col("o_orderkey") === 99L, 1.0e9).otherwise(col("o_totalprice")))).head()
+    assert(r2.getDouble(r2.fieldIndex("mean_winsorized")) ==
+      r.getDouble(r.fieldIndex("mean_winsorized")))
+  }
+
+  test("qualityDeciles buckets every document and keeps ties together") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val got = Aggregations.qualityDeciles(docs).cache()
+    val total = got.agg(sum(col("n_docs"))).as[Long].head()
+    assert(total == docs.count())
+    // monotone score ranges across deciles
+    val rows = got.select(col("decile"), col("min_score"), col("max_score"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2, s"deciles overlap: $a vs $b")
+      case _ =>
+    }
+    got.unpersist()
+  }
 }
