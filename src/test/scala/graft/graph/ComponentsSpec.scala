@@ -1,0 +1,39 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels transitive clusters with their minimum") {
+    // chain 1-2, 2-3 (one component), isolated pair 10-11, plus a
+    // second chain joined out of order 7-6, 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 6L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = Components.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    val n = 12
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Components.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == n + 1 && got.forall(_._2 == 0L))
+  }
+
+  test("dupClusters keeps exactly one canonical doc per cluster") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((2L, 4L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val got = Components.dupClusters(docs, pairs)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1), (2L, 2L, 1), (3L, 3L, 1),
+      (4L, 2L, 0), (5L, 5L, 1), (6L, 2L, 0)))
+    // survivors: every singleton plus one per cluster
+    assert(got.count(_._3 == 1) == 4)
+  }
+}
