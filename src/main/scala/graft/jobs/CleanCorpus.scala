@@ -32,9 +32,20 @@ object CleanCorpus {
       .select(col("doc_id"), col("text"), col("quality_score"))
   }
 
-  /** The full funnel. Returns the cleaned corpus (doc_id, text). */
+  /** The full funnel. Returns the cleaned corpus (doc_id, text).
+    *
+    * Two near-dup drop policies:
+    *   - `clusterDedup = false` (pair-wise): drop the larger side of every
+    *     verified pair. Survivors are the pair graph's LOCAL minima — two
+    *     docs that share a neighbor but were not themselves flagged both
+    *     survive (they are not dups of each other).
+    *   - `clusterDedup = true` (cluster collapse): connected components
+    *     over the pairs ([[graft.graph.Components]]), one survivor per
+    *     cluster — the aggressive policy large-corpus dedup usually wants
+    *     (a near-dup chain is one document family). */
   def run(spark: SparkSession, documents: DataFrame,
-          minQuality: Double = 0.3, jaccardThreshold: Double = 0.5): DataFrame = {
+          minQuality: Double = 0.3, jaccardThreshold: Double = 0.5,
+          clusterDedup: Boolean = false): DataFrame = {
     val quality = scrubbedWithQuality(documents)
       .filter(col("quality_score") >= minQuality)
       .select(col("doc_id"), col("text"))
@@ -43,9 +54,16 @@ object CleanCorpus {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val exact = quality.join(exactKept, Seq("doc_id"), "left_semi")
-    val dropNearDups = Dedup.minhashNearDups(exact, threshold = jaccardThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
-    exact.join(dropNearDups, Seq("doc_id"), "left_anti")
+    val pairs = Dedup.minhashNearDups(exact, threshold = jaccardThreshold)
+    if (clusterDedup) {
+      val keep = graft.graph.Components
+        .dupClusters(exact.select(col("doc_id")), pairs)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      exact.join(keep, Seq("doc_id"), "left_semi")
+    } else {
+      val dropNearDups = pairs.select(col("doc_b").as("doc_id")).distinct()
+      exact.join(dropNearDups, Seq("doc_id"), "left_anti")
+    }
   }
 
   /** CLI: clean a documents table end-to-end and write the surviving

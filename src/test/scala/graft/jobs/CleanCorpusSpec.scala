@@ -33,6 +33,29 @@ class CleanCorpusSpec extends SparkSpec {
     assert(d5.contains("<EMAIL>") && !d5.contains("alice@example.com"))
   }
 
+  test("cluster mode collapses a shared-neighbor family to one survivor") {
+    // 1 and 7 are each near-dups of 3's text family but textually far from
+    // each other only via the chain — build a chain 1~3~7 where (1,7) may
+    // not be flagged directly; cluster mode keeps exactly one of the family
+    val chain = Seq(
+      (1L, base),
+      (3L, base.replace("morning", "evening")),
+      (7L, base.replace("morning", "evening").replace("quick", "rapid")),
+      (6L, ("an utterly different story about ships and oceans and storms that " +
+        "is long enough to score well on the quality gate because it has many " +
+        "common words in it for the blend to add up to a decent value overall"))
+    ).toDF("doc_id", "text")
+    val pairKept = CleanCorpus.run(spark, chain).select("doc_id")
+      .as[Long].collect().toSet
+    val clusterKept = CleanCorpus.run(spark, chain, clusterDedup = true)
+      .select("doc_id").as[Long].collect().toSet
+    // both modes keep the family minimum and the unrelated doc
+    assert(clusterKept.contains(1L) && clusterKept.contains(6L))
+    assert(clusterKept.subsetOf(pairKept))
+    // cluster mode keeps exactly one member of the 1/3/7 family
+    assert(clusterKept.intersect(Set(1L, 3L, 7L)) == Set(1L))
+  }
+
   test("stage counts are monotone and match the funnel prefix") {
     val s = CleanCorpus.stages(docs).as[(String, Long)].collect().toMap
     assert(s("a_input") == 6L)
