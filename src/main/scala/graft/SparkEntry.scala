@@ -72,6 +72,18 @@ object SparkEntry {
       Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d))),
     "q_point_lookup" -> ((s, d) => Joins.enrichTopOrders(
       Tables.orders(s, d), Tables.customer(s, d), 20)),
+    // the salted fact-dim join under the driver gate: row-identical to the
+    // plain join (SkewSpec), here aggregated so the oracle is order-free
+    "q_skew_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+      val part = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(li, part, "p_partkey")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("num_items"),
+          Aggregations.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
     "q_anti_join" -> ((s, d) => Joins.customersWithoutOrders(
       Tables.customer(s, d), Tables.orders(s, d), inYear = 1995)),
     "q_semi_join" -> ((s, d) => Joins.partsWithBulkShipments(
@@ -391,6 +403,11 @@ object SparkEntry {
         |  count(*) AS num_orders
         |FROM orders GROUP BY 1
         |ORDER BY total_spend DESC, o_custkey LIMIT 50""".stripMargin,
+    "q_skew_join" ->
+      """SELECT p.p_brand, count(*) AS num_items,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
     "q_star_join" ->
       """SELECT p_brand, count(*) AS num_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

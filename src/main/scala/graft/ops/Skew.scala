@@ -28,7 +28,11 @@ object Skew {
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
       .withColumn("__salt", col("__salt").cast("bigint"))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    // shuffle-hash hint: salting only does anything on a shuffled join —
+    // if the replicated side were broadcast the salt would be dead weight
+    // (and at the scale that motivates salting it exceeds the broadcast
+    // threshold anyway)
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 
   /** The aggregation-side twin (two-level aggregate) lives in
