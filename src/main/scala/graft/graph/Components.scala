@@ -32,8 +32,18 @@ object Components {
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
       .repartition(col("dst")).cache()
-    var labels = edges.select(col("src").as("id")).distinct()
+    // label-state partitioning sized to the vertex count, exactly as the
+    // PageRank fixpoint sizes rank state (PageRankOp.pageRank): iterating
+    // a few hundred labels across the full session fan-out is pure
+    // scheduler overhead, while real vertex counts scale it back up
+    val vertsIds = edges.select(col("src").as("id")).distinct()
+    val nVerts = vertsIds.count()
+    val sc = pairs.sparkSession.sparkContext
+    val labelParts = math.max(1,
+      math.min(sc.defaultParallelism, (nVerts / 100000L).toInt + 1))
+    var labels = vertsIds
       .withColumn("label", col("id"))
+      .coalesce(labelParts)
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -49,6 +59,7 @@ object Components {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (col("label") =!= least(col("label"), coalesce(col("nbr_label"), col("label"))))
             .cast("long").as("delta"))
+        .coalesce(labelParts)
         .localCheckpoint(true)
       changed = next.agg(sum(col("delta"))).head.getLong(0)
       labels = next.select(col("id"), col("label"))
