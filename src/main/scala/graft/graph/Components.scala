@@ -61,7 +61,7 @@ object Components {
             .cast("long").as("delta"))
         .coalesce(labelParts)
         .localCheckpoint(true)
-      changed = next.agg(sum(col("delta"))).head.getLong(0)
+      changed = next.agg(sum(col("delta"))).head().getLong(0)
       labels = next.select(col("id"), col("label"))
       iter += 1
     }

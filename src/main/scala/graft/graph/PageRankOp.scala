@@ -83,7 +83,7 @@ object PageRankOp {
     // GraphX/GraphFrames normalize final scores to sum to the vertex count
     // (dangling vertices leak rank mass otherwise — SURVEY.md §2.8: top
     // reference score 442.8 ≫ 1 comes from exactly this normalization).
-    val stats = ranks.agg(sum(col("rank")).as("s"), count(lit(1)).as("n")).head
+    val stats = ranks.agg(sum(col("rank")).as("s"), count(lit(1)).as("n")).head()
     val scale = stats.getLong(1).toDouble / stats.getDouble(0)
     // the fixpoint ran eagerly (checkpoints + the stats action), so every
     // cache this function pinned is releasable NOW — the returned frame's

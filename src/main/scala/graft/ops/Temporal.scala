@@ -38,7 +38,7 @@ object Temporal {
     val lStruct = StructType(left.schema)
     val tagged = left
       .select(col(key), col(ts).as("_t"), lit(1).as("_side"),
-        struct(left.columns.map(col): _*).as("_l"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("_l"),
         lit(null).cast(rStruct).as("_r"))
       .unionByName(right
         // null-timestamp right rows can never be "the latest state at or
@@ -47,7 +47,7 @@ object Temporal {
         .filter(col(ts).isNotNull)
         .select(col(key), col(ts).as("_t"), lit(0).as("_side"),
           lit(null).cast(lStruct).as("_l"),
-          struct(right.columns.filterNot(_ == key).map(col): _*).as("_r")))
+          struct(right.columns.toIndexedSeq.filterNot(_ == key).map(col): _*).as("_r")))
     val w = Window.partitionBy(col(key))
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
