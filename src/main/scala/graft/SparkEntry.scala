@@ -121,6 +121,9 @@ object SparkEntry {
       Tables.events(s, d), "event_type", "event_id",
       Map("click" -> 0.5, "error" -> 1.0, "view" -> 0.1,
         "purchase" -> 1.0, "signup" -> 0.05))),
+    "q_domain_mix" -> ((s, d) => graft.ops.Sampling.domainMixReport(
+      Tables.documents(s, d), "lang", "doc_id",
+      Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))),
     // ---- decontamination (north-star; dedup/Dedup.contaminationReport) ----
     "q_decontaminate" -> ((s, d) => Dedup.contaminationReport(Tables.documents(s, d))),
     // ---- embedding hygiene (north-star; sim/Similarity.embeddingNorms) ----
@@ -792,6 +795,26 @@ object SparkEntry {
         |SELECT t.event_type, n_total, coalesce(n_sampled, 0) AS n_sampled,
         |  round(coalesce(n_sampled, 0) * 1.0 / n_total, 4) AS achieved_rate
         |FROM t LEFT JOIN s USING (event_type) ORDER BY event_type""".stripMargin,
+    "q_domain_mix" ->
+      """WITH t(lang, target_share) AS (VALUES
+        |  ('en', 0.4::DOUBLE), ('de', 0.15::DOUBLE), ('es', 0.15::DOUBLE),
+        |  ('fr', 0.15::DOUBLE), ('zh', 0.15::DOUBLE)),
+        |c AS (SELECT d.lang, count(*) AS n_total, any_value(t.target_share) AS target_share
+        |      FROM documents d JOIN t ON d.lang = t.lang GROUP BY 1),
+        |cap AS (SELECT min(n_total / target_share) AS capacity FROM c),
+        |q AS (SELECT lang, n_total, target_share,
+        |        CAST(floor(least(1.0,
+        |          (SELECT capacity FROM cap) * target_share / n_total) * 1000) AS BIGINT)
+        |          AS quota_milli
+        |      FROM c),
+        |s AS (SELECT d.lang, count(*) AS n_sampled
+        |      FROM documents d JOIN q USING (lang)
+        |      WHERE d.doc_id % 1000 < q.quota_milli GROUP BY 1),
+        |tot AS (SELECT sum(n_sampled) AS n_mix FROM s)
+        |SELECT q.lang, q.n_total, q.target_share, q.quota_milli,
+        |  coalesce(s.n_sampled, 0) AS n_sampled,
+        |  round(coalesce(s.n_sampled, 0) * 1.0 / (SELECT n_mix FROM tot), 4) AS achieved_share
+        |FROM q LEFT JOIN s USING (lang) ORDER BY lang""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

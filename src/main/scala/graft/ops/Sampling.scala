@@ -47,6 +47,46 @@ object Sampling {
       .orderBy(col(strataCol))
   }
 
+  /** Domain mixing — derive per-stratum sampling quotas from TARGET corpus
+    * shares (the data-mixing step of training-set construction: "40% en,
+    * 15% each of de/es/fr/zh"), maximizing corpus size subject to
+    * availability: capacity = min over strata of n_i / share_i, then
+    * rate_i = capacity · share_i / n_i (the binding stratum keeps 100%).
+    * Rates quantize to the same 1/1000 mod space as
+    * [[modStratifiedSample]]; every arithmetic step is plain IEEE double /
+    * integer math in a fixed order, so the SQL oracle reproduces the plan
+    * bit-for-bit. One aggregate over the corpus, a stratum-count-sized
+    * broadcast join back, one filter — no shuffle of the corpus itself. */
+  def domainMixReport(df: DataFrame, strataCol: String, idCol: String,
+                      targetShares: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = targetShares.toSeq.toDF(strataCol, "target_share")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_total"))
+      .join(shares, Seq(strataCol))
+    val capacity = counts
+      .agg(min(col("n_total") / col("target_share")).as("capacity"))
+    val quotas = counts.join(broadcast(capacity))
+      .select(col(strataCol), col("n_total"), col("target_share"),
+        floor(least(lit(1.0),
+          col("capacity") * col("target_share") / col("n_total")) * 1000)
+          .cast("bigint").as("quota_milli"))
+    val sampled = df
+      .join(broadcast(quotas.select(col(strataCol), col("quota_milli"))), Seq(strataCol))
+      .filter(pmod(col(idCol), lit(1000L)) < col("quota_milli"))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n_sampled"))
+    val total = sampled.agg(sum(col("n_sampled")).as("n_mix"))
+    quotas
+      .join(sampled, Seq(strataCol), "left")
+      .join(broadcast(total))
+      .select(col(strataCol), col("n_total"), col("target_share"),
+        col("quota_milli"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        round(coalesce(col("n_sampled"), lit(0L)).cast("double") / col("n_mix"), 4)
+          .as("achieved_share"))
+      .orderBy(col(strataCol))
+  }
+
   /** Seeded Bernoulli stratified sample (`DataFrameStatFunctions.sampleBy`).
     * Kept for API completeness; cache() the result before branching reuse —
     * seeded rand re-evaluates under AQE partition drift (engine-wide rule,

@@ -254,4 +254,24 @@ class Round3OpsSpec extends SparkSpec {
     }
     got.unpersist()
   }
+
+  test("domainMixReport maximizes corpus size subject to target shares") {
+    // en abundant, fr scarce: fr binds the capacity and keeps 100%
+    val df = ((0L until 800L).map(i => (i, "en")) ++
+      (0L until 100L).map(i => (i + 1000L, "fr"))).toDF("doc_id", "lang")
+    val got = Sampling.domainMixReport(df, "lang", "doc_id",
+      Map("en" -> 0.5, "fr" -> 0.5))
+      .select(col("lang"), col("quota_milli"), col("n_sampled"), col("achieved_share"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // capacity = min(800/0.5, 100/0.5) = 200 -> en rate 200*0.5/800 = 0.125,
+    // fr rate 1.0; en ids 0..799 with id%1000<125 -> 125 sampled
+    assert(got("fr") == ((1000L, 100L, 0.4444)))
+    assert(got("en") == ((125L, 125L, 0.5556)))
+    // strata without a target share are excluded entirely
+    val withOther = df.union(Seq((5000L, "zz")).toDF("doc_id", "lang"))
+    val langs = Sampling.domainMixReport(withOther, "lang", "doc_id",
+      Map("en" -> 0.5, "fr" -> 0.5)).select("lang").as[String].collect().toSet
+    assert(langs == Set("en", "fr"))
+  }
 }
