@@ -110,4 +110,83 @@ class PropertiesSpec extends SparkSpec {
       assert(got == expected)
     }
   }
+
+  // ---- round-3 operators: temporal joins and components vs independent
+  // reference implementations on random inputs ----
+
+  val eventsGen: Gen[List[(Long, Long, Long)]] = // (id, key, tsMicros)
+    Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 500L)
+      key <- Gen.choose(1L, 5L)
+      ts <- Gen.choose(0L, 3600L).map(_ * 1000000L)
+    } yield (id, key, ts)).map(_.distinctBy(_._1))
+
+  test("asofJoin agrees with the naive inequality-join reference") {
+    for (li <- samples(eventsGen, 6); ri <- samples(eventsGen, 6)) {
+      val left = li.map { case (id, k, t) => (id, k, new java.sql.Timestamp(t / 1000)) }
+        .toDF("event_id", "user_id", "ts")
+      // right unique per (key, ts): the asofJoin precondition
+      val rRows = ri.groupBy(r => (r._2, r._3)).map(_._2.maxBy(_._1)).toSeq
+      val right = rRows.map { case (id, k, t) => (k, new java.sql.Timestamp(t / 1000), id) }
+        .toDF("user_id", "ts", "r_id")
+      val got = graft.ops.Temporal.asofJoin(left, right, "user_id", "ts")
+        .select(col("event_id"), col("asof_r_id"))
+        .as[(Long, Option[Long])].collect().toMap
+      // naive reference: max-ts right row at or before each left row
+      val expected = li.map { case (id, k, t) =>
+        val cands = rRows.filter(r => r._2 == k && r._3 <= t)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(r => (r._3, r._1))._1))
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
+  test("timeProximityPairs agrees with the naive all-pairs reference") {
+    for (li <- samples(eventsGen, 6); ri <- samples(eventsGen, 6); w <- Seq(60, 600)) {
+      val left = li.map { case (id, k, t) => (id, k, new java.sql.Timestamp(t / 1000)) }
+        .toDF("l_id", "user_id", "ts")
+      val right = ri.map { case (id, k, t) => (id + 100000L, k, new java.sql.Timestamp(t / 1000)) }
+        .toDF("r_id", "user_id", "ts")
+      val got = graft.ops.Temporal.timeProximityPairs(left, right, "user_id", w)
+        .select(col("l_id"), col("r_id")).as[(Long, Long)].collect().toSet
+      val expected = (for {
+        (lid, lk, lt) <- li
+        (rid, rk, rt) <- ri
+        if lk == rk && math.abs(lt - rt) <= w * 1000000L
+      } yield (lid, rid + 100000L)).toSet
+      assert(got == expected)
+    }
+  }
+
+  val pairsGen: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      x <- Gen.choose(1L, 30L)
+      y <- Gen.choose(1L, 30L)
+      if x != y
+    } yield (math.min(x, y), math.max(x, y)))
+
+  test("connectedComponents agrees with a driver-side union-find") {
+    for (pairs <- samples(pairsGen, 6)) {
+      val df = pairs.toDF("doc_a", "doc_b")
+      val got = graft.graph.Components.connectedComponents(df, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      // reference: plain union-find over the same pairs
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      assert(got == expected)
+      // every component label is the component minimum
+      got.groupBy(_._2).foreach { case (label, members) =>
+        assert(members.keys.min == label)
+      }
+    }
+  }
 }
