@@ -26,20 +26,32 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
       else SparkEntry.queries
+    // each query runs twice and reports the MIN: single-run numbers on a
+    // shared VM showed 8x phantom swings on unchanged trivial plans
+    // (VERDICT r3), so one noisy descheduling event must not define a
+    // query's round-over-round delta. A failed run is not retried.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune every computed
-      // column out of a map-only query, timing the scan instead of the work
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable =>
-          Some((e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
-        }
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var attempt = 0
+      while (attempt < runs && err.isEmpty) {
+        val t0 = System.nanoTime()
+        // noop sink, not count(): count() lets Catalyst prune every computed
+        // column out of a map-only query, timing the scan instead of the work
+        err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            Some((e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse(""))
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        best = math.min(best, dt)
+        attempt += 1
+      }
       // a failed query reports NEGATIVE elapsed: visibly broken, never a
       // plausible "fast" measurement
-      val dt = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isDefined) -dt else dt, err)
+      (name, if (err.isDefined) -best else best, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -76,19 +76,30 @@ object Dedup {
   /** Tier 2 — exact n-gram Jaccard near-dup pairs: join docs on shared
     * shingles, count the intersection, derive |A∪B| = |A|+|B|−|A∩B|.
     * The join key is the shingle, so only documents sharing text ever meet —
-    * no cross join. Output: (doc_a < doc_b, jaccard ≥ threshold). */
+    * no cross join. Output: (doc_a < doc_b, jaccard ≥ threshold).
+    *
+    * The shingle tier is pinned (same localCheckpoint pattern as
+    * [[simhashNearDups]]): three consumers read it (sizes, join side a,
+    * join side b), and without the pin Spark re-runs the whole
+    * tokenize → posexplode → window-lead → distinct pipeline per consumer —
+    * at corpus scale that is 3× the tokenization cost of the entire input. */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // set size rides along on the tier as a window count (the window's
+    // doc_id exchange replaces what used to be a separate `sizes` aggregate
+    // plus TWO post-intersection joins), and the tier is pinned so the two
+    // join sides read it instead of re-running tokenize → shingle → distinct
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val rows = shingleRows(documents, k)
-    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val a = rows.withColumnsRenamed(Map("doc_id" -> "doc_a"))
-    val b = rows.withColumnsRenamed(Map("doc_id" -> "doc_b"))
-    val inter = a.join(b, Seq("shingle"))
+      .withColumn("n", count(lit(1)).over(w))
+      .localCheckpoint(true)
+    val a = rows.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("shingle"))
+    val b = rows.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_shingles" -> "n_a")), Seq("doc_a"))
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_shingles" -> "n_b")), Seq("doc_b"))
+      // n_a/n_b are constant within each (doc_a, doc_b) group — min() is the
+      // cheapest deterministic way to carry them through the aggregate
+      .agg(count(lit(1)).as("n_shared"), min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"))
       .withColumn("jaccard",
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 4))
@@ -111,7 +122,9 @@ object Dedup {
     * non-benchmark doc with its shingle count, overlap count, and
     * contamination ratio. */
   def contaminationReport(documents: DataFrame, k: Int = 5, benchMod: Int = 20): DataFrame = {
-    val sh = shingleRows(documents, k)
+    // pinned: three consumers (bench shingles, sizes, hits) — see
+    // ngramJaccardPairs on why the shared shingle tier must not recompute
+    val sh = shingleRows(documents, k).localCheckpoint(true)
     val isBench = pmod(col("doc_id"), lit(benchMod)) === 0
     val benchShingles = sh.filter(isBench).select(col("shingle")).distinct()
     val corpus = sh.filter(!isBench)
@@ -137,9 +150,15 @@ object Dedup {
     * nested array HOF (interpreted; it made this the slowest query in the
     * engine by 5× before the rewrite). One shuffle, numPerm×|shingles|
     * hash calls, 8·numPerm bytes per doc out. */
-  def minhashSignatures(documents: DataFrame, k: Int = 3, numPerm: Int = 64): DataFrame = {
+  def minhashSignatures(documents: DataFrame, k: Int = 3, numPerm: Int = 64): DataFrame =
+    minhashSignaturesFromRows(shingleRows(documents, k), numPerm)
+
+  /** [[minhashSignatures]] over a pre-built (doc_id, shingle) tier — lets
+    * [[minhashNearDups]] share one pinned shingle pass between the
+    * signature aggregation and the exact-Jaccard verify sets. */
+  def minhashSignaturesFromRows(rows: DataFrame, numPerm: Int = 64): DataFrame = {
     val aggs = (0 until numPerm).map(j => min(xxhash64(col("shingle"), lit(j))).as(s"h$j"))
-    shingleRows(documents, k)
+    rows
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until numPerm).map(j => col(s"h$j")): _*).as("signature"))
@@ -173,11 +192,14 @@ object Dedup {
     * corpus scale). */
   def minhashNearDups(documents: DataFrame, k: Int = 3, numPerm: Int = 64,
                       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(documents, k, numPerm), bands, numPerm)
+    // one pinned shingle pass feeds BOTH the signatures and the verify sets
+    // (see ngramJaccardPairs — unpinned, the tier would compute twice)
+    val rows = shingleRows(documents, k).localCheckpoint(true)
+    val cands = lshCandidates(minhashSignaturesFromRows(rows, numPerm), bands, numPerm)
     // shingle sets re-collected from the codegen'd row form — the array-HOF
     // shingles() would re-tokenize per lambda element (see
     // TextAnalysis.winnowFingerprintRows on why staging can't fix that)
-    val docs = shingleRows(documents, k)
+    val docs = rows
       .groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh"))
     cands

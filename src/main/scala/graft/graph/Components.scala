@@ -74,7 +74,12 @@ object Components {
     * keep/drop verdict (the cluster minimum survives). */
   def dupClusters(documents: DataFrame, pairs: DataFrame,
                   a: String = "doc_a", b: String = "doc_b"): DataFrame = {
-    val comp = connectedComponents(pairs, a, b)
+    // pin the pair tier: connectedComponents reads `pairs` twice (the
+    // symmetrizing union), and when the pairs come from a full near-dup
+    // pipeline (Dedup.ngramJaccardPairs) recomputing that pipeline per read
+    // would double the most expensive stage of the funnel
+    val p = pairs.localCheckpoint(true)
+    val comp = connectedComponents(p, a, b)
       .withColumnRenamed("id", "doc_id")
     documents.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
