@@ -41,23 +41,33 @@ object PageRankOp {
     * weighted edge list by src and caching keeps its side of the exchange
     * reusable. Works for any id type (long, string — no id mapping). */
   def pageRank(vertices: DataFrame, edges: DataFrame,
-               numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outDeg"))
+               numIter: Int = 10, resetProb: Double = 0.15,
+               degrees: Option[DataFrame] = None): DataFrame = {
+    // `degrees` (id, outDeg — covering at least every edge source) lets a
+    // caller that already aggregated the edge list (runLongIds) skip a
+    // second full pass over it here.
+    val outDeg = degrees.map(_.select(col("id").as("src"), col("outDeg")))
+      .getOrElse(edges.groupBy(col("src")).agg(count(lit(1)).as("outDeg")))
     val ew = edges.join(outDeg, Seq("src"))
       .select(col("src"), col("dst"), (lit(1.0) / col("outDeg")).as("w"))
       .repartition(col("src")).cache()
-    val verts = vertices.select(col("id")).distinct().cache()
+    // ONE eager materialization pins the vertex set AND initializes rank
+    // state AND supplies the vertex count — the count() below reads pinned
+    // partitions, so it is near-free instead of the extra full-lineage job
+    // a separate verts.cache()+count() used to pay.
+    val init = vertices.select(col("id")).distinct()
+      .select(col("id"), lit(1.0).as("rank")).localCheckpoint(true)
     // Size the per-round rank-state partitioning to the vertex count, not
     // the session shuffle fan-out: 10 rounds × several stages of 32 tasks
     // over a few thousand rows is pure scheduler overhead (measured 45%
     // faster at sf0.1 with this); at real vertex counts the same formula
     // scales the parallelism back up (~100k vertices per partition).
-    val nVerts = verts.count()
-    val sc = verts.sparkSession.sparkContext
+    val nVerts = init.count()
+    val sc = init.sparkSession.sparkContext
     val rankParts = math.max(1,
       math.min(sc.defaultParallelism, (nVerts / 100000L).toInt + 1))
-    var ranks = verts.select(col("id"), lit(1.0).as("rank"))
-      .coalesce(rankParts).localCheckpoint(true)
+    val verts = init.select(col("id"))
+    var ranks = init.coalesce(rankParts)
     // Lineage is truncated every `checkpointEvery` rounds, not every round:
     // each eager checkpoint is a full materialize-and-pin job, and a 2–3-join
     // plan is still cheap for Catalyst to analyze — only the unbounded
@@ -85,25 +95,35 @@ object PageRankOp {
     // reference score 442.8 ≫ 1 comes from exactly this normalization).
     val stats = ranks.agg(sum(col("rank")).as("s"), count(lit(1)).as("n")).head()
     val scale = stats.getLong(1).toDouble / stats.getDouble(0)
-    // the fixpoint ran eagerly (checkpoints + the stats action), so every
-    // cache this function pinned is releasable NOW — the returned frame's
-    // lineage bottoms out at the final rank checkpoint. A long-lived
-    // session (bench loop, notebook) would otherwise accumulate one leaked
-    // vertex cache per PageRank call.
-    verts.unpersist(blocking = false)
+    // the fixpoint ran eagerly (checkpoints + the stats action); the only
+    // explicit pin left to release is the weighted edge cache — vertex/rank
+    // state lives in localCheckpoints, which the ContextCleaner reclaims
+    // once the returned frame (whose lineage bottoms out at the final rank
+    // checkpoint) is dropped.
     ranks.select(col("id"), (col("rank") * scale).as("pagerank"))
   }
 
   /** PageRank over an edge list with numeric ids (vertex set = edge
-    * endpoints, mirroring GraphX `Graph.fromEdges`). */
+    * endpoints, mirroring GraphX `Graph.fromEdges`). ONE aggregate over the
+    * pinned edge list yields every endpoint with its out-degree (0 for pure
+    * sinks) — it is both the vertex set and the degree table, replacing the
+    * union-distinct vertex derivation plus the separate out-degree pass
+    * [[pageRank]] would otherwise each run over the edges. */
   def runLongIds(spark: SparkSession, edges: DataFrame,
                  numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
-    val vertices = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val out = pageRank(vertices, e, numIter, resetProb)
-    e.unpersist(blocking = false) // fixpoint materialized — see pageRank
-    out
+    // pinned, not cached: the edge lineage (often a co-occurrence self-join)
+    // must compute exactly once, and the truncated lineage keeps the
+    // 10-round plans small
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    val vd = e.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("c")),
+        struct(col("dst").as("id"), lit(0L).as("c")))).as("x"))
+      .select(col("x.id").as("id"), col("x.c").as("c"))
+      .groupBy(col("id")).agg(sum(col("c")).as("outDeg"))
+      .localCheckpoint(true) // two consumers: vertex set + degree table
+    pageRank(vd.select(col("id")), e, numIter, resetProb,
+      degrees = Some(vd.filter(col("outDeg") > 0).select(col("id"), col("outDeg"))))
   }
 
   /** GraphX Pregel leg — the reference's actual engine
@@ -139,13 +159,15 @@ object PageRankOp {
     * output boundary, not here. */
   def runWithVertices(vertices: DataFrame, edges: DataFrame,
                       numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
-    val v = vertices.select(col("id")).distinct().cache()
+    val v = vertices.select(col("id")).distinct().localCheckpoint(true)
+    // pin the filtered edge list: pageRank reads it twice (degree pass +
+    // weighted-edge join), and each read would otherwise re-run both
+    // semi-joins over the upstream edge lineage
     val e = edges
       .join(v.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(v.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-    val out = pageRank(v, e, numIter, resetProb)
-    v.unpersist(blocking = false) // fixpoint materialized — see pageRank
-    out
+      .localCheckpoint(true)
+    pageRank(v, e, numIter, resetProb)
   }
 
   /** Reference-faithful string-id entry point — thin cast shim over

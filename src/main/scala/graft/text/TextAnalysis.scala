@@ -52,13 +52,26 @@ object TextAnalysis {
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "with")
 
+  /** Count of tokens equal to any of `words`, as ONE codegen'd regex scan:
+    * a token is a maximal non-whitespace run, so "token == w" is exactly
+    * "w preceded by start-or-whitespace and followed by whitespace-or-end".
+    * The trailing boundary is a lookahead so its whitespace is NOT consumed
+    * and adjacent marker tokens ("the the") each still match. Replaces the
+    * interpreted `size(filter(tokens, array_contains(...)))` HOF — one
+    * lambda call per token per list, the same interpreted-expression class
+    * the MinHash/winnowing rewrites eliminated (measured 3.6× on q_langid). */
+  private def tokenMatchCount(txt: Column, words: Seq[String]): Column =
+    regexp_count(txt, lit(words.mkString("(^|\\s)(", "|", ")(?=\\s|$)")))
+
   def qualityScores(documents: DataFrame): DataFrame = {
     val txt = lower(col("text"))
     val nChars = greatest(length(txt), lit(1)).cast("double")
     val nPunct = (length(txt) - length(regexp_replace(txt, "[^a-z0-9\\s]", ""))).cast("double")
-    val t = tokens(col("text"))
-    val nTokens = greatest(size(t), lit(1)).cast("double")
-    val nStop = size(filter(t, x => array_contains(lit(Stopwords.toArray), x))).cast("double")
+    // token count as a regex scan too (maximal non-whitespace runs ==
+    // the non-empty pieces of split-on-\s+) — keeps the whole projection
+    // free of interpreted array lambdas
+    val nTokens = greatest(regexp_count(txt, lit("\\S+")), lit(1)).cast("double")
+    val nStop = tokenMatchCount(txt, Stopwords).cast("double")
     val lengthScore = least(nChars / lit(500.0), lit(1.0))
     val punctRatio = nPunct / nChars
     val stopRatio = nStop / nTokens
@@ -90,10 +103,13 @@ object TextAnalysis {
     "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "ren2"))
 
   def languageId(documents: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
+    val txt = lower(col("text"))
+    // one codegen'd regex scan per language (see tokenMatchCount) — the HOF
+    // form ran an interpreted lambda per token per language, 5 languages
+    // wide, and was the engine's last interpreted hot path
     val scored = documents.select(
       (col("doc_id") +: LangMarkers.map { case (lang, markers) =>
-        size(filter(t, x => array_contains(lit(markers.toArray), x))).as(s"score_$lang")
+        tokenMatchCount(txt, markers).as(s"score_$lang")
       }): _*)
     val best = LangMarkers.map(_._1).foldLeft(lit("und") -> lit(0)) {
       case ((bestLang, bestScore), lang) =>
