@@ -37,6 +37,44 @@ object SparkEntry {
   private def csv(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat_ws(",", transform(c, x => x.cast("string")))
 
+  /** Raw all-strings user rows derived from customer — shared by the typed
+    * and count gates so both face the exact same source shape. */
+  private def rawUsers(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey").cast("string").as("id"),
+      col("c_nationkey").cast("string").as("uploads"),
+      col("c_mktsegment").as("watches"),
+      split(col("c_name"), "#").getItem(1).as("friends"))
+
+  /** Writes the deterministic XML twin of the customer table (attributes via
+    * the `_` prefix, `related` as repeated child elements — the reference
+    * crawl shape, `YoutubeDataset_loader_final.py:75-108`) into the JVM temp
+    * dir and returns the path. Exercises both sentinel paths on read-back:
+    * `_length` carries a non-numeric segment name (→ -1) and `_ratings` is
+    * omitted for every 10th row (missing attribute → -1). */
+  private def xmlVideoFixture(s: SparkSession, d: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_videos_xml_" +
+      Integer.toHexString(d.hashCode)
+    Tables.customer(s, d).select(
+      col("c_custkey").cast("string").as("_id"),
+      col("c_name").as("_uploader"),
+      col("c_mktsegment").as("_category"),
+      col("c_nationkey").cast("string").as("_age"),
+      col("c_mktsegment").as("_length"),
+      (col("c_custkey") * 1000).cast("string").as("_views"),
+      col("c_nationkey").cast("string").as("_rate"),
+      when(col("c_custkey") % 10 === 0, lit(null))
+        .otherwise(col("c_nationkey").cast("string")).as("_ratings"),
+      (col("c_custkey") % 100).cast("string").as("_comments"),
+      array((col("c_custkey") + 1).cast("string"),
+        (col("c_custkey") + 2).cast("string")).as("related"))
+      .write.format("xml")
+      .option("rowTag", "video").option("rootTag", "videos")
+      .option("attributePrefix", "_")
+      .mode("overwrite").save(path)
+    path
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregations (SURVEY §2.4) ----
@@ -151,6 +189,20 @@ object SparkEntry {
         Tables.part(s, d).select(col("p_partkey").as("id"), col("p_brand")),
         Edges.partCoOccurrence(Tables.lineitem(s, d)))
         .orderBy(col("outDegree").desc, col("id")).limit(50)),
+    // ---- in-degree leg (G2/A7/J1 mirrors — run_netagg_job.py:39-43,52-60):
+    // on the DIRECTED order→part graph (explodeEdges), where in-degree is a
+    // genuinely different quantity from out-degree (the co-occurrence graph
+    // is symmetric, so the in-leg there would trivially equal the out-leg) ----
+    "q_in_degrees" -> ((s, d) =>
+      Degrees.inDegrees(Edges.explodeEdges(Edges.relatedArrays(Tables.lineitem(s, d))))
+        .orderBy(col("id"))),
+    "q_in_degree_hist" -> ((s, d) =>
+      Degrees.inDegreeHistogram(Edges.explodeEdges(Edges.relatedArrays(Tables.lineitem(s, d))))),
+    "q_in_degree_enrich" -> ((s, d) =>
+      Degrees.enrichWithInDegree(
+        Tables.part(s, d).select(col("p_partkey").as("id"), col("p_brand")),
+        Edges.explodeEdges(Edges.relatedArrays(Tables.lineitem(s, d))))
+        .orderBy(col("inDegree").desc, col("id")).limit(50)),
     // ---- iterative / ML (SURVEY §2.8 G3, §2.9 M1-M3) — invariant-tested,
     // no SQL oracle (rows-only driver check) ----
     "q_pagerank_parts" -> ((s, d) => PageRankOp.topInfluencers(
@@ -180,13 +232,23 @@ object SparkEntry {
     // schema's -1-sentinel coercion over raw strings; raw shape derived
     // from customer (nationkey parses, mktsegment doesn't → -1, the c_name
     // numeric tail parses) so both sentinel paths are exercised ----
-    "q_users_typed" -> ((s, d) => Ingest.typedUsers(
-      Tables.customer(s, d).select(
-        col("c_custkey").cast("string").as("id"),
-        col("c_nationkey").cast("string").as("uploads"),
-        col("c_mktsegment").as("watches"),
-        split(col("c_name"), "#").getItem(1).as("friends")))
-      .orderBy(col("user_id"))),
+    "q_users_typed" -> ((s, d) => Ingest.typedUsers(rawUsers(s, d)).orderBy(col("user_id"))),
+    // the reference's one consumer of the users collection
+    // (`YoutubeNetworkAgg_Final.py:29`)
+    "q_user_count" -> ((s, d) => Ingest.userCount(Ingest.typedUsers(rawUsers(s, d)))),
+    // ---- XML ingest (SURVEY §2.1 S1): a deterministic XML fixture is
+    // materialized from the customer table, round-tripped through the
+    // streaming row-tag reader + sentinel typing, and the oracle computes
+    // the same typed projection straight from the parquet — equality proves
+    // the XML write→scan→type boundary faithful end to end ----
+    "q_videos_xml" -> ((s, d) => {
+      val path = xmlVideoFixture(s, d)
+      Ingest.typedVideosFromXml(Ingest.readVideosXml(s, path))
+        .select(col("id"), col("uploader"), col("category"), col("age"),
+          col("length"), col("views"), col("rate"), col("ratings"),
+          col("comments"), csv(col("related")).as("related"))
+        .orderBy(col("id"))
+    }),
     // ---- text analysis (north-star) ----
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "q_quality_scores" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
@@ -690,6 +752,32 @@ object SparkEntry {
         |norm AS (SELECT count(*)::DOUBLE / sum(rank) AS s FROM r10)
         |SELECT id, round(rank * (SELECT s FROM norm), 6) AS pagerank
         |FROM r10 ORDER BY rank * (SELECT s FROM norm) DESC, id LIMIT 100""".stripMargin,
+    "q_in_degrees" ->
+      """SELECT l_partkey AS id, count(*) AS inDegree
+        |FROM lineitem GROUP BY 1 ORDER BY id""".stripMargin,
+    "q_in_degree_hist" ->
+      """SELECT inDegree, count(*) AS num_vertices FROM (
+        |  SELECT l_partkey, count(*) AS inDegree FROM lineitem GROUP BY 1
+        |) GROUP BY 1 ORDER BY inDegree""".stripMargin,
+    "q_in_degree_enrich" ->
+      """SELECT p_partkey AS id, p_brand, coalesce(d.inDegree, 0) AS inDegree
+        |FROM part LEFT JOIN (
+        |  SELECT l_partkey, count(*) AS inDegree FROM lineitem GROUP BY 1
+        |) d ON p_partkey = d.l_partkey
+        |ORDER BY inDegree DESC, id LIMIT 50""".stripMargin,
+    "q_user_count" -> "SELECT count(*) AS n_users FROM customer",
+    "q_videos_xml" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  c_name AS uploader,
+        |  c_mktsegment AS category,
+        |  c_nationkey AS age,
+        |  CAST(-1 AS INTEGER) AS length,
+        |  CAST(c_custkey * 1000 AS BIGINT) AS views,
+        |  CAST(c_nationkey AS DOUBLE) AS rate,
+        |  CAST(CASE WHEN c_custkey % 10 = 0 THEN -1 ELSE c_nationkey END AS BIGINT) AS ratings,
+        |  CAST(c_custkey % 100 AS BIGINT) AS comments,
+        |  CAST(c_custkey + 1 AS VARCHAR) || ',' || CAST(c_custkey + 2 AS VARCHAR) AS related
+        |FROM customer ORDER BY id""".stripMargin,
     "q_users_typed" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS user_id,
         |  coalesce(TRY_CAST(c_nationkey AS INTEGER), -1) AS uploads,

@@ -49,6 +49,14 @@ object Degrees {
       .join(outDegrees(edges), Seq("id"), "left")
       .na.fill(0, Seq("outDegree"))
 
+  /** J1 mirror for the in-leg — the reference materializes BOTH degree
+    * directions (`run_netagg_job.py:39-43,52-60`; max in-degree 3,981 is a
+    * headline `degreestat_cache.json` fact). */
+  def enrichWithInDegree(vertices: DataFrame, edges: DataFrame): DataFrame =
+    vertices
+      .join(inDegrees(edges), Seq("id"), "left")
+      .na.fill(0, Seq("inDegree"))
+
   /** A7 — degree histogram: aggregate of an aggregate
     * (`YoutubeNetworkAgg_Final.py:116-119`). Second aggregate's input is one
     * row per vertex-with-edges; its output one row per distinct degree. */
@@ -56,4 +64,10 @@ object Degrees {
     outDegrees(edges)
       .groupBy(col("outDegree")).agg(count(lit(1)).as("num_vertices"))
       .orderBy(col("outDegree"))
+
+  /** A7, in-leg (`run_netagg_job.py:39-43`). */
+  def inDegreeHistogram(edges: DataFrame): DataFrame =
+    inDegrees(edges)
+      .groupBy(col("inDegree")).agg(count(lit(1)).as("num_vertices"))
+      .orderBy(col("inDegree"))
 }
