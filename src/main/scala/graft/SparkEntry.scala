@@ -955,7 +955,7 @@ object SparkEntry {
       """WITH media AS (
         |  SELECT doc_id AS media_id,
         |    ['image','audio','video'][
-        |      CAST((doc_id * 2654435761 + 0) % 4294967296 % 3 AS INT) + 1] AS media_type,
+        |      CAST(((doc_id % 2147483648) * 2654435761 + 0) % 4294967296 % 3 AS INT) + 1] AS media_type,
         |    text, length(text) AS n
         |  FROM documents),
         |frames AS (
@@ -971,9 +971,9 @@ object SparkEntry {
       """WITH media AS (
         |  SELECT doc_id AS media_id,
         |    ['image','audio','video'][
-        |      CAST((doc_id * 2654435761 + 0) % 4294967296 % 3 AS INT) + 1] AS media_type,
-        |    CAST((doc_id * 2654435761 + 40503) % 4294967296 % 1920 + 1 AS INT) AS width,
-        |    CAST((doc_id * 2654435761 + 81006) % 4294967296 % 1080 + 1 AS INT) AS height
+        |      CAST(((doc_id % 2147483648) * 2654435761 + 0) % 4294967296 % 3 AS INT) + 1] AS media_type,
+        |    CAST(((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296 % 1920 + 1 AS INT) AS width,
+        |    CAST(((doc_id % 2147483648) * 2654435761 + 81006) % 4294967296 % 1080 + 1 AS INT) AS height
         |  FROM documents)
         |SELECT media_id, width, height FROM media
         |WHERE media_type = 'image' AND width > height
@@ -982,9 +982,9 @@ object SparkEntry {
       """WITH media AS (
         |  SELECT doc_id AS media_id,
         |    ['image','audio','video'][
-        |      CAST((doc_id * 2654435761 + 0) % 4294967296 % 3 AS INT) + 1] AS media_type,
-        |    CAST((doc_id * 2654435761 + 40503) % 4294967296 % 1920 + 1 AS INT) AS width,
-        |    CAST((doc_id * 2654435761 + 81006) % 4294967296 % 1080 + 1 AS INT) AS height,
+        |      CAST(((doc_id % 2147483648) * 2654435761 + 0) % 4294967296 % 3 AS INT) + 1] AS media_type,
+        |    CAST(((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296 % 1920 + 1 AS INT) AS width,
+        |    CAST(((doc_id % 2147483648) * 2654435761 + 81006) % 4294967296 % 1080 + 1 AS INT) AS height,
         |    octet_length(encode(text)) AS n0
         |  FROM documents),
         |resized AS (

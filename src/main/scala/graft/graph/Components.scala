@@ -69,17 +69,87 @@ object Components {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * round-bounded alternative to [[connectedComponents]]: min-label
+    * propagation needs `diameter` rounds, which is fine for quasi-clique
+    * dup graphs but exhausts any iteration budget on a long-chain graph;
+    * the star rounds contract chains at O(log n) alternations.
+    *
+    * Each round is two grouped aggregates + joins on the vertex id — the
+    * identical shuffle shape per round as the min-label loop, so the scale
+    * story is unchanged; only the message rule differs:
+    *   large-star: every neighbor v > u re-points to min(N(u) ∪ {u});
+    *   small-star: every neighbor v ≤ u re-points to min(N(u) ∪ {u}).
+    * Fixpoint = the edge set is a union of stars centered on component
+    * minima; converged when a full round leaves the (count, hash-sum)
+    * signature unchanged. Output contract matches [[connectedComponents]]:
+    * (id, component-minimum) for every pair-touched vertex. */
+  def connectedComponentsStar(pairs: DataFrame, a: String, b: String,
+                              maxIter: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(col(a).as("u"), col(b).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // order-independent edge-set signature; bit_xor (not sum) because a
+    // hash sum overflows ANSI long arithmetic, and the edge set is distinct
+    // so xor cancellation of duplicates cannot occur
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = (-1L, 0L)
+    var cur = sig(edges)
+    var iter = 0
+    while (cur != prev && iter < maxIter) {
+      // large-star: symmetrize, find each vertex's minimum incident id,
+      // re-point every LARGER neighbor at it (m ≤ u < v, so no self-loops)
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmin = sym.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val large = sym.join(lmin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: direct edges high→low, re-point every low neighbor
+      // (and the high vertex itself) at the minimum
+      val dir = large.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val smin = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      edges = dir.join(smin, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(smin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      prev = cur
+      cur = sig(edges)
+      iter += 1
+    }
+    val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    sym.groupBy(col("u"))
+      .agg(min(least(col("v"), col("u"))).as("component"))
+      .select(col("u").as("id"), col("component"))
+  }
+
   /** The dedup-funnel composition: near-dup pairs → components → one row
     * per document with its cluster id (own id when unclustered) and a
     * keep/drop verdict (the cluster minimum survives). */
   def dupClusters(documents: DataFrame, pairs: DataFrame,
-                  a: String = "doc_a", b: String = "doc_b"): DataFrame = {
+                  a: String = "doc_a", b: String = "doc_b",
+                  longChains: Boolean = false): DataFrame = {
     // pin the pair tier: connectedComponents reads `pairs` twice (the
     // symmetrizing union), and when the pairs come from a full near-dup
     // pipeline (Dedup.ngramJaccardPairs) recomputing that pipeline per read
     // would double the most expensive stage of the funnel
     val p = pairs.localCheckpoint(true)
-    val comp = connectedComponents(p, a, b)
+    // near-dup graphs are quasi-cliques (shallow), where min-label's
+    // diameter-many rounds are fewest; opt into the star variant when the
+    // pair graph can contain long chains (transitive similarity drift)
+    val comp = (if (longChains) connectedComponentsStar(p, a, b)
+                else connectedComponents(p, a, b))
       .withColumnRenamed("id", "doc_id")
     documents.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")

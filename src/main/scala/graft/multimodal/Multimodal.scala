@@ -38,9 +38,14 @@ object Multimodal {
   /** Salted 32-bit multiplicative mix of the doc id — plain int64
     * arithmetic, so the DuckDB oracle reproduces the fixture metadata
     * exactly (xxhash64, the previous derivation, exists only in Spark,
-    * which kept every metadata query at the weaker rows-only gate). */
+    * which kept every metadata query at the weaker rows-only gate).
+    * The id is range-reduced to 2³¹ BEFORE the Knuth multiply: the raw
+    * product overflows int64 for ids above ~3.4e9 (an ANSI runtime error,
+    * not a silent wrap), while (2³¹−1)·2654435761 stays under 2⁶³. Ids
+    * below 2³¹ — every fixture — are unchanged by the reduction. */
   private def mix(id: Column, salt: Int): Column =
-    pmod(id * lit(2654435761L) + lit(salt * 40503L), lit(4294967296L))
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L) + lit(salt * 40503L),
+      lit(4294967296L))
 
   /** Derive a media table from the documents fixture: text bytes as the
     * opaque payload, metadata from deterministic integer mixing. Stands in

@@ -189,4 +189,39 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("connectedComponentsStar agrees with a driver-side union-find") {
+    for (pairs <- samples(pairsGen, 6)) {
+      val df = pairs.toDF("doc_a", "doc_b")
+      val got = graft.graph.Components.connectedComponentsStar(df, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      assert(got == parent.keys.map(v => v -> find(v)).toMap)
+    }
+  }
+
+  test("connectedComponentsStar contracts a path graph far beyond the min-label round budget") {
+    // diameter 60 ≫ min-label's default maxIter 20: label propagation
+    // would run out of rounds here; the star alternation contracts the
+    // chain in O(log n) rounds and must land every vertex on component 0
+    val n = 60
+    val path = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.graph.Components.connectedComponentsStar(path, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == n + 1 && got.forall(_._2 == 0L))
+    // shuffled long chain (worst-case id layout for the contraction)
+    val perm = new scala.util.Random(7).shuffle((0L to n).toVector)
+    val shuffled = (0 until n.toInt).map(i => (perm(i), perm(i + 1))).toDF("doc_a", "doc_b")
+    val got2 = graft.graph.Components.connectedComponentsStar(shuffled, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(got2.length == n + 1 && got2.forall(_._2 == 0L))
+  }
 }

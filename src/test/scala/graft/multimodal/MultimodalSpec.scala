@@ -145,4 +145,30 @@ class MultimodalSpec extends SparkSpec {
       .toDF("media_id", "media_type", "content", "width", "height", "duration_ms")
     assert(Multimodal.sampleFrames(empty).count() == 0)
   }
+
+  test("metadata mix survives 64-bit ids (no ANSI overflow above 2^33)") {
+    import spark.implicits._
+    // ids far above 2^33: the raw Knuth multiply would overflow int64 and
+    // throw under ANSI; the range-reduced mix must stay total and in-range
+    val big = Seq((1L << 33) + 5L, (1L << 40) + 7L, Long.MaxValue - 3L)
+      .map(id => (id, s"doc $id body"))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.mediaFromDocuments(big).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(Set("image", "audio", "video").contains(r.getAs[String]("media_type")))
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      assert(w >= 1 && w <= 1920 && h >= 1 && h <= 1080)
+      assert(r.getAs[Long]("duration_ms") >= 0L)
+    }
+    // reduction is a no-op below 2^31: the fixture-scale metadata that the
+    // oracle hash-matches must be byte-identical to the pre-fix values
+    val small = Multimodal.mediaFromDocuments(
+      Seq((42L, "x")).toDF("doc_id", "text")).head
+    def rawMix(salt: Long) = (42L * 2654435761L + salt * 40503L) % 4294967296L
+    assert(small.getAs[String]("media_type")
+      == Seq("image", "audio", "video")((rawMix(0) % 3).toInt)
+      && small.getAs[Int]("width") == (rawMix(1) % 1920L + 1L).toInt
+      && small.getAs[Int]("height") == (rawMix(2) % 1080L + 1L).toInt)
+  }
 }
