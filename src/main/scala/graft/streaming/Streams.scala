@@ -117,6 +117,26 @@ object Streams {
         (unix_micros(col("c_ts")) - unix_micros(col("e_ts"))).as("dt_us"))
   }
 
+  /** Exactly-once lake sink: `foreachBatch` + [[graft.ingest.Ingest.dedupAppend]].
+    * foreachBatch delivers each micro-batch AT LEAST once (after a crash
+    * between the write and the commit-log record, the batch is replayed),
+    * so a plain append would duplicate rows exactly when recovery works as
+    * designed. dedupAppend's anti-join against the existing keys makes the
+    * write idempotent on `key`, and at-least-once delivery + idempotent
+    * write = exactly-once table contents — the standard lake-ingest
+    * contract, with no transactional table format required. Replay proof:
+    * StreamsSpec re-applies a processed batch and the row count holds. */
+  def exactlyOnceSink(events: DataFrame, path: String, key: String,
+                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ingest.Ingest.dedupAppend(batch.sparkSession, batch, path, key)
+        ()
+      }
+      .start()
+
   /** Batch twin of [[tumblingCounts]] for the DuckDB oracle: identical
     * semantics, date_trunc instead of window() for a flat schema. */
   def hourlyCountsBatch(events: DataFrame): DataFrame =

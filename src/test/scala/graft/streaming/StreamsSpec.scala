@@ -108,6 +108,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactly-once sink: a replayed micro-batch appends no duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-eos").toFile
+    val lake = s"${dir.getAbsolutePath}/events_lake"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.exactlyOnceSink(mem.toDF(), lake, "event_id", ckpt)
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      assert(spark.read.parquet(lake).count() == 3)
+      // crash-replay: foreachBatch redelivers an already-written batch
+      // (at-least-once). The idempotent dedupAppend must be a no-op.
+      graft.ingest.Ingest.dedupAppend(spark, batch1.toDF(), lake, "event_id")
+      assert(spark.read.parquet(lake).count() == 3)
+      // partial-overlap redelivery: one old row rides along with new data —
+      // only the genuinely new rows land
+      mem.addData(batch1.head); mem.addData(batch2: _*); q.processAllAvailable()
+      val rows = spark.read.parquet(lake)
+      assert(rows.count() == 5)
+      assert(rows.select("event_id").distinct().count() == 5)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch band join") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Streams.Event]
