@@ -269,6 +269,11 @@ object SparkEntry {
     "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_dup_clusters" -> ((s, d) => graft.graph.Components.dupClusters(
       Tables.documents(s, d), Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
+    // the O(log n)-round star variant against the SAME closure oracle:
+    // both algorithms must produce identical clusters
+    "q_dup_clusters_star" -> ((s, d) => graft.graph.Components.dupClusters(
+      Tables.documents(s, d), Dedup.ngramJaccardPairs(Tables.documents(s, d)),
+      longChains = true)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "q_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(Tables.documents(s, d))),
     "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 10)),
@@ -330,6 +335,43 @@ object SparkEntry {
          |  ) c ON v.id = c.id
          |),""".stripMargin
     }.mkString("\n")
+
+  /** The dedup-funnel closure oracle, shared by q_dup_clusters (min-label
+    * propagation) and q_dup_clusters_star (star contraction): the two
+    * algorithms must produce identical clusters, so both face the same
+    * recursive-CTE transitive closure over the Jaccard pairs. */
+  private val dupClustersSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |         FROM reach GROUP BY a)
+      |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+      |  CASE WHEN d.doc_id = coalesce(c.cluster_id, d.doc_id) THEN 1 ELSE 0 END AS keep
+      |FROM documents d LEFT JOIN comp c USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -662,39 +704,11 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     // the dedup-funnel middle: Jaccard pairs -> connected components ->
     // canonical keep verdict. The closure is a recursive CTE (tiny pair
-    // set at oracle scale); Spark runs min-label propagation instead.
-    "q_dup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(toks) - 2, 1) + 1),
-        |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |        FROM documents)
-        |  WHERE len(toks) > 0),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes sa ON doc_a = sa.doc_id
-        |  JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-        |         FROM reach GROUP BY a)
-        |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
-        |  CASE WHEN d.doc_id = coalesce(c.cluster_id, d.doc_id) THEN 1 ELSE 0 END AS keep
-        |FROM documents d LEFT JOIN comp c USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    // set at oracle scale); Spark runs min-label propagation (or the
+    // star-contraction variant — q_dup_clusters_star, same oracle: the
+    // two algorithms must agree clustering-exactly).
+    "q_dup_clusters_star" -> dupClustersSql,
+    "q_dup_clusters" -> dupClustersSql,
     "q_ann_brute" ->
       """SELECT query_id, rnk, neighbor_id, cos_sim FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

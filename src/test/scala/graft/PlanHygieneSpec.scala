@@ -89,6 +89,24 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"sampling filter introduced a shuffle:\n$p")
   }
 
+  test("marker counting is pure codegen — no interpreted array lambdas") {
+    // the round-4 regexp_count rewrite: languageId/qualityScores must plan
+    // zero higher-order functions (HOF lambdas are interpreted per element
+    // and show up as `lambdafunction` in the formatted plan)
+    Seq("q_langid", "q_quality_scores").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("lambdafunction"), s"$q: interpreted HOF in plan:\n$p")
+    }
+  }
+
+  test("in-degree queries prune the lineitem scan to the two key columns") {
+    val p = plan("q_in_degrees")
+    val rs = p.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(rs.contains("l_orderkey") && rs.contains("l_partkey")
+      && !rs.contains("l_extendedprice") && !rs.contains("l_quantity"),
+      s"scan not pruned to the key columns:\n$rs")
+  }
+
   test("no CartesianProduct in any equi-expressible query plan") {
     val excluded = Set(
       "q_ann_brute", "q_cosine_near_dups", // documented non-equi oracles
