@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory — the single place the library's session
+  * contract lives, used by every harness main ([[Verify]], [[Bench]],
+  * [[Stress]], [[Explain]]) and the entry point a user switching from the
+  * reference starts at:
+  *
+  * {{{
+  *   val spark = GraftSession.local(cores = 32)                   // dev/test
+  *   val spark = GraftSession.configure(SparkSession.builder())   // cluster
+  *     .getOrCreate()
+  * }}}
+  *
+  * What it pins and why:
+  *  - AQE (+partition coalescing, +skew-join splitting): runtime re-planning
+  *    is the 100 TB answer to stale statistics — skewed joins re-split,
+  *    shuffle fan-out right-sized per stage. On by default in Spark 4, but
+  *    pinned so a cluster-side conf cannot silently regress the contract.
+  *  - `graft.GraftExtensions`: the library's native expressions
+  *    (`dot_product`) resolve in pure SQL for every session.
+  *  - UTC session timezone: event-time results are host-timezone-independent
+  *    (the determinism rule the DuckDB oracle compare relies on).
+  *  - `nanosAsLong`: the events fixtures carry TIMESTAMP(NANOS) parquet
+  *    timestamps, which Spark only reads as raw longs; the long is
+  *    normalized back to a timestamp at the source boundary
+  *    ([[graft.model.Tables.events]]).
+  */
+object GraftSession {
+
+  /** Apply the library contract to any builder (cluster path — master,
+    * memory, and deploy confs stay the caller's business). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Local harness/dev session: `cores` executor threads with the shuffle
+    * fan-out sized to match — 32 tasks per exchange on a 32-thread local
+    * box, not the 200-partition default that turns every tiny stage into
+    * scheduler overhead (SURVEY §7.0). */
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val spark = configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -107,13 +107,7 @@ object Stress {
     val outBase = if (args.length > 1) args(1) else "/tmp/graft_stress"
     val multiples = (if (args.length > 2) args(2) else "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(32, appName = "graft-stress")
     // warmup (see Bench)
     spark.range(1000000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
