@@ -259,6 +259,7 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.topTermsTfIdf(Tables.documents(s, d))),
+    "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "q_scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(Tables.documents(s, d))
       .select(col("doc_id"), col("n_emails"), col("n_urls"),
         substring(md5(col("scrubbed")), 1, 16).as("scrub_fp"))),
@@ -642,6 +643,18 @@ object SparkEntry {
         |  round(CASE WHEN len(shs) = 0 THEN 0.0
         |        ELSE 1.0 - len(list_distinct(shs)) * 1.0 / len(shs) END, 4) AS dup_shingle_ratio
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1),
+        |total AS (SELECT sum(freq) AS n_total FROM tf)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(round(-ln(freq * 1.0 / n_total), 6) AS DECIMAL(28,10))) AS DOUBLE)
+        |        / count(*), 4) AS mean_surprisal
+        |FROM toks JOIN tf USING (term), total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_scrub_pii" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,

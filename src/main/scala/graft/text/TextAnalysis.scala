@@ -162,6 +162,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Unigram surprisal — the cheap perplexity-filter analogue: score every
+    * document by the mean negative log-probability of its tokens under the
+    * corpus's own unigram distribution. Gibberish and boilerplate-free rare
+    * text scores HIGH (surprising tokens), TEMPLATE/boilerplate text scores
+    * LOW — the standard second-tier quality signal after the ratio
+    * heuristics, without shipping a language model.
+    *
+    * Two grouped aggregates over exploded tokens (corpus term frequencies,
+    * then per-doc means) + one broadcast of the single-row total. Every
+    * token is in-vocabulary by construction (frequencies come from the same
+    * corpus), so no OOV smoothing term is needed. Determinism for the
+    * cross-engine hash: each token's surprisal is rounded to 6 decimals and
+    * summed as an exact DECIMAL — partial-aggregation order can't move the
+    * result (the [[graft.ops.Aggregations.dsum]] rule applied to logs). */
+  def unigramSurprisal(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val total = tf.agg(sum(col("freq")).as("n_total"))
+    toks
+      .join(tf, Seq("term"))
+      .join(broadcast(total))
+      .select(col("doc_id"),
+        round(-log(col("freq").cast("double") / col("n_total").cast("double")), 6)
+          .cast("decimal(28,10)").as("lp"))
+      .groupBy(col("doc_id"))
+      // cast the exact decimal sum to double BEFORE dividing: decimal
+      // division scale rules differ per engine, double division does not
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("mean_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint: 64-bit hex from the md5 of whitespace-normalized
     * text — the cheap exact-identity key for dedup joins (md5 exists in both
     * engines, so this one is oracle-checkable, unlike xxhash64). */

@@ -24,6 +24,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("unigramSurprisal: all-common text scores lowest, all-hapax highest") {
+    val d = Seq(
+      (1L, "common common common common"),
+      (2L, "common rare1"),
+      (3L, "rare2 rare3")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) < got(2L) && got(2L) < got(3L))
+    // hand check: N=8 tokens, freq(common)=5 -> doc 1 mean = -ln(5/8)
+    assert(math.abs(got(1L) - math.round(-math.log(5.0 / 8.0) * 1e4) / 1e4) < 1e-9)
+    // zero-token docs have no tokens to score and are absent by contract
+    assert(TextAnalysis.unigramSurprisal(
+      Seq((9L, "   ")).toDF("doc_id", "text")).count() == 0)
+  }
+
   test("fingerprint is whitespace-normalization invariant") {
     val d = Seq((1L, "a  b\tc"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
     val fps = TextAnalysis.fingerprints(d).as[(Long, String)].collect().toMap
