@@ -260,6 +260,7 @@ object SparkEntry {
     "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.topTermsTfIdf(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
+    "q_chunks" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "q_scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(Tables.documents(s, d))
       .select(col("doc_id"), col("n_emails"), col("n_urls"),
         substring(md5(col("scrubbed")), 1, 16).as("scrub_fp"))),
@@ -643,6 +644,20 @@ object SparkEntry {
         |  round(CASE WHEN len(shs) = 0 THEN 0.0
         |        ELSE 1.0 - len(list_distinct(shs)) * 1.0 / len(shs) END, 4) AS dup_shingle_ratio
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_id,
+        |    toks[(i * 32 + 1):((i + 1) * 32)] AS chunk
+        |  FROM t, LATERAL (SELECT unnest(range(0,
+        |    CAST(ceil(len(toks) / 32.0) AS BIGINT))) AS i)
+        |  WHERE len(toks) > 0)
+        |SELECT doc_id, chunk_id, len(chunk) AS n_tokens,
+        |  substr(md5(array_to_string(chunk, ' ')), 1, 16) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_surprisal" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -195,6 +195,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Context-window chunking — split every document into fixed
+    * token-count windows, the training-sequence packing primitive (a
+    * tokenizer fleet consumes chunks, not documents). One posexplode + one
+    * grouped aggregate on (doc_id, chunk_id = pos div k): map-side until
+    * the per-chunk aggregate, one shuffle, chunk count = ⌈tokens/k⌉ per
+    * doc, zero-token documents yield zero chunks. The chunk text is
+    * reassembled order-exactly via sort_array over (pos, token) structs —
+    * collect_list alone is partition-order-dependent; the closing
+    * `transform` lambda runs once per ≤k-element output row (boundary
+    * projection, same class as the verify-facing csv() casts — the heavy
+    * work upstream stays codegen'd). Emitted as a 16-hex md5 fingerprint
+    * per chunk so the result is compact and oracle-comparable. */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 32): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .withColumnsRenamed(Map("col" -> "tok"))
+      .withColumn("chunk_id", floor(col("pos") / lit(chunkTokens)).cast("bigint"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("pos"), col("tok")))).as("ordered"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        substring(md5(concat_ws(" ", transform(col("ordered"), x => x.getField("tok")))), 1, 16)
+          .as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Content fingerprint: 64-bit hex from the md5 of whitespace-normalized
     * text — the cheap exact-identity key for dedup joins (md5 exists in both
     * engines, so this one is oracle-checkable, unlike xxhash64). */

@@ -39,6 +39,22 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((9L, "   ")).toDF("doc_id", "text")).count() == 0)
   }
 
+  test("chunkDocuments: boundaries, partial last chunk, order-exact reassembly") {
+    val text = (1 to 70).map(i => s"t$i").mkString(" ")
+    val d = Seq((1L, text), (2L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(d, chunkTokens = 32)
+      .collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall(_.getLong(0) == 1L)) // zero-token doc yields no chunks
+    assert(got.map(r => r.getLong(1) -> r.getLong(2)).toSeq
+      == Seq(0L -> 32L, 1L -> 32L, 2L -> 6L))
+    // the last chunk's fingerprint is the md5 of exactly tokens 65..70,
+    // in order — proving reassembly is position-exact, not partition-order
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest((65 to 70).map(i => s"t$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    assert(got.last.getString(3) == md)
+  }
+
   test("fingerprint is whitespace-normalization invariant") {
     val d = Seq((1L, "a  b\tc"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
     val fps = TextAnalysis.fingerprints(d).as[(Long, String)].collect().toMap
