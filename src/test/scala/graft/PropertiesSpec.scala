@@ -208,6 +208,54 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  // ---- round-4 text operators vs driver-side references ----
+
+  val docsGen: Gen[List[(Long, String)]] =
+    Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 40L)
+      words <- Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x9", "zz"))
+    } yield (id, words.mkString(" "))).map(_.distinctBy(_._1))
+
+  private def toks(text: String): Seq[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  test("chunkDocuments agrees with a driver-side chunker for any k") {
+    def md5hex16(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    for (docs <- samples(docsGen, 5); k <- Seq(1, 3, 7)) {
+      val got = graft.text.TextAnalysis.chunkDocuments(docs.toDF("doc_id", "text"), k)
+        .as[(Long, Long, Long, String)].collect().toSet
+      val expected = (for {
+        (id, text) <- docs
+        (chunk, i) <- toks(text).grouped(k).zipWithIndex
+      } yield (id, i.toLong, chunk.length.toLong, md5hex16(chunk.mkString(" ")))).toSet
+      assert(got == expected)
+    }
+  }
+
+  test("unigramSurprisal agrees with a driver-side reference, any partitioning") {
+    def r(x: Double, s: Int): BigDecimal =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    for (docs <- samples(docsGen, 5); parts <- Seq(1, 5)) {
+      val got = graft.text.TextAnalysis.unigramSurprisal(
+        docs.toDF("doc_id", "text").repartition(parts))
+        .as[(Long, Long, Double)].collect().toSet
+      val all = docs.flatMap { case (_, t) => toks(t) }
+      val freq = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = all.size.toDouble
+      val expected = (for {
+        (id, text) <- docs
+        ts = toks(text)
+        if ts.nonEmpty
+      } yield {
+        val lpSum = ts.map(t => r(-math.log(freq(t) / n), 6)).sum
+        (id, ts.size.toLong, r(lpSum.toDouble / ts.size, 4).toDouble)
+      }).toSet
+      assert(got == expected)
+    }
+  }
+
   test("connectedComponentsStar contracts a path graph far beyond the min-label round budget") {
     // diameter 60 ≫ min-label's default maxIter 20: label propagation
     // would run out of rounds here; the star alternation contracts the
