@@ -74,13 +74,24 @@ object PageRankOp {
     // 10-round nesting is not. Measured ~25% faster than per-round
     // checkpointing at sf0.1 with identical results.
     val checkpointEvery = 3
+    // Rank state behind a localCheckpoint has UNKNOWN size statistics, so
+    // left to itself Catalyst plans every round as a full shuffle join even
+    // when the rank table is kilobytes. We KNOW the exact row count
+    // (nVerts), so broadcast the rank/contribution sides explicitly below
+    // the threshold where a broadcast is safe (~1M rows ≈ tens of MB) —
+    // each round then runs map-side over the cached weighted edges, and the
+    // only per-round shuffle left is the contribution aggregate. At
+    // billion-vertex scale the same test keeps the shuffle join.
+    val bcastRankState = nVerts <= 1000000L
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (bcastRankState) broadcast(df) else df
     for (i <- 1 to numIter) {
       val contribs = ew
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(maybeBcast(ranks.withColumnRenamed("id", "src")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("w") * col("rank")).as("contrib"))
       val next = verts
-        .join(contribs, Seq("id"), "left")
+        .join(maybeBcast(contribs), Seq("id"), "left")
         .select(col("id"),
           (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
