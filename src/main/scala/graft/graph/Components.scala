@@ -45,16 +45,22 @@ object Components {
       .withColumn("label", col("id"))
       .coalesce(labelParts)
       .localCheckpoint(true)
+    // label state behind a localCheckpoint has unknown size statistics, so
+    // Catalyst would shuffle-join every round; we KNOW it is nVerts rows —
+    // broadcast below the safe threshold, exactly as the PageRank fixpoint
+    // does (PageRankOp.pageRank)
+    val bcast = nVerts <= 1000000L
+    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       // each vertex's next label: min over its own and its neighbors'
       val incoming = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .join(maybeBcast(labels.withColumnRenamed("id", "src")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
       val next = labels
-        .join(incoming, Seq("id"), "left")
+        .join(maybeBcast(incoming), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (col("label") =!= least(col("label"), coalesce(col("nbr_label"), col("label"))))
@@ -103,13 +109,19 @@ object Components {
     var prev = (-1L, 0L)
     var cur = sig(edges)
     var iter = 0
+    // the star-minimum tables are bounded by the vertex count (≤ 2×edges);
+    // below the safe threshold broadcast them into the per-round joins —
+    // the checkpointed edge set has unknown stats, so Catalyst would
+    // otherwise shuffle-join every alternation (same rule as PageRank)
+    val bcast = cur._1 <= 500000L
+    def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     while (cur != prev && iter < maxIter) {
       // large-star: symmetrize, find each vertex's minimum incident id,
       // re-point every LARGER neighbor at it (m ≤ u < v, so no self-loops)
       val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val lmin = sym.groupBy(col("u"))
         .agg(min(least(col("v"), col("u"))).as("m"))
-      val large = sym.join(lmin, Seq("u"))
+      val large = sym.join(maybeBcast(lmin), Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
@@ -118,7 +130,7 @@ object Components {
       val dir = large.select(
         greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       val smin = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
-      edges = dir.join(smin, Seq("u"))
+      edges = dir.join(maybeBcast(smin), Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(smin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
