@@ -61,7 +61,8 @@ object TextAnalysis {
     * lambda call per token per list, the same interpreted-expression class
     * the MinHash/winnowing rewrites eliminated (measured 3.6× on q_langid). */
   private def tokenMatchCount(txt: Column, words: Seq[String]): Column =
-    regexp_count(txt, lit(words.mkString("(^|\\s)(", "|", ")(?=\\s|$)")))
+    regexp_count(txt, lit(words.map(java.util.regex.Pattern.quote)
+      .mkString("(^|\\s)(", "|", ")(?=\\s|$)")))
 
   def qualityScores(documents: DataFrame): DataFrame = {
     val txt = lower(col("text"))
