@@ -164,6 +164,9 @@ object SparkEntry {
       Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))),
     // ---- decontamination (north-star; dedup/Dedup.contaminationReport) ----
     "q_decontaminate" -> ((s, d) => Dedup.contaminationReport(Tables.documents(s, d))),
+    // bloom-prefilter twin: bit-identical output, corpus-side shuffle
+    // replaced by a broadcast BloomFilterMightContain map-side drop
+    "q_decontaminate_bloom" -> ((s, d) => Dedup.contaminationReportBloom(Tables.documents(s, d))),
     // ---- embedding hygiene (north-star; sim/Similarity.embeddingNorms) ----
     "q_embedding_norms" -> ((s, d) => Similarity.embeddingNorms(Tables.embeddings(s, d))),
     // ---- array / graph derivation (SURVEY §2.6 / §2.8) ----
@@ -261,6 +264,7 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.topTermsTfIdf(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "q_chunks" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
+    "q_pack_index" -> ((s, d) => TextAnalysis.packDocuments(Tables.documents(s, d))),
     "q_scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(Tables.documents(s, d))
       .select(col("doc_id"), col("n_emails"), col("n_urls"),
         substring(md5(col("scrubbed")), 1, 16).as("scrub_fp"))),
@@ -337,6 +341,30 @@ object SparkEntry {
          |  ) c ON v.id = c.id
          |),""".stripMargin
     }.mkString("\n")
+
+  /** Contamination oracle, shared by q_decontaminate (exact semi join) and
+    * q_decontaminate_bloom (bloom prefilter + exact verify): the bloom
+    * variant's verify join removes every false positive, so both queries
+    * must hash-match the same exact SQL. */
+  private val decontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 4, 1) + 1),
+      |    i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+      |corpus AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+      |hits AS (
+      |  SELECT doc_id, count(*) AS n_contaminated FROM corpus
+      |  WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1)
+      |SELECT s.doc_id, s.n_shingles,
+      |  coalesce(h.n_contaminated, 0) AS n_contaminated,
+      |  round(coalesce(h.n_contaminated, 0) * 1.0 / s.n_shingles, 4) AS contamination
+      |FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** The dedup-funnel closure oracle, shared by q_dup_clusters (min-label
     * propagation) and q_dup_clusters_star (star contraction): the two
@@ -658,6 +686,24 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, len(chunk) AS n_tokens,
         |  substr(md5(array_to_string(chunk, ' ')), 1, 16) AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // concat-then-split packing: the oracle's single global running sum IS
+    // the semantics; the engine computes it as a bucketed two-level prefix
+    "q_pack_index" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+        |  FROM lens WHERE n > 0)
+        |SELECT t.seq_id, doc_id,
+        |  CAST(greatest(o, t.seq_id * 64) - o AS BIGINT) AS doc_from,
+        |  CAST(greatest(o, t.seq_id * 64) - t.seq_id * 64 AS BIGINT) AS seq_from,
+        |  CAST(least(o + n, (t.seq_id + 1) * 64) - greatest(o, t.seq_id * 64) AS BIGINT) AS n_tokens
+        |FROM off, unnest(generate_series(o // 64, (o + n - 1) // 64)) AS t(seq_id)
+        |ORDER BY seq_id, doc_id""".stripMargin,
     "q_surprisal" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(
@@ -945,25 +991,9 @@ object SparkEntry {
         |  coalesce(s.n_sampled, 0) AS n_sampled,
         |  round(coalesce(s.n_sampled, 0) * 1.0 / (SELECT n_mix FROM tot), 4) AS achieved_share
         |FROM q LEFT JOIN s USING (lang) ORDER BY lang""".stripMargin,
-    "q_decontaminate" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(toks) - 4, 1) + 1),
-        |    i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |        FROM documents)
-        |  WHERE len(toks) > 0),
-        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
-        |corpus AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
-        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
-        |hits AS (
-        |  SELECT doc_id, count(*) AS n_contaminated FROM corpus
-        |  WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1)
-        |SELECT s.doc_id, s.n_shingles,
-        |  coalesce(h.n_contaminated, 0) AS n_contaminated,
-        |  round(coalesce(h.n_contaminated, 0) * 1.0 / s.n_shingles, 4) AS contamination
-        |FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" -> decontaminateSql,
+    // the bloom variant is exact after its verify join — same oracle
+    "q_decontaminate_bloom" -> decontaminateSql,
     "q_vocab" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -101,7 +101,10 @@ object Stress {
     "q_set_ops", "q_stratified_sample", "q_vocab", "q_tfidf",
     "q_winsorize", "q_quality_deciles", "q_dup_clusters", "q_domain_mix",
     "q_ngram_jaccard", "q_langid", "q_dup_clusters_star",
-    "q_surprisal", "q_chunks")
+    "q_surprisal", "q_chunks",
+    // round 4: bloom-prefilter decontamination (map-side drop vs the exact
+    // twin's full shingle shuffle), cross-document packing prefix sums
+    "q_decontaminate_bloom", "q_pack_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -128,10 +128,46 @@ object Dedup {
     val isBench = pmod(col("doc_id"), lit(benchMod)) === 0
     val benchShingles = sh.filter(isBench).select(col("shingle")).distinct()
     val corpus = sh.filter(!isBench)
-    val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val hits = corpus
       .join(benchShingles, Seq("shingle"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    reportFrom(corpus, hits)
+  }
+
+  /** [[contaminationReport]] with the corpus-side shuffle replaced by a
+    * broadcast bloom prefilter — the 100 TB shape. The semi join in the
+    * exact variant shuffles EVERY corpus shingle on the shingle key; here a
+    * bloom filter of the benchmark shingle set
+    * ([[graft.functions.BloomFunctions]], a few MB however big the corpus
+    * is) drops non-overlapping shingles map-side inside codegen, and only
+    * the surviving fraction — in a healthy corpus a few percent — reaches
+    * the exact semi-join verify that removes bloom false positives. Output
+    * is therefore bit-identical to [[contaminationReport]] (same oracle),
+    * while the shuffled corpus volume scales with the contamination rate
+    * instead of the corpus. */
+  def contaminationReportBloom(documents: DataFrame, k: Int = 5, benchMod: Int = 20,
+                               numBits: Long = graft.functions.BloomFunctions.DefaultNumBits): DataFrame = {
+    import graft.functions.BloomFunctions
+    val sh = shingleRows(documents, k).localCheckpoint(true)
+    val isBench = pmod(col("doc_id"), lit(benchMod)) === 0
+    // pinned: the bench set is read twice (bloom build — an eager action —
+    // and the exact verify join); without the pin the second consumer would
+    // re-run the distinct over the bench slice
+    val benchShingles = sh.filter(isBench).select(col("shingle"))
+      .distinct().localCheckpoint(true)
+    val corpus = sh.filter(!isBench)
+    val bloom = BloomFunctions.buildBloom(benchShingles, col("shingle"), numBits = numBits)
+    val hits = corpus
+      .filter(BloomFunctions.mightContain(bloom, col("shingle")))
+      .join(benchShingles, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    reportFrom(corpus, hits)
+  }
+
+  /** Shared contamination-report tail: per-doc shingle counts joined with
+    * hit counts, zero-filled, ratio rounded for oracle hash-match. */
+  private def reportFrom(corpus: DataFrame, hits: DataFrame): DataFrame = {
+    val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     sizes
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),

@@ -221,6 +221,65 @@ object TextAnalysis {
           .as("chunk_fp"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Cross-document sequence packing — the concat-then-split packing index:
+    * lay every document's tokens end to end in doc_id order and cut the
+    * stream into fixed `contextTokens` windows, so short documents share a
+    * training sequence and long ones span several (documents DO cross
+    * sequence boundaries — the standard pretraining packing, zero padding
+    * waste except the final window). Emits one row per (sequence, document
+    * slice): which token range of which document lands where in which
+    * sequence — the index a tokenizer fleet executes without this job ever
+    * materializing the token stream itself.
+    *
+    * The only global state is the running token offset. Computed as a
+    * two-level prefix sum so no stage ever sees a single-partition window:
+    * docs are bucketed by doc_id range, a per-bucket window produces local
+    * prefixes in parallel, and the bucket totals — `buckets` rows, however
+    * big the corpus — take the one tiny ordered window before broadcasting
+    * back as offsets. Offsets stay exact in Long; the floor-division casts
+    * are exact below 2^53 tokens (a 100 TB corpus is ~2·10^13). */
+  def packDocuments(documents: DataFrame, contextTokens: Int = 64,
+                    buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // pinned: three consumers (the max-id action, the local prefix window,
+    // the bucket totals) — unpinned, the tokenize pass would run 3× over
+    // the corpus; pinned, it runs once and 16 bytes/doc are retained
+    val lens = documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("n"))
+      .filter(col("n") > 0)
+      .localCheckpoint(true)
+    // span of the doc_id range per bucket; one 1-row action (same class as
+    // the fixpoint-stats head), null-safe for an empty corpus
+    val maxId = Option(lens.agg(max(col("doc_id"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val span = math.max(1L, maxId / buckets + 1)
+    val bucketed = lens.withColumn("bucket", (col("doc_id") / span).cast("bigint"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixed = bucketed
+      .withColumn("local_off", coalesce(sum(col("n")).over(wLocal), lit(0L)))
+    // ≤ `buckets` rows: the ordered no-partition window is bounded by
+    // construction, like the k-row rank numberings elsewhere
+    val wBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket")).agg(sum(col("n")).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(wBucket), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val c = lit(contextTokens.toLong)
+    prefixed
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("o", col("boff") + col("local_off"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("o") / c).cast("bigint"),
+        floor((col("o") + col("n") - 1) / c).cast("bigint"))))
+      .select(col("seq_id"), col("doc_id"),
+        (greatest(col("o"), col("seq_id") * c) - col("o")).as("doc_from"),
+        (greatest(col("o"), col("seq_id") * c) - col("seq_id") * c).as("seq_from"),
+        (least(col("o") + col("n"), (col("seq_id") + 1) * c)
+          - greatest(col("o"), col("seq_id") * c)).as("n_tokens"))
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
   /** Content fingerprint: 64-bit hex from the md5 of whitespace-normalized
     * text — the cheap exact-identity key for dedup joins (md5 exists in both
     * engines, so this one is oracle-checkable, unlike xxhash64). */

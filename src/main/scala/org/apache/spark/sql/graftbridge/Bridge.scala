@@ -18,6 +18,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a Catalyst aggregate function as a Column usable in `df.agg(...)`.
+    * `toAggregateExpression` is `private[sql]`, which is exactly why this
+    * helper lives inside the sql package namespace. */
+  def aggregateColumn(
+      f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Column =
+    ExpressionUtils.column(f.toAggregateExpression())
+
   /** Register a builder so the expression is callable from SQL too. */
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =

@@ -107,6 +107,20 @@ class PlanHygieneSpec extends SparkSpec {
       s"scan not pruned to the key columns:\n$rs")
   }
 
+  test("bloom decontamination drops corpus shingles map-side, before any join") {
+    val p = plan("q_decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      s"no BloomFilterMightContain predicate in the plan")
+    // the exact verify must still run — the bloom filter alone is inexact
+    assert(p.contains("LeftSemi"), "bloom variant lost its exact verify join")
+  }
+
+  test("pack index: bucket offsets come back as a broadcast, not a shuffle") {
+    val p = plan("q_pack_index")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket-offset join did not broadcast")
+  }
+
   test("no CartesianProduct in any equi-expressible query plan") {
     val excluded = Set(
       "q_ann_brute", "q_cosine_near_dups", // documented non-equi oracles

@@ -234,6 +234,37 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("packDocuments agrees with a driver-side sequential packer") {
+    def packRef(docs: List[(Long, String)], c: Int): Set[(Long, Long, Long, Long, Long)] = {
+      var o = 0L
+      val out = List.newBuilder[(Long, Long, Long, Long, Long)]
+      for ((id, text) <- docs.sortBy(_._1); n = toks(text).length.toLong; if n > 0) {
+        var s = o / c
+        while (s <= (o + n - 1) / c) {
+          val from = math.max(o, s * c)
+          val until = math.min(o + n, (s + 1) * c)
+          out += ((s, id, from - o, from - s * c, until - from))
+          s += 1
+        }
+        o += n
+      }
+      out.result().toSet
+    }
+    for (docs <- samples(docsGen, 5); c <- Seq(1, 5, 64); buckets <- Seq(1, 4, 100)) {
+      val got = graft.text.TextAnalysis.packDocuments(
+        docs.toDF("doc_id", "text").repartition(3), c, buckets)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(got.toSet == packRef(docs, c), s"c=$c buckets=$buckets")
+      // every sequence except the last is exactly full — packing wastes
+      // nothing; the driver reference already pins slice-level layout
+      val bySeq = got.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+      if (bySeq.nonEmpty) {
+        val last = bySeq.keys.max
+        bySeq.foreach { case (seq, tot) => if (seq != last) assert(tot == c) }
+      }
+    }
+  }
+
   test("unigramSurprisal agrees with a driver-side reference, any partitioning") {
     def r(x: Double, s: Int): BigDecimal =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)

@@ -43,6 +43,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bloom-prefilter contamination report is bit-identical to the exact one") {
+    val exact = Dedup.contaminationReport(docs).collect()
+    val bloom = Dedup.contaminationReportBloom(docs).collect()
+    assert(exact.nonEmpty)
+    assert(bloom.toSeq == exact.toSeq)
+    // and the verify join earns its keep: a degenerate 64-bit filter is
+    // saturated with false positives, yet the output must stay exact
+    val tiny = Dedup.contaminationReportBloom(docs, numBits = 64).collect()
+    assert(tiny.toSeq == exact.toSeq)
+  }
+
   implicit class PairMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, j) => (a, b) -> j }.toMap
