@@ -162,6 +162,9 @@ object SparkEntry {
     "q_domain_mix" -> ((s, d) => graft.ops.Sampling.domainMixReport(
       Tables.documents(s, d), "lang", "doc_id",
       Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))),
+    // deterministic pre-epoch shuffle: seeded md5 sort key, prefix shard
+    "q_shuffle_shards" -> ((s, d) => graft.ops.Sampling.shuffleReport(
+      Tables.documents(s, d), "doc_id", seed = 42L)),
     // ---- decontamination (north-star; dedup/Dedup.contaminationReport) ----
     "q_decontaminate" -> ((s, d) => Dedup.contaminationReport(Tables.documents(s, d))),
     // bloom-prefilter twin: bit-identical output, corpus-side shuffle
@@ -281,6 +284,9 @@ object SparkEntry {
       Tables.documents(s, d), Dedup.ngramJaccardPairs(Tables.documents(s, d)),
       longChains = true)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // directional twin: catches short-doc-quoted-in-long-doc subset
+    // duplication that symmetric Jaccard scores near zero
+    "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
     "q_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(Tables.documents(s, d))),
     "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 10)),
     "q_winnow_neardups" -> ((s, d) => Dedup.winnowNearDups(Tables.documents(s, d))),
@@ -776,6 +782,25 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) > 0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(shared * 1.0 / sa.n, 4) AS containment
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |WHERE round(shared * 1.0 / sa.n, 4) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // the dedup-funnel middle: Jaccard pairs -> connected components ->
     // canonical keep verdict. The closure is a recursive CTE (tiny pair
     // set at oracle scale); Spark runs min-label propagation (or the
@@ -971,6 +996,13 @@ object SparkEntry {
         |SELECT t.event_type, n_total, coalesce(n_sampled, 0) AS n_sampled,
         |  round(coalesce(n_sampled, 0) * 1.0 / n_total, 4) AS achieved_rate
         |FROM t LEFT JOIN s USING (event_type) ORDER BY event_type""".stripMargin,
+    "q_shuffle_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents)
+        |SELECT substr(shuffle_key, 1, 2) AS shard, count(*) AS n_rows,
+        |  min(shuffle_key) AS first_key
+        |FROM t GROUP BY 1 ORDER BY shard""".stripMargin,
     "q_domain_mix" ->
       """WITH t(lang, target_share) AS (VALUES
         |  ('en', 0.4::DOUBLE), ('de', 0.15::DOUBLE), ('es', 0.15::DOUBLE),

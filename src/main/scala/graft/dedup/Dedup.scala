@@ -108,6 +108,33 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric containment pairs — catches what symmetric Jaccard
+    * structurally cannot: a short document wholly quoted inside a much
+    * longer one scores |A∩B|/|A∪B| ≈ |A|/|B| (tiny), but containment
+    * |A∩B|/|A| = 1.0. The standard complement to near-dup scoring when
+    * hunting quote/subset duplication in a corpus. Same scale shape as
+    * [[ngramJaccardPairs]] — equi-join on the shingle, quadratic only
+    * within shared-shingle buckets — and the same pinned tier; emitted
+    * per ORDERED pair (a≠b, both directions possible) because containment
+    * is directional. */
+  def containmentPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val rows = shingleRows(documents, k)
+      .withColumn("n", count(lit(1)).over(w))
+      .localCheckpoint(true)
+    val a = rows.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("shingle"))
+    val b = rows.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"), min(col("n_a")).as("n_a"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_a").cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Benchmark decontamination — the training-data hygiene step n-gram
     * dedup doesn't cover: score every corpus document by how many of its
     * k-shingles also appear in a benchmark/eval set, so contaminated

@@ -87,6 +87,32 @@ object Sampling {
       .orderBy(col(strataCol))
   }
 
+  /** Deterministic corpus shuffle — the reproducible pre-epoch shuffle a
+    * training pipeline needs: every row gets a pseudo-random but seeded
+    * sort key (md5 of seed ‖ id — md5 so the SQL oracle reproduces it
+    * exactly; xxhash64 would be faster but engine-private) plus a shard id
+    * that is the KEY'S OWN leading byte. Because the shard is a prefix of
+    * the key, reading shards in shard order and rows in key order within
+    * each shard IS the global shuffled order — so at scale this is one
+    * map-side projection + a repartition on the 256-value shard column +
+    * `sortWithinPartitions(shuffle_key)`, never a global sort. Shard
+    * population is near-uniform (md5 bytes), so no shard skews. The shard
+    * stays the raw two-hex-char prefix: fixed-width hex sorts the same
+    * lexically and numerically, and every engine agrees on substr. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))
+      .withColumn("shard", substring(col("shuffle_key"), 1, 2))
+
+  /** Gate-facing shard report for [[deterministicShuffle]]: per-shard row
+    * count plus the first key — enough for the oracle to pin both the key
+    * derivation and the shard split without dumping every row. */
+  def shuffleReport(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    deterministicShuffle(df, idCol, seed)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"), min(col("shuffle_key")).as("first_key"))
+      .orderBy(col("shard"))
+
   /** Seeded Bernoulli stratified sample (`DataFrameStatFunctions.sampleBy`).
     * Kept for API completeness; cache() the result before branching reuse —
     * seeded rand re-evaluates under AQE partition drift (engine-wide rule,

@@ -43,6 +43,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment scores a quoted subset 1.0 where jaccard stays low") {
+    val quoted = "alpha beta gamma delta epsilon zeta"
+    val host = quoted + " " + (1 to 60).map(i => s"filler$i word$i").mkString(" ")
+    val d = Seq((1L, quoted), (2L, host)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    // every shingle of doc 1 appears in doc 2 → containment(1→2) = 1.0
+    assert(cont.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 })
+    // but NOT the reverse direction — the host is mostly its own text
+    assert(!cont.exists { case (a, b, _) => a == 2L && b == 1L })
+    // and symmetric jaccard misses the pair entirely at the same bar
+    assert(Dedup.ngramJaccardPairs(d, threshold = 0.5).count() == 0)
+  }
+
   test("bloom-prefilter contamination report is bit-identical to the exact one") {
     val exact = Dedup.contaminationReport(docs).collect()
     val bloom = Dedup.contaminationReportBloom(docs).collect()

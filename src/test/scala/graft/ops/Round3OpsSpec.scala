@@ -274,4 +274,25 @@ class Round3OpsSpec extends SparkSpec {
       Map("en" -> 0.5, "fr" -> 0.5)).select("lang").as[String].collect().toSet
     assert(langs == Set("en", "fr"))
   }
+
+  test("deterministicShuffle: seeded, shard is the key prefix, partition-stable") {
+    val df = (0L until 2000L).map(i => (i, s"row$i")).toDF("doc_id", "payload")
+    val a = Sampling.deterministicShuffle(df, "doc_id", seed = 7L)
+      .select("doc_id", "shuffle_key", "shard")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val b = Sampling.deterministicShuffle(df.repartition(13), "doc_id", seed = 7L)
+      .select("doc_id", "shuffle_key", "shard")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // replayable under any partitioning
+    assert(a.forall { case (_, key, shard) => shard == key.take(2) })
+    // a different seed permutes: the induced orderings must differ
+    val c = Sampling.deterministicShuffle(df, "doc_id", seed = 8L)
+      .select("doc_id", "shuffle_key").as[(Long, String)].collect()
+    assert(a.sortBy(_._2).map(_._1).toSeq != c.sortBy(_._2).map(_._1).toSeq)
+    // report partitions the corpus exactly: shard counts sum to the total
+    val rep = Sampling.shuffleReport(df, "doc_id", seed = 7L)
+    assert(rep.agg(sum("n_rows")).head.getLong(0) == 2000L)
+    // md5 prefixes spread: all 256 shards populated at this size
+    assert(rep.count() == 256L)
+  }
 }
