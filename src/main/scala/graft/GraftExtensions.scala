@@ -33,5 +33,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_product(a, b) takes exactly two array arguments")
         DotProduct(args.head, args(1))
       }))
+    // Spark's runtime-filter bloom expressions, exposed as first-class SQL:
+    // the optimizer only injects them into eligible join shapes, but a
+    // pipeline author knows WHERE the membership prefilter belongs (see
+    // Dedup.contaminationReportBloom). Contract: insert and probe the SAME
+    // xxhash64(key) longs. The filter argument of bloom_might_contain must
+    // be a literal or scalar subquery (enforced by its checkInputDataTypes).
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "bloom_filter_agg(xxhash64_key, est_items, num_bits) takes exactly three arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bloom_might_contain(bloom, xxhash64_key) takes exactly two arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
+      }))
   }
 }

@@ -112,6 +112,11 @@ object Stress {
     val outBase = if (args.length > 1) args(1) else "/tmp/graft_stress"
     val multiples = (if (args.length > 2) args(2) else "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
+    // optional 4th arg: comma-separated query subset (local iteration aid)
+    val selectedQueries =
+      if (args.length > 3) { val s = args(3).split(",").map(_.trim).toSet
+        StressQueries.filter(s) }
+      else StressQueries
     val spark = GraftSession.local(32, appName = "graft-stress")
     // warmup (see Bench)
     spark.range(1000000).selectExpr("sum(id) AS s")
@@ -133,7 +138,7 @@ object Stress {
         val dt = (System.nanoTime() - t0) / 1e9
         name -> (if (ok) dt else -dt)
       }
-      val times = StressQueries.map { q =>
+      val times = selectedQueries.map { q =>
         timed(q)(SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save())
       } :+

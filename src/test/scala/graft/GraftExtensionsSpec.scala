@@ -19,6 +19,18 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(got == 32.0)
       // arity errors surface at analysis, not execution
       intercept[Exception] { s2.sql("SELECT dot_product(array(1.0D))").head }
+      // the bloom pair, end to end in pure SQL: build over the members
+      // table via scalar subquery, probe map-side — the explicit form of
+      // Spark's own runtime bloom join filter
+      s2.range(0, 500).selectExpr("id AS k").createOrReplaceTempView("members")
+      s2.range(0, 1000).selectExpr("id AS k").createOrReplaceTempView("probe")
+      val hits = s2.sql(
+        """SELECT count(*) AS n FROM probe
+          |WHERE bloom_might_contain(
+          |  (SELECT bloom_filter_agg(xxhash64(k), 1000L, 8192L) FROM members),
+          |  xxhash64(k))""".stripMargin).head.getLong(0)
+      // all 500 members must hit; the other 500 may add a few false positives
+      assert(hits >= 500L && hits < 560L, s"unexpected bloom hit count $hits")
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
