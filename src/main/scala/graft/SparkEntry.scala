@@ -268,6 +268,8 @@ object SparkEntry {
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "q_chunks" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "q_pack_index" -> ((s, d) => TextAnalysis.packDocuments(Tables.documents(s, d))),
+    // per-source curation dashboard: quality, dup and keep rates by domain
+    "q_source_report" -> ((s, d) => TextAnalysis.sourceReport(Tables.documents(s, d))),
     "q_scrub_pii" -> ((s, d) => TextAnalysis.scrubPii(Tables.documents(s, d))
       .select(col("doc_id"), col("n_emails"), col("n_urls"),
         substring(md5(col("scrubbed")), 1, 16).as("scrub_fp"))),
@@ -722,6 +724,32 @@ object SparkEntry {
         |        / count(*), 4) AS mean_surprisal
         |FROM toks JOIN tf USING (term), total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_source_report" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    round(0.5 * round(least(greatest(length(txt),1) / 500.0, 1.0), 4)
+        |        + 0.3 * round(len(list_filter(toks, x -> list_contains(
+        |              ['the','a','an','of','to','and','in','is','it','for','on','with'], x)))
+        |              * 1.0 / greatest(len(toks), 1), 4)
+        |        + 0.2 * (1.0 - round((length(txt) - length(regexp_replace(txt, '[^a-z0-9\s]', '', 'g')))
+        |              * 1.0 / greatest(length(txt), 1), 4)), 5) AS quality_score
+        |  FROM (SELECT doc_id, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    substr(md5(array_to_string(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')), 1, 16) AS fp,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |f AS (SELECT *, count(*) OVER (PARTITION BY fp) AS n_fp FROM b)
+        |SELECT source, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS mean_quality,
+        |  round(sum(n_tokens) * 1.0 / count(*), 4) AS mean_tokens,
+        |  round(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_rate,
+        |  round(sum(CASE WHEN quality_score >= 0.3 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS keep_rate
+        |FROM f JOIN q USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_scrub_pii" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,

@@ -105,7 +105,7 @@ object Stress {
     // round 4: bloom-prefilter decontamination (map-side drop vs the exact
     // twin's full shingle shuffle), cross-document packing prefix sums
     "q_decontaminate_bloom", "q_pack_index", "q_containment",
-    "q_shuffle_shards")
+    "q_shuffle_shards", "q_source_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

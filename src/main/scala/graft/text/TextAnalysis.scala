@@ -367,6 +367,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source curation report — the domain-level dashboard behind
+    * blocklist/keep decisions in corpus curation: for every source, doc
+    * count, mean quality, mean length, exact-dup rate (share of docs whose
+    * content fingerprint repeats ANYWHERE in the corpus — cross-source
+    * copies count against both sources) and the keep rate under the
+    * quality threshold. Two shuffles total at any corpus size: a window
+    * count over the 16-byte fingerprint (no join-back — the window's
+    * exchange IS the dup lookup) and the per-source aggregate; quality and
+    * fingerprints are map-side. Mean quality follows the dsum rule: the
+    * 5-decimal scores sum exactly as decimals, so partial-aggregation
+    * order can't move the reported mean. */
+  def sourceReport(documents: DataFrame, qualityThreshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents.select(
+      col("doc_id"), col("source"),
+      fingerprint(col("text")).as("fp"),
+      size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("n_fp", count(lit(1)).over(Window.partitionBy(col("fp"))))
+    base
+      .join(qualityScores(documents).select(col("doc_id"), col("quality_score")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("quality_score").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 4).as("mean_quality"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4).as("mean_tokens"),
+        round(sum((col("n_fp") > 1).cast("long")).cast("double")
+          / count(lit(1)), 4).as("dup_rate"),
+        round(sum((col("quality_score") >= qualityThreshold).cast("long")).cast("double")
+          / count(lit(1)), 4).as("keep_rate"))
+      .orderBy(col("source"))
+  }
+
   /** PII / URL scrubbing — the standard pre-training redaction pass. Both
     * patterns are dialect-portable (plain character classes, no lookarounds)
     * so the oracle runs the identical regexes. Map-side, no shuffle: at

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -98,6 +99,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L).getLong(1) == 1L && r(1L).getLong(2) == 1L)
     assert(r(1L).getString(3) == "contact <EMAIL> or visit <URL> now")
     assert(r(2L).getLong(1) == 0L && r(2L).getString(3) == "no pii here at all")
+  }
+
+  test("sourceReport aggregates quality, dup and keep rates per source") {
+    val good = "the cat sat on the mat and it is a fine day for all of us " * 3
+    val d = Seq(
+      (1L, good, "siteA"),            // dup of 3 (cross-source)
+      (2L, "zz yy xx!!!", "siteA"),   // low quality, unique
+      (3L, good, "siteB"),            // dup of 1
+      (4L, good + "unique tail", "siteB")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceReport(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("siteA").getLong(1) == 2L && r("siteB").getLong(1) == 2L)
+    // one of siteA's two docs repeats elsewhere; junk doc drags keep rate
+    assert(r("siteA").getDouble(4) == 0.5)
+    assert(r("siteB").getDouble(4) == 0.5) // doc 3 dups doc 1
+    assert(r("siteA").getDouble(5) == 0.5) // junk doc fails the 0.3 bar
+    assert(r("siteB").getDouble(5) == 1.0)
+    // mean_quality recomputes from the per-doc scores exactly
+    val q = TextAnalysis.qualityScores(d.select(col("doc_id"), col("text")))
+      .collect().map(x => x.getLong(0) -> x.getDouble(4)).toMap
+    val expA = BigDecimal((q(1L) + q(2L)) / 2).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(r("siteA").getDouble(2) == expA.toDouble)
   }
 
   test("quality score components are bounded and blended") {
