@@ -289,6 +289,19 @@ object SparkEntry {
     // directional twin: catches short-doc-quoted-in-long-doc subset
     // duplication that symmetric Jaccard scores near zero
     "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
+    // funnel tail: which document survives each cluster under the
+    // longest-text quality policy (vs dup_clusters' id-minimum label)
+    "q_dup_survivors" -> ((s, d) => graft.graph.Components.dupSurvivors(
+      Tables.documents(s, d), Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
+    // snapshot-delta admission: classify the new-crawl slice against the
+    // standing corpus (dup_corpus / dup_batch / new, with audit match)
+    "q_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(Tables.documents(s, d))),
+    // SemDeDup: k-means cells + within-cell exact cosine (engine-specific
+    // quantizer -> rows-only gate; properties pinned in SimilaritySpec)
+    // 0.35 matches the exact/LSH cosine gates: the fixture's near-dup mass
+    // sits there, so the drop path is actually exercised
+    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(
+      s, Tables.embeddings(s, d), threshold = 0.35)),
     "q_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(Tables.documents(s, d))),
     "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 10)),
     "q_winnow_neardups" -> ((s, d) => Dedup.winnowNearDups(Tables.documents(s, d))),
@@ -374,11 +387,12 @@ object SparkEntry {
       |  round(coalesce(h.n_contaminated, 0) * 1.0 / s.n_shingles, 4) AS contamination
       |FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
 
-  /** The dedup-funnel closure oracle, shared by q_dup_clusters (min-label
-    * propagation) and q_dup_clusters_star (star contraction): the two
-    * algorithms must produce identical clusters, so both face the same
-    * recursive-CTE transitive closure over the Jaccard pairs. */
-  private val dupClustersSql: String =
+  /** The dedup-funnel closure oracle prefix (shingles → Jaccard pairs →
+    * recursive-CTE transitive closure → per-vertex component minimum),
+    * shared by q_dup_clusters, q_dup_clusters_star and q_dup_survivors:
+    * all three must agree on the clustering exactly, so all three oracles
+    * build on the same closure. */
+  private val dupClosurePrefix: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, greatest(len(toks) - 2, 1) + 1),
@@ -405,11 +419,29 @@ object SparkEntry {
       |  UNION
       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-      |         FROM reach GROUP BY a)
+      |         FROM reach GROUP BY a)""".stripMargin
+
+  private val dupClustersSql: String = dupClosurePrefix +
+    """
       |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
       |  CASE WHEN d.doc_id = coalesce(c.cluster_id, d.doc_id) THEN 1 ELSE 0 END AS keep
       |FROM documents d LEFT JOIN comp c USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Keep-best-per-cluster oracle: the same closure, ranked by text length
+    * (ties to the lower doc_id) inside each cluster — the quality policy of
+    * [[graft.graph.Components.dupSurvivors]]. */
+  private val dupSurvivorsSql: String = dupClosurePrefix +
+    """,
+      |clustered AS (
+      |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+      |    length(d.text) AS n_chars
+      |  FROM documents d LEFT JOIN comp c USING (doc_id))
+      |SELECT doc_id, cluster_id, n_chars,
+      |  CASE WHEN row_number() OVER (
+      |      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1
+      |    THEN 1 ELSE 0 END AS keep
+      |FROM clustered ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -836,6 +868,39 @@ object SparkEntry {
     // two algorithms must agree clustering-exactly).
     "q_dup_clusters_star" -> dupClustersSql,
     "q_dup_clusters" -> dupClustersSql,
+    "q_dup_survivors" -> dupSurvivorsSql,
+    "q_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) > 0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS match_id, count(*) AS shared,
+        |    (b.doc_id % 7 = 0) AS m_batch
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 7 = 0
+        |    AND (b.doc_id % 7 <> 0 OR b.doc_id < a.doc_id)
+        |  GROUP BY 1, 2, 4),
+        |scored AS (
+        |  SELECT c.doc_id, c.match_id, c.m_batch,
+        |    round(c.shared * 1.0 / (sa.n + sb.n - c.shared), 4) AS jaccard
+        |  FROM cand c JOIN sizes sa ON c.doc_id = sa.doc_id
+        |  JOIN sizes sb ON c.match_id = sb.doc_id
+        |  WHERE round(c.shared * 1.0 / (sa.n + sb.n - c.shared), 4) >= 0.5),
+        |best AS (
+        |  SELECT doc_id, match_id, jaccard,
+        |    CASE WHEN m_batch THEN 'dup_batch' ELSE 'dup_corpus' END AS verdict,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, match_id) AS rn
+        |  FROM scored)
+        |SELECT d.doc_id, coalesce(b.verdict, 'new') AS verdict, b.match_id, b.jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_ann_brute" ->
       """SELECT query_id, rnk, neighbor_id, cos_sim FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -146,6 +146,36 @@ object Components {
       .select(col("u").as("id"), col("component"))
   }
 
+  /** The funnel's final answer: which document SURVIVES each dup cluster
+    * under a quality policy, not just the id-minimum. [[dupClusters]] keeps
+    * the cluster minimum — fine as a canonical label, but a real curation
+    * pipeline keeps the BEST member (here: longest text, ties to the lower
+    * doc_id — swap the ordering columns for any other quality ranking).
+    * Output: one row per document with its cluster id, ranking feature and
+    * keep verdict.
+    *
+    * Scale shape: the component fixpoint (shared with [[dupClusters]]) plus
+    * ONE window over cluster_id — a single hash-partitioned shuffle; cluster
+    * sizes are bounded by near-dup cluster width (quasi-cliques, not the
+    * corpus), so no partition-sized skew. */
+  def dupSurvivors(documents: DataFrame, pairs: DataFrame,
+                   a: String = "doc_a", b: String = "doc_b"): DataFrame = {
+    val p = pairs.localCheckpoint(true)
+    val comp = connectedComponents(p, a, b).withColumnRenamed("id", "doc_id")
+    val clustered = documents
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clustered
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The dedup-funnel composition: near-dup pairs → components → one row
     * per document with its cluster id (own id when unclustered) and a
     * keep/drop verdict (the cluster minimum survives). */

@@ -266,6 +266,52 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
+    * a k-means coarse quantizer cells the embedding space, exact cosine runs
+    * only WITHIN each cell, and a vector is dropped when a lower-id
+    * cell-mate sits above the threshold — near-dup semantics by meaning,
+    * not text, which catches paraphrases that every shingle scheme misses.
+    *
+    * Scale shape — the whole point of the cell pass: the quadratic
+    * comparison is confined to each cell (n²/nlist per cell in expectation,
+    * tunable by nlist), reached by an equi-join on the cell id; the
+    * centroid table broadcasts. Same trained-quantizer machinery as
+    * [[ivfTopK]], and like it the k-means fit is seeded → deterministic,
+    * but engine-specific (rows-only at the oracle gate; properties pinned
+    * in SimilaritySpec: every dropped vector has a verified lower-id
+    * partner at ≥ threshold, keeps are monotone in the threshold).
+    * Output: (vec_id, cell, keep) for the full corpus. */
+  def semanticDedup(spark: SparkSession, embeddings: DataFrame,
+                    nlist: Int = 16, threshold: Double = 0.8,
+                    seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = embeddings.withColumn("v", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("v").setPredictionCol("cell")
+    // pin the assignment: the join reads it twice (both pair sides) and the
+    // verdict join a third time — unpinned, the k-means transform (and the
+    // scan under it) would re-run per consumer
+    val assigned = km.fit(vecs).transform(vecs)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint(true)
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("emb_a"), col("emb_b")), 4) >= threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+      .withColumn("dropped", lit(1))
+    assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
+        when(col("dropped").isNull, 1).otherwise(0).cast("int").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-cosine near-dup pairs: all (a < b) with cosine ≥ threshold.
     * O(n²) in corpus size — this is the small-sample ORACLE BASELINE only
     * (sf0.01-scale correctness checks and the recall denominator in

@@ -22,6 +22,7 @@ class ContractSpec extends SparkSpec {
       "q_cosine_near_dups_lsh", // same
       "q_media_features",       // decoder feature floats
       "q_minhash_neardups",     // xxhash64 signatures
+      "q_semantic_dedup",       // k-means cell assignment
       "q_simhash_neardups",     // xxhash64 bit votes
       "q_winnow_fps",           // xxhash64 rolling hashes
       "q_winnow_neardups")      // same

@@ -57,6 +57,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(d, threshold = 0.5).count() == 0)
   }
 
+  test("incrementalDedup classifies batch docs as dup_corpus / dup_batch / new") {
+    // batch = doc_id % 7 == 0 → {7, 14, 21, 28}; corpus = {1, 5}
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (5L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "some totally unique batch content here first"),
+      (14L, "some totally unique batch content here first"),
+      (21L, "the quick brown fox jumps over the lazy dog"),
+      (28L, "nothing like anything else in this corpus at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(d)
+      .select("doc_id", "verdict", "match_id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (7L, "new", None), // unique at arrival time: later twin doesn't count
+      (14L, "dup_batch", Some(7L)), // exact twin of the earlier batch doc
+      (21L, "dup_corpus", Some(5L)), // already in the standing corpus
+      (28L, "new", None)))
+  }
+
   test("bloom-prefilter contamination report is bit-identical to the exact one") {
     val exact = Dedup.contaminationReport(docs).collect()
     val bloom = Dedup.contaminationReportBloom(docs).collect()

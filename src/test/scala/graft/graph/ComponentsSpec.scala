@@ -36,4 +36,19 @@ class ComponentsSpec extends SparkSpec {
     // survivors: every singleton plus one per cluster
     assert(got.count(_._3 == 1) == 4)
   }
+
+  test("dupSurvivors keeps the longest member of each cluster, not the id minimum") {
+    val docs = Seq(
+      (1L, "a"), (2L, "bb"), (3L, "c"),
+      (4L, "dddd dddd"), (5L, "e"), (6L, "ff")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((2L, 4L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val got = Components.dupSurvivors(docs, pairs)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // cluster {2,4,6} labels to its minimum (2) but doc 4 has the longest
+    // text and survives; singletons always keep
+    assert(got == Seq(
+      (1L, 1L, 1L, 1), (2L, 2L, 2L, 0), (3L, 3L, 1L, 1),
+      (4L, 2L, 9L, 1), (5L, 5L, 1L, 1), (6L, 2L, 2L, 0)))
+  }
 }

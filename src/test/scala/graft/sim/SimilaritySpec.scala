@@ -72,6 +72,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: planted clone dropped, drops verified, keeps monotone in threshold") {
+    val base = Tables.embeddings(spark, sf)
+    val clone = base.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = base.unionByName(clone)
+    val got = Similarity.semanticDedup(spark, corpus, nlist = 8, threshold = 0.35)
+    // the identical clone lands in vec 7's cell (same point, same centroid)
+    // at cosine 1.0 and must be dropped
+    val keeps = got.select("vec_id", "keep").as[(Long, Int)].collect().toMap
+    assert(keeps(10007L) == 0 && keeps(7L) == 1)
+    // every dropped vector has a VERIFIED lower-id partner at >= threshold
+    // in the exact all-pairs oracle (precision 1 by construction)
+    val exact = Similarity.cosineNearDups(corpus, 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val hasLowerPartner = exact.map(_._2).toSet // id_b > id_a always
+    keeps.filter(_._2 == 0).keys.foreach(v =>
+      assert(hasLowerPartner.contains(v), s"vec $v dropped without an exact partner"))
+    // seeded quantizer → deterministic verdicts across runs
+    val again = Similarity.semanticDedup(spark, corpus, nlist = 8, threshold = 0.35)
+      .select("vec_id", "keep").as[(Long, Int)].collect().toMap
+    assert(again == keeps)
+    // a stricter threshold can only keep more (same seed → same cells)
+    val strict = Similarity.semanticDedup(spark, corpus, nlist = 8, threshold = 0.9)
+      .filter(col("keep") === 1).count()
+    assert(strict >= keeps.values.count(_ == 1))
+  }
+
   test("hyperplane-table buckets are bit-identical to lshSignature, any table offset") {
     val planes = 8
     for (offset <- Seq(0, 24)) { // table 0 and table 3 of the multi-table scheme
