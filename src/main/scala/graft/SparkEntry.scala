@@ -319,6 +319,12 @@ object SparkEntry {
       Tables.embeddings(s, d), threshold = 0.35)),
     "q_cosine_near_dups_lsh" -> ((s, d) => Similarity.cosineNearDupsLSH(
       Tables.embeddings(s, d), threshold = 0.35)),
+    // per-class centroid table (cluster-balanced sampling / drift monitor)
+    "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(
+      Tables.embeddings(s, d))),
+    // deterministic hash split audit: per (source, split) counts + shares
+    "q_split_report" -> ((s, d) => graft.ops.Sampling.splitReport(
+      Tables.documents(s, d), "source", "doc_id", seed = 42L)),
     // ---- events / sessionization (north-star; streaming twin in
     // graft.streaming.Streams runs the same expressions incrementally) ----
     "q_hourly_events" -> ((s, d) => Streams.hourlyCountsBatch(Tables.events(s, d))),
@@ -901,6 +907,27 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_label_centroids" ->
+      """SELECT label, dim,
+        |  round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_val,
+        |  count(*) AS n_vecs
+        |FROM (SELECT label, unnest(range(1, len(embedding)+1)) AS dim,
+        |        unnest(embedding) AS v
+        |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "q_split_report" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CASE WHEN substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |           THEN 'test'
+        |         WHEN substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 2) < '34'
+        |           THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT source, split, count(*) AS n_docs,
+        |  round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY source), 4) AS share
+        |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
     "q_ann_brute" ->
       """SELECT query_id, rnk, neighbor_id, cos_sim FROM (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

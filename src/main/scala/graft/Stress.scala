@@ -105,7 +105,13 @@ object Stress {
     // round 4: bloom-prefilter decontamination (map-side drop vs the exact
     // twin's full shingle shuffle), cross-document packing prefix sums
     "q_decontaminate_bloom", "q_pack_index", "q_containment",
-    "q_shuffle_shards", "q_source_report")
+    "q_shuffle_shards", "q_source_report",
+    // round 4 continuation: cluster survivors (closure + one window),
+    // snapshot-delta admission (batch-bounded shingle join), SemDeDup
+    // (k-means cells confine the quadratic compare)
+    "q_dup_survivors", "q_incremental_dedup", "q_semantic_dedup",
+    // map-side shapes that must trend flat: hash split, centroid aggregate
+    "q_split_report", "q_label_centroids")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

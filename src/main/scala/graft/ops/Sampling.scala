@@ -113,6 +113,45 @@ object Sampling {
       .agg(count(lit(1)).as("n_rows"), min(col("shuffle_key")).as("first_key"))
       .orderBy(col("shard"))
 
+  /** Deterministic train/val/test split — membership as a pure function of
+    * (seed, id): md5(seed ‖ id)'s leading byte lands the row in one of 256
+    * buckets, and the split boundaries are HEX-PREFIX comparisons
+    * (fixed-width lowercase hex sorts identically as text and as a number,
+    * so every engine agrees without base conversion — the
+    * [[deterministicShuffle]] shard trick). Properties a row_number or
+    * random() split lacks, and the ones that matter when the split defines
+    * an eval set: reproducible across runs/engines/retries, stable under
+    * corpus growth (appending rows never reassigns existing ones), and
+    * order-free. Quantization is 1/256 (`testSlots`/`valSlots` buckets);
+    * audit the achieved rates with [[splitReport]]. Map-side, zero
+    * shuffle. */
+  def hashSplit(df: DataFrame, idCol: String, seed: Long,
+                testSlots: Int = 26, valSlots: Int = 26): DataFrame = {
+    require(testSlots >= 0 && valSlots >= 0 && testSlots + valSlots < 256,
+      s"hashSplit: test+val slots must fit the 256-bucket space, got $testSlots+$valSlots")
+    val shard = substring(
+      md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))), 1, 2)
+    df.withColumn("split",
+      when(shard < lit(f"$testSlots%02x"), lit("test"))
+        .when(shard < lit(f"${testSlots + valSlots}%02x"), lit("val"))
+        .otherwise(lit("train")))
+  }
+
+  /** Per-(stratum, split) audit for [[hashSplit]]: counts plus the achieved
+    * within-stratum share — the number you check against the intended
+    * 10/10/80 before a training run. One aggregate + a stratum-partitioned
+    * window over the (tiny) report rows. */
+  def splitReport(df: DataFrame, strataCol: String, idCol: String,
+                  seed: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    hashSplit(df, idCol, seed)
+      .groupBy(col(strataCol), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 4))
+      .orderBy(col(strataCol), col("split"))
+  }
+
   /** Seeded Bernoulli stratified sample (`DataFrameStatFunctions.sampleBy`).
     * Kept for API completeness; cache() the result before branching reuse —
     * seeded rand re-evaluates under AQE partition drift (engine-wide rule,

@@ -266,6 +266,30 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Per-label element-wise mean embedding — the class-centroid table that
+    * seeds cluster-balanced sampling, nearest-centroid pruning and
+    * embedding-drift monitoring. Emitted long-form (label, dim, mean_val,
+    * n_vecs): dim-major rows instead of a re-packed array, so the result is
+    * oracle-hashable and joins directly against exploded vectors.
+    *
+    * Exact cross-engine arithmetic: each component is rounded to 6 dp and
+    * summed as DECIMAL (the dsum rule used by the surprisal oracle), so the
+    * mean is independent of partition order — a plain double `avg` would
+    * drift in the last bits per run. One posexplode + one (label, dim) hash
+    * aggregate; the exploded tier is n·dim rows but partial (map-side)
+    * aggregation collapses it to |labels|·dim before the only shuffle. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast("bigint").as("dim"),
+        round(col("col").cast("double"), 6).cast("decimal(18,6)").as("v"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("v")).as("s"))
+      .select(col("label"), col("dim"),
+        round(col("s").cast("double") / col("n_vecs"), 6).as("mean_val"),
+        col("n_vecs"))
+      .orderBy(col("label"), col("dim"))
+
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
     * a k-means coarse quantizer cells the embedding space, exact cosine runs
     * only WITHIN each cell, and a vector is dropped when a lower-id

@@ -295,4 +295,32 @@ class Round3OpsSpec extends SparkSpec {
     // md5 prefixes spread: all 256 shards populated at this size
     assert(rep.count() == 256L)
   }
+
+  test("hashSplit: total, deterministic, growth-stable, seed-sensitive") {
+    val small = (0L until 500L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val grown = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    def splits(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Sampling.hashSplit(df, "doc_id", seed).select("doc_id", "split")
+        .as[(Long, String)].collect().toMap
+    val s1 = splits(small, 42L)
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(s1.size == 500)
+    // appending rows never reassigns existing ones (pure function of id)
+    val s2 = splits(grown, 42L)
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+    // near the intended 26/26/204 of 256 at this size
+    val rates = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(rates("test") > 20 && rates("test") < 90)
+    assert(rates("val") > 20 && rates("val") < 90)
+    assert(rates("train") > 300)
+    // a different seed produces a different assignment somewhere
+    assert(splits(small, 43L) != s1)
+    // the report's shares sum to 1 within each stratum
+    val rep = Sampling.splitReport(small, "source", "doc_id", 42L)
+    val bySource = rep.select("source", "share").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    bySource.values.foreach(s => assert(math.abs(s - 1.0) < 0.001))
+  }
 }

@@ -72,6 +72,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("labelCentroids computes exact per-label element-wise means") {
+    val d = Seq(
+      (1L, Seq(1.0f, 2.0f), 0),
+      (2L, Seq(3.0f, 4.0f), 0),
+      (3L, Seq(10.0f, -2.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(d)
+      .as[(Int, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, 1L, 2.0, 2L), (0, 2L, 3.0, 2L),
+      (1, 1L, 10.0, 1L), (1, 2L, -2.0, 1L)))
+  }
+
   test("semanticDedup: planted clone dropped, drops verified, keeps monotone in threshold") {
     val base = Tables.embeddings(spark, sf)
     val clone = base.filter(col("vec_id") === 7L)
