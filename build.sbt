@@ -30,5 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules", "jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the harness box is 128 GiB / local[32]: 8g starved the 90-query suites
+  // (pinned checkpoint state + 32-thread execution share one heap)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -142,6 +142,11 @@ object Stress {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        // same inter-query state release as Bench: pinned checkpoint blocks
+        // must not accumulate across the suite (see Bench on why)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
         name -> (if (ok) dt else -dt)
       }
       val times = selectedQueries.map { q =>
