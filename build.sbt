@@ -30,7 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules", "jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // the harness box is 128 GiB / local[32]: 8g starved the 90-query suites
-  // (pinned checkpoint state + 32-thread execution share one heap)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 8g measured BEST for this harness: a larger heap (24g tried) lets the
+  // x8-stress shingle-join hash aggregation grow enormous in-heap state
+  // before spilling and G1 pause time dominates — 612 s vs 47 s for the
+  // identical plan. Inter-query state release in Bench/Verify/Stress (not
+  // heap size) is what keeps the 90-query suites healthy.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
