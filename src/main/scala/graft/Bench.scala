@@ -1,5 +1,42 @@
 package graft
+
+/** Benchmark harness — the driver's per-round performance gate.
+  *
+  * Output protocol (r5, driven by the r4 driver-bench forensics): the
+  * driver keeps only the LAST ~2 KB of stdout, so a single 91-query JSON
+  * line gets its HEAD cut off and nothing parses (`BENCH_r04.json`:
+  * `parsed: null`, 26 queries invisible). The harness now prints, in order:
+  *   1. one `{"bench_pass":…}` line per query per pass (per-pass seconds,
+  *      GC-time delta, storage-memory high-water) — the attribution trail
+  *      for environment divergence; truncated away in the artifact, present
+  *      in full logs;
+  *   2. the full contract line `{"metric","value","unit","queries":<all>,
+  *      "errors","sf"}` — parses completely whenever the consumer keeps
+  *      whole stdout;
+  *   3. LAST, a compact summary line with the same contract keys but only
+  *      the top-10-slowest (plus every errored) query map, plus backend
+  *      telemetry (`blas`, gc totals) — short enough that it ALWAYS
+  *      survives a tail truncation, so a failing or pathological query can
+  *      never be invisible in the artifact again.
+  */
 object Bench {
+
+  /** Which netlib BLAS implementation spark.ml will actually use — loaded
+    * once and stamped into the artifact: VectorBLAS (jdk.incubator.vector
+    * present, the fast path build.sbt arranges) vs Java11BLAS/F2jBLAS
+    * (silent scalar fallback when the invocation path drops the module).
+    * ALS throughput differs ~3x between them (measured r4), so the bench
+    * artifact must prove which solver ran. */
+  lazy val blasBackend: String =
+    try dev.ludovic.netlib.blas.BLAS.getInstance.getClass.getSimpleName
+    catch { case _: Throwable => "unavailable" }
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,6 +52,22 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // storage-memory high-water sampler: a daemon polling the status
+    // tracker, reset per query — post-hoc attribution for "late queries
+    // measure GC pressure, not their plan" regressions
+    val storagePeak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sampler = new Thread(() => {
+      while (true) {
+        try {
+          val used = spark.sparkContext.statusTracker.getExecutorInfos
+            .map(i => i.usedOnHeapStorageMemory + i.usedOffHeapStorageMemory).sum
+          storagePeak.getAndAccumulate(used, math.max)
+        } catch { case _: Throwable => () }
+        Thread.sleep(100)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     // optional args: bench only the named queries (local profiling aid)
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
@@ -26,12 +79,16 @@ object Bench {
     // share a stall, while whole-suite passes separate the attempts by
     // minutes and reject it. A query that fails is not retried on later
     // passes.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val names = selected.keys.toSeq
     val best = scala.collection.mutable.Map[String, Double]()
+    val failedAt = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()
+    val gcTotal0 = gcMillis
     for (pass <- 1 to runs; name <- names if !errors.contains(name)) {
       val fn = selected(name)
+      storagePeak.set(0L)
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every computed
       // column out of a map-only query, timing the scan instead of the work
@@ -42,28 +99,53 @@ object Bench {
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      if (err.isEmpty)
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      else failedAt(name) = dt
       err.foreach(errors(name) = _)
+      println(s"""{"bench_pass":$pass,"q":"$name","sec":${f"$dt%.3f"},""" +
+        s""""gc_ms":${gcMillis - gc0},""" +
+        s""""storage_peak_mb":${storagePeak.get() / (1024 * 1024)}""" +
+        err.map(m => s""","err":"$m"""").getOrElse("") + "}")
       // release the query's pinned state before the next query:
       // localCheckpoint blocks stay in the block manager until their RDD is
       // GC'd, so a 90-query suite otherwise accumulates every pinned
       // shingle tier / fixpoint state in storage memory and the late
       // queries measure GC pressure, not their own plan (observed: ALS
-      // 22 s solo vs 78 s at the end of a full run)
+      // 22 s solo vs 78 s at the end of a full run). Invariant this sweep
+      // relies on: no cross-query persistent state — queries build their
+      // own plans from the parquet sources each time (ContractSpec).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      // broadcast blocks are only reclaimed by the ContextCleaner on GC —
+      // nudge it so broadcast-heavy fixpoints don't accumulate residency
+      // across a 90-query suite (VERDICT r4 "what's wrong" #3)
+      System.gc()
     }
-    // a failed query reports NEGATIVE elapsed: visibly broken, never a
-    // plausible "fast" measurement
-    val results = names.map(n =>
-      (n, if (errors.contains(n)) -best(n) else best(n), errors.get(n)))
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => s"\"" + k + "\":\"" + m + "\"" }
-      .mkString("{", ",", "}")
+    // a failed query reports NEGATIVE elapsed — visibly broken, never a
+    // plausible "fast" measurement — using the FAILING attempt's own
+    // elapsed (a query that succeeded on pass 1 and failed on pass 2 must
+    // not report its successful time as the failure's)
+    val results = names.map { n =>
+      val v = if (errors.contains(n)) -failedAt.getOrElse(n, 0.0)
+              else best.getOrElse(n, Double.NaN)
+      (n, v, errors.get(n))
+    }
+    def jmap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v, _) => k -> v.toString })
+    val errs = jmap(results.collect { case (k, _, Some(m)) => k -> ("\"" + m + "\"") })
     val total = results.collect { case (_, v, None) => v }.sum
+    // full contract line: complete per-query map (parses when stdout is
+    // kept whole; its head is what a 2 KB tail cut sacrifices)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // compact summary LAST — inside any tail window: top-10 slowest plus
+    // every errored query, totals, pass count and the BLAS backend proof
+    val top = (results.filter(_._3.isDefined) ++
+        results.filter(_._3.isEmpty).sortBy(-_._2).take(10)).distinct
+    val topQs = jmap(top.map { case (k, v, _) => k -> f"$v%.3f" })
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"runs":$runs,"blas":"$blasBackend","gc_ms_total":${gcMillis - gcTotal0},"queries":$topQs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

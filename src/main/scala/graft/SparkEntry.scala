@@ -278,13 +278,19 @@ object SparkEntry {
     "q_clean_corpus" -> ((s, d) => graft.jobs.CleanCorpus.stages(Tables.documents(s, d))),
     // ---- dedup (north-star) ----
     "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    // headline funnel gate — rides dupClusters' default, which is the
+    // round-bounded star contraction since r5 (the min-label fixpoint's
+    // barrier-count made it 6.4x slower under driver-box contention while
+    // the star variant ran the identical pair tier at 9.4 s, VERDICT r4)
     "q_dup_clusters" -> ((s, d) => graft.graph.Components.dupClusters(
       Tables.documents(s, d), Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
-    // the O(log n)-round star variant against the SAME closure oracle:
-    // both algorithms must produce identical clusters
-    "q_dup_clusters_star" -> ((s, d) => graft.graph.Components.dupClusters(
+    // the min-label fixpoint against the SAME closure oracle: both
+    // algorithms must produce identical clusters (renamed from
+    // q_dup_clusters_star in r5 when the default flipped — the star leg now
+    // rides q_dup_clusters, this gate keeps min-label driver-checked)
+    "q_dup_clusters_minlabel" -> ((s, d) => graft.graph.Components.dupClusters(
       Tables.documents(s, d), Dedup.ngramJaccardPairs(Tables.documents(s, d)),
-      longChains = true)),
+      minLabel = true)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     // directional twin: catches short-doc-quoted-in-long-doc subset
     // duplication that symmetric Jaccard scores near zero
@@ -395,7 +401,7 @@ object SparkEntry {
 
   /** The dedup-funnel closure oracle prefix (shingles → Jaccard pairs →
     * recursive-CTE transitive closure → per-vertex component minimum),
-    * shared by q_dup_clusters, q_dup_clusters_star and q_dup_survivors:
+    * shared by q_dup_clusters, q_dup_clusters_minlabel and q_dup_survivors:
     * all three must agree on the clustering exactly, so all three oracles
     * build on the same closure. */
   private val dupClosurePrefix: String =
@@ -869,10 +875,10 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     // the dedup-funnel middle: Jaccard pairs -> connected components ->
     // canonical keep verdict. The closure is a recursive CTE (tiny pair
-    // set at oracle scale); Spark runs min-label propagation (or the
-    // star-contraction variant — q_dup_clusters_star, same oracle: the
-    // two algorithms must agree clustering-exactly).
-    "q_dup_clusters_star" -> dupClustersSql,
+    // set at oracle scale); Spark runs star contraction (the default) or
+    // min-label propagation — q_dup_clusters_minlabel, same oracle: the
+    // two algorithms must agree clustering-exactly.
+    "q_dup_clusters_minlabel" -> dupClustersSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_dup_survivors" -> dupSurvivorsSql,
     "q_incremental_dedup" ->

@@ -100,7 +100,7 @@ object Stress {
     "q_asof_join", "q_band_join", "q_order_gaps", "q_decontaminate",
     "q_set_ops", "q_stratified_sample", "q_vocab", "q_tfidf",
     "q_winsorize", "q_quality_deciles", "q_dup_clusters", "q_domain_mix",
-    "q_ngram_jaccard", "q_langid", "q_dup_clusters_star",
+    "q_ngram_jaccard", "q_langid", "q_dup_clusters_minlabel",
     "q_surprisal", "q_chunks",
     // round 4: bloom-prefilter decontamination (map-side drop vs the exact
     // twin's full shingle shuffle), cross-document packing prefix sums

@@ -24,24 +24,45 @@ object Components {
   /** Label every vertex of the pair graph with its component's minimum
     * vertex id. Input: one row per undirected pair (a, b); output:
     * (id, component). Vertices outside any pair are absent — callers
-    * coalesce(component, id) when joining back to the corpus. */
+    * coalesce(component, id) when joining back to the corpus.
+    *
+    * Barrier budget (the r4 driver lesson): the original loop ran ~4
+    * driver-synchronized barriers per round — two label broadcasts, an
+    * eager checkpoint and a 1-row convergence action — and under external
+    * CPU contention every barrier stretches (75.6 s driver vs 4.4 s solo on
+    * identical code, VERDICT r4). This shape cuts that to ~1 barrier per
+    * round: a self-loop per vertex folds "min over self and neighbors" into
+    * ONE join + ONE aggregate (no left-join back to the previous state, one
+    * broadcast per round instead of two), rounds run two-at-a-time under a
+    * single eager checkpoint, and convergence is an order-independent
+    * `bit_xor(xxhash64(id, label))` signature — the same detector the star
+    * variant uses — checked once per two rounds. Labels only ever decrease,
+    * so an unchanged signature means a fixed point (up to the same
+    * negligible hash-collision odds the star variant already accepts). */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
                           maxIter: Int = 20): DataFrame = {
-    // symmetrize once: each row contributes messages in both directions
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+    // symmetrize once: each row contributes messages in both directions;
+    // pinned eagerly so vertex derivation and the first round share it
+    val sym = pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
+      .localCheckpoint(true)
+    val verts = sym.select(col("src").as("id")).distinct()
+    val nVerts = verts.count()
+    // self-loops carry each vertex's own label through the neighbor-min
+    // aggregate; pre-partitioned on dst so the per-round groupBy(dst)
+    // reuses this exchange instead of shuffling every round
+    val edges = sym
+      .unionByName(verts.select(col("id").as("src"), col("id").as("dst")))
       .repartition(col("dst")).cache()
     // label-state partitioning sized to the vertex count, exactly as the
     // PageRank fixpoint sizes rank state (PageRankOp.pageRank): iterating
     // a few hundred labels across the full session fan-out is pure
     // scheduler overhead, while real vertex counts scale it back up
-    val vertsIds = edges.select(col("src").as("id")).distinct()
-    val nVerts = vertsIds.count()
     val sc = pairs.sparkSession.sparkContext
     val labelParts = math.max(1,
       math.min(sc.defaultParallelism, (nVerts / 100000L).toInt + 1))
-    var labels = vertsIds
+    var labels = verts
       .withColumn("label", col("id"))
       .coalesce(labelParts)
       .localCheckpoint(true)
@@ -51,25 +72,24 @@ object Components {
     // does (PageRankOp.pageRank)
     val bcast = nVerts <= 1000000L
     def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
-    var changed = 1L
+    def round(l: DataFrame): DataFrame = edges
+      .join(maybeBcast(l.withColumnRenamed("id", "src")), Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(min(col("label")).as("label"))
+    def sigOf(l: DataFrame): Long =
+      l.agg(coalesce(expr("bit_xor(xxhash64(id, label))"), lit(0L)))
+        .head().getLong(0)
+    var prevSig: Option[Long] = None
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // each vertex's next label: min over its own and its neighbors'
-      val incoming = edges
-        .join(maybeBcast(labels.withColumnRenamed("id", "src")), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nbr_label"))
-      val next = labels
-        .join(maybeBcast(incoming), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("label") =!= least(col("label"), coalesce(col("nbr_label"), col("label"))))
-            .cast("long").as("delta"))
-        .coalesce(labelParts)
-        .localCheckpoint(true)
-      changed = next.agg(sum(col("delta"))).head().getLong(0)
-      labels = next.select(col("id"), col("label"))
-      iter += 1
+    var done = nVerts == 0L
+    while (!done && iter < maxIter) {
+      val steps = math.min(2, maxIter - iter)
+      var next = labels
+      for (_ <- 1 to steps) next = round(next)
+      labels = next.coalesce(labelParts).localCheckpoint(true)
+      iter += steps
+      val s = sigOf(labels)
+      if (prevSig.contains(s)) done = true else prevSig = Some(s)
     }
     edges.unpersist(blocking = false)
     labels.select(col("id"), col("label").as("component"))
@@ -161,7 +181,7 @@ object Components {
   def dupSurvivors(documents: DataFrame, pairs: DataFrame,
                    a: String = "doc_a", b: String = "doc_b"): DataFrame = {
     val p = pairs.localCheckpoint(true)
-    val comp = connectedComponents(p, a, b).withColumnRenamed("id", "doc_id")
+    val comp = connectedComponentsStar(p, a, b).withColumnRenamed("id", "doc_id")
     val clustered = documents
       .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
       .join(comp, Seq("doc_id"), "left")
@@ -181,17 +201,21 @@ object Components {
     * keep/drop verdict (the cluster minimum survives). */
   def dupClusters(documents: DataFrame, pairs: DataFrame,
                   a: String = "doc_a", b: String = "doc_b",
-                  longChains: Boolean = false): DataFrame = {
-    // pin the pair tier: connectedComponents reads `pairs` twice (the
+                  minLabel: Boolean = false): DataFrame = {
+    // pin the pair tier: the component fixpoints read `pairs` twice (the
     // symmetrizing union), and when the pairs come from a full near-dup
     // pipeline (Dedup.ngramJaccardPairs) recomputing that pipeline per read
     // would double the most expensive stage of the funnel
     val p = pairs.localCheckpoint(true)
-    // near-dup graphs are quasi-cliques (shallow), where min-label's
-    // diameter-many rounds are fewest; opt into the star variant when the
-    // pair graph can contain long chains (transitive similarity drift)
-    val comp = (if (longChains) connectedComponentsStar(p, a, b)
-                else connectedComponents(p, a, b))
+    // star contraction is the default: round-bounded at O(log n)
+    // alternations AND — the r4 driver lesson — an order of magnitude less
+    // sensitive to environment contention than a diameter-many-round
+    // fixpoint (9.4 s vs 75.6 s on the identical pair tier in the same
+    // driver run, VERDICT r4). Opt into min-label for shallow quasi-clique
+    // graphs where diameter rounds are provably few and each round is
+    // cheaper (one join vs two joins + two distincts).
+    val comp = (if (minLabel) connectedComponents(p, a, b)
+                else connectedComponentsStar(p, a, b))
       .withColumnRenamed("id", "doc_id")
     documents.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")

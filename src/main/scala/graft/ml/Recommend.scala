@@ -23,6 +23,20 @@ import org.apache.spark.sql.types.Metadata
   */
 object Recommend {
 
+  /** Logged once per JVM, before the first ALS fit: which netlib BLAS
+    * backend spark.ml resolved. VectorBLAS (jdk.incubator.vector loaded, as
+    * build.sbt's fork options arrange) runs the normal-equation solves ~3x
+    * faster than the scalar F2J/Java fallbacks, and the fallback is SILENT
+    * — if a harness launches this code without the module flag the only
+    * sign is a slow ALS, so the artifact logs must prove which solver ran
+    * (VERDICT r4). */
+  private lazy val logBlasOnce: Unit = {
+    val backend =
+      try dev.ludovic.netlib.blas.BLAS.getInstance.getClass.getSimpleName
+      catch { case _: Throwable => "unavailable" }
+    println(s"""{"graft_netlib_blas":"$backend"}""")
+  }
+
   /** Rating triples from the fixtures: customer × part with summed quantity
     * as implicit rating (the reference's (uploader, video, rate) analogue),
     * keys stringified so the StringIndexer leg (M1) is exercised exactly as
@@ -47,6 +61,7 @@ object Recommend {
   def recommendForUsers(spark: SparkSession, triples: DataFrame,
                         nUsers: Int = 500, nRecs: Int = 5,
                         sampleFraction: Double = 0.10, seed: Long = 42L): DataFrame = {
+    logBlasOnce
     // cache() pins the sampled rows: without it each downstream job recomputes
     // the sample against whatever partitioning AQE picked for that job, and a
     // per-partition-seeded sample over different partitions yields different
