@@ -307,7 +307,7 @@ object SparkEntry {
     // 0.35 matches the exact/LSH cosine gates: the fixture's near-dup mass
     // sits there, so the drop path is actually exercised
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(
-      s, Tables.embeddings(s, d), threshold = 0.35)),
+      Tables.embeddings(s, d), threshold = 0.35)),
     "q_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(Tables.documents(s, d))),
     "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 10)),
     "q_winnow_neardups" -> ((s, d) => Dedup.winnowNearDups(Tables.documents(s, d))),
@@ -325,6 +325,11 @@ object SparkEntry {
       Tables.embeddings(s, d), threshold = 0.35)),
     "q_cosine_near_dups_lsh" -> ((s, d) => Similarity.cosineNearDupsLSH(
       Tables.embeddings(s, d), threshold = 0.35)),
+    // recall audit for the three approx paths above: overlap vs the exact
+    // baselines as a driver-gated row per method (oracle recomputes the
+    // exact side, pins the audited overlap — see Similarity.recallAudit)
+    "q_recall_audit" -> ((s, d) => Similarity.recallAudit(
+      s, Tables.embeddings(s, d))),
     // per-class centroid table (cluster-balanced sampling / drift monitor)
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(
       Tables.embeddings(s, d))),
@@ -922,6 +927,9 @@ object SparkEntry {
         |        unnest(embedding) AS v
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    // boundary literals derive from hashSplit's defaults: seed 42,
+    // testSlots=26 -> '1a' hex, testSlots+valSlots=52 -> '34' hex
+    // (COUPLED: Sampling.hashSplit notes the reverse dependency)
     "q_split_report" ->
       """WITH s AS (
         |  SELECT source,
@@ -953,6 +961,40 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    // recall audit: the oracle recomputes each method's EXACT side from the
+    // data (top-k rows for IVF, probe queries for the LSH clone check,
+    // ≥threshold pairs for multi-table LSH) and pins the approx∩exact
+    // overlap at the audited value — all approx paths are seeded, so any
+    // n_hits drift is a real recall change and must go red. The probe is
+    // vec_id < 500 = the whole sf0.01 corpus at the gate.
+    "q_recall_audit" ->
+      """WITH probe AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id < 500),
+        |topk AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                     CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rnk
+        |  FROM probe a JOIN probe b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0,1,2,3,4,5,6,7,8,9)),
+        |exact_pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM probe a JOIN probe b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                     CAST(b.embedding AS DOUBLE[])), 4) >= 0.35),
+        |exacts AS (
+        |  SELECT 'ann_ivf' AS method, (SELECT count(*) FROM topk WHERE rnk <= 10) AS n_exact
+        |  UNION ALL
+        |  SELECT 'ann_lsh', (SELECT count(*) FROM probe WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9))
+        |  UNION ALL
+        |  SELECT 'cosine_lsh', (SELECT count(*) FROM exact_pairs)),
+        |pinned AS (
+        |  SELECT 'ann_ivf' AS method, 59 AS n_hits
+        |  UNION ALL SELECT 'ann_lsh', 10
+        |  UNION ALL SELECT 'cosine_lsh', 251)
+        |SELECT e.method, e.n_exact, CAST(p.n_hits AS BIGINT) AS n_hits,
+        |  round(p.n_hits * 1.0 / e.n_exact, 4) AS recall
+        |FROM exacts e JOIN pinned p USING (method)
+        |ORDER BY method""".stripMargin,
     "q_pagerank_parts" ->
       s"""WITH edges AS MATERIALIZED (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst

@@ -127,6 +127,9 @@ object Sampling {
     * shuffle. */
   def hashSplit(df: DataFrame, idCol: String, seed: Long,
                 testSlots: Int = 26, valSlots: Int = 26): DataFrame = {
+    // COUPLED: the q_split_report oracle (SparkEntry.oracleSql) hardcodes
+    // these defaults as hex literals '1a' (=26) and '34' (=52); change the
+    // defaults and the oracle boundaries together.
     require(testSlots >= 0 && valSlots >= 0 && testSlots + valSlots < 256,
       s"hashSplit: test+val slots must fit the 256-bucket space, got $testSlots+$valSlots")
     val shard = substring(

@@ -305,7 +305,7 @@ object Similarity {
     * in SimilaritySpec: every dropped vector has a verified lower-id
     * partner at ≥ threshold, keeps are monotone in the threshold).
     * Output: (vec_id, cell, keep) for the full corpus. */
-  def semanticDedup(spark: SparkSession, embeddings: DataFrame,
+  def semanticDedup(embeddings: DataFrame,
                     nlist: Int = 16, threshold: Double = 0.8,
                     seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -348,5 +348,66 @@ object Similarity {
         round(cosine(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Driver-gated recall audit for the three approximate similarity paths
+    * — each measured against the property it actually promises:
+    *   - `ann_ivf` ([[ivfTopK]]): overlap with the exact top-k (the
+    *     data-adaptive cells should recover most true neighbors even at
+    *     nprobe/nlist = 1/4 of the cells);
+    *   - `ann_lsh` ([[lshTopK]]): planted-clone recall — identical vectors
+    *     hash to the SAME bucket with probability 1, so each query's
+    *     planted exact duplicate must come back at rank 1 with cos 1.0.
+    *     (Global top-k overlap is NOT this single-table config's contract:
+    *     on near-uniform vectors one 8-plane table prunes true neighbors
+    *     aggressively by design — the multi-table OR-amplification in
+    *     [[cosineNearDupsLSH]] is the high-recall form, audited next.)
+    *   - `cosine_lsh` ([[cosineNearDupsLSH]]): fraction of exact ≥threshold
+    *     pairs recovered (the L tables are derived to put this ≥ 0.9).
+    * The recall invariants previously lived only in SimilaritySpec; this
+    * query puts them behind the driver's oracle gate, so a recall
+    * regression fails CORRECTNESS, not just CI. The oracle recomputes
+    * `n_exact` from the data and pins `n_hits` at the audited value —
+    * every input is seeded/deterministic, so drift in the pinned number IS
+    * a behavior change in an approximate path and must fail loudly.
+    *
+    * Scale shape: the audit runs on a FIXED `auditRows`-vector probe
+    * (deterministic id slice — exactly the whole corpus at the sf0.01
+    * gate). Recall is a property of the algorithm configuration, not the
+    * corpus size, so the audit stays O(1) however large the table grows;
+    * the quadratic exact sides are confined to the probe. */
+  def recallAudit(spark: SparkSession, embeddings: DataFrame,
+                  queryIds: Seq[Long] = 0L to 9L, k: Int = 10,
+                  threshold: Double = 0.35, auditRows: Long = 500L): DataFrame = {
+    // pinned: the exact sides and every approx path re-read the probe
+    val emb = embeddings.filter(col("vec_id") < auditRows).localCheckpoint(true)
+    val exactTopK = bruteForceTopK(emb, queryIds, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val exactPairs = cosineNearDups(emb, threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    def audit(method: String, approx: DataFrame, exact: DataFrame,
+              keys: Seq[String]): DataFrame =
+      approx.select(keys.map(col): _*)
+        .join(exact, keys, "leftsemi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(lit(method).as("method"), col("n_exact"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_exact"), 4).as("recall"))
+    // clone probe: vec_id + auditRows never collides with a real probe id
+    val clones = emb.filter(col("vec_id").isin(queryIds: _*))
+      .withColumn("vec_id", col("vec_id") + lit(auditRows))
+    val cloneExpect = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        (col("vec_id") + lit(auditRows)).as("neighbor_id"))
+    val cloneFound = lshTopK(emb.unionByName(clones), queryIds, k)
+      .filter(col("rnk") === 1 && col("cos_sim") === 1.0)
+      .select(col("query_id"), col("neighbor_id"))
+    audit("ann_ivf", ivfTopK(spark, emb, queryIds, k), exactTopK,
+        Seq("query_id", "neighbor_id"))
+      .unionByName(audit("ann_lsh", cloneFound, cloneExpect,
+        Seq("query_id", "neighbor_id")))
+      .unionByName(audit("cosine_lsh", cosineNearDupsLSH(emb, threshold),
+        exactPairs, Seq("id_a", "id_b")))
+      .orderBy(col("method"))
   }
 }

@@ -90,7 +90,7 @@ class SimilaritySpec extends SparkSpec {
     val clone = base.filter(col("vec_id") === 7L)
       .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"), col("label"))
     val corpus = base.unionByName(clone)
-    val got = Similarity.semanticDedup(spark, corpus, nlist = 8, threshold = 0.35)
+    val got = Similarity.semanticDedup(corpus, nlist = 8, threshold = 0.35)
     // the identical clone lands in vec 7's cell (same point, same centroid)
     // at cosine 1.0 and must be dropped
     val keeps = got.select("vec_id", "keep").as[(Long, Int)].collect().toMap
@@ -103,11 +103,11 @@ class SimilaritySpec extends SparkSpec {
     keeps.filter(_._2 == 0).keys.foreach(v =>
       assert(hasLowerPartner.contains(v), s"vec $v dropped without an exact partner"))
     // seeded quantizer → deterministic verdicts across runs
-    val again = Similarity.semanticDedup(spark, corpus, nlist = 8, threshold = 0.35)
+    val again = Similarity.semanticDedup(corpus, nlist = 8, threshold = 0.35)
       .select("vec_id", "keep").as[(Long, Int)].collect().toMap
     assert(again == keeps)
     // a stricter threshold can only keep more (same seed → same cells)
-    val strict = Similarity.semanticDedup(spark, corpus, nlist = 8, threshold = 0.9)
+    val strict = Similarity.semanticDedup(corpus, nlist = 8, threshold = 0.9)
       .filter(col("keep") === 1).count()
     assert(strict >= keeps.values.count(_ == 1))
   }
