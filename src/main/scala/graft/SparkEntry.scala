@@ -90,6 +90,11 @@ object SparkEntry {
     "q_top_parts_by_qty" -> ((s, d) => Aggregations.topPartsByQuantity(Tables.lineitem(s, d), 100)),
     "q_count" -> ((s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
     "q_winsorize" -> ((s, d) => Aggregations.winsorizedPriceStats(Tables.orders(s, d))),
+    // the 100 TB form of the same report: quantile sketch instead of exact
+    // per-group value buffers (rows-only gate — sketch quantiles are
+    // engine-specific; accuracy pinned vs exact in AggregationsSpec)
+    "q_winsorize_approx" -> ((s, d) => Aggregations.winsorizedPriceStats(
+      Tables.orders(s, d), maxExactRows = 0L)),
     "q_quality_deciles" -> ((s, d) => Aggregations.qualityDeciles(Tables.documents(s, d))),
     "q_rollup" -> ((s, d) => Aggregations.rollupStats(Tables.lineitem(s, d))),
     "q_distinct_count" -> ((s, d) =>
@@ -340,6 +345,10 @@ object SparkEntry {
     // graft.streaming.Streams runs the same expressions incrementally) ----
     "q_hourly_events" -> ((s, d) => Streams.hourlyCountsBatch(Tables.events(s, d))),
     "q_user_sessions" -> ((s, d) => Streams.userSessionsBatch(Tables.events(s, d))),
+    // the streaming engine's session semantics behind the same oracle: a
+    // real readStream -> session_window -> memory-sink query, drained, must
+    // equal the batch form row-for-row (bloom-twin gating pattern)
+    "q_user_sessions_stream" -> ((s, d) => Streams.userSessionsStreamGate(s, d)),
     "q_top_event_types" -> ((s, d) => Streams.topEventTypesPerHour(Tables.events(s, d))),
     // ---- multimodal plumbing (north-star; decode is a marked stub) ----
     "q_media_meta" -> ((s, d) => Multimodal.largeLandscapeImages(
@@ -1079,6 +1088,20 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2)
         |WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin,
     "q_user_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // the streaming twin shares the batch oracle verbatim: identical
+    // session semantics is exactly the property under test
+    "q_user_sessions_stream" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL

@@ -183,15 +183,30 @@ object Aggregations {
 
   /** Winsorization report — per-group p05/p95 clipping, the standard
     * outlier-robust cleaning pass before a numeric column feeds training.
-    * One grouped exact-percentile aggregate (a single buffer holds both
+    * One grouped percentile aggregate (a single buffer holds both
     * quantiles), broadcast back onto the facts (group count is dimension-
     * sized), then boundary counts + the clipped mean. Clipped values are
     * rounded to cents before the decimal-exact sum, so the mean is
-    * accumulation-order-free and cross-engine deterministic. */
+    * accumulation-order-free and cross-engine deterministic.
+    *
+    * State guard: the EXACT percentile aggregate buffers every value of a
+    * group in memory — unbounded per-group state at corpus scale. Above
+    * `maxExactRows` input rows the quantiles switch to the mergeable
+    * `percentile_approx` sketch (memory bounded by the accuracy knob, not
+    * cardinality) — the same exact-oracle/approx-scale pairing as
+    * [[globalStats]]/[[globalStatsApprox]]. The exact form remains the
+    * hash-matched oracle twin (q_winsorize); the forced-approx form is
+    * gated rows-only (q_winsorize_approx) with its accuracy pinned against
+    * the exact quantiles in AggregationsSpec, per SURVEY §5. */
   def winsorizedPriceStats(orders: DataFrame,
-                           lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+                           lo: Double = 0.05, hi: Double = 0.95,
+                           maxExactRows: Long = 10000000L): DataFrame = {
+    val exact = orders.count() <= maxExactRows
+    val pctAgg =
+      if (exact) expr(s"percentile(o_totalprice, array(${lo}D, ${hi}D))")
+      else expr(s"percentile_approx(o_totalprice, array(${lo}D, ${hi}D), 10000)")
     val pct = orders.groupBy(col("o_orderpriority"))
-      .agg(expr(s"percentile(o_totalprice, array(${lo}D, ${hi}D))").as("ps"))
+      .agg(pctAgg.as("ps"))
       .select(col("o_orderpriority"),
         element_at(col("ps"), 1).as("p_lo"), element_at(col("ps"), 2).as("p_hi"))
     val clipped = least(greatest(col("o_totalprice"), col("p_lo")), col("p_hi"))

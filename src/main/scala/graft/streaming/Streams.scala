@@ -162,6 +162,59 @@ object Streams {
       .orderBy(col("window_start"), col("rnk"))
   }
 
+  /** Driver-gated streaming twin of [[userSessionsBatch]]: the SAME
+    * session_window aggregation run as an actual Structured Streaming query
+    * over a file-stream source, drained to a memory sink, returned as the
+    * batch DataFrame the driver's oracle compares — the streaming engine's
+    * session semantics are checked against the recursive lag/gap SQL the
+    * batch form already passes (the bloom-twin gating pattern).
+    *
+    * Complete output mode, deliberately: in append mode sessions are only
+    * emitted once the watermark passes them, and a drained finite stream
+    * never advances the watermark past its last event, so trailing sessions
+    * would be withheld and the twin could never equal the batch result.
+    * Complete mode emits the full session table each trigger. The memory
+    * sink holds one row per SESSION (not per event) — bounded at gate
+    * scale; a production deployment writes [[exactlyOnceSink]]-style to a
+    * lake instead. Sums use the decimal-exact dsum so micro-batch
+    * accumulation order cannot perturb the float result. */
+  def userSessionsStreamGate(spark: SparkSession, sfDir: String,
+                             gap: String = "5 minutes"): DataFrame = {
+    val name = "graft_sessions_stream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // stage the fixture as two "arriving" chunks and cap the trigger at one
+    // file, so the query runs >= 2 micro-batches and sessions MUST merge
+    // across batch boundaries — the stateful behavior a single-batch drain
+    // would never exercise (even/odd ids interleave every session)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-sessions-gate").toFile.getAbsolutePath
+    // Tables.events normalizes the fixture's nanosecond timestamps to
+    // Spark TimestampType, so the staged chunks match eventsSchema
+    val events = graft.model.Tables.events(spark, sfDir)
+    events.filter(pmod(col("event_id"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(s"$stage/chunk=0")
+    events.filter(pmod(col("event_id"), lit(2)) === 1)
+      .write.mode("overwrite").parquet(s"$stage/chunk=1")
+    val sessions = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/chunk=*")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.Aggregations.dsum(col("value")).as("sum_value"))
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      // the memory sink owns the result now; drop the staged copies
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(stage)).deleteRecursively()
+    }
+    spark.table(name)
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Batch session windows (session_window works in batch mode too). */
   def userSessionsBatch(events: DataFrame, gap: String = "5 minutes"): DataFrame =
     events

@@ -50,4 +50,25 @@ class AggregationsSpec extends SparkSpec {
     val approxMedian = approx.getDouble(approx.fieldIndex("median_price"))
     assert(math.abs(exactMedian - approxMedian) / exactMedian < 0.05)
   }
+
+  test("winsorize approx variant tracks exact quantiles per group") {
+    val orders = graft.model.Tables.orders(spark, sf)
+    def byGroup(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderpriority", "n", "p_lo", "p_hi")
+        .as[(String, Long, Double, Double)].collect()
+        .map { case (g, n, lo, hi) => g -> ((n, lo, hi)) }.toMap
+    val exact = byGroup(Aggregations.winsorizedPriceStats(orders))
+    val approx = byGroup(Aggregations.winsorizedPriceStats(orders, maxExactRows = 0L))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, (n, lo, hi)) =>
+      val (na, loA, hiA) = approx(g)
+      assert(na == n, s"$g: row count must not depend on the quantile impl")
+      assert(loA <= hiA, s"$g: approx quantiles out of order")
+      // exact interpolates between values, the sketch returns a member
+      // value — on the small fixture's sparse tails that gap dominates, so
+      // the tolerance is wide; at real scale the sketch error is ~1/10000
+      assert(math.abs(loA - lo) / lo < 0.15, s"$g: p05 approx=$loA exact=$lo")
+      assert(math.abs(hiA - hi) / hi < 0.15, s"$g: p95 approx=$hiA exact=$hi")
+    }
+  }
 }
