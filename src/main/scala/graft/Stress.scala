@@ -160,7 +160,25 @@ object Stress {
         timed("lsh_neardups_tight_0.9")(
           graft.sim.Similarity.cosineNearDupsLSH(
               graft.model.Tables.embeddings(spark, dir), threshold = 0.9)
-            .write.format("noop").mode("overwrite").save())
+            .write.format("noop").mode("overwrite").save()) :+
+        // the fixpoint broadcast budget CROSSED (maxBroadcastBytes=0):
+        // the per-round joins take the shuffle branch — the plan shape a
+        // billion-vertex graph gets — so the fallback is exercised and
+        // trend-checked every run, not dead code behind a threshold no
+        // fixture can reach (each run logs {"graft_fixpoint":…,
+        // "broadcast":false} as proof)
+        timed("pagerank_shuffle_branch") {
+          spark.conf.set(graft.graph.StateBroadcast.ConfKey, "0")
+          try SparkEntry.queries("q_pagerank_parts")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          finally spark.conf.unset(graft.graph.StateBroadcast.ConfKey)
+        } :+
+        timed("dup_clusters_shuffle_branch") {
+          spark.conf.set(graft.graph.StateBroadcast.ConfKey, "0")
+          try SparkEntry.queries("q_dup_clusters")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          finally spark.conf.unset(graft.graph.StateBroadcast.ConfKey)
+        }
       m -> times
     }
     // one JSON line per query: seconds at each multiple + the 8x/1x ratio

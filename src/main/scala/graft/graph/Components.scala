@@ -70,7 +70,7 @@ object Components {
     // Catalyst would shuffle-join every round; we KNOW it is nVerts rows —
     // broadcast below the safe threshold, exactly as the PageRank fixpoint
     // does (PageRankOp.pageRank)
-    val bcast = nVerts <= 1000000L
+    val bcast = StateBroadcast.fits(labels, nVerts, "cc_minlabel")
     def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     def round(l: DataFrame): DataFrame = edges
       .join(maybeBcast(l.withColumnRenamed("id", "src")), Seq("src"))
@@ -130,10 +130,11 @@ object Components {
     var cur = sig(edges)
     var iter = 0
     // the star-minimum tables are bounded by the vertex count (≤ 2×edges);
-    // below the safe threshold broadcast them into the per-round joins —
-    // the checkpointed edge set has unknown stats, so Catalyst would
-    // otherwise shuffle-join every alternation (same rule as PageRank)
-    val bcast = cur._1 <= 500000L
+    // while their estimated bytes fit the configured budget, broadcast
+    // them into the per-round joins — the checkpointed edge set has
+    // unknown stats, so Catalyst would otherwise shuffle-join every
+    // alternation (same byte-budget rule as PageRank, StateBroadcast)
+    val bcast = StateBroadcast.fits(edges, cur._1, "cc_star")
     def maybeBcast(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     while (cur != prev && iter < maxIter) {
       // large-star: symmetrize, find each vertex's minimum incident id,

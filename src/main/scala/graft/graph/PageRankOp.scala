@@ -77,12 +77,13 @@ object PageRankOp {
     // Rank state behind a localCheckpoint has UNKNOWN size statistics, so
     // left to itself Catalyst plans every round as a full shuffle join even
     // when the rank table is kilobytes. We KNOW the exact row count
-    // (nVerts), so broadcast the rank/contribution sides explicitly below
-    // the threshold where a broadcast is safe (~1M rows ≈ tens of MB) —
-    // each round then runs map-side over the cached weighted edges, and the
-    // only per-round shuffle left is the contribution aggregate. At
-    // billion-vertex scale the same test keeps the shuffle join.
-    val bcastRankState = nVerts <= 1000000L
+    // (nVerts) and the state schema, so broadcast the rank/contribution
+    // sides explicitly while their estimated bytes fit the configured
+    // budget (StateBroadcast) — each round then runs map-side over the
+    // cached weighted edges, and the only per-round shuffle left is the
+    // contribution aggregate. At billion-vertex scale the same test keeps
+    // the shuffle join; Stress forces that branch via the config every run.
+    val bcastRankState = StateBroadcast.fits(init, nVerts, "pagerank")
     def maybeBcast(df: DataFrame): DataFrame =
       if (bcastRankState) broadcast(df) else df
     for (i <- 1 to numIter) {
