@@ -307,6 +307,22 @@ object SparkEntry {
     // snapshot-delta admission: classify the new-crawl slice against the
     // standing corpus (dup_corpus / dup_batch / new, with audit match)
     "q_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(Tables.documents(s, d))),
+    // the same admission as a MAINTAINED index: build the corpus shingle
+    // tier once as a parquet index, classify the batch by reading it (no
+    // corpus re-tokenization — plan-asserted in ShingleIndexSpec), same
+    // oracle as the recompute form
+    "q_incremental_dedup_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-shingle-index").toFile.getAbsolutePath
+      graft.dedup.ShingleIndex.build(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), s"$stage/index")
+      val out = graft.dedup.ShingleIndex.admit(
+          s, docs.filter(pmod(col("doc_id"), lit(7)) === 0), s"$stage/index")
+        .localCheckpoint(true) // materialize before the staged index is dropped
+      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+      out
+    }),
     // SemDeDup: k-means cells + within-cell exact cosine (engine-specific
     // quantizer -> rows-only gate; properties pinned in SimilaritySpec)
     // 0.35 matches the exact/LSH cosine gates: the fixture's near-dup mass
@@ -896,6 +912,40 @@ object SparkEntry {
     "q_dup_clusters" -> dupClustersSql,
     "q_dup_survivors" -> dupSurvivorsSql,
     "q_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) > 0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS match_id, count(*) AS shared,
+        |    (b.doc_id % 7 = 0) AS m_batch
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 7 = 0
+        |    AND (b.doc_id % 7 <> 0 OR b.doc_id < a.doc_id)
+        |  GROUP BY 1, 2, 4),
+        |scored AS (
+        |  SELECT c.doc_id, c.match_id, c.m_batch,
+        |    round(c.shared * 1.0 / (sa.n + sb.n - c.shared), 4) AS jaccard
+        |  FROM cand c JOIN sizes sa ON c.doc_id = sa.doc_id
+        |  JOIN sizes sb ON c.match_id = sb.doc_id
+        |  WHERE round(c.shared * 1.0 / (sa.n + sb.n - c.shared), 4) >= 0.5),
+        |best AS (
+        |  SELECT doc_id, match_id, jaccard,
+        |    CASE WHEN m_batch THEN 'dup_batch' ELSE 'dup_corpus' END AS verdict,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, match_id) AS rn
+        |  FROM scored)
+        |SELECT d.doc_id, coalesce(b.verdict, 'new') AS verdict, b.match_id, b.jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // index-read twin shares the recompute oracle verbatim: reading the
+    // standing tier instead of re-tokenizing must not change one verdict
+    "q_incremental_dedup_indexed" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(toks) - 2, 1) + 1),

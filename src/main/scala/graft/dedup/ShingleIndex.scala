@@ -1,0 +1,118 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The standing shingle index — [[Dedup.incrementalDedup]] turned from a
+  * per-batch recompute into a MAINTAINED structure (the production form its
+  * scaladoc promised): the corpus tier `(doc_id, n, shingle)` is persisted
+  * once, each new crawl batch is classified by joining its own (small)
+  * shingle tier against the index, and the shingles of ADMITTED documents
+  * are appended — so no admission ever re-tokenizes the corpus.
+  *
+  * Scale shape: admission cost is `batch tokenization + one equi-join of
+  * batch-shingles against the index` — proportional to the BATCH, not the
+  * corpus; the corpus is touched only as a pruned columnar scan of the
+  * index (shingle, doc_id, n — no text). The append is idempotent per
+  * doc_id ([[appendAdmitted]] anti-joins the index's doc set, the
+  * [[graft.ingest.Ingest.dedupAppend]] exactly-once contract), so a
+  * replayed batch cannot double-index a document. At 100 TB the index
+  * would be written `bucketBy(shingle)` into a catalog table to make the
+  * admission join shuffle-free on the index side; plain parquet keeps the
+  * gate self-contained here.
+  *
+  * Semantics vs the recompute form: identical by construction — both
+  * classify a batch against (standing corpus ∪ earlier-batch docs) with
+  * the same scoring; ShingleIndexSpec pins batch-2 verdicts equal to a
+  * full re-tokenization and plan-asserts the index path is the ONLY file
+  * scan in the admission query.
+  */
+object ShingleIndex {
+
+  /** The persisted tier schema: one row per (doc_id, distinct shingle)
+    * with the doc's total shingle count `n` riding along (the same
+    * window-count trick as the in-memory tiers — `n` is needed by every
+    * Jaccard denominator and costs nothing extra here). */
+  def tier(documents: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    Dedup.shingleRows(documents, k).withColumn("n", count(lit(1)).over(w))
+  }
+
+  /** Build (overwrite) the standing index from a corpus snapshot. */
+  def build(documents: DataFrame, path: String, k: Int = 3): Unit =
+    tier(documents, k).write.mode("overwrite").parquet(path)
+
+  /** Classify a batch tier against a corpus tier — the shared core of the
+    * index-read and recompute forms. Verdict per batch doc: `dup_corpus`
+    * (best match in the corpus tier), `dup_batch` (best match is an
+    * EARLIER batch doc — first-in wins), or `new`; the winning match and
+    * its Jaccard make rejects auditable (ties to the lower match id). */
+  def classify(batchTier: DataFrame, corpusTier: DataFrame,
+               threshold: Double = 0.5): DataFrame = {
+    val bt = batchTier.localCheckpoint(true)
+    val batch = bt.select(col("doc_id"), col("n"), col("shingle"))
+    val other = corpusTier
+      .select(col("doc_id").as("match_id"), col("n").as("n_m"), col("shingle"))
+      .withColumn("m_batch", lit(false))
+      .unionByName(bt
+        .select(col("doc_id").as("match_id"), col("n").as("n_m"), col("shingle"))
+        .withColumn("m_batch", lit(true)))
+    val scored = batch.join(other, Seq("shingle"))
+      .filter(!col("m_batch") || col("match_id") < col("doc_id"))
+      .groupBy(col("doc_id"), col("match_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("n")).as("n_a"),
+        min(col("n_m")).as("n_b"), first(col("m_batch")).as("m_batch"))
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("match_id"))
+    val best = scored
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        when(col("m_batch"), lit("dup_batch")).otherwise(lit("dup_corpus"))
+          .as("verdict"),
+        col("match_id"), col("jaccard"))
+    bt.select(col("doc_id")).distinct()
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("verdict"), lit("new")).as("verdict"),
+        col("match_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Classify a new batch against the standing index at `path` — the
+    * corpus side is READ, never re-tokenized. Batch docs with zero
+    * shingles (empty text) still get a `new` verdict via the trailing
+    * outer join in [[classify]]... except they have no tier rows, so they
+    * are re-attached here from the batch frame itself. */
+  def admit(spark: SparkSession, batch: DataFrame, path: String,
+            k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val verdicts = classify(tier(batch, k), spark.read.parquet(path), threshold)
+    batch.select(col("doc_id")).distinct()
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("verdict"), lit("new")).as("verdict"),
+        col("match_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Append the shingles of ADMITTED (`verdict = new`) batch docs to the
+    * index, idempotent per doc_id: a doc already present (a replayed
+    * batch) is never appended twice. Returns the number of docs added. */
+  def appendAdmitted(spark: SparkSession, batch: DataFrame,
+                     verdicts: DataFrame, path: String, k: Int = 3): Long = {
+    val admitted = verdicts.filter(col("verdict") === "new").select(col("doc_id"))
+    val existing = spark.read.parquet(path).select(col("doc_id")).distinct()
+    val freshDocs = admitted.join(existing, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val n = freshDocs.count()
+    if (n > 0)
+      tier(batch.join(freshDocs, Seq("doc_id"), "leftsemi"), k)
+        .write.mode("append").parquet(path)
+    n
+  }
+}
