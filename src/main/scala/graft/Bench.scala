@@ -31,6 +31,13 @@ object Bench {
     try dev.ludovic.netlib.blas.BLAS.getInstance.getClass.getSimpleName
     catch { case _: Throwable => "unavailable" }
 
+  /** Locale-pinned %.3f: the f-interpolator honors the JVM default
+    * locale, and a comma-decimal locale would turn every numeric field
+    * into `1,234` — invalid JSON, defeating the truncation-survivable
+    * summary this protocol exists for. */
+  private def f3(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -103,7 +110,7 @@ object Bench {
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
       else failedAt(name) = dt
       err.foreach(errors(name) = _)
-      println(s"""{"bench_pass":$pass,"q":"$name","sec":${f"$dt%.3f"},""" +
+      println(s"""{"bench_pass":$pass,"q":"$name","sec":${f3(dt)},""" +
         s""""gc_ms":${gcMillis - gc0},""" +
         s""""storage_peak_mb":${storagePeak.get() / (1024 * 1024)}""" +
         err.map(m => s""","err":"$m"""").getOrElse("") + "}")
@@ -144,8 +151,8 @@ object Bench {
     // every errored query, totals, pass count and the BLAS backend proof
     val top = (results.filter(_._3.isDefined) ++
         results.filter(_._3.isEmpty).sortBy(-_._2).take(10)).distinct
-    val topQs = jmap(top.map { case (k, v, _) => k -> f"$v%.3f" })
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"runs":$runs,"blas":"$blasBackend","gc_ms_total":${gcMillis - gcTotal0},"queries":$topQs,"errors":$errs,"sf":"$sfDir"}""")
+    val topQs = jmap(top.map { case (k, v, _) => k -> f3(v) })
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"runs":$runs,"blas":"$blasBackend","gc_ms_total":${gcMillis - gcTotal0},"queries":$topQs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -315,13 +315,16 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val stage = java.nio.file.Files
         .createTempDirectory("graft-shingle-index").toFile.getAbsolutePath
-      graft.dedup.ShingleIndex.build(
-        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), s"$stage/index")
-      val out = graft.dedup.ShingleIndex.admit(
-          s, docs.filter(pmod(col("doc_id"), lit(7)) === 0), s"$stage/index")
-        .localCheckpoint(true) // materialize before the staged index is dropped
-      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
-      out
+      try {
+        graft.dedup.ShingleIndex.build(
+          docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), s"$stage/index")
+        graft.dedup.ShingleIndex.admit(
+            s, docs.filter(pmod(col("doc_id"), lit(7)) === 0), s"$stage/index")
+          .localCheckpoint(true) // materialize before the staged index is dropped
+      } finally { // a build/admit failure must not leak staged /tmp state
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
     }),
     // SemDeDup: k-means cells + within-cell exact cosine (engine-specific
     // quantizer -> rows-only gate; properties pinned in SimilaritySpec)
@@ -1022,10 +1025,13 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     // recall audit: the oracle recomputes each method's EXACT side from the
     // data (top-k rows for IVF, probe queries for the LSH clone check,
-    // ≥threshold pairs for multi-table LSH) and pins the approx∩exact
-    // overlap at the audited value — all approx paths are seeded, so any
-    // n_hits drift is a real recall change and must go red. The probe is
-    // vec_id < 500 = the whole sf0.01 corpus at the gate.
+    // ≥threshold pairs for multi-table LSH) and pins the PROMISE — each
+    // method's contractual min_recall (the SimilaritySpec bounds: IVF 0.5
+    // at nprobe/nlist=4/8, clone-LSH 1.0, multi-table LSH 0.9) and
+    // recall_ok=true. The engine computes recall_ok from its own n_hits;
+    // a recall drop below the bound goes red without any oracle literal
+    // tracking the engine's sample. The probe is vec_id < 500 = the whole
+    // sf0.01 corpus at the gate.
     "q_recall_audit" ->
       """WITH probe AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id < 500),
         |topk AS (
@@ -1046,13 +1052,12 @@ object SparkEntry {
         |  SELECT 'ann_lsh', (SELECT count(*) FROM probe WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9))
         |  UNION ALL
         |  SELECT 'cosine_lsh', (SELECT count(*) FROM exact_pairs)),
-        |pinned AS (
-        |  SELECT 'ann_ivf' AS method, 59 AS n_hits
-        |  UNION ALL SELECT 'ann_lsh', 10
-        |  UNION ALL SELECT 'cosine_lsh', 251)
-        |SELECT e.method, e.n_exact, CAST(p.n_hits AS BIGINT) AS n_hits,
-        |  round(p.n_hits * 1.0 / e.n_exact, 4) AS recall
-        |FROM exacts e JOIN pinned p USING (method)
+        |bounds AS (
+        |  SELECT 'ann_ivf' AS method, CAST(0.5 AS DOUBLE) AS min_recall
+        |  UNION ALL SELECT 'ann_lsh', CAST(1.0 AS DOUBLE)
+        |  UNION ALL SELECT 'cosine_lsh', CAST(0.9 AS DOUBLE))
+        |SELECT e.method, e.n_exact, b.min_recall, TRUE AS recall_ok
+        |FROM exacts e JOIN bounds b USING (method)
         |ORDER BY method""".stripMargin,
     "q_pagerank_parts" ->
       s"""WITH edges AS MATERIALIZED (

@@ -57,18 +57,24 @@ object ShingleIndex {
       .unionByName(bt
         .select(col("doc_id").as("match_id"), col("n").as("n_m"), col("shingle"))
         .withColumn("m_batch", lit(true)))
+    // m_batch is a GROUPING key, not an aggregate: a replayed doc_id can
+    // appear in BOTH tiers, and folding the two (doc_id, match_id) rows
+    // together would double-count n_shared (jaccard > 1) and leave
+    // first(m_batch) nondeterministic. Grouped separately, the replayed
+    // doc's corpus copy scores a jaccard-1.0 self-match → dup_corpus,
+    // which is the recompute verdict for an already-admitted document.
     val scored = batch.join(other, Seq("shingle"))
       .filter(!col("m_batch") || col("match_id") < col("doc_id"))
-      .groupBy(col("doc_id"), col("match_id"))
+      .groupBy(col("doc_id"), col("match_id"), col("m_batch"))
       .agg(count(lit(1)).as("n_shared"), min(col("n")).as("n_a"),
-        min(col("n_m")).as("n_b"), first(col("m_batch")).as("m_batch"))
+        min(col("n_m")).as("n_b"))
       .withColumn("jaccard",
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
     val wBest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
-      .orderBy(col("jaccard").desc, col("match_id"))
+      .orderBy(col("jaccard").desc, col("match_id"), col("m_batch"))
     val best = scored
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)

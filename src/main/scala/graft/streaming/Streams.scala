@@ -209,10 +209,18 @@ object Streams {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(stage)).deleteRecursively()
     }
-    spark.table(name)
+    // detach from the memory sink eagerly and DROP its temp view: each
+    // sink table pins the full complete-mode result in driver memory for
+    // the session lifetime, outside Bench's clearCache/unpersist sweep —
+    // repeated gate runs would otherwise accumulate one pinned copy per
+    // invocation under a fresh UUID name
+    val out = spark.table(name)
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Batch session windows (session_window works in batch mode too). */
