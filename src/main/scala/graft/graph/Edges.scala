@@ -41,15 +41,23 @@ object Edges {
   /** G1 — same-typed co-occurrence edge list: directed part→part edges for
     * every ordered pair of distinct parts appearing in one order, with
     * multiplicity kept as a weight (the reference keeps duplicate edges —
-    * "multi-edges weight the walk", SURVEY.md §2.8). One shuffle on
-    * l_orderkey; per-order pair expansion is map-side. */
-  def partCoOccurrence(lineitem: DataFrame): DataFrame = {
-    val op = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = op.withColumnRenamed("l_partkey", "src")
-    val b = op.withColumnRenamed("l_partkey", "dst")
-    a.join(b, Seq("l_orderkey"))
+    * "multi-edges weight the walk", SURVEY.md §2.8).
+    *
+    * Shape: ONE `collect_set` aggregate per order (shuffle 1) replaces the
+    * former distinct + self-join-on-orderkey (two extra exchanges of the
+    * full pair list); the n² pair expansion is two chained generators,
+    * pure map-side, bounded by TPC-H's ≤7 items/order (for unbounded
+    * group sizes — a viral video's in-links — cap/salt the group first,
+    * [[graft.graph.Degrees]]); then the (src, dst) weight aggregate
+    * (shuffle 2). Same output bound Σ n_i² over groups, one less pass
+    * over the fact table. */
+  def partCoOccurrence(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+      .select(explode(col("parts")).as("src"), col("parts"))
+      .select(col("src"), explode(col("parts")).as("dst"))
       .filter(col("src") =!= col("dst")) // F6 self-loop removal
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("weight"))
-  }
 }
