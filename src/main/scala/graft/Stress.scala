@@ -149,7 +149,7 @@ object Stress {
         spark.catalog.clearCache()
         name -> (if (ok) dt else -dt)
       }
-      val times = selectedQueries.map { q =>
+      val times = (selectedQueries.map { q =>
         timed(q)(SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save())
       } :+
@@ -178,6 +178,33 @@ object Stress {
           try SparkEntry.queries("q_dup_clusters")(spark, dir)
             .write.format("noop").mode("overwrite").save()
           finally spark.conf.unset(graft.graph.StateBroadcast.ConfKey)
+        }) ++ {
+          // standing-index economics (ShingleIndex scaladoc's scale claim):
+          // the BUILD is ∝ corpus by design — measured as its own line so
+          // the contrast is explicit — while ADMISSION of a FIXED 1× batch
+          // against the growing x$m index must grow only at pruned-index-
+          // scan rate (the batch side broadcasts; the corpus is never
+          // re-tokenized). Stress copies are planted near-dups of the
+          // originals, so the batch's candidate matches also grow ~m× —
+          // admission staying well under the build's ratio even so is the
+          // "∝ batch, not corpus" evidence.
+          val stage = java.nio.file.Files
+            .createTempDirectory("graft-stress-shindex").toFile.getAbsolutePath
+          try {
+            val corpus = graft.model.Tables.documents(spark, dir)
+              .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+            val fixedBatch = graft.model.Tables.documents(spark, sfDir)
+              .filter(pmod(col("doc_id"), lit(7)) === 0)
+            Seq(
+              timed("shingle_index_build")(
+                graft.dedup.ShingleIndex.build(corpus, s"$stage/index")),
+              timed("shingle_index_admit_fixed_batch")(
+                graft.dedup.ShingleIndex.admit(spark, fixedBatch, s"$stage/index")
+                  .write.format("noop").mode("overwrite").save()))
+          } finally {
+            new scala.reflect.io.Directory(new java.io.File(stage))
+              .deleteRecursively(); ()
+          }
         }
       m -> times
     }

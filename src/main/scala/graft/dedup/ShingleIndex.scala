@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   * index (shingle, doc_id, n — no text). The append is idempotent per
   * doc_id ([[appendAdmitted]] anti-joins the index's doc set, the
   * [[graft.ingest.Ingest.dedupAppend]] exactly-once contract), so a
-  * replayed batch cannot double-index a document. At 100 TB the index
-  * would be written `bucketBy(shingle)` into a catalog table to make the
-  * admission join shuffle-free on the index side; plain parquet keeps the
-  * gate self-contained here.
+  * replayed batch cannot double-index a document. At 100 TB the index is
+  * written `bucketBy(shingle)` into a catalog table
+  * ([[buildBucketed]]/[[admitBucketed]]) so the admission join plans no
+  * index-side exchange; plain parquet keeps the driver gate
+  * self-contained.
   *
   * Semantics vs the recompute form: identical by construction — both
   * classify a batch against (standing corpus ∪ earlier-batch docs) with
@@ -57,14 +58,23 @@ object ShingleIndex {
       .unionByName(bt
         .select(col("doc_id").as("match_id"), col("n").as("n_m"), col("shingle"))
         .withColumn("m_batch", lit(true)))
-    // m_batch is a GROUPING key, not an aggregate: a replayed doc_id can
-    // appear in BOTH tiers, and folding the two (doc_id, match_id) rows
-    // together would double-count n_shared (jaccard > 1) and leave
-    // first(m_batch) nondeterministic. Grouped separately, the replayed
-    // doc's corpus copy scores a jaccard-1.0 self-match → dup_corpus,
-    // which is the recompute verdict for an already-admitted document.
-    val scored = batch.join(other, Seq("shingle"))
+    val candidates = batch.join(other, Seq("shingle"))
       .filter(!col("m_batch") || col("match_id") < col("doc_id"))
+    scoreCandidates(bt, candidates, threshold)
+  }
+
+  /** Shared scoring tail of [[classify]]/[[admitBucketed]]: shingle-matched
+    * candidate rows `(doc_id, n, match_id, n_m, m_batch)` → per-doc verdict.
+    *
+    * m_batch is a GROUPING key, not an aggregate: a replayed doc_id can
+    * appear in BOTH tiers, and folding the two (doc_id, match_id) rows
+    * together would double-count n_shared (jaccard > 1) and leave
+    * first(m_batch) nondeterministic. Grouped separately, the replayed
+    * doc's corpus copy scores a jaccard-1.0 self-match → dup_corpus,
+    * which is the recompute verdict for an already-admitted document. */
+  private def scoreCandidates(bt: DataFrame, candidates: DataFrame,
+                              threshold: Double): DataFrame = {
+    val scored = candidates
       .groupBy(col("doc_id"), col("match_id"), col("m_batch"))
       .agg(count(lit(1)).as("n_shared"), min(col("n")).as("n_a"),
         min(col("n_m")).as("n_b"))
@@ -98,6 +108,51 @@ object ShingleIndex {
   def admit(spark: SparkSession, batch: DataFrame, path: String,
             k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val verdicts = classify(tier(batch, k), spark.read.parquet(path), threshold)
+    batch.select(col("doc_id")).distinct()
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("verdict"), lit("new")).as("verdict"),
+        col("match_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The index as a BUCKETED catalog table — the 100 TB layout the plain-
+    * parquet scaladoc promises: the tier is written `bucketBy(shingle)`
+    * (sorted within buckets), so an admission join consumes the index
+    * pre-partitioned on its join key and plans NO index-side exchange; at
+    * batch sizes past broadcast range, only the batch side shuffles into
+    * the bucket scheme. `path` makes it an external table so the data
+    * lives where the caller stages it, not the session warehouse. */
+  def buildBucketed(documents: DataFrame, table: String, path: String,
+                    k: Int = 3, buckets: Int = 32): Unit =
+    tier(documents, k).write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "shingle").sortBy("shingle")
+      .option("path", path).saveAsTable(table)
+
+  /** [[admit]] against the bucketed table. Verdicts are identical to the
+    * plain form by construction — the corpus and batch candidate legs are
+    * joined separately and unioned AFTER (join-then-union instead of
+    * classify's union-then-join: a union upstream of the join would erase
+    * the scan's bucketing-derived output partitioning and force the
+    * exchange back). ShingleIndexSpec pins verdict equality and asserts
+    * the exchange-free index side on the executed plan. */
+  def admitBucketed(spark: SparkSession, batch: DataFrame, table: String,
+                    k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val bt = tier(batch, k).localCheckpoint(true)
+    val b = bt.select(col("doc_id"), col("n"), col("shingle"))
+    val corpusLeg = b
+      .join(spark.table(table)
+        .select(col("doc_id").as("match_id"), col("n").as("n_m"), col("shingle")),
+        Seq("shingle"))
+      .withColumn("m_batch", lit(false))
+    val batchLeg = b
+      .join(bt
+        .select(col("doc_id").as("match_id"), col("n").as("n_m"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("match_id") < col("doc_id"))
+      .withColumn("m_batch", lit(true))
+    val verdicts =
+      scoreCandidates(bt, corpusLeg.unionByName(batchLeg), threshold)
     batch.select(col("doc_id")).distinct()
       .join(verdicts, Seq("doc_id"), "left")
       .select(col("doc_id"),

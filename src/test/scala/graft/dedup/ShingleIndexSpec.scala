@@ -81,6 +81,55 @@ class ShingleIndexSpec extends SparkSpec {
     }
   }
 
+  test("bucketed index: identical verdicts, and the index side of the admission join plans no exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val table = "graft_spec_shingle_bucketed"
+    withIndex { path =>
+      ShingleIndex.buildBucketed(df(corpusDocs), table, path, buckets = 4)
+      try {
+        val viaBucketed =
+          collectVerdicts(ShingleIndex.admitBucketed(spark, df(batch1), table))
+        val recompute = collectVerdicts(ShingleIndex.classify(
+          ShingleIndex.tier(df(batch1)), ShingleIndex.tier(df(corpusDocs))))
+        assert(viaBucketed == recompute,
+          s"bucketed=$viaBucketed recompute=$recompute")
+
+        // the scale claim: with the batch past broadcast range the join is
+        // sort-merge, and the bucketed scan ALONE satisfies the join's
+        // required distribution — no shuffle anywhere above the index scan
+        // (AQE off so the executed plan is concrete, broadcast off so the
+        // small fixture takes the large-batch plan shape)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val plan = ShingleIndex.admitBucketed(spark, df(batch1), table)
+            .queryExecution.executedPlan
+          def bucketedScan(p: SparkPlan): Boolean =
+            p.collectFirst { case s: FileSourceScanExec if s.bucketedScan => s }.isDefined
+          def shuffles(p: SparkPlan): Boolean =
+            p.collectFirst { case e: ShuffleExchangeExec => e }.isDefined
+          // the join DIRECTLY over the index scan (no nested join below it
+          // — outer joins transitively contain the scan too, but their
+          // sides legitimately carry the aggregate/window exchanges)
+          val indexSides = plan
+            .collect { case j: SortMergeJoinExec => Seq(j.left, j.right) }
+            .flatten
+            .filter(side => bucketedScan(side) &&
+              side.collectFirst { case jj: SortMergeJoinExec => jj }.isEmpty)
+          assert(indexSides.nonEmpty,
+            s"no sort-merge join consumed the bucketed index scan:\n$plan")
+          indexSides.foreach(side => assert(!shuffles(side),
+            s"exchange above the bucketed index scan:\n$side"))
+        } finally {
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.unset("spark.sql.adaptive.enabled")
+        }
+      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("replayed batch: verdicts stay sane and appendAdmitted is a no-op") {
     withIndex { path =>
       ShingleIndex.build(df(corpusDocs), path)
