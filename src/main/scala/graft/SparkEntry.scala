@@ -326,6 +326,27 @@ object SparkEntry {
         ()
       }
     }),
+    // the bucketed catalog-table twin (the 100 TB layout): the admission
+    // join consumes the index pre-partitioned on shingle — no index-side
+    // exchange, plan-asserted in ShingleIndexSpec; shares the indexed
+    // twin's oracle (physical layout must not change one verdict)
+    "q_incremental_dedup_bucketed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-shingle-bucketed").toFile.getAbsolutePath
+      val table = "graft_gate_shingle_bucketed"
+      try {
+        graft.dedup.ShingleIndex.buildBucketed(
+          docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), table, s"$stage/index")
+        graft.dedup.ShingleIndex.admitBucketed(
+            s, docs.filter(pmod(col("doc_id"), lit(7)) === 0), table)
+          .localCheckpoint(true) // materialize before table+files are dropped
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
+    }),
     // SemDeDup: k-means cells + within-cell exact cosine (engine-specific
     // quantizer -> rows-only gate; properties pinned in SimilaritySpec)
     // 0.35 matches the exact/LSH cosine gates: the fixture's near-dup mass
@@ -490,7 +511,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    // the bucketed index twin shares the indexed twin's oracle verbatim
+    // (which itself mirrors the recompute form): neither the standing
+    // index nor its physical layout may change one verdict
+    baseOracleSql + ("q_incremental_dedup_bucketed" ->
+      baseOracleSql("q_incremental_dedup_indexed"))
+  }
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q_category_stats" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS num_items,
