@@ -370,11 +370,19 @@ object SparkEntry {
       Tables.embeddings(s, d), threshold = 0.35)),
     "q_cosine_near_dups_lsh" -> ((s, d) => Similarity.cosineNearDupsLSH(
       Tables.embeddings(s, d), threshold = 0.35)),
-    // recall audit for the three approx paths above: overlap vs the exact
-    // baselines as a driver-gated row per method (oracle recomputes the
-    // exact side, pins the audited overlap — see Similarity.recallAudit)
+    // recall audit for the approx paths above plus the sq8 round trip:
+    // overlap vs the exact baselines as a driver-gated row per method
+    // (oracle recomputes the exact side and pins the contractual recall
+    // bound — see Similarity.recallAudit)
     "q_recall_audit" -> ((s, d) => Similarity.recallAudit(
       s, Tables.embeddings(s, d))),
+    // 8-bit scalar quantization codes (1 byte/dim vs float32's 4): pure
+    // integer output — a full cross-engine oracle with no FP-hash risk;
+    // the retrieval cost of the compressed layout is the ann_sq8 row of
+    // the recall audit
+    "q_sq_codes" -> ((s, d) => Similarity.sqQuantize(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"), col("n_dims"),
+        csv(col("codes")).as("codes"))),
     // per-class centroid table (cluster-balanced sampling / drift monitor)
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(
       Tables.embeddings(s, d))),
@@ -1080,10 +1088,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'ann_lsh', (SELECT count(*) FROM probe WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9))
         |  UNION ALL
+        |  SELECT 'ann_sq8', (SELECT count(*) FROM topk WHERE rnk <= 10)
+        |  UNION ALL
         |  SELECT 'cosine_lsh', (SELECT count(*) FROM exact_pairs)),
         |bounds AS (
         |  SELECT 'ann_ivf' AS method, CAST(0.5 AS DOUBLE) AS min_recall
         |  UNION ALL SELECT 'ann_lsh', CAST(1.0 AS DOUBLE)
+        |  UNION ALL SELECT 'ann_sq8', CAST(0.8 AS DOUBLE)
         |  UNION ALL SELECT 'cosine_lsh', CAST(0.9 AS DOUBLE))
         |SELECT e.method, e.n_exact, b.min_recall, TRUE AS recall_ok
         |FROM exacts e JOIN bounds b USING (method)
@@ -1385,5 +1396,23 @@ object SparkEntry {
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,
         |  round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // scalar-quantization codes: same per-dim min/max codebook and the
+    // same floor((v-mn)/(mx-mn)*255 + 0.5) expression (identical IEEE op
+    // order -> identical integers; no rounding-mode divergence possible)
+    "q_sq_codes" ->
+      """WITH base AS (
+        |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings),
+        |stats AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM base GROUP BY 1),
+        |arrs AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+        |         FROM stats)
+        |SELECT e.vec_id, e.label, CAST(len(e.embedding) AS BIGINT) AS n_dims,
+        |  array_to_string(list_transform(range(1, len(e.embedding)+1),
+        |    i -> CAST(CASE WHEN mxs[i] = mns[i] THEN 0
+        |         ELSE floor((CAST(e.embedding[i] AS DOUBLE) - mns[i])
+        |                    / (mxs[i] - mns[i]) * 255.0 + 0.5)
+        |         END AS INT)), ',') AS codes
+        |FROM embeddings e, arrs ORDER BY e.vec_id""".stripMargin,
   )
 }

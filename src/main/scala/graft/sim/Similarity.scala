@@ -290,6 +290,64 @@ object Similarity {
         col("n_vecs"))
       .orderBy(col("label"), col("dim"))
 
+  /** Per-dimension scalar-quantization stats: ONE row holding the corpus
+    * min and max per dimension as position-ordered arrays — the codebook
+    * of [[sqQuantize]]. One shuffle over (dim, value) pairs into a
+    * dim-sized aggregate; the result broadcasts (2 doubles per dim,
+    * regardless of corpus size). */
+  private def sqStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mn")))).as("lo"),
+        sort_array(collect_list(struct(col("pos"), col("mx")))).as("hi"))
+      .select(transform(col("lo"), s => s.getField("mn")).as("mns"),
+        transform(col("hi"), s => s.getField("mx")).as("mxs"))
+
+  /** The shared code formula: floor-of-shifted-midpoint instead of
+    * round(), so both engines hit the same integer on every boundary
+    * (round() is HALF_UP in Spark, banker's in some engines — floor(x+0.5)
+    * is one IEEE expression everywhere). Degenerate dimensions
+    * (min = max) code to 0. */
+  private def sqCode(v: Column, mn: Column, mx: Column, levels: Int): Column =
+    when(mx === mn, lit(0.0)).otherwise(
+      floor((v.cast("double") - mn) / (mx - mn) * lit(levels.toDouble) + lit(0.5)))
+
+  /** Scalar (8-bit) quantization of the embedding column — the memory
+    * layout a 100 TB ANN corpus actually ships: 4 bytes/dim float32 down
+    * to 1 byte/dim, per-dimension affine codes
+    * `c_i = floor((v_i − min_i)/(max_i − min_i)·levels + 0.5)`.
+    * Deterministic integer output (a pure function of the corpus), so the
+    * gate is a full cross-engine oracle — no FP hash drift possible.
+    * Map-side except the one dim-sized stats aggregate; the codebook
+    * broadcasts. [[sqRoundTrip]] + the `ann_sq8` recall-audit row measure
+    * what the 8-bit representation costs in retrieval quality. */
+  def sqQuantize(embeddings: DataFrame, levels: Int = 255): DataFrame =
+    embeddings.crossJoin(broadcast(sqStats(embeddings)))
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("bigint").as("n_dims"),
+        transform(col("embedding"), (v, i) =>
+          sqCode(v, element_at(col("mns"), i + lit(1)),
+            element_at(col("mxs"), i + lit(1)), levels).cast("int"))
+          .as("codes"))
+      .orderBy(col("vec_id"))
+
+  /** Quantize-then-dequantize round trip: each component snapped to its
+    * 8-bit grid point `min_i + c_i·(max_i − min_i)/levels` (array<double>
+    * — feed straight back into [[bruteForceTopK]]/cosine). The retrieval
+    * cost of the compressed layout is audited as the `ann_sq8` row of
+    * [[recallAudit]]. */
+  def sqRoundTrip(embeddings: DataFrame, levels: Int = 255): DataFrame =
+    embeddings.crossJoin(broadcast(sqStats(embeddings)))
+      .select(col("vec_id"),
+        transform(col("embedding"), (v, i) => {
+          val mn = element_at(col("mns"), i + lit(1))
+          val mx = element_at(col("mxs"), i + lit(1))
+          mn + sqCode(v, mn, mx, levels) * (mx - mn) / lit(levels.toDouble)
+        }).as("embedding"))
+
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
     * a k-means coarse quantizer cells the embedding space, exact cosine runs
     * only WITHIN each cell, and a vector is dropped when a lower-id
@@ -413,6 +471,9 @@ object Similarity {
     audit("ann_ivf", 0.5, ivfTopK(spark, emb, queryIds, k), exactTopK,
         Seq("query_id", "neighbor_id"))
       .unionByName(audit("ann_lsh", 1.0, cloneFound, cloneExpect,
+        Seq("query_id", "neighbor_id")))
+      .unionByName(audit("ann_sq8", 0.8,
+        bruteForceTopK(sqRoundTrip(emb), queryIds, k), exactTopK,
         Seq("query_id", "neighbor_id")))
       .unionByName(audit("cosine_lsh", 0.9, cosineNearDupsLSH(emb, threshold),
         exactPairs, Seq("id_a", "id_b")))

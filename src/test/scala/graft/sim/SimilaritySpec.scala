@@ -44,6 +44,46 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._3 == 10007L && got.head._4 == 1.0) // its clone at rank 1
   }
 
+  test("sqQuantize: codes bounded, extremes exact, round trip inside one grid step") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = Similarity.sqQuantize(emb)
+    // every code is an 8-bit value
+    val mm = q.select(explode(col("codes")).as("c"))
+      .agg(min(col("c")), max(col("c"))).as[(Int, Int)].head()
+    assert(mm._1 >= 0 && mm._2 <= 255, s"codes out of 8-bit range: $mm")
+    assert(mm._1 == 0 && mm._2 == 255,
+      s"per-dim extremes must hit the grid ends: $mm")
+    // deterministic: a pure function of the corpus
+    assert(q.collect().toSeq == Similarity.sqQuantize(emb).collect().toSeq)
+    // round trip: each component moves by at most half a grid step of its
+    // own dimension's range
+    val worst = emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(((max(col("v").cast("double")) - min(col("v").cast("double")))
+        / lit(510.0)).as("half_step"))
+      .join(
+        emb.join(Similarity.sqRoundTrip(emb).withColumnRenamed("embedding", "deq"),
+            Seq("vec_id"))
+          .select(posexplode(arrays_zip(col("embedding"), col("deq"))).as(Seq("pos", "z")))
+          .select(col("pos"),
+            abs(col("z.embedding").cast("double") - col("z.deq")).as("err")),
+        Seq("pos"))
+      .filter(col("err") > col("half_step") * lit(1.0000001)) // FP slack
+      .count()
+    assert(worst == 0L, s"$worst components exceed half a grid step")
+  }
+
+  test("sq8 round-trip retrieval keeps the promised recall vs exact top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.bruteForceTopK(Similarity.sqRoundTrip(emb), queries, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(sq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"sq8 recall $recall") // the ann_sq8 audit bound
+  }
+
   test("ivfTopK: recall vs brute force is high and scores are exact") {
     val queries = Seq(0L, 1L, 2L, 3L, 4L)
     val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), queries, k = 10)
