@@ -121,6 +121,16 @@ class PlanHygieneSpec extends SparkSpec {
       "bucket-offset join did not broadcast")
   }
 
+  test("scalar quantization: one-row codebook broadcasts, coding is map-side") {
+    val p = plan("q_sq_codes")
+    // the per-dim min/max codebook is a single row — it must arrive via a
+    // broadcast (nested-loop on the trivial true condition), never by
+    // shuffling the corpus against it
+    assert(p.contains("BroadcastNestedLoopJoin"), s"codebook not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-sized join in a map-side coding pass:\n$p")
+  }
+
   test("no CartesianProduct in any equi-expressible query plan") {
     val excluded = Set(
       "q_ann_brute", "q_cosine_near_dups", // documented non-equi oracles
