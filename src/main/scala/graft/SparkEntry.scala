@@ -269,6 +269,10 @@ object SparkEntry {
       .select(col("doc_id"), csv(col("winnow_fp")).as("winnow_fp"))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
+    // sketch twin: count-min heavy hitters (one mergeable sketch pass +
+    // sampled candidates — the memory-bounded 100 TB form; CMS hashing is
+    // engine-specific -> rows-only, properties pinned in TextAnalysisSpec)
+    "q_vocab_approx" -> ((s, d) => TextAnalysis.vocabularyApprox(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.topTermsTfIdf(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "q_chunks" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),

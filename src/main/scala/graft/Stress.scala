@@ -98,7 +98,7 @@ object Stress {
     // round 3: temporal joins (union-merge / bucketed band), window
     // analytics, decontamination shingle join, set-op anti joins
     "q_asof_join", "q_band_join", "q_order_gaps", "q_decontaminate",
-    "q_set_ops", "q_stratified_sample", "q_vocab", "q_tfidf",
+    "q_set_ops", "q_stratified_sample", "q_vocab", "q_vocab_approx", "q_tfidf",
     "q_winsorize", "q_quality_deciles", "q_dup_clusters", "q_domain_mix",
     "q_ngram_jaccard", "q_langid", "q_dup_clusters_minlabel",
     "q_surprisal", "q_chunks",

@@ -137,6 +137,38 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("term"))
       .limit(k)
 
+  /** Sketch-based heavy-hitters twin of [[vocabulary]] — the 100 TB form.
+    * The exact pass shuffles every distinct term corpus-wide; at scale the
+    * memory-bounded shape is (a) ONE count-min-sketch aggregate over the
+    * token stream — partial sketches merge map-side, and what crosses the
+    * wire is a few KB per partition regardless of corpus size — plus (b) a
+    * candidate set from a deterministic mod-sample of documents (a true
+    * heavy hitter appears in any constant-fraction sample with
+    * overwhelming probability). Estimates are CMS point queries: never
+    * below the true count, above by ≤ eps·N with prob ≥ confidence.
+    * The driver touches only the merged sketch and the bounded candidate
+    * list (the IVF-centroid pattern) — the corpus never funnels through
+    * one node. Seeded hashing → deterministic but engine-specific
+    * (rows-only gate; properties pinned in TextAnalysisSpec). */
+  def vocabularyApprox(documents: DataFrame, k: Int = 100,
+                       eps: Double = 0.0001, confidence: Double = 0.99,
+                       seed: Int = 42, sampleMod: Int = 10): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val sketch = toks.stat.countMinSketch("term", eps, confidence, seed)
+    val candidates = toks
+      .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+      .select(col("term")).distinct()
+      .collect().map(_.getString(0))
+    val sp = documents.sparkSession
+    import sp.implicits._
+    candidates.toSeq
+      .map(t => (t, sketch.estimateCount(t)))
+      .toDF("term", "est_freq")
+      .orderBy(col("est_freq").desc, col("term"))
+      .limit(k)
+  }
+
   /** Top terms per document by TF-IDF (ln(N/df) variant). Two grouped
     * aggregates + a WindowGroupLimit-rankable per-doc top-k; the document
     * count joins in as a one-row broadcast, never a driver-side constant

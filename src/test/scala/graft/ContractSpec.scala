@@ -24,6 +24,7 @@ class ContractSpec extends SparkSpec {
       "q_minhash_neardups",     // xxhash64 signatures
       "q_semantic_dedup",       // k-means cell assignment
       "q_simhash_neardups",     // xxhash64 bit votes
+      "q_vocab_approx",         // count-min-sketch estimates are engine-specific
       "q_winsorize_approx",     // quantile-sketch clamp values are engine-specific
       "q_winnow_fps",           // xxhash64 rolling hashes
       "q_winnow_neardups")      // same

@@ -56,6 +56,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.last.getString(3) == md)
   }
 
+  test("vocabularyApprox: estimates never undercount, stay inside the CMS bound, and find the heavy hitters") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val exact = TextAnalysis.vocabulary(docs, k = Int.MaxValue)
+      .select("term", "freq").as[(String, Long)].collect().toMap
+    val totalTokens = exact.values.sum
+    val approx = TextAnalysis.vocabularyApprox(docs, k = Int.MaxValue)
+      .select("term", "est_freq").as[(String, Long)].collect()
+    // CMS hard guarantee: a point estimate never undercounts; the
+    // overcount stays within eps·N (generous 100x slack keeps the spec
+    // stable while still catching a broken sketch outright)
+    approx.foreach { case (t, est) =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(est >= truth, s"CMS undercounted '$t': $est < $truth")
+      assert(est - truth <= math.max(1L, (0.0001 * totalTokens * 100).toLong),
+        s"'$t' overcounted far beyond the eps bound: est=$est true=$truth")
+    }
+    // the sampled candidate set + estimates must recover the true top
+    // (heavy hitters are exactly what survives sampling)
+    val trueTop = exact.toSeq.sortBy { case (t, f) => (-f, t) }.take(20).map(_._1).toSet
+    val estTop = approx.sortBy { case (t, f) => (-f, t) }.take(20).map(_._1).toSet
+    val overlap = trueTop.intersect(estTop).size.toDouble / trueTop.size
+    assert(overlap >= 0.8, s"heavy-hitter overlap $overlap: $estTop vs $trueTop")
+    // deterministic: seeded sketch + mod-sample
+    assert(approx.toSeq == TextAnalysis.vocabularyApprox(docs, k = Int.MaxValue)
+      .select("term", "est_freq").as[(String, Long)].collect().toSeq)
+  }
+
   test("fingerprint is whitespace-normalization invariant") {
     val d = Seq((1L, "a  b\tc"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
     val fps = TextAnalysis.fingerprints(d).as[(Long, String)].collect().toMap
