@@ -367,6 +367,26 @@ object SparkEntry {
       Tables.embeddings(s, d), 0L to 9L, k = 10)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(
       s, Tables.embeddings(s, d), 0L to 9L, k = 10)),
+    // the standing-index twin: quantizer trained ONCE into a staged
+    // index (model + centroids + cell-partitioned postings), queries
+    // probe it with no retrain; IvfIndexSpec pins exact equality with
+    // the retrain form and the partition-pruned postings read
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index").toFile.getAbsolutePath
+      try {
+        graft.sim.IvfIndex.build(s, emb, s"$stage/index")
+        graft.sim.IvfIndex.topK(s,
+            emb.filter(col("vec_id") < 10)
+              .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+            s"$stage/index", k = 10)
+          .localCheckpoint(true) // materialize before the staged index drops
+      } finally {
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
+    }),
     // exact all-pairs form: the small-sample oracle baseline (quadratic —
     // see Similarity.cosineNearDups scaladoc); the LSH twin below is the
     // corpus-scale path, recall ≥0.9 pinned in SimilaritySpec

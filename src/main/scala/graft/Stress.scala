@@ -195,12 +195,24 @@ object Stress {
               .filter(pmod(col("doc_id"), lit(7)) =!= 0)
             val fixedBatch = graft.model.Tables.documents(spark, sfDir)
               .filter(pmod(col("doc_id"), lit(7)) === 0)
+            val embCorpus = graft.model.Tables.embeddings(spark, dir)
+              .filter(pmod(col("vec_id"), lit(7)) =!= 0)
+            val embBatch = graft.model.Tables.embeddings(spark, sfDir)
+              .filter(pmod(col("vec_id"), lit(7)) === 0)
             Seq(
               timed("shingle_index_build")(
                 graft.dedup.ShingleIndex.build(corpus, s"$stage/index")),
               timed("shingle_index_admit_fixed_batch")(
                 graft.dedup.ShingleIndex.admit(spark, fixedBatch, s"$stage/index")
-                  .write.format("noop").mode("overwrite").save()))
+                  .write.format("noop").mode("overwrite").save()),
+              // same economics for the ANN surface: quantizer trained on
+              // the x$m corpus, a FIXED 1× batch admitted by broadcast-
+              // model assignment — no retrain, cost ∝ batch
+              timed("ivf_index_build")(
+                graft.sim.IvfIndex.build(spark, embCorpus, s"$stage/ivf")),
+              timed("ivf_index_admit_fixed_batch") {
+                graft.sim.IvfIndex.admit(spark, embBatch, s"$stage/ivf"); ()
+              })
           } finally {
             new scala.reflect.io.Directory(new java.io.File(stage))
               .deleteRecursively(); ()

@@ -21,6 +21,7 @@ class ContractSpec extends SparkSpec {
       "q_ann_lsh",              // hyperplane signs from xxhash64
       "q_cosine_near_dups_lsh", // same
       "q_media_features",       // decoder feature floats
+      "q_ann_ivf_indexed",      // k-means cells (standing-index form)
       "q_minhash_neardups",     // xxhash64 signatures
       "q_semantic_dedup",       // k-means cell assignment
       "q_simhash_neardups",     // xxhash64 bit votes
