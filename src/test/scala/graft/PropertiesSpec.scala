@@ -287,6 +287,30 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("sqQuantize agrees with a driver-side reference, any partitioning") {
+    val vecGen: Gen[List[(Long, Seq[Float], Int)]] =
+      Gen.nonEmptyListOf(for {
+        id <- Gen.choose(0L, 500L)
+        dims <- Gen.listOfN(6, Gen.choose(-1000, 1000).map(_ / 250.0f))
+      } yield (id, dims, 0)).map(_.distinctBy(_._1))
+    for (vecs <- samples(vecGen, 5); parts <- Seq(1, 4)) {
+      val df = vecs.toDF("vec_id", "embedding", "label").repartition(parts)
+      val got = graft.sim.Similarity.sqQuantize(df)
+        .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+      // independent scalar reference of the same published formula
+      val dim = vecs.head._2.size
+      val mns = (0 until dim).map(i => vecs.map(_._2(i).toDouble).min)
+      val mxs = (0 until dim).map(i => vecs.map(_._2(i).toDouble).max)
+      val expected = vecs.map { case (id, v, _) =>
+        id -> v.zipWithIndex.map { case (x, i) =>
+          if (mxs(i) == mns(i)) 0
+          else math.floor((x.toDouble - mns(i)) / (mxs(i) - mns(i)) * 255.0 + 0.5).toInt
+        }
+      }.toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
   test("connectedComponentsStar contracts a path graph far beyond the min-label round budget") {
     // diameter 60 ≫ min-label's default maxIter 20: label propagation
     // would run out of rounds here; the star alternation contracts the
