@@ -110,8 +110,9 @@ object Stress {
     // snapshot-delta admission (batch-bounded shingle join), SemDeDup
     // (k-means cells confine the quadratic compare)
     "q_dup_survivors", "q_incremental_dedup", "q_semantic_dedup",
-    // map-side shapes that must trend flat: hash split, centroid aggregate
-    "q_split_report", "q_label_centroids")
+    // map-side shapes that must trend flat: hash split, centroid
+    // aggregate, scalar-quantization coding
+    "q_split_report", "q_label_centroids", "q_sq_codes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
