@@ -100,6 +100,10 @@ object SparkEntry {
     "q_distinct_count" -> ((s, d) =>
       // approx twin stays engine-side only: sketch values differ per engine
       Aggregations.distinctPartsPerFlag(Tables.lineitem(s, d)).drop("n_parts_approx")),
+    // mergeable-distinct promise gate: per-group HLL sketches, global row
+    // from the sketch UNION; oracle recomputes the exact counts and pins
+    // ok=true (estimates themselves are engine-specific, never compared)
+    "q_distinct_hll" -> ((s, d) => Aggregations.distinctSketchAudit(Tables.lineitem(s, d))),
     // ---- filters / projections (SURVEY §2.2) ----
     "q_filter_eq_range" -> ((s, d) => Filters.equalityAndRange(Tables.lineitem(s, d), "R", 10, 20)),
     "q_filter_range" -> ((s, d) => Filters.numericRange(Tables.orders(s, d), 50000, 100000)),
@@ -421,6 +425,10 @@ object SparkEntry {
     // real readStream -> session_window -> memory-sink query, drained, must
     // equal the batch form row-for-row (bloom-twin gating pattern)
     "q_user_sessions_stream" -> ((s, d) => Streams.userSessionsStreamGate(s, d)),
+    // the windowed-aggregation state operator behind the same oracle as its
+    // batch twin: readStream -> tumbling window(1h) -> memory sink, two
+    // forced micro-batches so windows accumulate across batch boundaries
+    "q_hourly_events_stream" -> ((s, d) => Streams.hourlyCountsStreamGate(s, d)),
     "q_top_event_types" -> ((s, d) => Streams.topEventTypesPerHour(Tables.events(s, d))),
     // ---- multimodal plumbing (north-star; decode is a marked stub) ----
     "q_media_meta" -> ((s, d) => Multimodal.largeLandscapeImages(
@@ -547,8 +555,13 @@ object SparkEntry {
     // the bucketed index twin shares the indexed twin's oracle verbatim
     // (which itself mirrors the recompute form): neither the standing
     // index nor its physical layout may change one verdict
-    baseOracleSql + ("q_incremental_dedup_bucketed" ->
-      baseOracleSql("q_incremental_dedup_indexed"))
+    baseOracleSql +
+      ("q_incremental_dedup_bucketed" ->
+        baseOracleSql("q_incremental_dedup_indexed")) +
+      // the tumbling-window streaming twin shares the batch oracle
+      // verbatim: identical windowed-aggregation semantics is exactly the
+      // property under test (same pattern as q_user_sessions_stream)
+      ("q_hourly_events_stream" -> baseOracleSql("q_hourly_events"))
   }
 
   private lazy val baseOracleSql: Map[String, String] = Map(
@@ -655,6 +668,17 @@ object SparkEntry {
     "q_distinct_count" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // promise gate: the oracle recomputes the EXACT distinct counts (per
+    // group and global) and pins ok=true — the engine must have found its
+    // HLL estimates (global via sketch UNION, never a second raw-data
+    // pass) within the documented 5% bound for its ok column to agree
+    "q_distinct_hll" ->
+      """SELECT l_returnflag AS scope, count(DISTINCT l_partkey) AS n_exact,
+        |  TRUE AS ok FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT '*' AS scope, count(DISTINCT l_partkey) AS n_exact, TRUE AS ok
+        |FROM lineitem
+        |ORDER BY scope""".stripMargin,
     "q_filter_eq_range" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice
         |FROM lineitem

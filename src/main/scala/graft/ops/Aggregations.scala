@@ -257,6 +257,38 @@ object Aggregations {
         approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** Mergeable-distinct audit: per-group DataSketches HLL sketches whose
+    * UNION answers the global distinct question WITHOUT rescanning rows —
+    * the re-aggregation shape 100 TB demands (daily sketches roll up to a
+    * monthly distinct in one sketch merge; a second countDistinct pass over
+    * the raw data does not). The '*' row's estimate comes only from
+    * hll_union_agg over the per-group sketches, so the gate checks the
+    * merge path specifically, not just per-group estimation.
+    *
+    * Promise gate (the q_recall_audit pattern): sketch estimates are
+    * engine-specific, so the emitted columns are the EXACT counts (oracle-
+    * recomputable) plus `ok` = estimate within `eps` relative error — the
+    * oracle re-derives n_exact and pins the promise, never the estimate.
+    * Default lgK=12 gives ~1.6% standard error; eps=0.05 is ~3 sigma.
+    * The exact counts exist here as the audit baseline; production rolls
+    * up sketches alone. */
+  def distinctSketchAudit(lineitem: DataFrame, eps: Double = 0.05): DataFrame = {
+    val perGroup = lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
+        countDistinct(col("l_partkey")).as("n_exact"))
+    val groups = perGroup.select(col("l_returnflag").as("scope"),
+      col("n_exact"), hll_sketch_estimate(col("sk")).as("est"))
+    val global = perGroup.agg(hll_union_agg(col("sk")).as("sk"))
+      .crossJoin(lineitem.agg(countDistinct(col("l_partkey")).as("n_exact")))
+      .select(lit("*").as("scope"), col("n_exact"),
+        hll_sketch_estimate(col("sk")).as("est"))
+    groups.unionByName(global)
+      .select(col("scope"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * lit(eps)).as("ok"))
+      .orderBy(col("scope"))
+  }
+
   /** A1 (intent) — group-by key + sum, then top-K by the sum
     * (`Top_K_Final.py:13-17`; the reference's version had a latent bug
     * grouping by a nonexistent field — we implement the intent, see

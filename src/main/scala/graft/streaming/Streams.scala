@@ -162,32 +162,28 @@ object Streams {
       .orderBy(col("window_start"), col("rnk"))
   }
 
-  /** Driver-gated streaming twin of [[userSessionsBatch]]: the SAME
-    * session_window aggregation run as an actual Structured Streaming query
-    * over a file-stream source, drained to a memory sink, returned as the
-    * batch DataFrame the driver's oracle compares — the streaming engine's
-    * session semantics are checked against the recursive lag/gap SQL the
-    * batch form already passes (the bloom-twin gating pattern).
+  /** Shared gate plumbing for the streaming twins: stage the events fixture
+    * as two "arriving" chunks with the trigger capped at one file, so the
+    * query runs >= 2 micro-batches and windows/sessions MUST merge across
+    * batch boundaries — the stateful behavior a single-batch drain would
+    * never exercise (even/odd event ids interleave every window). The
+    * aggregation is drained to a complete-mode memory sink and handed back
+    * detached, as the batch DataFrame the driver's oracle compares.
     *
-    * Complete output mode, deliberately: in append mode sessions are only
-    * emitted once the watermark passes them, and a drained finite stream
-    * never advances the watermark past its last event, so trailing sessions
-    * would be withheld and the twin could never equal the batch result.
-    * Complete mode emits the full session table each trigger. The memory
-    * sink holds one row per SESSION (not per event) — bounded at gate
-    * scale; a production deployment writes [[exactlyOnceSink]]-style to a
-    * lake instead. Sums use the decimal-exact dsum so micro-batch
-    * accumulation order cannot perturb the float result. */
-  def userSessionsStreamGate(spark: SparkSession, sfDir: String,
-                             gap: String = "5 minutes"): DataFrame = {
-    val name = "graft_sessions_stream_" +
+    * Complete output mode, deliberately: in append mode windowed results are
+    * only emitted once the watermark passes them, and a drained finite
+    * stream never advances the watermark past its last event, so trailing
+    * windows would be withheld and the twin could never equal the batch
+    * result. Complete mode emits the full aggregate table each trigger. The
+    * memory sink holds one row per WINDOW/SESSION (not per event) — bounded
+    * at gate scale; a production deployment writes [[exactlyOnceSink]]-style
+    * to a lake instead. */
+  private def drainEventsStreamGate(spark: SparkSession, sfDir: String)(
+      agg: DataFrame => DataFrame)(finish: DataFrame => DataFrame): DataFrame = {
+    val name = "graft_stream_gate_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    // stage the fixture as two "arriving" chunks and cap the trigger at one
-    // file, so the query runs >= 2 micro-batches and sessions MUST merge
-    // across batch boundaries — the stateful behavior a single-batch drain
-    // would never exercise (even/odd ids interleave every session)
     val stage = java.nio.file.Files
-      .createTempDirectory("graft-sessions-gate").toFile.getAbsolutePath
+      .createTempDirectory("graft-stream-gate").toFile.getAbsolutePath
     // Tables.events normalizes the fixture's nanosecond timestamps to
     // Spark TimestampType, so the staged chunks match eventsSchema
     val events = graft.model.Tables.events(spark, sfDir)
@@ -195,13 +191,9 @@ object Streams {
       .write.mode("overwrite").parquet(s"$stage/chunk=0")
     events.filter(pmod(col("event_id"), lit(2)) === 1)
       .write.mode("overwrite").parquet(s"$stage/chunk=1")
-    val sessions = spark.readStream.schema(eventsSchema)
+    val stream = spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$stage/chunk=*")
-      .withWatermark("ts", "10 minutes")
-      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
-      .agg(count(lit(1)).as("n_events"),
-        graft.ops.Aggregations.dsum(col("value")).as("sum_value"))
-    val q = sessions.writeStream.format("memory").queryName(name)
+    val q = agg(stream).writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
     try q.processAllAvailable() finally {
       q.stop()
@@ -214,14 +206,45 @@ object Streams {
     // the session lifetime, outside Bench's clearCache/unpersist sweep —
     // repeated gate runs would otherwise accumulate one pinned copy per
     // invocation under a fresh UUID name
-    val out = spark.table(name)
-      .select(col("user_id"), col("w.start").as("session_start"),
-        col("n_events"), col("sum_value"))
-      .orderBy(col("user_id"), col("session_start"))
-      .localCheckpoint(true)
+    val out = finish(spark.table(name)).localCheckpoint(true)
     spark.catalog.dropTempView(name)
     out
   }
+
+  /** Driver-gated streaming twin of [[userSessionsBatch]]: the SAME
+    * session_window aggregation run as an actual Structured Streaming query
+    * over a file-stream source, drained to a memory sink, returned as the
+    * batch DataFrame the driver's oracle compares — the streaming engine's
+    * session semantics are checked against the recursive lag/gap SQL the
+    * batch form already passes (the bloom-twin gating pattern). Sums use
+    * the decimal-exact dsum so micro-batch accumulation order cannot
+    * perturb the float result. */
+  def userSessionsStreamGate(spark: SparkSession, sfDir: String,
+                             gap: String = "5 minutes"): DataFrame =
+    drainEventsStreamGate(spark, sfDir)(stream => stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.Aggregations.dsum(col("value")).as("sum_value")))(t => t
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start")))
+
+  /** Driver-gated streaming twin of [[hourlyCountsBatch]] — the windowed-
+    * aggregation analogue of [[userSessionsStreamGate]]: a real readStream
+    * -> tumbling window(1 hour) -> memory-sink query whose drained result
+    * must equal the date_trunc batch form row-for-row (window(ts, '1
+    * hour').start IS date_trunc('hour', ts)). Session merge and tumbling
+    * accumulation are different state operators; this gates the second. */
+  def hourlyCountsStreamGate(spark: SparkSession, sfDir: String): DataFrame =
+    drainEventsStreamGate(spark, sfDir)(stream => stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.Aggregations.dsum(col("value")).as("sum_value")))(t => t
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type")))
 
   /** Batch session windows (session_window works in batch mode too). */
   def userSessionsBatch(events: DataFrame, gap: String = "5 minutes"): DataFrame =

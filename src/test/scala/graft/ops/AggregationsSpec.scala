@@ -71,4 +71,22 @@ class AggregationsSpec extends SparkSpec {
       assert(math.abs(hiA - hi) / hi < 0.15, s"$g: p95 approx=$hiA exact=$hi")
     }
   }
+
+  test("distinctSketchAudit: HLL estimates within bound, union row present") {
+    val li = graft.model.Tables.lineitem(spark, sf)
+    val rows = Aggregations.distinctSketchAudit(li)
+      .as[(String, Long, Boolean)].collect()
+    val flags = li.select("l_returnflag").distinct()
+      .as[String].collect().toSet
+    assert(rows.map(_._1).toSet == flags + "*")
+    rows.foreach { case (scope, _, ok) =>
+      assert(ok, s"$scope: HLL estimate outside the 5% bound") }
+    // the '*' row's baseline is the true global distinct — the sketch-union
+    // estimate was audited against THIS, not a sum of per-group counts
+    // (flags share part keys, so the naive sum would overcount)
+    val global = rows.find(_._1 == "*").get._2
+    assert(global == li.select("l_partkey").distinct().count())
+    assert(global < rows.filter(_._1 != "*").map(_._2).sum,
+      "fixture must overlap part keys across flags or the union test is vacuous")
+  }
 }

@@ -42,6 +42,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourly stream gate equals the batch twin on the fixture") {
+    // drives the full driver-gate path (staged chunks, one file per
+    // trigger, complete-mode memory sink, view dropped) — the plumbing
+    // q_user_sessions_stream shares
+    val streamed = Streams.hourlyCountsStreamGate(spark, sf)
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect()
+    val batch = Streams.hourlyCountsBatch(graft.model.Tables.events(spark, sf))
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_stream_gate_")),
+      "gate must drop its memory-sink temp view")
+  }
+
   test("runningUserProfile carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
