@@ -429,6 +429,10 @@ object SparkEntry {
     // batch twin: readStream -> tumbling window(1h) -> memory sink, two
     // forced micro-batches so windows accumulate across batch boundaries
     "q_hourly_events_stream" -> ((s, d) => Streams.hourlyCountsStreamGate(s, d)),
+    // the stream-stream interval join behind the batch band join's oracle:
+    // append mode, live watermark eviction, time-ordered staged arrival —
+    // the eviction-correctness check the complete-mode gates can't express
+    "q_band_join_stream" -> ((s, d) => Streams.clickErrorPairsStreamGate(s, d)),
     "q_top_event_types" -> ((s, d) => Streams.topEventTypesPerHour(Tables.events(s, d))),
     // ---- multimodal plumbing (north-star; decode is a marked stub) ----
     "q_media_meta" -> ((s, d) => Multimodal.largeLandscapeImages(
@@ -558,10 +562,11 @@ object SparkEntry {
     baseOracleSql +
       ("q_incremental_dedup_bucketed" ->
         baseOracleSql("q_incremental_dedup_indexed")) +
-      // the tumbling-window streaming twin shares the batch oracle
-      // verbatim: identical windowed-aggregation semantics is exactly the
-      // property under test (same pattern as q_user_sessions_stream)
-      ("q_hourly_events_stream" -> baseOracleSql("q_hourly_events"))
+      // the streaming twins share their batch oracles verbatim: identical
+      // windowed-aggregation / join semantics is exactly the property
+      // under test (same pattern as q_user_sessions_stream)
+      ("q_hourly_events_stream" -> baseOracleSql("q_hourly_events")) +
+      ("q_band_join_stream" -> baseOracleSql("q_band_join"))
   }
 
   private lazy val baseOracleSql: Map[String, String] = Map(

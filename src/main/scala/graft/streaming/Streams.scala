@@ -230,6 +230,62 @@ object Streams {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start")))
 
+  /** Driver-gated streaming twin of the band join (q_band_join): the
+    * stream-stream interval join run as a real readStream self-join whose
+    * drained pair set, batch-aggregated, must equal the bucketed batch
+    * join's oracle row-for-row.
+    *
+    * Unlike the windowed gates there is NO complete mode to hide behind:
+    * append-mode inner joins emit each pair when its second row arrives
+    * and DROP input older than the watermark. So the fixture is staged in
+    * TIME order — first/second half of the event-time range, one file each
+    * (unsorted part files would vault the watermark past rows still
+    * unread) — and the watermark delay (70 min) exceeds the join window
+    * (60 min): state eviction stays live, chunk-0 rows near the boundary
+    * must survive it for cross-chunk pairs, and the result must still be
+    * exact. This is the eviction-correctness check the windowed gates
+    * cannot express. */
+  def clickErrorPairsStreamGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_pairs_stream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-pairs-gate").toFile.getAbsolutePath
+    val events = graft.model.Tables.events(spark, sfDir)
+    val midUs = events
+      .agg(((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
+        .cast("long")).head.getLong(0)
+    // coalesce(1): one file per chunk so arrival order IS time order;
+    // chunk=0 is written (hence modification-stamped) first, which is the
+    // order the file source replays
+    events.filter(unix_micros(col("ts")) < midUs).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/chunk=0")
+    events.filter(unix_micros(col("ts")) >= midUs).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/chunk=1")
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/chunk=*")
+    val pairs = clickErrorPairsStream(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "error"),
+      windowSec = 3600, delay = "70 minutes")
+    val q = pairs.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(stage)).deleteRecursively()
+    }
+    // the join's pair set is the property under test; the report shape is
+    // batch aggregation over the drained sink, compared by the batch oracle
+    val out = spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("dt_us"))).as("min_dt_us"))
+      .orderBy(col("user_id"))
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Driver-gated streaming twin of [[hourlyCountsBatch]] — the windowed-
     * aggregation analogue of [[userSessionsStreamGate]]: a real readStream
     * -> tumbling window(1 hour) -> memory-sink query whose drained result

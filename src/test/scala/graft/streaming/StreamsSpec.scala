@@ -61,6 +61,26 @@ class StreamsSpec extends SparkSpec {
       "gate must drop its memory-sink temp view")
   }
 
+  test("stream-stream join gate equals the batch band join on the fixture") {
+    // append mode + live eviction: cross-chunk pairs near the time split
+    // must survive the watermark for this to hold
+    val ev = graft.model.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"), col("ts"))
+    val batch = graft.ops.Temporal
+      .timeProximityPairs(clicks, errs, "user_id", windowSec = 3600)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), min(abs(col("dt_us"))).as("min_dt_us"))
+      .orderBy(col("user_id"))
+      .as[(Long, Long, Long)].collect()
+    val streamed = Streams.clickErrorPairsStreamGate(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("runningUserProfile carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
