@@ -131,6 +131,15 @@ class PlanHygieneSpec extends SparkSpec {
       s"corpus-sized join in a map-side coding pass:\n$p")
   }
 
+  test("HLL distinct audit: sketches combine map-side (partial aggregation)") {
+    // the whole point of the sketch twin is mergeability — each partition
+    // builds its own HLL and only sketch bytes cross the shuffle; a plan
+    // without the partial mode would ship raw part keys instead
+    val p = plan("q_distinct_hll")
+    assert(p.contains("partial_hll_sketch_agg"),
+      s"HLL sketch not combined map-side:\n$p")
+  }
+
   test("no CartesianProduct in any equi-expressible query plan") {
     val excluded = Set(
       "q_ann_brute", "q_cosine_near_dups", // documented non-equi oracles
