@@ -433,6 +433,11 @@ object SparkEntry {
     // append mode, live watermark eviction, time-ordered staged arrival —
     // the eviction-correctness check the complete-mode gates can't express
     "q_band_join_stream" -> ((s, d) => Streams.clickErrorPairsStreamGate(s, d)),
+    // the dropDuplicates dedup state operator (4th state class) behind a
+    // DISTINCT-triples oracle: parity-split chunks force every drop
+    // decision through cross-batch state; output columns are functions of
+    // the fingerprint, so arrival order cannot perturb the result
+    "q_dedup_stream" -> ((s, d) => Streams.dedupStreamGate(s, d)),
     "q_top_event_types" -> ((s, d) => Streams.topEventTypesPerHour(Tables.events(s, d))),
     // ---- multimodal plumbing (north-star; decode is a marked stub) ----
     "q_media_meta" -> ((s, d) => Multimodal.largeLandscapeImages(
@@ -1222,6 +1227,11 @@ object SparkEntry {
         |  coalesce(TRY_CAST(c_mktsegment AS INTEGER), -1) AS watches,
         |  coalesce(TRY_CAST(string_split(c_name, '#')[2] AS INTEGER), -1) AS friends
         |FROM customer ORDER BY user_id""".stripMargin,
+    "q_dedup_stream" ->
+      """SELECT event_type, count(*) AS n_uniq,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT DISTINCT event_type, props, value FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events,

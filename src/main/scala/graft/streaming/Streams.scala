@@ -230,6 +230,40 @@ object Streams {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start")))
 
+  /** Append-mode sibling of [[drainEventsStreamGate]] for the stateful
+    * operators that have no complete mode (joins, dedup): stages the
+    * caller's chunk split of the events fixture (coalesce(1) when arrival
+    * order must BE the chunk order — chunk i is written, hence
+    * modification-stamped, before chunk i+1, which is the order the file
+    * source replays), drains `xform(stream)` through an append-mode memory
+    * sink, and hands `finish(drained)` back detached with the sink view
+    * dropped (same driver-memory rationale as the complete-mode helper). */
+  private def drainAppendStreamGate(spark: SparkSession, sfDir: String,
+      chunksOf: DataFrame => Seq[DataFrame], oneFilePerChunk: Boolean)(
+      xform: DataFrame => DataFrame)(finish: DataFrame => DataFrame): DataFrame = {
+    val name = "graft_append_stream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-append-gate").toFile.getAbsolutePath
+    chunksOf(graft.model.Tables.events(spark, sfDir)).zipWithIndex
+      .foreach { case (c, i) =>
+        (if (oneFilePerChunk) c.coalesce(1) else c)
+          .write.mode("overwrite").parquet(s"$stage/chunk=$i")
+      }
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/chunk=*")
+    val q = xform(stream).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(stage)).deleteRecursively()
+    }
+    val out = finish(spark.table(name)).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Driver-gated streaming twin of the band join (q_band_join): the
     * stream-stream interval join run as a real readStream self-join whose
     * drained pair set, batch-aggregated, must equal the bucketed batch
@@ -245,46 +279,55 @@ object Streams {
     * must survive it for cross-chunk pairs, and the result must still be
     * exact. This is the eviction-correctness check the windowed gates
     * cannot express. */
-  def clickErrorPairsStreamGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = "graft_pairs_stream_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft-pairs-gate").toFile.getAbsolutePath
-    val events = graft.model.Tables.events(spark, sfDir)
-    val midUs = events
-      .agg(((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
-        .cast("long")).head.getLong(0)
-    // coalesce(1): one file per chunk so arrival order IS time order;
-    // chunk=0 is written (hence modification-stamped) first, which is the
-    // order the file source replays
-    events.filter(unix_micros(col("ts")) < midUs).coalesce(1)
-      .write.mode("overwrite").parquet(s"$stage/chunk=0")
-    events.filter(unix_micros(col("ts")) >= midUs).coalesce(1)
-      .write.mode("overwrite").parquet(s"$stage/chunk=1")
-    val stream = spark.readStream.schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$stage/chunk=*")
-    val pairs = clickErrorPairsStream(
+  def clickErrorPairsStreamGate(spark: SparkSession, sfDir: String): DataFrame =
+    drainAppendStreamGate(spark, sfDir, events => {
+      val midUs = events
+        .agg(((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
+          .cast("long")).head.getLong(0)
+      Seq(events.filter(unix_micros(col("ts")) < midUs),
+        events.filter(unix_micros(col("ts")) >= midUs))
+    }, oneFilePerChunk = true)(stream => clickErrorPairsStream(
       stream.filter(col("event_type") === "click"),
       stream.filter(col("event_type") === "error"),
-      windowSec = 3600, delay = "70 minutes")
-    val q = pairs.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      import scala.reflect.io.Directory
-      new Directory(new java.io.File(stage)).deleteRecursively()
-    }
-    // the join's pair set is the property under test; the report shape is
-    // batch aggregation over the drained sink, compared by the batch oracle
-    val out = spark.table(name)
+      windowSec = 3600, delay = "70 minutes"))(drained => drained
+      // the join's pair set is the property under test; the report shape is
+      // batch aggregation over the drained sink, compared by the batch oracle
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         min(abs(col("dt_us"))).as("min_dt_us"))
-      .orderBy(col("user_id"))
-      .localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    out
-  }
+      .orderBy(col("user_id")))
+
+  /** Driver-gated streaming twin of exact content dedup — the FOURTH
+    * streaming state operator class (after window accumulation, session
+    * merge, and join state): [[streamingDedup]]'s dropDuplicates state run
+    * as a real append-mode readStream. The fixture is split by event-id
+    * parity into two chunks (each multi-file, one file per trigger), so
+    * rows sharing a content fingerprint land in different micro-batches
+    * and every drop decision must come from cross-batch dedup state, not
+    * in-batch distinct.
+    *
+    * The drained survivor set — one row per distinct fingerprint — is
+    * batch-aggregated per event_type and compared to a DISTINCT-triples
+    * DuckDB oracle. Deterministic despite arrival-order-dependent
+    * survivors because every column that reaches the output is a function
+    * of the fingerprint itself (event_id/ts/user_id of the surviving row
+    * are dropped before the aggregate). The dedup subset deliberately
+    * excludes the event-time column, so state is never watermark-evicted:
+    * whole-fixture exactness is the property under test. The bounded-state
+    * production form is dropDuplicatesWithinWatermark — same contract as
+    * [[streamingDedup]], where the watermark delay is the re-admission
+    * window. */
+  def dedupStreamGate(spark: SparkSession, sfDir: String): DataFrame =
+    drainAppendStreamGate(spark, sfDir, events =>
+      Seq(events.filter(pmod(col("event_id"), lit(2)) === 0),
+        events.filter(pmod(col("event_id"), lit(2)) === 1)),
+      oneFilePerChunk = false)(stream => stream
+      .withColumn("fp", xxhash64(col("event_type"), col("props"), col("value")))
+      .dropDuplicates("fp"))(survivors => survivors
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_uniq"),
+        graft.ops.Aggregations.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type")))
 
   /** Driver-gated streaming twin of [[hourlyCountsBatch]] — the windowed-
     * aggregation analogue of [[userSessionsStreamGate]]: a real readStream

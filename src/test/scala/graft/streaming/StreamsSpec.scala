@@ -81,6 +81,25 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("dedup stream gate equals the batch distinct aggregation on the fixture") {
+    // parity-split chunks: rows sharing a fingerprint land in different
+    // micro-batches, so drops must come from cross-batch dedup state
+    val batch = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), col("props"), col("value")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_uniq"),
+        graft.ops.Aggregations.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+      .as[(String, Long, Double)].collect()
+    val streamed = Streams.dedupStreamGate(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_append_stream_")),
+      "gate must drop its memory-sink temp view")
+  }
+
   test("runningUserProfile carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
