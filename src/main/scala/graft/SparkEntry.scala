@@ -371,6 +371,11 @@ object SparkEntry {
       Tables.embeddings(s, d), 0L to 9L, k = 10)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(
       s, Tables.embeddings(s, d), 0L to 9L, k = 10)),
+    // IVF over SQ8-compressed postings + exact re-rank (the FAISS IVF-SQ
+    // shape): corpus-side scan ships 1-byte codes, ADC scoring, refine by
+    // id; quality audited as the ann_ivf_sq recall-audit row
+    "q_ann_ivf_sq" -> ((s, d) => Similarity.ivfSqTopK(
+      s, Tables.embeddings(s, d), 0L to 9L, k = 10)),
     // the standing-index twin: quantizer trained ONCE into a staged
     // index (model + centroids + cell-partitioned postings), queries
     // probe it with no retrain; IvfIndexSpec pins exact equality with
@@ -1144,6 +1149,8 @@ object SparkEntry {
         |exacts AS (
         |  SELECT 'ann_ivf' AS method, (SELECT count(*) FROM topk WHERE rnk <= 10) AS n_exact
         |  UNION ALL
+        |  SELECT 'ann_ivf_sq', (SELECT count(*) FROM topk WHERE rnk <= 10)
+        |  UNION ALL
         |  SELECT 'ann_lsh', (SELECT count(*) FROM probe WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9))
         |  UNION ALL
         |  SELECT 'ann_sq8', (SELECT count(*) FROM topk WHERE rnk <= 10)
@@ -1151,6 +1158,7 @@ object SparkEntry {
         |  SELECT 'cosine_lsh', (SELECT count(*) FROM exact_pairs)),
         |bounds AS (
         |  SELECT 'ann_ivf' AS method, CAST(0.5 AS DOUBLE) AS min_recall
+        |  UNION ALL SELECT 'ann_ivf_sq', CAST(0.5 AS DOUBLE)
         |  UNION ALL SELECT 'ann_lsh', CAST(1.0 AS DOUBLE)
         |  UNION ALL SELECT 'ann_sq8', CAST(0.8 AS DOUBLE)
         |  UNION ALL SELECT 'cosine_lsh', CAST(0.9 AS DOUBLE))

@@ -169,6 +169,86 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF over SQ8-compressed postings with exact re-rank — [[ivfTopK]]'s
+    * cell pruning composed with [[sqQuantize]]'s 1-byte/dim layout (the
+    * classic IVF-SQ design, e.g. FAISS IndexIVFScalarQuantizer): the
+    * postings a probe scans carry integer CODES, not float vectors, so the
+    * corpus-side read and shuffle shrink ~4x at 100 TB while cell pruning
+    * still confines scoring to nprobe/nlist of the corpus. Scoring is
+    * asymmetric (ADC): the exact query vector against candidates
+    * dequantized on the fly from the broadcast one-row codebook; the top
+    * `rerankFactor * k` per query then re-rank against exact embeddings —
+    * a candidate-bounded id-join read (the "refine" step), NOT a second
+    * corpus scan — so every emitted score is exact. Output schema and
+    * determinism rules match [[ivfTopK]]; candidate selection inherits the
+    * k-means cells + quantization grid, hence engine-specific (rows-only
+    * gate), with retrieval quality audited as the `ann_ivf_sq` row of
+    * [[recallAudit]]. */
+  def ivfSqTopK(spark: SparkSession, embeddings: DataFrame, queryIds: Seq[Long],
+                k: Int, nlist: Int = 16, nprobe: Int = 4, levels: Int = 255,
+                rerankFactor: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = embeddings.withColumn("v", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("v").setPredictionCol("cell")
+    val model = km.fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .cache()
+    val codebook = sqStats(embeddings)
+    // the compressed posting list: (cell, id, codes) — the float vector
+    // does not ship with the corpus side at all
+    val postings = assigned.crossJoin(broadcast(codebook))
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        transform(col("embedding"), (v, i) =>
+          sqCode(v, element_at(col("mns"), i + lit(1)),
+            element_at(col("mxs"), i + lit(1)), levels).cast("int"))
+          .as("codes"))
+    val centDf = spark.createDataFrame(
+        model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+      .toDF("cell", "centroid")
+    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_to_cent").desc, col("cell"))
+    val probes = q.join(broadcast(centDf))
+      .withColumn("cos_to_cent",
+        cosine(col("q_emb").cast("array<double>"), col("centroid")))
+      .withColumn("p", row_number().over(wProbe))
+      .filter(col("p") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    // ADC pass: dequantize each candidate's codes against the broadcast
+    // codebook and score vs the exact query vector; keep rerankFactor*k
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val candidates = probes
+      .join(postings, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("approx_cos", cosine(col("q_emb").cast("array<double>"),
+        transform(col("codes"), (c, i) => {
+          val mn = element_at(col("mns"), i + lit(1))
+          val mx = element_at(col("mxs"), i + lit(1))
+          mn + c.cast("double") * (mx - mn) / lit(levels.toDouble)
+        })))
+      .withColumn("cr", row_number().over(wCand))
+      .filter(col("cr") <= k * rerankFactor)
+      .select(col("query_id"), col("q_emb"), col("neighbor_id"))
+    // refine: exact embeddings re-read by candidate id only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    candidates
+      .join(embeddings.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Number of independent LSH tables needed so a pair at exactly
     * `threshold` cosine collides in ≥1 table with probability
     * ≥ targetRecall. Per-plane agreement probability for angle θ is
@@ -470,6 +550,9 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     audit("ann_ivf", 0.5, ivfTopK(spark, emb, queryIds, k), exactTopK,
         Seq("query_id", "neighbor_id"))
+      .unionByName(audit("ann_ivf_sq", 0.5,
+        ivfSqTopK(spark, emb, queryIds, k), exactTopK,
+        Seq("query_id", "neighbor_id")))
       .unionByName(audit("ann_lsh", 1.0, cloneFound, cloneExpect,
         Seq("query_id", "neighbor_id")))
       .unionByName(audit("ann_sq8", 0.8,

@@ -18,6 +18,7 @@ class ContractSpec extends SparkSpec {
     val documented = Set(
       "q_als_recommend",        // ALS factor values
       "q_ann_ivf",              // k-means cell assignment
+      "q_ann_ivf_sq",           // k-means cells + quantization-grid candidates
       "q_ann_lsh",              // hyperplane signs from xxhash64
       "q_cosine_near_dups_lsh", // same
       "q_media_features",       // decoder feature floats

@@ -100,6 +100,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall") // nprobe=4 of 8 cells
   }
 
+  test("ivfSqTopK: exact scores after re-rank, recall holds, subset of probed-cell IVF") {
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)].collect()
+    val bruteMap = brute.map { case (q, n, c) => (q, n) -> c }.toMap
+    val sq = Similarity.ivfSqTopK(spark, emb, queries, k = 10, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(sq.groupBy(_._1).forall(_._2.length == 10))
+    // the refine step re-ranks against EXACT embeddings: any hit brute
+    // force also ranked must carry the identical rounded score
+    sq.foreach { case (q, n, c) =>
+      bruteMap.get((q, n)).foreach(bc => assert(bc == c, s"($q,$n): sq=$c brute=$bc"))
+    }
+    val recall = sq.count { case (q, n, _) => bruteMap.contains((q, n)) }.toDouble / brute.length
+    assert(recall >= 0.5, s"IVF-SQ recall $recall") // nprobe=4 of 8 cells
+    // compressed candidates come from the same probed cells as plain IVF
+    // (same seed/nlist/nprobe): a wide uncompressed IVF pass must contain
+    // every IVF-SQ result — quantization may only reorder WITHIN cells
+    val ivfWide = Similarity.ivfTopK(spark, emb, queries, k = 50, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    sq.foreach { case (q, n, _) =>
+      assert(ivfWide.contains((q, n)), s"($q,$n) not in the probed cells") }
+  }
+
   test("cosineNearDupsLSH pairs are a subset of exact pairs with equal scores") {
     val exact = Similarity.cosineNearDups(Tables.embeddings(spark, sf), 0.3)
       .as[(Long, Long, Double)].collect()
