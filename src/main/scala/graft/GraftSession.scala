@@ -18,6 +18,13 @@ import org.apache.spark.sql.SparkSession
   *    is the 100 TB answer to stale statistics — skewed joins re-split,
   *    shuffle fan-out right-sized per stage. On by default in Spark 4, but
   *    pinned so a cluster-side conf cannot silently regress the contract.
+  *  - Runtime bloom-filter join pruning: a selective dimension predicate is
+  *    re-applied to the fact side as an injected bloom semi-filter BEFORE
+  *    the shuffle, so a 100 TB fact scan feeding a shuffle join ships only
+  *    rows that can match (broadcast joins prune for free; this is the
+  *    shuffle-join equivalent). On by default in Spark 4, pinned for the
+  *    same no-silent-regress reason as AQE; injection is plan-asserted in
+  *    PlanHygieneSpec at forced-shuffle thresholds.
   *  - `graft.GraftExtensions`: the library's native expressions
   *    (`dot_product`) resolve in pure SQL for every session.
   *  - UTC session timezone: event-time results are host-timezone-independent
@@ -35,6 +42,7 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -140,6 +140,32 @@ class PlanHygieneSpec extends SparkSpec {
       s"HLL sketch not combined map-side:\n$p")
   }
 
+  test("runtime bloom filter semi-prunes the fact side of a selective shuffle join") {
+    // the GraftSession contract at 100 TB: when a dim join is too big to
+    // broadcast, the dim's selective predicate must still reach the fact
+    // scan — as an injected bloom filter ahead of the shuffle. Exercised at
+    // test scale by forcing the shuffle-join shape and zeroing the fact-side
+    // size threshold; the conf GraftSession pins is what makes it fire.
+    val c = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val part = graft.model.Tables.part(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("p_brand") === "Brand#11")
+      val li = graft.model.Tables.lineitem(spark, sf)
+      val p = li.join(part, li("l_partkey") === part("p_partkey"))
+        .groupBy("p_brand").count()
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected into the fact side:\n$p")
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
+
   test("no CartesianProduct in any equi-expressible query plan") {
     val excluded = Set(
       "q_ann_brute", "q_cosine_near_dups", // documented non-equi oracles
