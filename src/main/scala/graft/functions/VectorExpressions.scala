@@ -18,10 +18,14 @@ import org.apache.spark.sql.types._
   * virtual calls — the (b) tier of the custom-operator preference order
   * (compose built-ins < custom Expression < custom physical operator).
   *
-  * Semantics: dot(a, b) over array<float>/array<double>, summed in index
-  * order (matching both the HOF version and DuckDB's list_* functions, so
-  * oracle results are bit-identical). Null arrays propagate null; elements
-  * are assumed non-null (embedding columns — enforced by schema).
+  * Semantics: dot(a, b) over any mix of array<float>/array<double>/
+  * array<int> sides, accumulated in double in index order (matching both
+  * the HOF version and DuckDB's list_* functions, so oracle results are
+  * bit-identical). The int side exists for the quantized-code hot path:
+  * IVF-SQ ADC scoring decomposes to `q_const + dot_product(w, codes)`,
+  * and a fused (double, int) loop scores a compressed posting without
+  * materializing the dequantized array. Null arrays propagate null;
+  * elements are assumed non-null (embedding columns — enforced by schema).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -30,40 +34,51 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  private def accessor(e: Expression): String =
-    e.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType  => "getFloat"
-      case DoubleType => "getDouble"
-      case t => throw new IllegalArgumentException(s"dot_product over $t arrays")
-    }
+  private def elem(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def accessor(t: DataType): String = t match {
+    case FloatType   => "getFloat"
+    case DoubleType  => "getDouble"
+    case IntegerType => "getInt"
+    case t => throw new IllegalArgumentException(s"dot_product over $t arrays")
+  }
+
+  private def supported(t: DataType): Boolean =
+    t == FloatType || t == DoubleType || t == IntegerType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
-           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      case (ArrayType(l, _), ArrayType(r, _)) if supported(l) && supported(r) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"dot_product needs two float or two double arrays, got $l / $r")
+          s"dot_product needs two float/double/int arrays, got $l / $r")
     }
+  }
+
+  private def reader(t: DataType): (ArrayData, Int) => Double = t match {
+    case FloatType   => (ad, i) => ad.getFloat(i).toDouble
+    case DoubleType  => (ad, i) => ad.getDouble(i)
+    case IntegerType => (ad, i) => ad.getInt(i).toDouble
+    case t => throw new IllegalArgumentException(s"dot_product over $t arrays")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val gx = reader(elem(left))
+    val gy = reader(elem(right))
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    if (left.dataType.asInstanceOf[ArrayType].elementType == FloatType) {
-      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    } else {
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    }
+    while (i < n) { s += gx(x, i) * gy(y, i); i += 1 }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val get = accessor(left)
+    val getL = accessor(elem(left))
+    val getR = accessor(elem(right))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -72,7 +87,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.$get($i) * (double) $b.$get($i);
+         |  $s += (double) $a.$getL($i) * (double) $b.$getR($i);
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -175,8 +175,9 @@ object Similarity {
     * postings a probe scans carry integer CODES, not float vectors, so the
     * corpus-side read and shuffle shrink ~4x at 100 TB while cell pruning
     * still confines scoring to nprobe/nlist of the corpus. Scoring is
-    * asymmetric (ADC): the exact query vector against candidates
-    * dequantized on the fly from the broadcast one-row codebook; the top
+    * asymmetric (ADC) in lookup-table form: the affine codebook folds into
+    * per-query constants (q_const, w) so each candidate costs one fused
+    * codegen'd (double, int) dot product over its raw codes; the top
     * `rerankFactor * k` per query then re-rank against exact embeddings —
     * a candidate-bounded id-join read (the "refine" step), NOT a second
     * corpus scan — so every emitted score is exact. Output schema and
@@ -197,14 +198,24 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"))
       .cache()
     val codebook = sqStats(embeddings)
-    // the compressed posting list: (cell, id, codes) — the float vector
-    // does not ship with the corpus side at all
+    // the compressed posting list: (cell, id, codes, code_norm) — the float
+    // vector does not ship with the corpus side at all. code_norm is the
+    // reconstructed vector's norm, computed ONCE per corpus row at build
+    // (the only place a dequantized array is ever materialized)
     val postings = assigned.crossJoin(broadcast(codebook))
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         transform(col("embedding"), (v, i) =>
           sqCode(v, element_at(col("mns"), i + lit(1)),
             element_at(col("mxs"), i + lit(1)), levels).cast("int"))
-          .as("codes"))
+          .as("codes"),
+        col("mns"), col("mxs"))
+      .withColumn("deq", transform(col("codes"), (c, i) => {
+        val mn = element_at(col("mns"), i + lit(1))
+        val mx = element_at(col("mxs"), i + lit(1))
+        mn + c.cast("double") * (mx - mn) / lit(levels.toDouble)
+      }))
+      .withColumn("code_norm", sqrt(dot(col("deq"), col("deq"))))
+      .drop("deq", "mns", "mxs")
     val centDf = spark.createDataFrame(
         model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
       .toDF("cell", "centroid")
@@ -218,20 +229,28 @@ object Similarity {
       .withColumn("p", row_number().over(wProbe))
       .filter(col("p") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell"))
-    // ADC pass: dequantize each candidate's codes against the broadcast
-    // codebook and score vs the exact query vector; keep rerankFactor*k
+    // ADC pass, lookup-table form: dot(q, dequant(c)) decomposes as
+    // q_const + Σ w_i·c_i with q_const = Σ q_i·mn_i and w_i =
+    // q_i·(mx_i−mn_i)/levels — both per-QUERY constants (the FAISS ADC
+    // table, as columns). The per-candidate hot loop is then ONE fused
+    // codegen'd (double, int) dot product over the raw codes: no
+    // dequantized array, no per-element codebook lookups, no interpreted
+    // HOF in the O(candidates) inner loop.
+    val wq = probes.crossJoin(broadcast(codebook))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        dot(col("q_emb").cast("array<double>"), col("mns")).as("q_const"),
+        zip_with(col("q_emb").cast("array<double>"),
+          zip_with(col("mxs"), col("mns"), (mx, mn) => mx - mn),
+          (q, d) => q * d / lit(levels.toDouble)).as("w"),
+        norm(col("q_emb")).as("q_norm"))
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
-    val candidates = probes
+    val candidates = wq
       .join(postings, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .crossJoin(broadcast(codebook))
-      .withColumn("approx_cos", cosine(col("q_emb").cast("array<double>"),
-        transform(col("codes"), (c, i) => {
-          val mn = element_at(col("mns"), i + lit(1))
-          val mx = element_at(col("mxs"), i + lit(1))
-          mn + c.cast("double") * (mx - mn) / lit(levels.toDouble)
-        })))
+      .withColumn("approx_cos",
+        (col("q_const") + dot(col("w"), col("codes"))) /
+          (col("q_norm") * col("code_norm")))
       .withColumn("cr", row_number().over(wCand))
       .filter(col("cr") <= k * rerankFactor)
       .select(col("query_id"), col("q_emb"), col("neighbor_id"))

@@ -28,6 +28,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(11.0), None))
   }
 
+  test("dot_product over mixed double/int arrays: the quantized-code path") {
+    // the ADC hot loop: per-query double weights against raw int codes,
+    // plus the LUT identity dot(q, dequant(c)) = q_const + dot(w, c)
+    val d = Seq((Seq(0.5, 2.0, -1.0), Seq(3, 4, 5))).toDF("w", "c")
+    val got = d.select(
+        VectorFunctions.dot_product(col("w"), col("c")).as("wd"),
+        VectorFunctions.dot_product(col("c"), col("c")).as("ii"))
+      .as[(Double, Double)].head()
+    assert(got._1 == 0.5 * 3 + 2.0 * 4 + (-1.0) * 5)
+    assert(got._2 == 9.0 + 16.0 + 25.0)
+    // int × float mix resolves too (both orders)
+    val m = Seq((Seq(2, 3), Seq(1.5f, 2.5f))).toDF("i", "f")
+      .select(VectorFunctions.dot_product(col("i"), col("f")).as("a"),
+        VectorFunctions.dot_product(col("f"), col("i")).as("b"))
+      .as[(Double, Double)].head()
+    assert(m._1 == 2 * 1.5 + 3 * 2.5 && m._2 == m._1)
+  }
+
   test("dot_product is callable from SQL after registration") {
     Bridge.registerFunction(spark, "dot_product",
       exprs => DotProduct(exprs(0), exprs(1)))
