@@ -396,6 +396,25 @@ object SparkEntry {
         ()
       }
     }),
+    // the compressed standing form: codes-tier probe via the ADC lookup
+    // table + candidate-bounded exact refine; IvfIndexSpec pins exact
+    // equality with Similarity.ivfSqTopK and both tiers' partition pruning
+    "q_ann_ivf_sq_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-ivfsq-index").toFile.getAbsolutePath
+      try {
+        graft.sim.IvfIndex.build(s, emb, s"$stage/index")
+        graft.sim.IvfIndex.topKSq(s,
+            emb.filter(col("vec_id") < 10)
+              .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+            s"$stage/index", k = 10)
+          .localCheckpoint(true)
+      } finally {
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
+    }),
     // exact all-pairs form: the small-sample oracle baseline (quadratic —
     // see Similarity.cosineNearDups scaladoc); the LSH twin below is the
     // corpus-scale path, recall ≥0.9 pinned in SimilaritySpec

@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   *                   nprobe cells reads only those directories — partition
   *                   pruning IS the IVF inverted-list seek, expressed in
   *                   lake layout instead of a custom file format.
+  *   - `codebook/`   the one-row SQ8 affine codebook (mns, mxs, levels),
+  *                   frozen at build time like the quantizer;
+  *   - `codes/`      (vec_id, codes, code_norm) partitioned BY CELL — the
+  *                   compressed tier [[topKSq]] probes: 1-byte/dim codes
+  *                   instead of float vectors, ~4x less posting I/O, with
+  *                   the exact tier read only for the candidate-bounded
+  *                   refine. Admitted vectors outside the trained range
+  *                   take codes outside [0, levels]; the ADC lookup-table
+  *                   identity is affine, so they extrapolate instead of
+  *                   clipping.
   *
   * Scale shape: [[admit]] is broadcast-model assignment (map-side) plus an
   * anti-join against the postings' pruned vec_id column — cost ∝ batch,
@@ -34,9 +44,10 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Train the coarse quantizer on a corpus snapshot and write the full
-    * index (model + centroids + cell-partitioned postings). */
+    * index (model + centroids + cell-partitioned postings + the SQ8
+    * codebook and compressed codes tier). */
   def build(spark: SparkSession, embeddings: DataFrame, path: String,
-            nlist: Int = 16, seed: Long = 42L): Unit = {
+            nlist: Int = 16, seed: Long = 42L, levels: Int = 255): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val vecs = embeddings.withColumn("v", array_to_vector(col("embedding")))
@@ -49,9 +60,33 @@ object IvfIndex {
           .map { case (c, i) => (i, c.toArray) }.toSeq)
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
-    model.transform(vecs)
+    val assigned = model.transform(vecs)
       .select(col("cell"), col("vec_id"), col("embedding"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+      .cache()
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+    val codebook = Similarity.sqStats(embeddings).withColumn("levels", lit(levels))
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    writeCodes(assigned, codebook, s"$path/codes", overwrite = true)
+    assigned.unpersist()
+    ()
+  }
+
+  /** Code + norm a cell-assigned batch against a codebook and write it to
+    * the compressed tier — the ONE place the code/norm expressions are
+    * built, so build-time and admitted codes are bit-identical with
+    * [[Similarity.ivfSqTopK]]'s retrain form. */
+  private def writeCodes(assigned: DataFrame, codebook: DataFrame,
+                         path: String, overwrite: Boolean): Unit = {
+    val levels = codebook.select(col("levels")).head.getInt(0)
+    assigned.crossJoin(broadcast(codebook.drop("levels")))
+      .select(col("cell"), col("vec_id"),
+        Similarity.sqCodesExpr(col("embedding"), levels).as("codes"),
+        col("mns"), col("mxs"))
+      .withColumn("deq", Similarity.sqDequantExpr(col("codes"), levels))
+      .withColumn("code_norm", sqrt(Similarity.dot(col("deq"), col("deq"))))
+      .drop("deq", "mns", "mxs")
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("cell").parquet(path)
   }
 
   /** Assign a new batch against the PERSISTED quantizer and append each
@@ -66,11 +101,17 @@ object IvfIndex {
     val fresh = batch.join(existing, Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
     val n = fresh.count()
-    if (n > 0)
-      KMeansModel.load(s"$path/model")
+    if (n > 0) {
+      val assigned = KMeansModel.load(s"$path/model")
         .transform(fresh.withColumn("v", array_to_vector(col("embedding"))))
         .select(col("cell"), col("vec_id"), col("embedding"))
-        .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+        .cache()
+      assigned.write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+      // both tiers admit together: codes use the FROZEN build-time codebook
+      writeCodes(assigned, spark.read.parquet(s"$path/codebook"),
+        s"$path/codes", overwrite = false)
+      assigned.unpersist()
+    }
     n
   }
 
@@ -100,6 +141,60 @@ object IvfIndex {
       .join(postings.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Compressed-tier top-k — the standing form of [[Similarity.ivfSqTopK]]
+    * (pinned exactly equal in IvfIndexSpec): probe the codes tier with the
+    * per-query ADC lookup table, refine the top rerankFactor·k against the
+    * exact tier. BOTH reads are partition-pruned to the probed cells, and
+    * the heavy one (codes) ships 1-byte/dim rows; the exact tier
+    * contributes only the candidate-bounded refine join. */
+  def topKSq(spark: SparkSession, queries: DataFrame, path: String,
+             k: Int, nprobe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_to_cent").desc, col("cell"))
+    val probes = queries.join(broadcast(cents))
+      .withColumn("cos_to_cent",
+        Similarity.cosine(col("q_emb").cast("array<double>"), col("centroid")))
+      .withColumn("p", row_number().over(wProbe))
+      .filter(col("p") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+      .localCheckpoint(true)
+    val cells = probes.select(col("cell")).distinct().collect().map(_.get(0))
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val levels = codebook.select(col("levels")).head.getInt(0)
+    val (qConst, wCol) = Similarity.adcQueryConsts(levels)
+    val wq = probes.crossJoin(broadcast(codebook.drop("levels")))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        qConst.as("q_const"), wCol.as("w"),
+        Similarity.norm(col("q_emb")).as("q_norm"))
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(cells: _*))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val candidates = wq
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("codes"),
+        col("code_norm"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_cos",
+        (col("q_const") + Similarity.dot(col("w"), col("codes"))) /
+          (col("q_norm") * col("code_norm")))
+      .withColumn("cr", row_number().over(wCand))
+      .filter(col("cr") <= k * rerankFactor)
+      .select(col("query_id"), col("q_emb"), col("neighbor_id"))
+    val exact = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    candidates.join(exact, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(Similarity.cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))

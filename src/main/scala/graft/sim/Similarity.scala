@@ -204,16 +204,9 @@ object Similarity {
     // (the only place a dequantized array is ever materialized)
     val postings = assigned.crossJoin(broadcast(codebook))
       .select(col("cell"), col("vec_id").as("neighbor_id"),
-        transform(col("embedding"), (v, i) =>
-          sqCode(v, element_at(col("mns"), i + lit(1)),
-            element_at(col("mxs"), i + lit(1)), levels).cast("int"))
-          .as("codes"),
+        sqCodesExpr(col("embedding"), levels).as("codes"),
         col("mns"), col("mxs"))
-      .withColumn("deq", transform(col("codes"), (c, i) => {
-        val mn = element_at(col("mns"), i + lit(1))
-        val mx = element_at(col("mxs"), i + lit(1))
-        mn + c.cast("double") * (mx - mn) / lit(levels.toDouble)
-      }))
+      .withColumn("deq", sqDequantExpr(col("codes"), levels))
       .withColumn("code_norm", sqrt(dot(col("deq"), col("deq"))))
       .drop("deq", "mns", "mxs")
     val centDf = spark.createDataFrame(
@@ -236,12 +229,10 @@ object Similarity {
     // codegen'd (double, int) dot product over the raw codes: no
     // dequantized array, no per-element codebook lookups, no interpreted
     // HOF in the O(candidates) inner loop.
+    val (qConst, wCol) = adcQueryConsts(levels)
     val wq = probes.crossJoin(broadcast(codebook))
       .select(col("query_id"), col("q_emb"), col("cell"),
-        dot(col("q_emb").cast("array<double>"), col("mns")).as("q_const"),
-        zip_with(col("q_emb").cast("array<double>"),
-          zip_with(col("mxs"), col("mns"), (mx, mn) => mx - mn),
-          (q, d) => q * d / lit(levels.toDouble)).as("w"),
+        qConst.as("q_const"), wCol.as("w"),
         norm(col("q_emb")).as("q_norm"))
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
@@ -394,7 +385,7 @@ object Similarity {
     * of [[sqQuantize]]. One shuffle over (dim, value) pairs into a
     * dim-sized aggregate; the result broadcasts (2 doubles per dim,
     * regardless of corpus size). */
-  private def sqStats(embeddings: DataFrame): DataFrame =
+  private[sim] def sqStats(embeddings: DataFrame): DataFrame =
     embeddings
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
@@ -414,6 +405,33 @@ object Similarity {
     when(mx === mn, lit(0.0)).otherwise(
       floor((v.cast("double") - mn) / (mx - mn) * lit(levels.toDouble) + lit(0.5)))
 
+  /** The shared coding/decoding/ADC expression trees, factored so every
+    * consumer — [[sqQuantize]], [[ivfSqTopK]], and the standing
+    * [[IvfIndex]] compressed tier — builds the BYTE-IDENTICAL Column tree
+    * (the exact-equality pins between retrain and standing forms depend on
+    * it). All three expect the codebook columns `mns`/`mxs` in scope. */
+  private[sim] def sqCodesExpr(emb: Column, levels: Int): Column =
+    transform(emb, (v, i) =>
+      sqCode(v, element_at(col("mns"), i + lit(1)),
+        element_at(col("mxs"), i + lit(1)), levels).cast("int"))
+
+  private[sim] def sqDequantExpr(codes: Column, levels: Int): Column =
+    transform(codes, (c, i) => {
+      val mn = element_at(col("mns"), i + lit(1))
+      val mx = element_at(col("mxs"), i + lit(1))
+      mn + c.cast("double") * (mx - mn) / lit(levels.toDouble)
+    })
+
+  /** Per-query ADC lookup-table constants (q_const, w) for a `q_emb`
+    * column: dot(q, dequant(c)) = q_const + Σ w_i·c_i — exact for ANY
+    * integer code (affine identity), so out-of-range codes from admitted
+    * vectors extrapolate instead of corrupting. */
+  private[sim] def adcQueryConsts(levels: Int): (Column, Column) = (
+    dot(col("q_emb").cast("array<double>"), col("mns")),
+    zip_with(col("q_emb").cast("array<double>"),
+      zip_with(col("mxs"), col("mns"), (mx, mn) => mx - mn),
+      (q, d) => q * d / lit(levels.toDouble)))
+
   /** Scalar (8-bit) quantization of the embedding column — the memory
     * layout a 100 TB ANN corpus actually ships: 4 bytes/dim float32 down
     * to 1 byte/dim, per-dimension affine codes
@@ -427,10 +445,7 @@ object Similarity {
     embeddings.crossJoin(broadcast(sqStats(embeddings)))
       .select(col("vec_id"), col("label"),
         size(col("embedding")).cast("bigint").as("n_dims"),
-        transform(col("embedding"), (v, i) =>
-          sqCode(v, element_at(col("mns"), i + lit(1)),
-            element_at(col("mxs"), i + lit(1)), levels).cast("int"))
-          .as("codes"))
+        sqCodesExpr(col("embedding"), levels).as("codes"))
       .orderBy(col("vec_id"))
 
   /** Quantize-then-dequantize round trip: each component snapped to its

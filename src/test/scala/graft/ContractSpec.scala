@@ -23,6 +23,7 @@ class ContractSpec extends SparkSpec {
       "q_cosine_near_dups_lsh", // same
       "q_media_features",       // decoder feature floats
       "q_ann_ivf_indexed",      // k-means cells (standing-index form)
+      "q_ann_ivf_sq_indexed",   // same, compressed-tier probe
       "q_minhash_neardups",     // xxhash64 signatures
       "q_semantic_dedup",       // k-means cell assignment
       "q_simhash_neardups",     // xxhash64 bit votes

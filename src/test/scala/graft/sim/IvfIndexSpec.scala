@@ -57,6 +57,38 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("index topKSq equals the retrain-per-call ivfSqTopK exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    withIndex { path =>
+      IvfIndex.build(spark, emb, path, nlist = 8)
+      val viaIndex = IvfIndex.topKSq(spark, queriesFor(emb, ids), path,
+          k = 10, nprobe = 4)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val retrain = Similarity.ivfSqTopK(spark, emb, ids,
+          k = 10, nlist = 8, nprobe = 4)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(viaIndex == retrain,
+        s"index=${viaIndex.take(5)}... retrain=${retrain.take(5)}...")
+    }
+  }
+
+  test("compressed probe partition-prunes BOTH tiers (codes and exact refine)") {
+    val emb = Tables.embeddings(spark, sf)
+    withIndex { path =>
+      IvfIndex.build(spark, emb, path, nlist = 8)
+      val p = IvfIndex.topKSq(spark, queriesFor(emb, Seq(0L)), path,
+          k = 5, nprobe = 2)
+        .queryExecution.explainString(FormattedMode)
+      val pruned = p.linesIterator
+        .filter(_.contains("PartitionFilters:"))
+        .filter(l => l.contains("cell") && !l.replaceAll("\\s", "").contains("PartitionFilters:[]"))
+        .toSeq
+      assert(pruned.size >= 2,
+        s"expected cell-pruned scans of codes AND postings, got:\n$p")
+    }
+  }
+
   test("admit assigns without retraining, finds the clone, and replays as a no-op") {
     val emb = Tables.embeddings(spark, sf)
     withIndex { path =>
@@ -78,10 +110,20 @@ class IvfIndexSpec extends SparkSpec {
         .as[(Long, Long, Long, Double)].collect()
       assert(got.head._3 == 10007L && got.head._4 == 1.0,
         s"clone not found at rank 1: ${got.toSeq}")
-      // idempotence: replaying the batch appends nothing
+      // both tiers admitted together: the codes tier carries the batch too,
+      // and the compressed probe surfaces the admitted clone identically
+      assert(spark.read.parquet(s"$path/codes").count()
+        == spark.read.parquet(s"$path/postings").count())
+      val gotSq = IvfIndex.topKSq(spark, queriesFor(emb, Seq(7L)), path,
+          k = 3, nprobe = 2)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(gotSq.head._3 == 10007L && gotSq.head._4 == 1.0,
+        s"clone not found via the compressed tier: ${gotSq.toSeq}")
+      // idempotence: replaying the batch appends nothing to either tier
       val before = spark.read.parquet(s"$path/postings").count()
       assert(IvfIndex.admit(spark, batch, path) == 0L)
       assert(spark.read.parquet(s"$path/postings").count() == before)
+      assert(spark.read.parquet(s"$path/codes").count() == before)
     }
   }
 }
