@@ -462,6 +462,11 @@ object SparkEntry {
     // decision through cross-batch state; output columns are functions of
     // the fingerprint, so arrival order cannot perturb the result
     "q_dedup_stream" -> ((s, d) => Streams.dedupStreamGate(s, d)),
+    // the arbitrary-state operator (5th state class) behind a per-user
+    // batch-aggregate oracle: flatMapGroupsWithState folds a running
+    // profile whose final value is order-independent; parity-split chunks
+    // force the fold to resume from cross-batch GroupState
+    "q_profile_stream" -> ((s, d) => Streams.runningProfileStreamGate(s, d)),
     "q_top_event_types" -> ((s, d) => Streams.topEventTypesPerHour(Tables.events(s, d))),
     // ---- multimodal plumbing (north-star; decode is a marked stub) ----
     "q_media_meta" -> ((s, d) => Multimodal.largeLandscapeImages(
@@ -1259,6 +1264,14 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM (SELECT DISTINCT event_type, props, value FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // final flatMapGroupsWithState profile per user == the plain batch
+    // aggregate (count/sum/max are commutative folds); max_value rounded
+    // both sides per the float-agg oracle rule
+    "q_profile_stream" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+        |  round(max(value), 4) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events,

@@ -329,6 +329,34 @@ object Streams {
         graft.ops.Aggregations.dsum(col("value")).as("sum_value"))
       .orderBy(col("event_type")))
 
+  /** Driver-gated twin of [[runningUserProfile]] — the FIFTH streaming
+    * state operator class: ARBITRARY user state via flatMapGroupsWithState,
+    * the operator behind everything the built-in windows/joins/dedup can't
+    * express. The fixture splits by event-id parity (each user's events
+    * straddle both chunks), so the final profile a user reaches can only
+    * be right if the fold resumed from cross-batch GroupState.
+    *
+    * The sink holds one emission per (user, micro-batch); the gate reduces
+    * to the FINAL profile per user with per-field max — sound because
+    * every profile field is monotone non-decreasing across emissions
+    * (counts accumulate, max ratchets). That final state is arrival-order
+    * independent (count/sum/max are commutative folds), so it must equal
+    * the plain batch aggregate the DuckDB oracle computes; max_value is
+    * rounded at the gate boundary per the float-agg oracle rule. */
+  def runningProfileStreamGate(spark: SparkSession, sfDir: String): DataFrame =
+    drainAppendStreamGate(spark, sfDir, events =>
+      Seq(events.filter(pmod(col("event_id"), lit(2)) === 0),
+        events.filter(pmod(col("event_id"), lit(2)) === 1)),
+      oneFilePerChunk = false)(stream => {
+      import spark.implicits._
+      runningUserProfile(spark, stream.as[Event]).toDF
+    })(profiles => profiles
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("n_errors")).as("n_errors"),
+        round(max(col("max_value")), 4).as("max_value"))
+      .orderBy(col("user_id")))
+
   /** Driver-gated streaming twin of [[hourlyCountsBatch]] — the windowed-
     * aggregation analogue of [[userSessionsStreamGate]]: a real readStream
     * -> tumbling window(1 hour) -> memory-sink query whose drained result

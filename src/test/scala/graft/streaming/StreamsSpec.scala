@@ -100,6 +100,23 @@ class StreamsSpec extends SparkSpec {
       "gate must drop its memory-sink temp view")
   }
 
+  test("custom-state profile gate equals the batch per-user aggregate") {
+    // parity-split chunks straddle every user's events across micro-
+    // batches: the final flatMapGroupsWithState profile is only right if
+    // the fold resumed from cross-batch GroupState
+    val batch = graft.model.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        round(max(col("value")), 4).as("max_value"))
+      .orderBy(col("user_id"))
+      .as[(Long, Long, Long, Double)].collect()
+    val streamed = Streams.runningProfileStreamGate(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("runningUserProfile carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
