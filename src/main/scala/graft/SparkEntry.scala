@@ -468,6 +468,47 @@ object SparkEntry {
     // force the fold to resume from cross-batch GroupState
     "q_profile_stream" -> ((s, d) => Streams.runningProfileStreamGate(s, d)),
     "q_top_event_types" -> ((s, d) => Streams.topEventTypesPerHour(Tables.events(s, d))),
+    // ---- lake layout (LayoutSpec measures the row-group skipping and the
+    // file-count shrink; these gates pin that a relayout never changes
+    // content — the same box filter / aggregate over the rewritten copy
+    // must match the raw-table oracle) ----
+    "q_zorder_scan" -> ((s, d) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-zorder").toFile.getAbsolutePath
+      try {
+        graft.lake.Layout.zorderWrite(Tables.events(s, d),
+          Seq("user_id", "value"), s"$stage/z")
+        s.read.parquet(s"$stage/z")
+          .filter(col("user_id").between(20, 60) &&
+            col("value").between(50d, 150d))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            Aggregations.dsum(col("value")).as("sum_value"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally {
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
+    }),
+    "q_compact_roundtrip" -> ((s, d) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-compact").toFile.getAbsolutePath
+      try {
+        Tables.events(s, d).repartition(32).write.parquet(s"$stage/small")
+        graft.lake.Layout.compact(s, s"$stage/small", s"$stage/big",
+          targetBytes = 1L << 20)
+        s.read.parquet(s"$stage/big")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            Aggregations.dsum(col("value")).as("sum_value"))
+          .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally {
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
+    }),
     // ---- multimodal plumbing (north-star; decode is a marked stub) ----
     "q_media_meta" -> ((s, d) => Multimodal.largeLandscapeImages(
       Multimodal.mediaFromDocuments(Tables.documents(s, d)))),
@@ -1277,6 +1318,18 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // relayout gates: the rewritten copies must answer exactly like the
+    // raw table (content preservation is the whole contract of a layout op)
+    "q_zorder_scan" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 20 AND 60 AND value BETWEEN 50 AND 150
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_compact_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_top_event_types" ->
       """SELECT window_start, event_type, n_events, rnk FROM (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type,
