@@ -69,13 +69,23 @@ object Layout {
   def zorderWrite(df: DataFrame, zcols: Seq[String], path: String,
                   numFiles: Int = 8, bits: Int = 16,
                   maxRowGroupBytes: Long = 1L << 20): Unit = {
+    // the interleaved value must fit a signed long: clamp per-column
+    // resolution rather than silently wrapping shift amounts mod 64
+    val safeBits = math.max(1, math.min(bits, 63 / math.max(1, zcols.size)))
     val bounds = df.select(
       zcols.flatMap(c => Seq(min(col(c).cast("double")).as(s"mn_$c"),
         max(col(c).cast("double")).as(s"mx_$c"))): _*).head()
-    val ints = zcols.zipWithIndex.map { case (c, i) =>
-      scaled(col(c), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), bits)
+    // empty input (or an all-null clustering column) has no bounds and
+    // nothing to cluster: write the (empty) frame as-is
+    if (zcols.indices.exists(i => bounds.isNullAt(2 * i))) {
+      df.write.mode("overwrite").parquet(path)
+      return
     }
-    df.withColumn("__z", interleave(ints, bits))
+    val ints = zcols.zipWithIndex.map { case (c, i) =>
+      scaled(col(c), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1),
+        safeBits)
+    }
+    df.withColumn("__z", interleave(ints, safeBits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
@@ -94,11 +104,19 @@ object Layout {
     * input splits. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // resolve the filesystem FROM the path (not the default FS) and list
+    // recursively so partitioned directories size correctly
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (s.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith("."))
+        bytes += s.getLen
+    }
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath).coalesce(n)
       .write.mode("overwrite").parquet(outPath)

@@ -92,13 +92,23 @@ object IvfIndex {
   /** Assign a new batch against the PERSISTED quantizer and append each
     * vector to its cell's partition — no retrain, map-side assignment,
     * idempotent per vec_id (a replayed batch appends nothing). Returns
-    * the number of vectors added. */
+    * the number of vectors added.
+    *
+    * Crash-consistency: the two tiers are appended by two writes, so a
+    * failure between them can leave a vec_id in one tier only. "Admitted"
+    * is therefore defined as PRESENT IN BOTH tiers (intersection), and
+    * each tier's append anti-joins against its OWN id set — a replayed
+    * batch repairs whichever tier the partial failure missed without
+    * duplicating rows in the tier that already has it. */
   def admit(spark: SparkSession, batch: DataFrame, path: String): Long = {
     import org.apache.spark.ml.clustering.KMeansModel
     import org.apache.spark.ml.functions.array_to_vector
-    val existing = spark.read.parquet(s"$path/postings")
-      .select(col("vec_id")).distinct()
-    val fresh = batch.join(existing, Seq("vec_id"), "left_anti")
+    val postIds = spark.read.parquet(s"$path/postings")
+      .select(col("vec_id")).distinct().localCheckpoint(true)
+    val codeIds = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id")).distinct().localCheckpoint(true)
+    val admitted = postIds.join(codeIds, Seq("vec_id"), "inner")
+    val fresh = batch.join(admitted, Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
     val n = fresh.count()
     if (n > 0) {
@@ -106,9 +116,11 @@ object IvfIndex {
         .transform(fresh.withColumn("v", array_to_vector(col("embedding"))))
         .select(col("cell"), col("vec_id"), col("embedding"))
         .cache()
-      assigned.write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+      assigned.join(postIds, Seq("vec_id"), "left_anti")
+        .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
       // both tiers admit together: codes use the FROZEN build-time codebook
-      writeCodes(assigned, spark.read.parquet(s"$path/codebook"),
+      writeCodes(assigned.join(codeIds, Seq("vec_id"), "left_anti"),
+        spark.read.parquet(s"$path/codebook"),
         s"$path/codes", overwrite = false)
       assigned.unpersist()
     }

@@ -245,10 +245,22 @@ object Streams {
       java.util.UUID.randomUUID().toString.replace("-", "")
     val stage = java.nio.file.Files
       .createTempDirectory("graft-append-gate").toFile.getAbsolutePath
+    val mtimeBase = System.currentTimeMillis()
     chunksOf(graft.model.Tables.events(spark, sfDir)).zipWithIndex
       .foreach { case (c, i) =>
         (if (oneFilePerChunk) c.coalesce(1) else c)
           .write.mode("overwrite").parquet(s"$stage/chunk=$i")
+        // FileStreamSource orders files by modification time; on coarse-
+        // mtime filesystems consecutive chunk writes can tie and drain out
+        // of order, vaulting the watermark past earlier chunks. Stamp each
+        // chunk's files with explicit strictly increasing mtimes.
+        val dir = java.nio.file.Paths.get(stage, s"chunk=$i")
+        java.nio.file.Files.list(dir).forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime
+                .fromMillis(mtimeBase + 10000L * i))
+        }
       }
     val stream = spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$stage/chunk=*")

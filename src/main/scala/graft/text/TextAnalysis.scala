@@ -146,19 +146,32 @@ object TextAnalysis {
     * heavy hitter appears in any constant-fraction sample with
     * overwhelming probability). Estimates are CMS point queries: never
     * below the true count, above by ≤ eps·N with prob ≥ confidence.
-    * The driver touches only the merged sketch and the bounded candidate
+    *
+    * The candidate set is bounded BEFORE it reaches the driver: document
+    * sampling alone does not bound distinct terms (Heaps' law — a 10%
+    * sample of a 100 TB corpus still holds tens of millions of terms), so
+    * the sample is first reduced by a distributed grouped count and only
+    * the top `candidateFactor`·k terms by sample frequency are collected
+    * — a TakeOrdered of O(k) strings, not the sample vocabulary. A true
+    * top-k heavy hitter's sample count concentrates near freq/sampleMod
+    * (Chernoff), so it survives the cut with overwhelming probability.
+    * The driver touches only the merged sketch and that O(k) candidate
     * list (the IVF-centroid pattern) — the corpus never funnels through
     * one node. Seeded hashing → deterministic but engine-specific
     * (rows-only gate; properties pinned in TextAnalysisSpec). */
   def vocabularyApprox(documents: DataFrame, k: Int = 100,
                        eps: Double = 0.0001, confidence: Double = 0.99,
-                       seed: Int = 42, sampleMod: Int = 10): DataFrame = {
+                       seed: Int = 42, sampleMod: Int = 10,
+                       candidateFactor: Int = 8): DataFrame = {
     val toks = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val sketch = toks.stat.countMinSketch("term", eps, confidence, seed)
     val candidates = toks
       .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
-      .select(col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("sample_freq"))
+      .orderBy(col("sample_freq").desc, col("term"))
+      .limit(math.min(Int.MaxValue.toLong, candidateFactor.toLong * k).toInt)
+      .select(col("term"))
       .collect().map(_.getString(0))
     val sp = documents.sparkSession
     import sp.implicits._
