@@ -90,11 +90,12 @@ object SparkEntry {
     "q_top_parts_by_qty" -> ((s, d) => Aggregations.topPartsByQuantity(Tables.lineitem(s, d), 100)),
     "q_count" -> ((s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
     "q_winsorize" -> ((s, d) => Aggregations.winsorizedPriceStats(Tables.orders(s, d))),
-    // the 100 TB form of the same report: quantile sketch instead of exact
-    // per-group value buffers (rows-only gate — sketch quantiles are
-    // engine-specific; accuracy pinned vs exact in AggregationsSpec)
-    "q_winsorize_approx" -> ((s, d) => Aggregations.winsorizedPriceStats(
-      Tables.orders(s, d), maxExactRows = 0L)),
+    // the 100 TB form of the same report, promise-gated: sketch quantile
+    // VALUES are engine-specific, so the gate emits the branch's portable
+    // contract per group (counts oracle-recomputed, quantiles within
+    // AggregationsSpec's tolerance of exact) with the booleans oracle-pinned
+    "q_winsorize_approx" -> ((s, d) => Aggregations.winsorizeApproxAudit(
+      Tables.orders(s, d))),
     "q_quality_deciles" -> ((s, d) => Aggregations.qualityDeciles(Tables.documents(s, d))),
     "q_rollup" -> ((s, d) => Aggregations.rollupStats(Tables.lineitem(s, d))),
     "q_distinct_count" -> ((s, d) =>
@@ -239,10 +240,13 @@ object SparkEntry {
         // tolerates sum-order FP drift (selection/order use the full value)
         .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
     }),
-    "q_als_recommend" -> ((s, d) => Recommend.recommendForUsers(
+    // promise-gated: ALS factor values are solver/BLAS-specific, so the
+    // gate emits the pipeline's portable contract (subset size, 5 resolved
+    // recs per user, train RMSE beats the mean predictor) with the
+    // booleans oracle-pinned; raw recs stay pinned in RecommendSpec
+    "q_als_recommend" -> ((s, d) => Recommend.alsAudit(
       s, Recommend.ratingTriples(Tables.orders(s, d), Tables.lineitem(s, d)),
-      nUsers = 100)
-      .select(col("userId"), col("userKey"), csv(col("recommendations")).as("recommendations"))),
+      nUsers = 100)),
     // ---- typed ingest (SURVEY §2.1 S2 — users leg): the reference user
     // schema's -1-sentinel coercion over raw strings; raw shape derived
     // from customer (nationkey parses, mktsegment doesn't → -1, the c_name
@@ -273,10 +277,12 @@ object SparkEntry {
       .select(col("doc_id"), csv(col("winnow_fp")).as("winnow_fp"))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
-    // sketch twin: count-min heavy hitters (one mergeable sketch pass +
-    // sampled candidates — the memory-bounded 100 TB form; CMS hashing is
-    // engine-specific -> rows-only, properties pinned in TextAnalysisSpec)
-    "q_vocab_approx" -> ((s, d) => TextAnalysis.vocabularyApprox(Tables.documents(s, d))),
+    // sketch twin, promise-gated: CMS estimates are seeded-hash-specific,
+    // so the gate emits the sketch's portable contract (exact distinct-term
+    // count oracle-recomputed; never-undercount + heavy-hitter recovery
+    // booleans oracle-pinned; raw estimates stay pinned in TextAnalysisSpec)
+    "q_vocab_approx" -> ((s, d) => TextAnalysis.vocabularyApproxAudit(
+      Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.topTermsTfIdf(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "q_chunks" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
@@ -359,11 +365,22 @@ object SparkEntry {
     // quantizer -> rows-only gate; properties pinned in SimilaritySpec)
     // 0.35 matches the exact/LSH cosine gates: the fixture's near-dup mass
     // sits there, so the drop path is actually exercised
-    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(
+    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedupAudit(
       Tables.embeddings(s, d), threshold = 0.35)),
-    "q_minhash_neardups" -> ((s, d) => Dedup.minhashNearDups(Tables.documents(s, d))),
-    "q_simhash_neardups" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 10)),
-    "q_winnow_neardups" -> ((s, d) => Dedup.winnowNearDups(Tables.documents(s, d))),
+    // sketch near-dup paths, promise-gated: raw pair sets are xxhash64-
+    // specific, so each gate emits its portable CONTRACT instead — recall
+    // vs the exact Jaccard >= 0.9 ground truth the oracle recomputes
+    // independently (bounds = DedupSpec's: minhash 0.95, winnow 0.9,
+    // simhash 0.8) — and the oracle pins recall_ok = true
+    "q_minhash_neardups" -> ((s, d) => Dedup.nearDupRecallAudit(
+      Tables.documents(s, d), "minhash_lsh", 0.95,
+      Dedup.minhashNearDups(Tables.documents(s, d)))),
+    "q_simhash_neardups" -> ((s, d) => Dedup.nearDupRecallAudit(
+      Tables.documents(s, d), "simhash", 0.8,
+      Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 10))),
+    "q_winnow_neardups" -> ((s, d) => Dedup.nearDupRecallAudit(
+      Tables.documents(s, d), "winnow", 0.9,
+      Dedup.winnowNearDups(Tables.documents(s, d)))),
     // ---- similarity search (north-star) ----
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(
       Tables.embeddings(s, d), 0L to 9L, k = 10)),
@@ -420,7 +437,10 @@ object SparkEntry {
     // corpus-scale path, recall ≥0.9 pinned in SimilaritySpec
     "q_cosine_near_dups" -> ((s, d) => Similarity.cosineNearDups(
       Tables.embeddings(s, d), threshold = 0.35)),
-    "q_cosine_near_dups_lsh" -> ((s, d) => Similarity.cosineNearDupsLSH(
+    // the corpus-scale LSH run, promise-gated: pair sets are hyperplane-
+    // hash-specific, so the gate pins recall >= 0.9 and precision 1 vs the
+    // exact probe pairs the oracle recomputes (full-corpus path exercised)
+    "q_cosine_near_dups_lsh" -> ((s, d) => Similarity.cosineLshCorpusAudit(
       Tables.embeddings(s, d), threshold = 0.35)),
     // recall audit for the approx paths above plus the sq8 round trip:
     // overlap vs the exact baselines as a driver-gated row per method
@@ -519,10 +539,17 @@ object SparkEntry {
       .select(col("media_id"), col("media_type"), col("width"), col("height"),
         length(col("content")).as("n_bytes"))
       .orderBy(col("media_id"))),
+    // feature VALUES are decoder-specific (FNV stub for non-image
+    // payloads), so the gate pins the portable per-row contract instead:
+    // id/type/byte-count are oracle-recomputed from the fixture mix, and
+    // features_ok pins the decode contract (featureDim floats, all in
+    // [-1, 1]) for every row; raw values stay pinned in MultimodalSpec
     "q_media_features" -> ((s, d) => Multimodal.extractFeatures(
       s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
       .toDF().select(col("media_id"), col("media_type"), col("n_bytes"),
-        csv(transform(col("features"), x => round(x.cast("double"), 4))).as("features"))
+        (size(col("features")) === 8 &&
+          !exists(col("features"), f => f.isNull || abs(f) > 1.0f))
+          .as("features_ok"))
       .orderBy(col("media_id"))),
   )
 
@@ -577,6 +604,32 @@ object SparkEntry {
     * shared by q_dup_clusters, q_dup_clusters_minlabel and q_dup_survivors:
     * all three must agree on the clustering exactly, so all three oracles
     * build on the same closure. */
+  /** Oracle for the sketch near-dup promise gates: recompute the exact
+    * shingle-Jaccard >= 0.9 pair count from scratch (same tokenization as
+    * the oracle-green q_ngram_jaccard) and pin the method's contractual
+    * recall promise as `recall_ok = true`. */
+  private def nearDupAuditSql(method: String, minRecall: Double): String =
+    s"""WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      |        FROM documents WHERE doc_id < 500)
+      |  WHERE len(toks) > 0),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT doc_a FROM inter
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.9)
+      |SELECT '$method' AS method, (SELECT count(*) FROM exact) AS n_exact,
+      |  CAST($minRecall AS DOUBLE) AS min_recall, TRUE AS recall_ok""".stripMargin
+
   private val dupClosurePrefix: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1052,6 +1105,9 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_minhash_neardups" -> nearDupAuditSql("minhash_lsh", 0.95),
+    "q_simhash_neardups" -> nearDupAuditSql("simhash", 0.8),
+    "q_winnow_neardups" -> nearDupAuditSql("winnow", 0.9),
     "q_containment" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1230,6 +1286,52 @@ object SparkEntry {
         |SELECT e.method, e.n_exact, b.min_recall, TRUE AS recall_ok
         |FROM exacts e JOIN bounds b USING (method)
         |ORDER BY method""".stripMargin,
+    // full-corpus LSH promise gate: exact probe pairs recomputed from
+    // scratch; the recall and precision promises pinned TRUE
+    "q_cosine_near_dups_lsh" ->
+      """WITH probe AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id < 500)
+        |SELECT 'cosine_lsh_corpus' AS method,
+        |  (SELECT count(*) FROM probe a JOIN probe b ON a.vec_id < b.vec_id
+        |   WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                      CAST(b.embedding AS DOUBLE[])), 4) >= 0.35)
+        |    AS n_exact,
+        |  CAST(0.9 AS DOUBLE) AS min_recall, TRUE AS recall_ok,
+        |  TRUE AS precision_ok""".stripMargin,
+    // semantic-dedup promise gate: verdict count recomputed (corpus + the
+    // planted clone); the drop-soundness and clone-drop promises pinned
+    "q_semantic_dedup" ->
+      """SELECT 'semantic_dedup' AS method,
+        |  (SELECT count(*) + 1 FROM embeddings) AS n_vecs,
+        |  TRUE AS drops_verified_ok, TRUE AS clone_dropped_ok""".stripMargin,
+    // ALS promise gate: the contract (subset size, structure, resolution,
+    // fit quality) — factor values themselves are solver-specific
+    "q_als_recommend" ->
+      """SELECT 'als' AS method, CAST(100 AS BIGINT) AS n_users,
+        |  TRUE AS recs_per_user_ok, TRUE AS ids_resolve_ok,
+        |  TRUE AS fit_rmse_ok""".stripMargin,
+    // winsorize sketch-branch promise gate: group set + counts are
+    // quantile-impl-independent; the accuracy promise pinned per group
+    "q_winsorize_approx" ->
+      """SELECT o_orderpriority, count(*) AS n, TRUE AS quantiles_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // vocabulary-sketch promise gate: exact distinct-term count recomputed
+    // with the q_vocab tokenization; CMS promises pinned
+    "q_vocab_approx" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT 'vocab_cms' AS method, count(DISTINCT term) AS n_terms,
+        |  TRUE AS undercount_ok, TRUE AS topk_overlap_ok FROM toks""".stripMargin,
+    // media-features promise gate: id/type/byte-count recomputed from the
+    // fixture mix; the per-row decode contract pinned TRUE
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][
+        |    CAST(((doc_id % 2147483648) * 2654435761 + 0) % 4294967296 % 3 AS INT) + 1]
+        |    AS media_type,
+        |  octet_length(encode(text)) AS n_bytes, TRUE AS features_ok
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q_pagerank_parts" ->
       s"""WITH edges AS MATERIALIZED (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst

@@ -444,4 +444,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  // ------------------------------------------------- recall promise gates
+
+  /** Driver-gated recall audit for a sketch-based near-dup path — the
+    * [[graft.sim.Similarity.recallAudit]] pattern applied to text dedup.
+    * The raw pair sets of [[minhashNearDups]]/[[simhashNearDups]]/
+    * [[winnowNearDups]] are engine-specific (xxhash64 signatures and bit
+    * votes), so they can never hash-match a cross-engine oracle; their
+    * CONTRACT, though, is portable: each method promises to recover at
+    * least `minRecall` of the true high-similarity pairs (exact shingle
+    * Jaccard ≥ `exactThreshold` — the same ground truth DedupSpec's
+    * recall bounds assert, and one DuckDB can recompute independently
+    * because q_ngram_jaccard's tokenization is already oracle-green).
+    * The gate emits `(method, n_exact, min_recall, recall_ok)`; the
+    * oracle recomputes `n_exact` from scratch and pins
+    * `recall_ok = true`. A config change that legitimately moves observed
+    * recall needs no oracle edit while the promise holds; a recall
+    * regression goes red on both engines' terms.
+    *
+    * Scale shape — the [[graft.sim.Similarity.recallAudit]] probe rule:
+    * recall is a property of the algorithm configuration, not the corpus
+    * size, so the exact ground truth is confined to a FIXED `auditDocs`
+    * document probe (exactly the whole corpus at the sf0.01 gate) while
+    * the METHOD still runs over the full input — the gate keeps
+    * exercising the production path end-to-end, and the quadratic-ish
+    * exact side stays O(1) however large the table grows. */
+  def nearDupRecallAudit(documents: DataFrame, method: String,
+                         minRecall: Double, approx: DataFrame,
+                         exactThreshold: Double = 0.9,
+                         auditDocs: Long = 500L): DataFrame = {
+    val exact = ngramJaccardPairs(
+        documents.filter(col("doc_id") < auditDocs),
+        threshold = exactThreshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    approx.select(col("doc_a"), col("doc_b"))
+      .filter(col("doc_a") < auditDocs && col("doc_b") < auditDocs)
+      .join(exact, Seq("doc_a", "doc_b"), "leftsemi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .select(lit(method).as("method"), col("n_exact"),
+        lit(minRecall).as("min_recall"),
+        (col("n_hits").cast("double") / col("n_exact") >= lit(minRecall))
+          .as("recall_ok"))
+  }
 }

@@ -60,7 +60,16 @@ object Recommend {
     * (`run_alsrecs_job.py:142-145`). */
   def recommendForUsers(spark: SparkSession, triples: DataFrame,
                         nUsers: Int = 500, nRecs: Int = 5,
-                        sampleFraction: Double = 0.10, seed: Long = 42L): DataFrame = {
+                        sampleFraction: Double = 0.10, seed: Long = 42L): DataFrame =
+    trainAndRecommend(spark, triples, nUsers, nRecs, sampleFraction, seed)._1
+
+  /** The pipeline body, also handing back the fitted model and the indexed
+    * training frame so [[alsAudit]] can score the fit without training a
+    * second model. */
+  private def trainAndRecommend(
+      spark: SparkSession, triples: DataFrame,
+      nUsers: Int, nRecs: Int, sampleFraction: Double, seed: Long)
+      : (DataFrame, org.apache.spark.ml.recommendation.ALSModel, DataFrame) = {
     logBlasOnce
     // cache() pins the sampled rows: without it each downstream job recomputes
     // the sample against whatever partitioning AQE picked for that job, and a
@@ -104,7 +113,7 @@ object Recommend {
     val exploded = recs
       .select(col("userId"), explode(col("recommendations")).as("rec"))
       .select(col("userId"), col("rec.itemId").as("itemId"), col("rec.rating").as("score"))
-    graft.ops.Joins.enrichWithPrunedDim(
+    val out = graft.ops.Joins.enrichWithPrunedDim(
       graft.ops.Joins.enrichWithPrunedDim(exploded, itemDim, "itemId"),
       userDim, "userId")
       .groupBy(col("userId"))
@@ -112,5 +121,52 @@ object Recommend {
         first(col("userKey")).as("userKey"), // 1:1 with userId — deterministic
         reverse(array_sort(collect_list(struct(col("score"), col("itemKey")))))
           .getField("itemKey").as("recommendations"))
+    (out, model, indexed)
+  }
+
+  /** Driver-gated promise audit for the ALS pipeline — factor values are
+    * solver/BLAS-specific, so the gate emits the pipeline's portable
+    * contract instead of the raw recommendations (which stay pinned
+    * structurally in RecommendSpec):
+    *   - `n_users`: exactly the requested subset size (the sampled corpus
+    *     carries ≥ nUsers distinct users at every gate scale, and
+    *     recommendForUserSubset returns one row per requested user);
+    *   - `recs_per_user_ok`: every user gets exactly nRecs non-null
+    *     recommendations with a non-null userKey;
+    *   - `ids_resolve_ok`: every recommended itemKey and every userKey
+    *     round-trips to the original triple keys (the StringIndexer →
+    *     dim-join-back path loses nothing);
+    *   - `fit_rmse_ok`: the fitted model beats the global-mean predictor
+    *     on its own training sample (train RMSE < rating stddev) — a
+    *     solver that silently produced garbage factors fails this.
+    * One training run serves both the audit and the output shape. */
+  def alsAudit(spark: SparkSession, triples: DataFrame,
+               nUsers: Int = 100, nRecs: Int = 5,
+               sampleFraction: Double = 0.10, seed: Long = 42L): DataFrame = {
+    val (recs0, model, indexed) =
+      trainAndRecommend(spark, triples, nUsers, nRecs, sampleFraction, seed)
+    val recs = recs0.localCheckpoint(true)
+    val structure = recs.agg(
+      count(lit(1)).as("n_users"),
+      (count(when(size(col("recommendations")) === nRecs &&
+          !exists(col("recommendations"), _.isNull) &&
+          col("userKey").isNotNull, 1)) === count(lit(1)))
+        .as("recs_per_user_ok"))
+    val itemKeys = triples.select(col("itemKey")).distinct()
+    val userKeys = triples.select(col("userKey")).distinct()
+    val badItems = recs.select(explode(col("recommendations")).as("itemKey"))
+      .join(itemKeys, Seq("itemKey"), "left_anti")
+      .agg(count(lit(1)).as("bad_items"))
+    val badUsers = recs.select(col("userKey"))
+      .join(userKeys, Seq("userKey"), "left_anti")
+      .agg(count(lit(1)).as("bad_users"))
+    val fit = model.transform(indexed).agg(
+      sqrt(avg(pow(col("prediction") - col("rating"), 2))).as("rmse"),
+      stddev_pop(col("rating")).as("rating_sd"))
+    structure.crossJoin(badItems).crossJoin(badUsers).crossJoin(fit)
+      .select(lit("als").as("method"), col("n_users"),
+        col("recs_per_user_ok"),
+        (col("bad_items") === 0 && col("bad_users") === 0).as("ids_resolve_ok"),
+        (col("rmse") < col("rating_sd")).as("fit_rmse_ok"))
   }
 }

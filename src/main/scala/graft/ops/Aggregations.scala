@@ -223,6 +223,35 @@ object Aggregations {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Driver-gated promise audit for the sketch branch of
+    * [[winsorizedPriceStats]] — approx quantile values are sketch-
+    * implementation-specific, so the gate emits the branch's portable
+    * contract per group instead of the raw clip values (which stay pinned
+    * against the exact quantiles in AggregationsSpec): the group set and
+    * row counts are quantile-impl-independent (oracle recomputes them),
+    * the sketch quantiles are ordered, and each sits within `relTol` of
+    * the exact per-group percentile (AggregationsSpec's bound: wide
+    * because exact interpolates where the sketch returns a member value —
+    * on sparse fixture tails that gap dominates; at corpus scale the
+    * sketch error is ~1/accuracy). */
+  def winsorizeApproxAudit(orders: DataFrame, lo: Double = 0.05,
+                           hi: Double = 0.95,
+                           relTol: Double = 0.15): DataFrame = {
+    val exact = winsorizedPriceStats(orders, lo, hi)
+      .select(col("o_orderpriority"), col("n"),
+        col("p_lo").as("x_lo"), col("p_hi").as("x_hi"))
+    val approx = winsorizedPriceStats(orders, lo, hi, maxExactRows = 0L)
+      .select(col("o_orderpriority"), col("n").as("n_approx"),
+        col("p_lo"), col("p_hi"))
+    exact.join(approx, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n"),
+        (col("n_approx") === col("n") && col("p_lo") <= col("p_hi") &&
+          abs(col("p_lo") - col("x_lo")) / col("x_lo") < lit(relTol) &&
+          abs(col("p_hi") - col("x_hi")) / col("x_hi") < lit(relTol))
+          .as("quantiles_ok"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Decile report over the document quality score — rank bucketing, the
     * complement of the fixed-boundary bucket queries (A4/A5). NOT a global
     * NTILE window (that moves the whole corpus through one sorted

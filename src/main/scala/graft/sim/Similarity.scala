@@ -596,4 +596,77 @@ object Similarity {
         exactPairs, Seq("id_a", "id_b")))
       .orderBy(col("method"))
   }
+
+  /** Driver-gated promise audit for [[cosineNearDupsLSH]] run over the
+    * FULL corpus (the q_recall_audit `cosine_lsh` row audits a probe-only
+    * run; this gate keeps the production full-corpus path exercised
+    * end-to-end and pins its two contracts): recall ≥ `minRecall` of the
+    * exact ≥threshold pairs, and precision 1 — every emitted pair inside
+    * the probe must appear in the exact set WITH THE SAME rounded score
+    * (the method ends in an exact verify, so a miss means the candidate
+    * join corrupted ids or scores). Exact ground truth is confined to the
+    * fixed `auditRows` probe per the [[recallAudit]] scale rule; the
+    * oracle recomputes `n_exact` independently and pins both booleans. */
+  def cosineLshCorpusAudit(embeddings: DataFrame, threshold: Double = 0.35,
+                           minRecall: Double = 0.9,
+                           auditRows: Long = 500L): DataFrame = {
+    val exact = cosineNearDups(
+        embeddings.filter(col("vec_id") < auditRows), threshold)
+      .localCheckpoint(true)
+    val lsh = cosineNearDupsLSH(embeddings, threshold)
+      .filter(col("id_a") < auditRows && col("id_b") < auditRows)
+      .localCheckpoint(true)
+    val hits = lsh.select(col("id_a"), col("id_b"))
+      .join(exact.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "leftsemi")
+      .agg(count(lit(1)).as("n_hits"))
+    val badPairs = lsh
+      .join(exact, Seq("id_a", "id_b", "cos_sim"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+    hits.crossJoin(exact.agg(count(lit(1)).as("n_exact"))).crossJoin(badPairs)
+      .select(lit("cosine_lsh_corpus").as("method"), col("n_exact"),
+        lit(minRecall).as("min_recall"),
+        (col("n_hits").cast("double") / col("n_exact") >= lit(minRecall))
+          .as("recall_ok"),
+        (col("n_bad") === 0).as("precision_ok"))
+  }
+
+  /** Driver-gated promise audit for [[semanticDedup]] — the raw verdicts
+    * are k-means-cell-specific, but three contracts are portable and
+    * DuckDB-pinnable:
+    *   - `n_vecs`: one verdict per corpus vector (+1 for the planted
+    *     clone), recomputed independently by the oracle;
+    *   - `drops_verified_ok`: every dropped probe vector has a VERIFIED
+    *     lower-id partner at ≥ threshold in the exact all-pairs oracle —
+    *     precision 1 by construction (a drop is only ever issued against
+    *     an exact within-cell cosine);
+    *   - `clone_dropped_ok`: a planted exact clone of vector 7 (same
+    *     point → same cell, cosine 1.0 to a lower id) must be dropped —
+    *     true for ANY quantizer, so it pins the drop path end-to-end.
+    * The method runs over the full corpus; the exact verify is confined
+    * to the `auditRows` probe per the [[recallAudit]] scale rule. */
+  def semanticDedupAudit(embeddings: DataFrame, nlist: Int = 16,
+                         threshold: Double = 0.35, seed: Long = 42L,
+                         auditRows: Long = 500L): DataFrame = {
+    val clone = embeddings.filter(col("vec_id") === 7L)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val verdicts = semanticDedup(embeddings.unionByName(clone),
+        nlist, threshold, seed)
+      .localCheckpoint(true)
+    val partnered = cosineNearDups(
+        embeddings.filter(col("vec_id") < auditRows), threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    val unverified = verdicts
+      .filter(col("keep") === 0 && col("vec_id") < auditRows)
+      .select(col("vec_id"))
+      .join(partnered, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_unverified"))
+    val cloneRow = verdicts.filter(col("vec_id") === lit(1000007L))
+      .agg(count(lit(1)).as("n_clone"), max(col("keep")).as("clone_keep"))
+    verdicts.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(unverified).crossJoin(cloneRow)
+      .select(lit("semantic_dedup").as("method"), col("n_vecs"),
+        (col("n_unverified") === 0).as("drops_verified_ok"),
+        (col("n_clone") === 1 && col("clone_keep") === 0)
+          .as("clone_dropped_ok"))
+  }
 }

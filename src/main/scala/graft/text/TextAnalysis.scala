@@ -182,6 +182,42 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Driver-gated promise audit for [[vocabularyApprox]] — count-min
+    * point estimates are seeded-hash-specific, so the gate emits the
+    * sketch's portable contract instead of the raw estimates (which stay
+    * pinned in TextAnalysisSpec):
+    *   - `n_terms`: the exact distinct-term count of the corpus, which the
+    *     oracle recomputes independently (same tokenization as the
+    *     oracle-green q_vocab);
+    *   - `undercount_ok`: CMS point estimates NEVER undercount — the
+    *     sketch's hard guarantee, checked for every emitted candidate
+    *     against the exact frequency;
+    *   - `topk_overlap_ok`: the sampled-candidate + estimate ranking
+    *     recovers ≥ `minOverlap` of the true top `topk` terms (heavy
+    *     hitters are exactly what survives sampling). */
+  def vocabularyApproxAudit(documents: DataFrame, k: Int = 100,
+                            topk: Int = 20,
+                            minOverlap: Double = 0.8): DataFrame = {
+    val approx = vocabularyApprox(documents, k).localCheckpoint(true)
+    val exact = vocabulary(documents, Int.MaxValue).localCheckpoint(true)
+    val under = approx
+      .join(exact.select(col("term"), col("freq")), Seq("term"), "left")
+      .agg(count(when(col("est_freq") < coalesce(col("freq"), lit(0L)), 1))
+        .as("n_under"))
+    val exactTop = exact.orderBy(col("freq").desc, col("term")).limit(topk)
+      .select(col("term"))
+    val overlap = approx.orderBy(col("est_freq").desc, col("term")).limit(topk)
+      .select(col("term"))
+      .join(exactTop, Seq("term"), "leftsemi")
+      .agg(count(lit(1)).as("n_overlap"))
+    exact.agg(count(lit(1)).as("n_terms"))
+      .crossJoin(under).crossJoin(overlap)
+      .select(lit("vocab_cms").as("method"), col("n_terms"),
+        (col("n_under") === 0).as("undercount_ok"),
+        (col("n_overlap").cast("double") / lit(topk.toDouble) >= lit(minOverlap))
+          .as("topk_overlap_ok"))
+  }
+
   /** Top terms per document by TF-IDF (ln(N/df) variant). Two grouped
     * aggregates + a WindowGroupLimit-rankable per-doc top-k; the document
     * count joins in as a one-row broadcast, never a driver-side constant

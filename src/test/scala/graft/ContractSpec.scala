@@ -16,21 +16,12 @@ class ContractSpec extends SparkSpec {
     // unless it is consciously added to this list (SURVEY §5)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set(
-      "q_als_recommend",        // ALS factor values
       "q_ann_ivf",              // k-means cell assignment
       "q_ann_ivf_sq",           // k-means cells + quantization-grid candidates
       "q_ann_lsh",              // hyperplane signs from xxhash64
-      "q_cosine_near_dups_lsh", // same
-      "q_media_features",       // decoder feature floats
       "q_ann_ivf_indexed",      // k-means cells (standing-index form)
       "q_ann_ivf_sq_indexed",   // same, compressed-tier probe
-      "q_minhash_neardups",     // xxhash64 signatures
-      "q_semantic_dedup",       // k-means cell assignment
-      "q_simhash_neardups",     // xxhash64 bit votes
-      "q_vocab_approx",         // count-min-sketch estimates are engine-specific
-      "q_winsorize_approx",     // quantile-sketch clamp values are engine-specific
-      "q_winnow_fps",           // xxhash64 rolling hashes
-      "q_winnow_neardups")      // same
+      "q_winnow_fps")           // xxhash64 rolling hashes
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
         s"stale entries: ${documented -- rowsOnly}")
