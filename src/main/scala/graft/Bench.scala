@@ -89,9 +89,14 @@ object Bench {
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val names = selected.keys.toSeq
     val best = scala.collection.mutable.Map[String, Double]()
+    // build/probe split from the best (min-total) pass of each composite
+    // staged-index query — the attribution VERDICT r6 asked for: the gate
+    // pays index BUILD per pass, so total alone can't show the probe win
+    val bestBuild = scala.collection.mutable.Map[String, Double]()
     val failedAt = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()
     val gcTotal0 = gcMillis
+    Telemetry.drain() // discard warmup-era recordings
     for (pass <- 1 to runs; name <- names if !errors.contains(name)) {
       val fn = selected(name)
       storagePeak.set(0L)
@@ -106,13 +111,20 @@ object Bench {
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      if (err.isEmpty)
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
-      else failedAt(name) = dt
+      val buildSec = Telemetry.drain().get(name)
+      if (err.isEmpty && dt < best.getOrElse(name, Double.MaxValue)) {
+        best(name) = dt
+        buildSec match {
+          case Some(b) => bestBuild(name) = b
+          case None => ()
+        }
+      }
+      if (err.nonEmpty) failedAt(name) = dt
       err.foreach(errors(name) = _)
       println(s"""{"bench_pass":$pass,"q":"$name","sec":${f3(dt)},""" +
         s""""gc_ms":${gcMillis - gc0},""" +
         s""""storage_peak_mb":${storagePeak.get() / (1024 * 1024)}""" +
+        buildSec.map(b => s""","build_sec":${f3(b)}""").getOrElse("") +
         err.map(m => s""","err":"$m"""").getOrElse("") + "}")
       // release the query's pinned state before the next query:
       // localCheckpoint blocks stay in the block manager until their RDD is
@@ -152,7 +164,13 @@ object Bench {
     val top = (results.filter(_._3.isDefined) ++
         results.filter(_._3.isEmpty).sortBy(-_._2).take(10)).distinct
     val topQs = jmap(top.map { case (k, v, _) => k -> f3(v) })
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"runs":$runs,"blas":"$blasBackend","gc_ms_total":${gcMillis - gcTotal0},"queries":$topQs,"errors":$errs,"sf":"$sfDir"}""")
+    // staged-index attribution: each composite gate's best pass split into
+    // index build vs probe (probe = total − build) so the artifact shows
+    // the standing-index probe cost round-over-round
+    val split = jmap(bestBuild.toSeq.sortBy(_._1).map { case (k, b) =>
+      k -> s"""{"build":${f3(b)},"probe":${f3(best(k) - b)}}"""
+    })
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"runs":$runs,"blas":"$blasBackend","gc_ms_total":${gcMillis - gcTotal0},"index_split":$split,"queries":$topQs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -330,8 +330,10 @@ object SparkEntry {
       val stage = java.nio.file.Files
         .createTempDirectory("graft-shingle-index").toFile.getAbsolutePath
       try {
-        graft.dedup.ShingleIndex.build(
-          docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), s"$stage/index")
+        Telemetry.timed("q_incremental_dedup_indexed") {
+          graft.dedup.ShingleIndex.build(
+            docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), s"$stage/index")
+        }
         graft.dedup.ShingleIndex.admit(
             s, docs.filter(pmod(col("doc_id"), lit(7)) === 0), s"$stage/index")
           .localCheckpoint(true) // materialize before the staged index is dropped
@@ -350,8 +352,10 @@ object SparkEntry {
         .createTempDirectory("graft-shingle-bucketed").toFile.getAbsolutePath
       val table = "graft_gate_shingle_bucketed"
       try {
-        graft.dedup.ShingleIndex.buildBucketed(
-          docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), table, s"$stage/index")
+        Telemetry.timed("q_incremental_dedup_bucketed") {
+          graft.dedup.ShingleIndex.buildBucketed(
+            docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), table, s"$stage/index")
+        }
         graft.dedup.ShingleIndex.admitBucketed(
             s, docs.filter(pmod(col("doc_id"), lit(7)) === 0), table)
           .localCheckpoint(true) // materialize before table+files are dropped
@@ -402,7 +406,9 @@ object SparkEntry {
       val stage = java.nio.file.Files
         .createTempDirectory("graft-ivf-index").toFile.getAbsolutePath
       try {
-        graft.sim.IvfIndex.build(s, emb, s"$stage/index")
+        Telemetry.timed("q_ann_ivf_indexed") {
+          graft.sim.IvfIndex.build(s, emb, s"$stage/index")
+        }
         graft.sim.IvfIndex.topK(s,
             emb.filter(col("vec_id") < 10)
               .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
@@ -421,7 +427,9 @@ object SparkEntry {
       val stage = java.nio.file.Files
         .createTempDirectory("graft-ivfsq-index").toFile.getAbsolutePath
       try {
-        graft.sim.IvfIndex.build(s, emb, s"$stage/index")
+        Telemetry.timed("q_ann_ivf_sq_indexed") {
+          graft.sim.IvfIndex.build(s, emb, s"$stage/index")
+        }
         graft.sim.IvfIndex.topKSq(s,
             emb.filter(col("vec_id") < 10)
               .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
