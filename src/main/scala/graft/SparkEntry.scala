@@ -273,8 +273,18 @@ object SparkEntry {
     "q_quality_scores" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "q_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "q_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
-    "q_winnow_fps" -> ((s, d) => TextAnalysis.winnowFingerprints(Tables.documents(s, d))
-      .select(col("doc_id"), csv(col("winnow_fp")).as("winnow_fp"))),
+    // winnow fingerprint VALUES are xxhash64-specific; the gate pins the
+    // portable coverage contract instead (every tokenized document emits a
+    // non-empty fingerprint set — the oracle recomputes the tokenized-doc
+    // count), while values/recall stay pinned in TextAnalysisSpec and the
+    // q_winnow_neardups promise gate
+    "q_winnow_fps" -> ((s, d) => TextAnalysis
+      .winnowFingerprints(Tables.documents(s, d))
+      .agg(count(lit(1)).as("n_docs"),
+        (count(when(size(col("winnow_fp")) > 0, 1)) === count(lit(1)))
+          .as("fps_nonempty_ok"))
+      .select(lit("winnow_fps").as("method"), col("n_docs"),
+        col("fps_nonempty_ok"))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
     // sketch twin, promise-gated: CMS estimates are seeded-hash-specific,
@@ -1322,6 +1332,15 @@ object SparkEntry {
     "q_winsorize_approx" ->
       """SELECT o_orderpriority, count(*) AS n, TRUE AS quantiles_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // winnowing coverage promise gate: tokenized-document count recomputed
+    // with the q_vocab tokenization; the non-empty-fps promise pinned
+    "q_winnow_fps" ->
+      """SELECT 'winnow_fps' AS method,
+        |  (SELECT count(*) FROM (
+        |     SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |       x -> x <> '') AS toks FROM documents) WHERE len(toks) > 0)
+        |    AS n_docs,
+        |  TRUE AS fps_nonempty_ok""".stripMargin,
     // vocabulary-sketch promise gate: exact distinct-term count recomputed
     // with the q_vocab tokenization; CMS promises pinned
     "q_vocab_approx" ->

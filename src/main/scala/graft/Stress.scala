@@ -119,11 +119,14 @@ object Stress {
     val outBase = if (args.length > 1) args(1) else "/tmp/graft_stress"
     val multiples = (if (args.length > 2) args(2) else "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
-    // optional 4th arg: comma-separated query subset (local iteration aid)
-    val selectedQueries =
-      if (args.length > 3) { val s = args(3).split(",").map(_.trim).toSet
-        StressQueries.filter(s) }
-      else StressQueries
+    // optional 4th arg: comma-separated query subset (local iteration aid);
+    // `want` also gates the appended non-SparkEntry families (index
+    // build/admit, tight LSH, shuffle branches) so a targeted deep-multiple
+    // run (e.g. x32 on the five scale-path families) doesn't pay for all
+    val subset: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
+    def want(name: String): Boolean = subset.forall(_.contains(name))
+    val selectedQueries = StressQueries.filter(want)
     val spark = GraftSession.local(32, appName = "graft-stress")
     // warmup (see Bench)
     spark.range(1000000).selectExpr("sum(id) AS s")
@@ -153,33 +156,36 @@ object Stress {
       val times = (selectedQueries.map { q =>
         timed(q)(SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save())
-      } :+
+      } ++
         // the LSH near-dup at its INTENDED tight threshold (the wired 0.35
         // is the loose fixture threshold, whose candidate set is ~all-pairs
         // by construction — see Similarity.cosineNearDupsLSH scaladoc); the
         // scaled copies plant real cos≥0.99 near-dups for this to find
-        timed("lsh_neardups_tight_0.9")(
-          graft.sim.Similarity.cosineNearDupsLSH(
-              graft.model.Tables.embeddings(spark, dir), threshold = 0.9)
-            .write.format("noop").mode("overwrite").save()) :+
+        (if (want("lsh_neardups_tight_0.9")) Seq(
+          timed("lsh_neardups_tight_0.9")(
+            graft.sim.Similarity.cosineNearDupsLSH(
+                graft.model.Tables.embeddings(spark, dir), threshold = 0.9)
+              .write.format("noop").mode("overwrite").save())) else Nil) ++
         // the fixpoint broadcast budget CROSSED (maxBroadcastBytes=0):
         // the per-round joins take the shuffle branch — the plan shape a
         // billion-vertex graph gets — so the fallback is exercised and
         // trend-checked every run, not dead code behind a threshold no
         // fixture can reach (each run logs {"graft_fixpoint":…,
         // "broadcast":false} as proof)
-        timed("pagerank_shuffle_branch") {
-          spark.conf.set(graft.graph.StateBroadcast.ConfKey, "0")
-          try SparkEntry.queries("q_pagerank_parts")(spark, dir)
-            .write.format("noop").mode("overwrite").save()
-          finally spark.conf.unset(graft.graph.StateBroadcast.ConfKey)
-        } :+
-        timed("dup_clusters_shuffle_branch") {
-          spark.conf.set(graft.graph.StateBroadcast.ConfKey, "0")
-          try SparkEntry.queries("q_dup_clusters")(spark, dir)
-            .write.format("noop").mode("overwrite").save()
-          finally spark.conf.unset(graft.graph.StateBroadcast.ConfKey)
-        }) ++ {
+        (if (want("pagerank_shuffle_branch")) Seq(
+          timed("pagerank_shuffle_branch") {
+            spark.conf.set(graft.graph.StateBroadcast.ConfKey, "0")
+            try SparkEntry.queries("q_pagerank_parts")(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            finally spark.conf.unset(graft.graph.StateBroadcast.ConfKey)
+          }) else Nil) ++
+        (if (want("dup_clusters_shuffle_branch")) Seq(
+          timed("dup_clusters_shuffle_branch") {
+            spark.conf.set(graft.graph.StateBroadcast.ConfKey, "0")
+            try SparkEntry.queries("q_dup_clusters")(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            finally spark.conf.unset(graft.graph.StateBroadcast.ConfKey)
+          }) else Nil)) ++ {
           // standing-index economics (ShingleIndex scaladoc's scale claim):
           // the BUILD is ∝ corpus by design — measured as its own line so
           // the contrast is explicit — while ADMISSION of a FIXED 1× batch
@@ -200,20 +206,21 @@ object Stress {
               .filter(pmod(col("vec_id"), lit(7)) =!= 0)
             val embBatch = graft.model.Tables.embeddings(spark, sfDir)
               .filter(pmod(col("vec_id"), lit(7)) === 0)
-            Seq(
+            (if (want("shingle_index_build")) Seq(
               timed("shingle_index_build")(
                 graft.dedup.ShingleIndex.build(corpus, s"$stage/index")),
               timed("shingle_index_admit_fixed_batch")(
                 graft.dedup.ShingleIndex.admit(spark, fixedBatch, s"$stage/index")
-                  .write.format("noop").mode("overwrite").save()),
-              // same economics for the ANN surface: quantizer trained on
-              // the x$m corpus, a FIXED 1× batch admitted by broadcast-
-              // model assignment — no retrain, cost ∝ batch
+                  .write.format("noop").mode("overwrite").save())) else Nil) ++
+            // same economics for the ANN surface: quantizer trained on
+            // the x$m corpus, a FIXED 1× batch admitted by broadcast-
+            // model assignment — no retrain, cost ∝ batch
+            (if (want("ivf_index_build")) Seq(
               timed("ivf_index_build")(
                 graft.sim.IvfIndex.build(spark, embCorpus, s"$stage/ivf")),
               timed("ivf_index_admit_fixed_batch") {
                 graft.sim.IvfIndex.admit(spark, embBatch, s"$stage/ivf"); ()
-              })
+              }) else Nil)
           } finally {
             new scala.reflect.io.Directory(new java.io.File(stage))
               .deleteRecursively(); ()

@@ -20,8 +20,7 @@ class ContractSpec extends SparkSpec {
       "q_ann_ivf_sq",           // k-means cells + quantization-grid candidates
       "q_ann_lsh",              // hyperplane signs from xxhash64
       "q_ann_ivf_indexed",      // k-means cells (standing-index form)
-      "q_ann_ivf_sq_indexed",   // same, compressed-tier probe
-      "q_winnow_fps")           // xxhash64 rolling hashes
+      "q_ann_ivf_sq_indexed")   // same, compressed-tier probe
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
         s"stale entries: ${documented -- rowsOnly}")
