@@ -93,6 +93,11 @@ object Bench {
     // staged-index query — the attribution VERDICT r6 asked for: the gate
     // pays index BUILD per pass, so total alone can't show the probe win
     val bestBuild = scala.collection.mutable.Map[String, Double]()
+    // GC-time delta of each query's best pass — surfaced for the top-10 in
+    // the compact summary so an environmental stall (GC pressure, shared-VM
+    // noise) is attributable from the truncation-surviving artifact alone
+    // (VERDICT r7: two 3-9x driver regressions were unprovable either way)
+    val bestGc = scala.collection.mutable.Map[String, Long]()
     val failedAt = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()
     val gcTotal0 = gcMillis
@@ -114,6 +119,7 @@ object Bench {
       val buildSec = Telemetry.drain().get(name)
       if (err.isEmpty && dt < best.getOrElse(name, Double.MaxValue)) {
         best(name) = dt
+        bestGc(name) = gcMillis - gc0
         buildSec match {
           case Some(b) => bestBuild(name) = b
           case None => ()
@@ -170,7 +176,11 @@ object Bench {
     val split = jmap(bestBuild.toSeq.sortBy(_._1).map { case (k, b) =>
       k -> s"""{"build":${f3(b)},"probe":${f3(best(k) - b)}}"""
     })
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"runs":$runs,"blas":"$blasBackend","gc_ms_total":${gcMillis - gcTotal0},"index_split":$split,"queries":$topQs,"errors":$errs,"sf":"$sfDir"}""")
+    // per-query GC delta (best pass) for the same top-10 set — reads as
+    // "this query's number includes N ms of GC" next to its seconds
+    val topGc = jmap(top.collect { case (k, _, None) if bestGc.contains(k) =>
+      k -> bestGc(k).toString })
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"runs":$runs,"blas":"$blasBackend","gc_ms_total":${gcMillis - gcTotal0},"index_split":$split,"gc_ms":$topGc,"queries":$topQs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

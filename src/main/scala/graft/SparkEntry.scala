@@ -227,13 +227,20 @@ object SparkEntry {
       Tables.part(s, d).select(col("p_partkey").as("id"), col("p_brand"), col("p_name")),
       k = 100)),
     "q_pagerank_filtered" -> ((s, d) => {
-      // cache: the edge list feeds both the vertex filter and the ranked
-      // run; ids stay long through the whole fixpoint (runWithVertices)
-      val edges = Edges.partCoOccurrence(Tables.lineitem(s, d)).cache()
-      val vertices = Degrees.outDegrees(edges).filter(col("outDegree") >= 5)
-        .select(col("id"))
-      val ranked = PageRankOp.runWithVertices(vertices, edges)
-      edges.unpersist(blocking = false) // fixpoint ran eagerly inside
+      // Telemetry split (VERDICT r7 #4): the fixpoint runs eagerly inside
+      // this timed block, so the bench artifact attributes fixpoint vs
+      // final-projection cost — an environmental stall is then provable
+      // from the artifact alone.
+      val ranked = Telemetry.timed("q_pagerank_filtered") {
+        // cache: the edge list feeds both the vertex filter and the ranked
+        // run; ids stay long through the whole fixpoint (runWithVertices)
+        val edges = Edges.partCoOccurrence(Tables.lineitem(s, d)).cache()
+        val vertices = Degrees.outDegrees(edges).filter(col("outDegree") >= 5)
+          .select(col("id"))
+        val r = PageRankOp.runWithVertices(vertices, edges)
+        edges.unpersist(blocking = false) // fixpoint ran eagerly inside
+        r
+      }
       ranked
         .orderBy(col("pagerank").desc, col("id")).limit(100)
         // rounded at the verify boundary so the cross-engine hash compare
@@ -244,9 +251,15 @@ object SparkEntry {
     // gate emits the pipeline's portable contract (subset size, 5 resolved
     // recs per user, train RMSE beats the mean predictor) with the
     // booleans oracle-pinned; raw recs stay pinned in RecommendSpec
-    "q_als_recommend" -> ((s, d) => Recommend.alsAudit(
-      s, Recommend.ratingTriples(Tables.orders(s, d), Tables.lineitem(s, d)),
-      nUsers = 100)),
+    // Telemetry split (VERDICT r7 #3): ALS training + the localCheckpoint
+    // run eagerly inside alsAudit, i.e. inside this timed block; the audit
+    // aggregations over the checkpointed recs run lazily at the sink. The
+    // bench artifact therefore splits train vs audit cost.
+    "q_als_recommend" -> ((s, d) => Telemetry.timed("q_als_recommend") {
+      Recommend.alsAudit(
+        s, Recommend.ratingTriples(Tables.orders(s, d), Tables.lineitem(s, d)),
+        nUsers = 100)
+    }),
     // ---- typed ingest (SURVEY §2.1 S2 — users leg): the reference user
     // schema's -1-sentinel coercion over raw strings; raw shape derived
     // from customer (nationkey parses, mktsegment doesn't → -1, the c_name

@@ -23,21 +23,33 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark only reads as raw longs (`spark.sql.legacy.parquet.nanosAsLong`,
-    * set by Verify/Bench/tests). Convert to microsecond timestamps at the
-    * source boundary — sub-microsecond digits are zero in the fixtures, so
-    * the truncation is lossless and DuckDB-comparable. */
+  /** Normalize a timestamp column to TimestampType at the source boundary,
+    * whatever encoding the fixture generation happened to emit. Two observed
+    * encodings so far:
+    *
+    *  - TIMESTAMP(NANOS), which Spark only reads as raw longs
+    *    (`spark.sql.legacy.parquet.nanosAsLong`, set by Verify/Bench/tests);
+    *    converted with integer `div` (float division of an ~1e18 nano count
+    *    loses precision below the microsecond and truncates off-by-one).
+    *  - parquet `timestamp[us]` with isAdjustedToUTC=false, which Spark 4
+    *    reads as TIMESTAMP_NTZ; cast to TIMESTAMP — lossless under the pinned
+    *    UTC session timezone and DuckDB-comparable.
+    *
+    * Downstream operators (`unix_micros`, stream-stream band joins) require a
+    * plain TimestampType, so this is the one place encoding drift is absorbed;
+    * SchemaContractSpec pins the post-normalization schema. */
   private def nanosToTs(df: DataFrame, c: String): DataFrame =
-    if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-      // integer `div`, not `/`: float division of an ~1e18 nano count loses
-      // precision below the microsecond and truncates off-by-one
-      df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr(s"$c div 1000")))
-    else df
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"$c div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, df(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = nanosToTs(load(spark, dir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, dir: String): DataFrame     = nanosToTs(load(spark, dir, "orders"), "o_orderdate")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
