@@ -411,15 +411,25 @@ object SparkEntry {
     // ---- similarity search (north-star) ----
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(
       Tables.embeddings(s, d), 0L to 9L, k = 10)),
-    "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(
-      Tables.embeddings(s, d), 0L to 9L, k = 10)),
-    "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(
-      s, Tables.embeddings(s, d), 0L to 9L, k = 10)),
+    // promise-gated (r8): raw ANN neighbor ids are quantizer/hyperplane-
+    // specific, so each path's gate emits its portable contract (probe
+    // size, ≤k contiguous ranks, exact re-rank scores, recall floor) with
+    // the booleans oracle-pinned; raw top-k stays pinned in
+    // SimilaritySpec/IvfIndexSpec. Single-table LSH's contract is bucket
+    // collision (planted-clone retrieval), not global top-k recall.
+    "q_ann_lsh" -> ((s, d) => Similarity.annContractAudit(
+      Tables.embeddings(s, d), "ann_lsh", 1.0,
+      Similarity.lshTopK(Tables.embeddings(s, d), 0L to 9L, k = 10),
+      cloneRecall = true)),
+    "q_ann_ivf" -> ((s, d) => Similarity.annContractAudit(
+      Tables.embeddings(s, d), "ann_ivf", 0.5,
+      Similarity.ivfTopK(s, Tables.embeddings(s, d), 0L to 9L, k = 10))),
     // IVF over SQ8-compressed postings + exact re-rank (the FAISS IVF-SQ
     // shape): corpus-side scan ships 1-byte codes, ADC scoring, refine by
     // id; quality audited as the ann_ivf_sq recall-audit row
-    "q_ann_ivf_sq" -> ((s, d) => Similarity.ivfSqTopK(
-      s, Tables.embeddings(s, d), 0L to 9L, k = 10)),
+    "q_ann_ivf_sq" -> ((s, d) => Similarity.annContractAudit(
+      Tables.embeddings(s, d), "ann_ivf_sq", 0.5,
+      Similarity.ivfSqTopK(s, Tables.embeddings(s, d), 0L to 9L, k = 10))),
     // the standing-index twin: quantizer trained ONCE into a staged
     // index (model + centroids + cell-partitioned postings), queries
     // probe it with no retrain; IvfIndexSpec pins exact equality with
@@ -432,11 +442,14 @@ object SparkEntry {
         Telemetry.timed("q_ann_ivf_indexed") {
           graft.sim.IvfIndex.build(s, emb, s"$stage/index")
         }
-        graft.sim.IvfIndex.topK(s,
+        // annContractAudit checkpoints the probe result eagerly, so the
+        // audit aggregations run lazily off live state after the staged
+        // index directory drops
+        Similarity.annContractAudit(emb, "ann_ivf_indexed", 0.5,
+          graft.sim.IvfIndex.topK(s,
             emb.filter(col("vec_id") < 10)
               .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-            s"$stage/index", k = 10)
-          .localCheckpoint(true) // materialize before the staged index drops
+            s"$stage/index", k = 10))
       } finally {
         new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
         ()
@@ -453,11 +466,11 @@ object SparkEntry {
         Telemetry.timed("q_ann_ivf_sq_indexed") {
           graft.sim.IvfIndex.build(s, emb, s"$stage/index")
         }
-        graft.sim.IvfIndex.topKSq(s,
+        Similarity.annContractAudit(emb, "ann_ivf_sq_indexed", 0.5,
+          graft.sim.IvfIndex.topKSq(s,
             emb.filter(col("vec_id") < 10)
               .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-            s"$stage/index", k = 10)
-          .localCheckpoint(true)
+            s"$stage/index", k = 10))
       } finally {
         new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
         ()
@@ -1267,6 +1280,40 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
         |  WHERE a.vec_id IN (0,1,2,3,4,5,6,7,8,9))
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // ANN promise gates (r8 — the last five former rows-only queries): the
+    // oracle recomputes the probe-set size from the embeddings table and
+    // pins the engine-computed contract booleans (shape, exact re-rank
+    // scores, recall floor — see Similarity.annContractAudit)
+    "q_ann_lsh" ->
+      """SELECT 'ann_lsh' AS method,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id BETWEEN 0 AND 9)
+        |    AS n_queries,
+        |  TRUE AS within_k_ok, TRUE AS scores_exact_ok,
+        |  TRUE AS recall_ok""".stripMargin,
+    "q_ann_ivf" ->
+      """SELECT 'ann_ivf' AS method,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id BETWEEN 0 AND 9)
+        |    AS n_queries,
+        |  TRUE AS within_k_ok, TRUE AS scores_exact_ok,
+        |  TRUE AS recall_ok""".stripMargin,
+    "q_ann_ivf_sq" ->
+      """SELECT 'ann_ivf_sq' AS method,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id BETWEEN 0 AND 9)
+        |    AS n_queries,
+        |  TRUE AS within_k_ok, TRUE AS scores_exact_ok,
+        |  TRUE AS recall_ok""".stripMargin,
+    "q_ann_ivf_indexed" ->
+      """SELECT 'ann_ivf_indexed' AS method,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id BETWEEN 0 AND 9)
+        |    AS n_queries,
+        |  TRUE AS within_k_ok, TRUE AS scores_exact_ok,
+        |  TRUE AS recall_ok""".stripMargin,
+    "q_ann_ivf_sq_indexed" ->
+      """SELECT 'ann_ivf_sq_indexed' AS method,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id BETWEEN 0 AND 9)
+        |    AS n_queries,
+        |  TRUE AS within_k_ok, TRUE AS scores_exact_ok,
+        |  TRUE AS recall_ok""".stripMargin,
     "q_cosine_near_dups" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

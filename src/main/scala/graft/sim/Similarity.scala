@@ -669,4 +669,73 @@ object Similarity {
         (col("n_clone") === 1 && col("clone_keep") === 0)
           .as("clone_dropped_ok"))
   }
+
+  /** Driver-gated promise audit for one ANN top-k path — the conversion of
+    * the last five rows-only gates (r7 VERDICT "next" #8). Raw neighbor ids
+    * are quantizer/hyperplane-specific (k-means cells, xxhash64 sign bits),
+    * so the gate emits the path's portable contract instead, with the raw
+    * top-k still pinned structurally in SimilaritySpec/IvfIndexSpec:
+    *   - `n_queries`: the probe-set size, recomputed independently by the
+    *     DuckDB oracle from the embeddings table;
+    *   - `within_k_ok`: every emitted query id is in the probe set, with
+    *     ≤ k rows ranked contiguously 1..n (row_number semantics survived
+    *     the candidate joins);
+    *   - `scores_exact_ok`: every emitted `cos_sim` equals the exact
+    *     4-decimal cosine recomputed from the embeddings table — the
+    *     "approximate candidate set, exact scores" re-rank promise;
+    *   - `recall_ok`: overlap with the exact brute-force top-k ≥
+    *     `minRecall` (the same floors `recallAudit` documents), or for
+    *     `cloneRecall` paths (single-table LSH, whose contract is bucket
+    *     collision, not global top-k — see [[recallAudit]] scaladoc) that
+    *     every query's planted exact clone is retrieved at cosine 1.0.
+    * Scale shape: all legs are bounded by the FIXED query probe — the
+    * brute-force ground truth is |probe| × corpus (the `q_ann_brute`
+    * baseline cost), the score re-check is bounded by the ≤ |probe|·k
+    * output, and the clone leg re-runs the operator once with |probe|
+    * extra rows. O(1) probes as the corpus grows, per the audit rule. */
+  def annContractAudit(embeddings: DataFrame, method: String,
+                       minRecall: Double, approx: DataFrame,
+                       queryIds: Seq[Long] = 0L to 9L, k: Int = 10,
+                       cloneRecall: Boolean = false): DataFrame = {
+    val a = approx.localCheckpoint(true) // the ANN run materializes once
+    val probe = embeddings.filter(col("vec_id").isin(queryIds: _*))
+    val nQueries = probe.agg(count(lit(1)).as("n_queries"))
+    val shape = a.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), min(col("rnk")).as("mn"), max(col("rnk")).as("mx"))
+      .agg(
+        count(when(col("n") > k || col("mn") =!= 1 || col("mx") =!= col("n"), 1))
+          .as("n_bad_shape"),
+        count(when(!col("query_id").isin(queryIds: _*), 1)).as("n_alien"))
+    val qe = embeddings.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ne = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val badScores = a.join(qe, Seq("query_id")).join(ne, Seq("neighbor_id"))
+      .filter(col("cos_sim") =!= round(cosine(col("qe"), col("ne")), 4))
+      .agg(count(lit(1)).as("n_bad_scores"))
+    val recall =
+      if (cloneRecall) {
+        // clone ids sit far above any fixture/stress id range (stress key
+        // shifts top out at ~3.2e8); retrieved-at-1.0 rather than rank-1 so
+        // a natural 4-decimal-rounded 1.0 tie cannot flake the gate
+        val off = 1000000000L
+        val clones = probe.withColumn("vec_id", col("vec_id") + lit(off))
+        val found = lshTopK(embeddings.unionByName(clones), queryIds, k)
+          .filter(col("cos_sim") === 1.0 &&
+            col("neighbor_id") === col("query_id") + lit(off))
+          .agg(count(lit(1)).as("n_hits"))
+        found.crossJoin(probe.agg(count(lit(1)).as("n_exact")))
+      } else {
+        val exact = bruteForceTopK(embeddings, queryIds, k)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = a.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"), "leftsemi")
+          .agg(count(lit(1)).as("n_hits"))
+        hits.crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      }
+    nQueries.crossJoin(shape).crossJoin(badScores).crossJoin(recall)
+      .select(lit(method).as("method"), col("n_queries"),
+        (col("n_bad_shape") === 0 && col("n_alien") === 0).as("within_k_ok"),
+        (col("n_bad_scores") === 0).as("scores_exact_ok"),
+        (col("n_hits").cast("double") / col("n_exact") >= lit(minRecall))
+          .as("recall_ok"))
+  }
 }

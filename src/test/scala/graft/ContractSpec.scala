@@ -15,12 +15,9 @@ class ContractSpec extends SparkSpec {
     // adding a query without an oracle entry is a contract regression
     // unless it is consciously added to this list (SURVEY §5)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val documented = Set(
-      "q_ann_ivf",              // k-means cell assignment
-      "q_ann_ivf_sq",           // k-means cells + quantization-grid candidates
-      "q_ann_lsh",              // hyperplane signs from xxhash64
-      "q_ann_ivf_indexed",      // k-means cells (standing-index form)
-      "q_ann_ivf_sq_indexed")   // same, compressed-tier probe
+    // r8: empty — the five ANN gates (the last rows-only set) now emit
+    // their portable contracts via Similarity.annContractAudit
+    val documented = Set.empty[String]
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}; " +
         s"stale entries: ${documented -- rowsOnly}")
