@@ -134,6 +134,14 @@ object Stress {
 
     val rows = multiples.map { m =>
       val dir = s"$outBase/x$m"
+      // partitions ∝ data — the operator a 1000-executor cluster applies as
+      // a matter of course. With the fan-out pinned at `cores` while the
+      // corpus grows m×, per-partition hash state grows m× too and a deep
+      // multiple measures allocator thrash, not the algorithm (observed at
+      // x32: 8g OOM in the components fixpoint, then a TaskMemoryManager
+      // retry storm at 91% sys time). AQE still coalesces small stages
+      // back down, so the x1 numbers are unaffected.
+      spark.conf.set("spark.sql.shuffle.partitions", (32 * m).toString)
       scaleTables(spark, sfDir, dir, m)
       // a failing query reports negative time (as in Bench) instead of
       // aborting the run and discarding every multiple already measured
