@@ -334,6 +334,10 @@ object SparkEntry {
       Tables.documents(s, d), Dedup.ngramJaccardPairs(Tables.documents(s, d)),
       minLabel = true)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // substring-level duplication (Lee et al. ACL'22 span form): per-doc
+    // count/coverage of tokens inside ≥2-occurrence 5-gram spans — the
+    // memorization-vector stat document-level dedup can't see
+    "q_dup_spans" -> ((s, d) => Dedup.duplicateSpanStats(Tables.documents(s, d))),
     // directional twin: catches short-doc-quoted-in-long-doc subset
     // duplication that symmetric Jaccard scores near zero
     "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
@@ -1149,6 +1153,48 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // substring-span duplication: positions/intervals recomputed verbatim
+    // (same shingle definition as q_ngram_jaccard's oracle, positions kept;
+    // islands merge at gap <= 5 exactly as Dedup.duplicateSpanStats)
+    "q_dup_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, len(toks) AS n, u.i - 1 AS pos,
+        |    array_to_string(toks[u.i:u.i+4], ' ') AS shingle
+        |  FROM docs, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS u(i)
+        |  WHERE len(toks) > 0),
+        |dup AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) >= 2),
+        |pos AS (SELECT s.doc_id, s.n, s.pos FROM sh s JOIN dup d USING (shingle)),
+        |marked AS (
+        |  SELECT doc_id, n, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+        |         THEN 0 ELSE 1 END AS new_span
+        |  FROM pos),
+        |islands AS (
+        |  SELECT doc_id, n, pos,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM marked),
+        |spans AS (
+        |  SELECT doc_id, span_id,
+        |    least(max(pos) + 5, max(n)) - min(pos) AS len
+        |  FROM islands GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_dup_spans,
+        |    CAST(sum(len) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS total_tokens FROM docs)
+        |SELECT t.doc_id,
+        |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(dup_tokens, 0) AS dup_tokens,
+        |  total_tokens,
+        |  round(coalesce(dup_tokens, 0) * 1.0 / greatest(total_tokens, 1), 4)
+        |    AS dup_ratio
+        |FROM tot t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q_minhash_neardups" -> nearDupAuditSql("minhash_lsh", 0.95),
     "q_simhash_neardups" -> nearDupAuditSql("simhash", 0.8),
     "q_winnow_neardups" -> nearDupAuditSql("winnow", 0.9),

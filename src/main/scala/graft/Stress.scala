@@ -110,6 +110,9 @@ object Stress {
     // snapshot-delta admission (batch-bounded shingle join), SemDeDup
     // (k-means cells confine the quadratic compare)
     "q_dup_survivors", "q_incremental_dedup", "q_semantic_dedup",
+    // round 8: substring-span duplication (shingle-occurrence shuffle +
+    // doc-window island merge — must trend with corpus, not pairs)
+    "q_dup_spans",
     // map-side shapes that must trend flat: hash split, centroid
     // aggregate, scalar-quantization coding
     "q_split_report", "q_label_centroids", "q_sq_codes")

@@ -73,6 +73,80 @@ object Dedup {
       .distinct()
   }
 
+  /** Substring-level duplication statistics — the span form of corpus dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22: repeated ≥N-token substrings are the main memorization
+    * vector, and document-level dedup misses them entirely). Exact
+    * suffix-array spans need char-level machinery no shuffle engine should
+    * attempt; the standard practical form used here marks every token
+    * covered by a k-token shingle that occurs ≥2 times in the corpus
+    * (within- OR cross-document — both count, as in the concatenated-corpus
+    * suffix array), then merges overlapping/contiguous covered intervals
+    * [p, p+k−1] into maximal spans (positions p, q merge iff q − p ≤ k).
+    *
+    * Output per document: `(doc_id, n_dup_spans, dup_tokens, total_tokens,
+    * dup_ratio)` — zero-filled for clean documents, so the frame doubles as
+    * a removal policy input (drop/trim docs by `dup_ratio`).
+    *
+    * Scale shape: one window by doc_id (the positioned shingle tier), one
+    * shuffle on the shingle for the occurrence count, a LEFT SEMI join back
+    * on the shingle (the key set is distinct, so — unlike the pair joins in
+    * the Jaccard tier — no row can multiply and no df cap is needed), and
+    * one more doc_id window for the island merge. At 100 TB the shingle
+    * occurrence shuffle keys would be `xxhash64(shingle)` (8 bytes vs the
+    * k-token string) — a drop-in swap kept as the string here so the DuckDB
+    * oracle can recompute the gate verbatim. */
+  def duplicateSpanStats(documents: DataFrame, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until k).map(i => lead(col("tok"), i).over(w))
+    // positioned (non-distinct) shingle tier — shingleRows' window-lead
+    // idiom, keeping pos and n for the interval arithmetic below; pinned:
+    // the occurrence count and the position semi-join both read it
+    val rows = documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"), posexplode(col("toks")))
+      .withColumnsRenamed(Map("col" -> "tok"))
+      .select(col("doc_id"), col("n"), col("pos"),
+        concat_ws(" ", (col("tok") +: leads): _*).as("shingle"))
+      .filter(col("pos") <= greatest(col("n") - k, lit(0)))
+      .localCheckpoint(true)
+    val dupKeys = rows.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("shingle"))
+    val dupPos = rows.join(dupKeys, Seq("shingle"), "leftsemi")
+      .select(col("doc_id"), col("n"), col("pos"))
+    // gaps-and-islands: a new span starts when this position's interval
+    // cannot touch the previous one (gap > k; first row's null lag falls
+    // into otherwise). Span token length clamps to the document end for
+    // the shorter-than-k truncated-shingle case.
+    val islands = dupPos
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("span_id",
+        sum(col("new_span")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"), max(col("n")).as("n"))
+      .select(col("doc_id"),
+        (least(col("mx") + k, col("n")) - col("mn")).cast("bigint").as("len"))
+    val perDoc = islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("len")).as("dup_tokens"))
+    documents
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("total_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("total_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) /
+          greatest(col("total_tokens"), lit(1L)), 4).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Tier 2 — exact n-gram Jaccard near-dup pairs: join docs on shared
     * shingles, count the intersection, derive |A∪B| = |A|+|B|−|A∩B|.
     * The join key is the shingle, so only documents sharing text ever meet —

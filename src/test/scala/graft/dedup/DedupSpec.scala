@@ -156,4 +156,39 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 0L)))
     assert(Dedup.simhashNearDups(d, maxHamming = 0, maxBandFreq = 1).count() == 0)
   }
+
+  test("duplicateSpanStats: planted shared run becomes one exact span") {
+    // docs 1 and 2 share an exact 8-token run; doc 3 is clean filler; the
+    // shared run must surface as ONE span of exactly 8 tokens in each doc
+    // (coverage of the four 5-gram positions 2..5 merged, clamped to the
+    // run), and the clean doc must zero-fill.
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta"),
+      (2L, s"one two three four $shared five six"),
+      (3L, "totally unrelated clean text with enough tokens here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 8L, 14L, 0.5714)))
+    assert(out(2L) == ((2L, 1L, 8L, 14L, 0.5714)))
+    assert(out(3L) == ((3L, 0L, 0L, 8L, 0.0)))
+  }
+
+  test("duplicateSpanStats: within-doc repetition counts and islands merge at gap <= k") {
+    // one doc repeats the same 5-gram twice with a 1-token gap between the
+    // two occurrences (positions 0 and 6): intervals [0,4] and [6,10] have
+    // gap 6 - 0 = 6 > 5 -> two spans; with the occurrences adjacent
+    // (positions 0 and 5) they merge into one span
+    val run = (1 to 5).map(i => s"r$i").mkString(" ")
+    val twoSpans = Seq((1L, s"$run filler $run")).toDF("doc_id", "text")
+    val merged = Seq((1L, s"$run $run")).toDF("doc_id", "text")
+    val a = Dedup.duplicateSpanStats(twoSpans)
+      .as[(Long, Long, Long, Long, Double)].head()
+    val b = Dedup.duplicateSpanStats(merged)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(a == ((1L, 2L, 10L, 11L, 0.9091)), s"got $a")
+    assert(b == ((1L, 1L, 10L, 10L, 1.0)), s"got $b")
+  }
 }
