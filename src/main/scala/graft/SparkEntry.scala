@@ -338,6 +338,10 @@ object SparkEntry {
     // count/coverage of tokens inside ≥2-occurrence 5-gram spans — the
     // memorization-vector stat document-level dedup can't see
     "q_dup_spans" -> ((s, d) => Dedup.duplicateSpanStats(Tables.documents(s, d))),
+    // the span REMOVAL policy: rebuilt canonical token stream with covered
+    // tokens cut (drop at >=0.8 coverage), exact reconstruction pinned by
+    // md5 cross-engine
+    "q_dup_trim" -> ((s, d) => Dedup.trimDuplicateSpans(Tables.documents(s, d))),
     // directional twin: catches short-doc-quoted-in-long-doc subset
     // duplication that symmetric Jaccard scores near zero
     "q_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
@@ -1194,6 +1198,50 @@ object SparkEntry {
         |  round(coalesce(dup_tokens, 0) * 1.0 / greatest(total_tokens, 1), 4)
         |    AS dup_ratio
         |FROM tot t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // span removal: the oracle rebuilds every document's kept token stream
+    // independently and md5-pins the exact reconstruction
+    "q_dup_trim" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tokrows AS (
+        |  SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+        |  FROM docs, unnest(range(1, len(toks) + 1)) AS u(i)),
+        |sh AS (
+        |  SELECT doc_id, len(toks) AS n, u.i - 1 AS pos,
+        |    array_to_string(toks[u.i:u.i+4], ' ') AS shingle
+        |  FROM docs, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS u(i)
+        |  WHERE len(toks) > 0),
+        |dup AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) >= 2),
+        |covered AS (
+        |  SELECT DISTINCT s.doc_id, g.p AS pos
+        |  FROM sh s JOIN dup d USING (shingle),
+        |       unnest(generate_series(s.pos, least(s.pos + 4, s.n - 1))) AS g(p)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tokrows t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS kept_text
+        |  FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS total_tokens FROM docs)
+        |SELECT t.doc_id,
+        |  CASE WHEN total_tokens = 0 THEN 'keep'
+        |       WHEN (total_tokens - coalesce(n_kept, 0)) * 1.0
+        |              / greatest(total_tokens, 1) >= 0.8 THEN 'drop'
+        |       WHEN coalesce(n_kept, 0) < total_tokens THEN 'trim'
+        |       ELSE 'keep' END AS action,
+        |  CASE WHEN total_tokens > 0 AND (total_tokens - coalesce(n_kept, 0)) * 1.0
+        |              / greatest(total_tokens, 1) >= 0.8 THEN 0
+        |       ELSE CAST(coalesce(n_kept, 0) AS BIGINT) END AS n_tokens_kept,
+        |  total_tokens,
+        |  CASE WHEN total_tokens > 0 AND (total_tokens - coalesce(n_kept, 0)) * 1.0
+        |              / greatest(total_tokens, 1) >= 0.8 THEN md5('')
+        |       ELSE md5(coalesce(kept_text, '')) END AS kept_md5
+        |FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
     "q_minhash_neardups" -> nearDupAuditSql("minhash_lsh", 0.95),
     "q_simhash_neardups" -> nearDupAuditSql("simhash", 0.8),

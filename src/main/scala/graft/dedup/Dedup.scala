@@ -147,6 +147,81 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The removal policy on top of [[duplicateSpanStats]] — rebuild each
+    * document's canonical token stream with every duplicated-span token
+    * removed, and classify the outcome:
+    *   - `drop`: duplicated coverage ≥ `dropRatio` of the document (mostly
+    *     boilerplate — remove entirely; emitted with an empty stream);
+    *   - `trim`: some coverage — covered tokens cut, the rest kept in order;
+    *   - `keep`: no duplicated span touches the document.
+    * Removal is of EVERY covered occurrence (the conservative choice; a
+    * keep-one-copy policy needs a global election over span clusters, which
+    * buys little — Lee et al. report the variant choice barely moves
+    * downstream metrics). The rebuilt stream is the lowercased
+    * space-joined token sequence — the canonical form a training pipeline
+    * tokenizes anyway — and the gate emits its md5 so the DuckDB oracle
+    * cross-checks the exact reconstruction, not just counts.
+    *
+    * Scale shape: [[duplicateSpanStats]]'s tiers plus one bounded explode
+    * (covered positions — ≤ k rows per duplicated position), one LEFT ANTI
+    * join on (doc_id, pos), and one ordered re-assembly aggregate per doc.
+    */
+  def trimDuplicateSpans(documents: DataFrame, k: Int = 5,
+                         dropRatio: Double = 0.8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until k).map(i => lead(col("tok"), i).over(w))
+    val toks = documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"), posexplode(col("toks")))
+      .withColumnsRenamed(Map("col" -> "tok"))
+      .localCheckpoint(true) // read by the shingle tier AND the rebuild
+    val rows = toks
+      .select(col("doc_id"), col("n"), col("pos"),
+        concat_ws(" ", (col("tok") +: leads): _*).as("shingle"))
+      .filter(col("pos") <= greatest(col("n") - k, lit(0)))
+      .localCheckpoint(true)
+    val dupKeys = rows.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
+      .select(col("shingle"))
+    // covered token positions: each duplicated shingle position covers
+    // [p, min(p+k-1, n-1)] — a ≤k-row explode, then distinct
+    val covered = rows.join(dupKeys, Seq("shingle"), "leftsemi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), least(col("pos") + (k - 1), col("n") - 1)))
+          .as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("kept_text"))
+    documents
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("bigint").as("total_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .select(col("doc_id"),
+        when(col("total_tokens") === 0, lit("keep"))
+          .when((col("total_tokens") - col("n_kept")) /
+            greatest(col("total_tokens"), lit(1L)) >= dropRatio, lit("drop"))
+          .when(col("n_kept") < col("total_tokens"), lit("trim"))
+          .otherwise(lit("keep")).as("action"),
+        when((col("total_tokens") - col("n_kept")) /
+            greatest(col("total_tokens"), lit(1L)) >= dropRatio &&
+            col("total_tokens") > 0, lit(0L))
+          .otherwise(col("n_kept")).as("n_tokens_kept"),
+        col("total_tokens"),
+        when((col("total_tokens") - col("n_kept")) /
+            greatest(col("total_tokens"), lit(1L)) >= dropRatio &&
+            col("total_tokens") > 0, md5(lit("")))
+          .otherwise(md5(col("kept_text"))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Tier 2 — exact n-gram Jaccard near-dup pairs: join docs on shared
     * shingles, count the intersection, derive |A∪B| = |A|+|B|−|A∩B|.
     * The join key is the shingle, so only documents sharing text ever meet —

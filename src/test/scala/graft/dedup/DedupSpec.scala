@@ -191,4 +191,30 @@ class DedupSpec extends SparkSpec {
     assert(a == ((1L, 2L, 10L, 11L, 0.9091)), s"got $a")
     assert(b == ((1L, 1L, 10L, 10L, 1.0)), s"got $b")
   }
+
+  test("trimDuplicateSpans cuts covered tokens and md5-pins the rebuilt stream") {
+    // docs 1/2 share an 8-token run (trim for both: 8/14 < 0.8 removed);
+    // docs 4/5 are exact duplicates (coverage 1.0 -> drop); doc 3 is clean
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val clone = (1 to 10).map(i => s"c$i").mkString(" ")
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta"),
+      (2L, s"one two three four $shared five six"),
+      (3L, "totally unrelated clean text with enough tokens here"),
+      (4L, clone), (5L, clone))
+      .toDF("doc_id", "text")
+    val out = Dedup.trimDuplicateSpans(d)
+      .as[(Long, String, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L) == ((1L, "trim", 6L, 14L,
+      md5Of("alpha beta gamma delta epsilon zeta"))))
+    assert(out(2L) == ((2L, "trim", 6L, 14L,
+      md5Of("one two three four five six"))))
+    assert(out(3L)._2 == "keep" && out(3L)._3 == 8L)
+    assert(out(4L) == ((4L, "drop", 0L, 10L, md5Of(""))))
+    assert(out(5L) == ((5L, "drop", 0L, 10L, md5Of(""))))
+  }
 }
