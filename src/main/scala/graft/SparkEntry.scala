@@ -172,6 +172,10 @@ object SparkEntry {
     "q_domain_mix" -> ((s, d) => graft.ops.Sampling.domainMixReport(
       Tables.documents(s, d), "lang", "doc_id",
       Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))),
+    // α-temperature resampling (mT5/XLM-R): shares derived from corpus
+    // mass via p^α, α=0.3 — the low-resource-upweighting mix policy
+    "q_temperature_mix" -> ((s, d) => graft.ops.Sampling.temperatureMixReport(
+      Tables.documents(s, d), "lang", "n_chars", alpha = 0.3)),
     // deterministic pre-epoch shuffle: seeded md5 sort key, prefix shard
     "q_shuffle_shards" -> ((s, d) => graft.ops.Sampling.shuffleReport(
       Tables.documents(s, d), "doc_id", seed = 42L)),
@@ -1728,6 +1732,19 @@ object SparkEntry {
         |SELECT substr(shuffle_key, 1, 2) AS shard, count(*) AS n_rows,
         |  min(shuffle_key) AS first_key
         |FROM t GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT lang, n_docs, mass,
+        |    mass * 1.0 / (SELECT sum(mass) FROM c) AS p
+        |  FROM c),
+        |z AS (SELECT sum(pow(p, 0.3)) AS z FROM p)
+        |SELECT lang, n_docs, mass, round(p, 4) AS p,
+        |  round(pow(p, 0.3) / (SELECT z FROM z), 4) AS w,
+        |  round(pow(p, 0.3) / (SELECT z FROM z) / p, 4) AS sample_factor
+        |FROM p ORDER BY lang""".stripMargin,
     "q_domain_mix" ->
       """WITH t(lang, target_share) AS (VALUES
         |  ('en', 0.4::DOUBLE), ('de', 0.15::DOUBLE), ('es', 0.15::DOUBLE),

@@ -87,6 +87,38 @@ object Sampling {
       .orderBy(col(strataCol))
   }
 
+  /** Temperature-weighted domain resampling — the OTHER standard mix
+    * policy, complementing [[domainMixReport]]'s explicit target shares:
+    * derive each stratum's training share from its natural corpus mass via
+    * the α-temperature rule used by multilingual LMs (mT5 §3.1 /
+    * XLM-R §3: w_i = p_i^α / Σ_j p_j^α, α < 1 flattens the head and
+    * up-weights low-resource strata; α = 1 is proportional, α = 0 uniform).
+    * Output per stratum: corpus mass `(n_docs, mass)`, its natural share
+    * `p`, the temperature share `w`, and `sample_factor = w / p` — the
+    * expected per-document duplication (>1 = upsampled epochs, <1 =
+    * downsampled) at a fixed total training budget.
+    *
+    * Scale shape: one aggregate over the corpus, then arithmetic over the
+    * stratum-count-sized result with two one-row broadcast totals — the
+    * corpus itself is never reshuffled. All math is IEEE double in a fixed
+    * order, rounded at the gate boundary for the cross-engine compare. */
+  def temperatureMixReport(df: DataFrame, strataCol: String,
+                           massCol: String, alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(massCol)).cast("bigint").as("mass"))
+    val tot = counts.agg(sum(col("mass")).as("mass_total"))
+    val withP = counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("mass") / col("mass_total"))
+    val z = withP.agg(sum(pow(col("p"), lit(alpha))).as("z"))
+    withP.crossJoin(broadcast(z))
+      .select(col(strataCol), col("n_docs"), col("mass"),
+        round(col("p"), 4).as("p"),
+        round(pow(col("p"), lit(alpha)) / col("z"), 4).as("w"),
+        round(pow(col("p"), lit(alpha)) / col("z") / col("p"), 4)
+          .as("sample_factor"))
+      .orderBy(col(strataCol))
+  }
+
   /** Deterministic corpus shuffle — the reproducible pre-epoch shuffle a
     * training pipeline needs: every row gets a pseudo-random but seeded
     * sort key (md5 of seed ‖ id — md5 so the SQL oracle reproduces it

@@ -76,6 +76,19 @@ class PlanHygieneSpec extends SparkSpec {
     assert(plan("q_semi_join").contains("LeftSemi"))
   }
 
+  test("span dedup: map-side-combined occurrence agg, hash semi/anti joins") {
+    // the shingle occurrence count must partial-aggregate before its
+    // shuffle (the tier is the big shuffle at corpus scale), the covered-
+    // position mark must stay a LEFT SEMI on the distinct key set (no row
+    // multiplication possible), and the trim rebuild a LEFT ANTI
+    val p = plan("q_dup_spans")
+    assert(p.contains("partial_count"),
+      s"occurrence count does not combine map-side:\n$p")
+    assert(p.contains("LeftSemi"), s"covered-position mark is not a semi join:\n$p")
+    val t = plan("q_dup_trim")
+    assert(t.contains("LeftAnti"), s"trim rebuild is not an anti join:\n$t")
+  }
+
   test("cube plans a single Expand + hash aggregate") {
     val p = plan("q_cube")
     assert(p.contains("Expand"), s"cube did not plan an Expand:\n$p")

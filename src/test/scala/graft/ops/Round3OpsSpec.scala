@@ -323,4 +323,22 @@ class Round3OpsSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     bySource.values.foreach(s => assert(math.abs(s - 1.0) < 0.001))
   }
+
+  test("temperatureMixReport: alpha flattens the head, invariants hold") {
+    // two strata with 4:1 mass — at alpha 0.5 the big stratum's share
+    // drops from 0.8 to sqrt(.8)/(sqrt(.8)+sqrt(.2)) = 2/3; factors are
+    // w/p and the w column sums to 1
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 80) "big" else "small", 10L))
+      .toDF("doc_id", "lang", "n_chars")
+    val rows = Sampling.temperatureMixReport(df, "lang", "n_chars", alpha = 0.5)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("big") == (("big", 80L, 800L, 0.8, 0.6667, 0.8333)))
+    assert(rows("small") == (("small", 20L, 200L, 0.2, 0.3333, 1.6667)))
+    // alpha = 1 is proportional: factor 1.0 everywhere
+    Sampling.temperatureMixReport(df, "lang", "n_chars", alpha = 1.0)
+      .select("sample_factor").as[Double].collect()
+      .foreach(f => assert(f == 1.0))
+  }
 }
