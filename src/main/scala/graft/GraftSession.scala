@@ -29,10 +29,12 @@ import org.apache.spark.sql.SparkSession
   *    (`dot_product`) resolve in pure SQL for every session.
   *  - UTC session timezone: event-time results are host-timezone-independent
   *    (the determinism rule the DuckDB oracle compare relies on).
-  *  - `nanosAsLong`: the events fixtures carry TIMESTAMP(NANOS) parquet
-  *    timestamps, which Spark only reads as raw longs; the long is
-  *    normalized back to a timestamp at the source boundary
-  *    ([[graft.model.Tables.events]]).
+  *  - `nanosAsLong`: driver fixture generations have carried several
+  *    timestamp encodings (TIMESTAMP(NANOS), which Spark only reads as raw
+  *    longs under this flag, and TIMESTAMP_NTZ micros since the round-7
+  *    regeneration); every observed encoding is normalized to TimestampType
+  *    at the source boundary ([[graft.model.Tables]]), and
+  *    SchemaContractSpec pins the post-load schema.
   */
 object GraftSession {
 
