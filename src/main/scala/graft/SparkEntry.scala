@@ -514,6 +514,11 @@ object SparkEntry {
     // per-class centroid table (cluster-balanced sampling / drift monitor)
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(
       Tables.embeddings(s, d))),
+    // PCA promise gate: component values are solver-specific, so the gate
+    // pins the solver-independent contract (orthonormal basis, ordered
+    // explained variance, corpus-wide projection-norm isometry bound)
+    "q_pca_audit" -> ((s, d) => Similarity.pcaAudit(
+      s, Tables.embeddings(s, d))),
     // deterministic hash split audit: per (source, split) counts + shares
     "q_split_report" -> ((s, d) => graft.ops.Sampling.splitReport(
       Tables.documents(s, d), "source", "doc_id", seed = 42L)),
@@ -1378,6 +1383,12 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
         |  WHERE a.vec_id IN (0,1,2,3,4,5,6,7,8,9))
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // PCA promise gate: corpus size recomputed, contract booleans pinned
+    "q_pca_audit" ->
+      """SELECT 'pca' AS method,
+        |  (SELECT count(*) FROM embeddings) AS n_vecs,
+        |  TRUE AS orthonormal_ok, TRUE AS variance_ordered_ok,
+        |  TRUE AS proj_norm_ok""".stripMargin,
     // ANN promise gates (r8 — the last five former rows-only queries): the
     // oracle recomputes the probe-set size from the embeddings table and
     // pins the engine-computed contract booleans (shape, exact re-rank

@@ -111,8 +111,9 @@ object Stress {
     // (k-means cells confine the quadratic compare)
     "q_dup_survivors", "q_incremental_dedup", "q_semantic_dedup",
     // round 8: substring-span duplication (shingle-occurrence shuffle +
-    // doc-window island merge — must trend with corpus, not pairs)
-    "q_dup_spans",
+    // doc-window island merge — must trend with corpus, not pairs) and its
+    // removal policy (adds the covered-position explode + rebuild agg)
+    "q_dup_spans", "q_dup_trim",
     // map-side shapes that must trend flat: hash split, centroid
     // aggregate, scalar-quantization coding
     "q_split_report", "q_label_centroids", "q_sq_codes")

@@ -670,6 +670,53 @@ object Similarity {
           .as("clone_dropped_ok"))
   }
 
+  /** Driver-gated promise audit for PCA over the embedding corpus — the
+    * dimensionality-reduction leg a production embedding pipeline runs
+    * before clustering / ANN (and the third spark.ml surface next to ALS
+    * and k-means). Principal-component VALUES are solver/BLAS-specific, so
+    * the gate emits the solver-independent contract:
+    *   - `n_vecs`: corpus size, recomputed by the oracle;
+    *   - `orthonormal_ok`: the basis columns are unit-norm and pairwise
+    *     orthogonal (checked on the k×dim parameter matrix — driver
+    *     arithmetic on a model PARAMETER, not data);
+    *   - `variance_ordered_ok`: explained variance is non-increasing in
+    *     component order;
+    *   - `proj_norm_ok`: over the FULL corpus, no projection exceeds its
+    *     source norm (‖Pᵀx‖ ≤ ‖x‖ for an orthonormal P — a solver that
+    *     emitted a non-isometric basis fails this distributed check).
+    * Scale shape: one fit (covariance Gramian — one pass over the corpus)
+    * plus one map-side transform + aggregate; nothing quadratic. */
+  def pcaAudit(spark: SparkSession, embeddings: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val vecs = embeddings.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("v"))
+    val model = new PCA().setK(k).setInputCol("v").setOutputCol("proj").fit(vecs)
+    val pc = model.pc // dim × k, column-major
+    val cols = Array.tabulate(pc.numCols)(j =>
+      Array.tabulate(pc.numRows)(i => pc(i, j)))
+    val orthonormal = (0 until pc.numCols).forall { a =>
+      val na = math.sqrt(cols(a).map(x => x * x).sum)
+      math.abs(na - 1.0) < 1e-8 && (a + 1 until pc.numCols).forall { b =>
+        math.abs(cols(a).zip(cols(b)).map { case (x, y) => x * y }.sum) < 1e-8
+      }
+    }
+    val ev = model.explainedVariance.toArray
+    val ordered = ev.isEmpty ||
+      ev.zip(ev.tail).forall { case (a, b) => a >= b - 1e-12 }
+    val badNorms = model.transform(vecs)
+      .select(vector_to_array(col("v")).as("x"),
+        vector_to_array(col("proj")).as("p"))
+      .filter(sqrt(dot(col("p"), col("p"))) >
+        sqrt(dot(col("x"), col("x"))) + lit(1e-6))
+      .agg(count(lit(1)).as("n_bad"))
+    embeddings.agg(count(lit(1)).as("n_vecs")).crossJoin(badNorms)
+      .select(lit("pca").as("method"), col("n_vecs"),
+        lit(orthonormal).as("orthonormal_ok"),
+        lit(ordered).as("variance_ordered_ok"),
+        (col("n_bad") === 0).as("proj_norm_ok"))
+  }
+
   /** Driver-gated promise audit for one ANN top-k path — the conversion of
     * the last five rows-only gates (r7 VERDICT "next" #8). Raw neighbor ids
     * are quantizer/hyperplane-specific (k-means cells, xxhash64 sign bits),

@@ -230,4 +230,22 @@ class SimilaritySpec extends SparkSpec {
       assert(brute.get(n).forall(_ == c), s"neighbor $n: lsh=$c brute=${brute.get(n)}")
     }
   }
+
+  test("pcaAudit: contract booleans hold; planted dominant direction leads") {
+    // fixture corpus: the gate's own contract must hold end-to-end
+    val gate = Similarity.pcaAudit(spark, Tables.embeddings(spark, sf), k = 4)
+      .as[(String, Long, Boolean, Boolean, Boolean)].head()
+    assert(gate == (("pca", 500L, true, true, true)), s"got $gate")
+    // planted: points spread widely along dim 0 with small noise in dim 1
+    // -> the first component must explain the overwhelming variance share
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val planted = Seq.tabulate(100)(i =>
+      (i.toLong, Array(i.toFloat, (i % 3).toFloat / 10f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val m = new PCA().setK(2).setInputCol("v").setOutputCol("p")
+      .fit(planted.select(array_to_vector(col("embedding").cast("array<double>")).as("v")))
+    val ev = m.explainedVariance.toArray
+    assert(ev(0) / ev.sum > 0.99, s"dominant direction not found: ${ev.toSeq}")
+  }
 }
