@@ -338,6 +338,9 @@ object SparkEntry {
       Tables.documents(s, d), Dedup.ngramJaccardPairs(Tables.documents(s, d)),
       minLabel = true)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // cross-source duplication overlap: near-dup pairs attributed to their
+    // source pair — the report behind source-level curation decisions
+    "q_source_overlap" -> ((s, d) => Dedup.crossSourceOverlap(Tables.documents(s, d))),
     // substring-level duplication (Lee et al. ACL'22 span form): per-doc
     // count/coverage of tokens inside ≥2-occurrence 5-gram spans — the
     // memorization-vector stat document-level dedup can't see
@@ -1166,6 +1169,38 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // cross-source overlap: the jaccard pair tier (same CTE as
+    // q_ngram_jaccard) attributed to lexically-ordered source pairs
+    "q_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) > 0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5),
+        |attributed AS (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |         greatest(da.source, db.source) AS source_b
+        |  FROM pairs
+        |  JOIN documents da ON doc_a = da.doc_id
+        |  JOIN documents db ON doc_b = db.doc_id),
+        |m AS (SELECT source_a, source_b, count(*) AS n_pairs
+        |      FROM attributed GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_pairs,
+        |  round(n_pairs * 1.0 / (SELECT sum(n_pairs) FROM m), 4) AS pair_share
+        |FROM m ORDER BY source_a, source_b""".stripMargin,
     // substring-span duplication: positions/intervals recomputed verbatim
     // (same shingle definition as q_ngram_jaccard's oracle, positions kept;
     // islands merge at gap <= 5 exactly as Dedup.duplicateSpanStats)

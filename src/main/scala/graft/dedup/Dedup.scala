@@ -222,6 +222,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source duplication overlap matrix — the curation diagnostic that
+    * drives SOURCE-level decisions (which crawl snapshots, mirrors or feeds
+    * duplicate into which): near-dup pairs from [[ngramJaccardPairs]]
+    * attributed to their source pair, with each pair's share of all
+    * near-dup pairs. `source_a ≤ source_b` lexically (the matrix is
+    * symmetric; the diagonal is within-source duplication — mirrors and
+    * re-crawls show up OFF-diagonal).
+    *
+    * Scale shape: the pair tier's cost dominates (see ngramJaccardPairs);
+    * attribution adds two equi-joins of the pair list against the
+    * (doc_id, source) projection — pair-list-sized, not corpus-sized —
+    * plus one aggregate over the source-pair matrix (|sources|² rows at
+    * most). */
+  def crossSourceOverlap(documents: DataFrame, k: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(documents, k, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val src = documents.select(col("doc_id"), col("source"))
+    val attributed = pairs
+      .join(src.withColumnsRenamed(Map("doc_id" -> "doc_a", "source" -> "sa")), Seq("doc_a"))
+      .join(src.withColumnsRenamed(Map("doc_id" -> "doc_b", "source" -> "sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    val counts = attributed.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("n_pairs")).as("total"))))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        round(col("n_pairs") / col("total"), 4).as("pair_share"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Tier 2 — exact n-gram Jaccard near-dup pairs: join docs on shared
     * shingles, count the intersection, derive |A∪B| = |A|+|B|−|A∩B|.
     * The join key is the shingle, so only documents sharing text ever meet —

@@ -217,4 +217,16 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((4L, "drop", 0L, 10L, md5Of(""))))
     assert(out(5L) == ((5L, "drop", 0L, 10L, md5Of(""))))
   }
+
+  test("crossSourceOverlap attributes near-dup pairs to ordered source pairs") {
+    val run = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$run tail1", "mirror"),
+      (2L, s"$run tail2", "crawl"),
+      (3L, "entirely different text with its own tokens", "crawl"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceOverlap(d)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("crawl", "mirror", 1L, 1.0)), s"got $got")
+  }
 }
