@@ -97,6 +97,9 @@ object SparkEntry {
     "q_winsorize_approx" -> ((s, d) => Aggregations.winsorizeApproxAudit(
       Tables.orders(s, d))),
     "q_quality_deciles" -> ((s, d) => Aggregations.qualityDeciles(Tables.documents(s, d))),
+    // per-source PSI drift vs the corpus quality distribution — the
+    // standard per-ingest-source monitoring stat (0.1/0.25 triage bounds)
+    "q_source_drift" -> ((s, d) => Aggregations.sourceDriftReport(Tables.documents(s, d))),
     "q_rollup" -> ((s, d) => Aggregations.rollupStats(Tables.lineitem(s, d))),
     "q_distinct_count" -> ((s, d) =>
       // approx twin stays engine-side only: sketch values differ per engine
@@ -836,6 +839,45 @@ object SparkEntry {
         |      + (quality_score > c[9])::BIGINT AS decile
         |  FROM scored, cuts)
         |GROUP BY 1 ORDER BY decile""".stripMargin,
+    // per-source PSI drift: same scored/cuts/decile CTEs as the deciles
+    // gate, then the PSI arithmetic with eps-floored shares
+    "q_source_drift" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    round(0.5 * round(least(greatest(length(txt), 1) / 500.0, 1.0), 4)
+        |        + 0.3 * round(len(list_filter(toks, x -> list_contains(
+        |              ['the','a','an','of','to','and','in','is','it','for','on','with'], x)))
+        |              * 1.0 / greatest(len(toks), 1), 4)
+        |        + 0.2 * (1.0 - round((length(txt) - length(regexp_replace(txt, '[^a-z0-9\s]', '', 'g')))
+        |              * 1.0 / greatest(length(txt), 1), 4)), 5) AS quality_score
+        |  FROM (SELECT doc_id, lower(text) AS txt,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |cuts AS (SELECT quantile_cont(quality_score,
+        |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c FROM scored),
+        |binned AS (
+        |  SELECT d.source,
+        |    1 + (quality_score > c[1])::BIGINT + (quality_score > c[2])::BIGINT
+        |      + (quality_score > c[3])::BIGINT + (quality_score > c[4])::BIGINT
+        |      + (quality_score > c[5])::BIGINT + (quality_score > c[6])::BIGINT
+        |      + (quality_score > c[7])::BIGINT + (quality_score > c[8])::BIGINT
+        |      + (quality_score > c[9])::BIGINT AS decile
+        |  FROM scored s JOIN documents d USING (doc_id), cuts),
+        |corpus AS (
+        |  SELECT decile, count(*) * 1.0 / (SELECT count(*) FROM binned) AS q
+        |  FROM binned GROUP BY 1),
+        |srcs AS (SELECT source, count(*) AS n_docs FROM binned GROUP BY 1),
+        |cells AS (
+        |  SELECT source, decile, count(*) AS n_sd FROM binned GROUP BY 1, 2)
+        |SELECT s.source, max(s.n_docs) AS n_docs,
+        |  round(sum(
+        |    (greatest(coalesce(n_sd, 0) * 1.0 / s.n_docs, 0.0001)
+        |       - greatest(q, 0.0001))
+        |    * ln(greatest(coalesce(n_sd, 0) * 1.0 / s.n_docs, 0.0001)
+        |         / greatest(q, 0.0001))), 4) AS psi
+        |FROM srcs s CROSS JOIN corpus c
+        |LEFT JOIN cells x ON s.source = x.source AND c.decile = x.decile
+        |GROUP BY s.source ORDER BY s.source""".stripMargin,
     "q_items_histogram" ->
       """SELECT items, count(*) AS num_orders FROM (
         |  SELECT l_orderkey, count(*) AS items FROM lineitem GROUP BY 1

@@ -276,6 +276,50 @@ object Aggregations {
       .orderBy(col("decile"))
   }
 
+  /** Per-source distribution-drift report — PSI (population stability
+    * index, the standard drift monitor) of each source's quality-score
+    * distribution against the whole corpus, over the corpus's own decile
+    * bins (the [[qualityDeciles]] cut-point machinery): PSI_s =
+    * Σ_bins (p′ − q′)·ln(p′/q′) with p = source share in the bin, q =
+    * corpus share, both floored at `eps` so empty bins stay finite.
+    * PSI < 0.1 reads "stable", 0.1–0.25 "moderate drift", > 0.25 "major" —
+    * the triage thresholds monitoring pipelines apply per ingest source.
+    *
+    * Scale shape: one score scan, one exact-percentile aggregate for the
+    * cuts (the winsorize-style approx twin is the documented swap at
+    * corpus scale), then counts over (source × decile) — a bins·sources
+    * sized frame; the corpus is aggregated once and never joined wide. */
+  def sourceDriftReport(documents: DataFrame, eps: Double = 1e-4): DataFrame = {
+    val ps = (1 to 9).map(_ / 10.0).mkString("array(", "D, ", "D)")
+    val scored = graft.text.TextAnalysis.qualityScores(documents)
+      .select(col("doc_id"), col("quality_score"))
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val cuts = scored.agg(expr(s"percentile(quality_score, $ps)").as("cuts"))
+    val decile = (1 to 9).foldLeft(lit(1L)) { (acc, k) =>
+      acc + when(col("quality_score") > element_at(col("cuts"), k), 1L).otherwise(0L)
+    }
+    // slim (source, decile) tier read by the corpus and per-source counts
+    val binned = scored.join(broadcast(cuts))
+      .select(col("source"), decile.as("decile"))
+      .localCheckpoint(true)
+    val corpus = binned.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_bin"))
+    val corpusShares = corpus.crossJoin(
+        broadcast(corpus.agg(sum(col("n_bin")).as("n_total"))))
+      .select(col("decile"), (col("n_bin") / col("n_total")).as("q"))
+    val sources = binned.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val perCell = binned.groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_sd"))
+    val pCol = greatest(coalesce(col("n_sd"), lit(0L)) / col("n_docs"), lit(eps))
+    val qCol = greatest(col("q"), lit(eps))
+    sources.crossJoin(broadcast(corpusShares))
+      .join(perCell, Seq("source", "decile"), "left")
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        round(sum((pCol - qCol) * log(pCol / qCol)), 4).as("psi"))
+      .orderBy(col("source"))
+  }
+
   /** Exact distinct count per group (the reference never counts distinct;
     * at 100 TB the approx_count_distinct twin is the right default, kept
     * alongside for the bench). */

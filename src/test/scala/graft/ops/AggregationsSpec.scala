@@ -89,4 +89,25 @@ class AggregationsSpec extends SparkSpec {
     assert(global < rows.filter(_._1 != "*").map(_._2).sum,
       "fixture must overlap part keys across flags or the union test is vacuous")
   }
+
+  test("sourceDriftReport: identical sources score zero PSI, a skewed one does not") {
+    import spark.implicits._
+    // sources A and B carry the SAME text multiset -> each matches the
+    // corpus distribution exactly, so every (p - q) term is 0 and PSI = 0;
+    // source C holds only the longest texts -> concentrated in the top
+    // deciles, PSI must clear the 0.25 "major drift" triage bound
+    val texts = (1 to 40).map(i => (1 to (i * 3)).map(j => s"t$j").mkString(" "))
+    val ab = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i.toLong, t, "a"), (1000L + i, t, "b")) }
+    val even = ab.toDF("doc_id", "text", "source")
+    val evenPsi = graft.ops.Aggregations.sourceDriftReport(even)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(evenPsi == Map("a" -> 0.0, "b" -> 0.0), s"got $evenPsi")
+    val skewed = (even.as[(Long, String, String)].collect().toSeq ++
+      texts.takeRight(5).zipWithIndex.map { case (t, i) => (2000L + i, t, "c") })
+      .toDF("doc_id", "text", "source")
+    val skewPsi = graft.ops.Aggregations.sourceDriftReport(skewed)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(skewPsi("c") > 0.25, s"skewed source under the major-drift bound: $skewPsi")
+  }
 }
