@@ -100,6 +100,10 @@ object SparkEntry {
     // per-source PSI drift vs the corpus quality distribution — the
     // standard per-ingest-source monitoring stat (0.1/0.25 triage bounds)
     "q_source_drift" -> ((s, d) => Aggregations.sourceDriftReport(Tables.documents(s, d))),
+    // top-k collocations by PMI over adjacent-token bigrams (support-
+    // floored against the hapax-pair PMI explosion)
+    "q_collocations" -> ((s, d) =>
+      graft.text.TextAnalysis.collocations(Tables.documents(s, d))),
     "q_rollup" -> ((s, d) => Aggregations.rollupStats(Tables.lineitem(s, d))),
     "q_distinct_count" -> ((s, d) =>
       // approx twin stays engine-side only: sketch values differ per engine
@@ -878,6 +882,26 @@ object SparkEntry {
         |FROM srcs s CROSS JOIN corpus c
         |LEFT JOIN cells x ON s.source = x.source AND c.decile = x.decile
         |GROUP BY s.source ORDER BY s.source""".stripMargin,
+    // PMI collocations: bigram/unigram counts and the ln arithmetic
+    // recomputed verbatim; ordered by rounded pmi then the pair (tie-stable)
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, arr[u.i] AS w1,
+        |    CASE WHEN u.i < len(arr) THEN arr[u.i + 1] END AS w2
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS arr
+        |        FROM documents),
+        |       unnest(range(1, len(arr) + 1)) AS u(i)),
+        |uni AS (SELECT w1 AS word, count(*) AS c FROM toks GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+        |bb AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM toks WHERE w2 IS NOT NULL),
+        |bi AS (SELECT w1, w2, count(*) AS n_pair FROM toks
+        |       WHERE w2 IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, n_pair,
+        |  round(ln((n_pair / (SELECT b FROM bb)) /
+        |    ((u1.c / (SELECT t FROM tt)) * (u2.c / (SELECT t FROM tt)))), 4) AS pmi
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.word JOIN uni u2 ON bi.w2 = u2.word
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     "q_items_histogram" ->
       """SELECT items, count(*) AS num_orders FROM (
         |  SELECT l_orderkey, count(*) AS items FROM lineitem GROUP BY 1

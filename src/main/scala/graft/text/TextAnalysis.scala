@@ -419,6 +419,46 @@ object TextAnalysis {
     * docs still report, with zero ratios) + window `lead` shingling +
     * count/count_distinct hash aggregates; only full k-shingles count.
     * Map-side until the per-doc aggregate; one shuffle on doc_id. */
+  /** Top-k collocations by pointwise mutual information — the standard
+    * corpus-analytics extraction of non-compositional phrases ("new york",
+    * "machine learning") from adjacent-token bigrams:
+    * PMI(x,y) = ln( P(x,y) / (P(x)·P(y)) ) with P(x,y) = c_xy / B over
+    * bigram occurrences and P(x) = c_x / T over token occurrences; a
+    * `minCount` support floor suppresses the rare-pair PMI explosion (the
+    * classic failure mode: hapax pairs max out PMI).
+    *
+    * Scale shape: one doc-window pass for bigrams (the shingle idiom), two
+    * hash aggregates (bigram counts, unigram counts), two broadcast joins
+    * of the unigram table (vocabulary-sized, Zipf-bounded), one-row totals
+    * broadcast, TakeOrdered for the top-k. Output orders by ROUNDED pmi
+    * then the pair, so the cross-engine compare is tie-stable. */
+  def collocations(documents: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")))
+      .withColumnsRenamed(Map("col" -> "w1"))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .localCheckpoint(true) // unigram and bigram counts both read it
+    val uni = toks.groupBy(col("w1").as("word"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val totals = uni.agg(sum(col("c")).cast("double").as("t"))
+    val bi = toks.filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val biTotal = toks.filter(col("w2").isNotNull)
+      .agg(count(lit(1)).cast("double").as("b"))
+    bi.join(broadcast(uni.select(col("word").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("word").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(biTotal))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((col("n_pair") / col("b")) /
+          ((col("c1") / col("t")) * (col("c2") / col("t")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def repetitionStats(documents: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

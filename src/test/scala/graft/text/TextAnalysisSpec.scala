@@ -185,4 +185,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L).head == "cherry")
     assert(got(3L).head == "durian")
   }
+
+  test("collocations: planted phrase tops PMI; hapax pairs are support-floored") {
+    // "new" and "york" ONLY ever appear together (20 times) in a corpus of
+    // common filler: maximal association, must rank first. "rare pair"
+    // appears once — infinite-ish PMI but under minCount, must be absent.
+    val filler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((1 to 20).map(i => (i.toLong, s"$filler new york $filler")) :+
+      (99L, s"$filler rare pair")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, minCount = 5, k = 10)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.head._1 == "new" && got.head._2 == "york" && got.head._3 == 20L,
+      s"planted phrase not on top: ${got.head}")
+    assert(!got.exists(r => r._1 == "rare"), "hapax pair leaked past minCount")
+    assert(got.forall(r => r._4 <= got.head._4), "not ordered by pmi desc")
+  }
 }
