@@ -104,6 +104,10 @@ object SparkEntry {
     // floored against the hapax-pair PMI explosion)
     "q_collocations" -> ((s, d) =>
       graft.text.TextAnalysis.collocations(Tables.documents(s, d))),
+    // Zipf log-log OLS fit of the vocabulary (alpha ~ 1 for natural text;
+    // the oracle recomputes the regression itself via regr_slope/regr_r2)
+    "q_zipf_fit" -> ((s, d) =>
+      graft.text.TextAnalysis.zipfFit(Tables.documents(s, d))),
     "q_rollup" -> ((s, d) => Aggregations.rollupStats(Tables.lineitem(s, d))),
     "q_distinct_count" -> ((s, d) =>
       // approx twin stays engine-side only: sketch values differ per engine
@@ -882,6 +886,18 @@ object SparkEntry {
         |FROM srcs s CROSS JOIN corpus c
         |LEFT JOIN cells x ON s.source = x.source AND c.decile = x.decile
         |GROUP BY s.source ORDER BY s.source""".stripMargin,
+    "q_zipf_fit" ->
+      """WITH uni AS (
+        |  SELECT w AS word, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              x -> x <> '')) AS w
+        |    FROM documents)
+        |  GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rank FROM uni)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        |  round(-regr_slope(ln(c), ln(rank)), 4) AS alpha,
+        |  round(regr_r2(ln(c), ln(rank)), 4) AS r2
+        |FROM r""".stripMargin,
     // PMI collocations: bigram/unigram counts and the ln arithmetic
     // recomputed verbatim; ordered by rounded pmi then the pair (tie-stable)
     "q_collocations" ->

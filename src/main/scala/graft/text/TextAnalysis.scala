@@ -419,6 +419,29 @@ object TextAnalysis {
     * docs still report, with zero ratios) + window `lead` shingling +
     * count/count_distinct hash aggregates; only full k-shingles count.
     * Map-side until the per-doc aggregate; one shuffle on doc_id. */
+  /** Zipf power-law fit of the vocabulary — the corpus-health diagnostic
+    * (natural language sits near freq ∝ rank^(-α) with α ≈ 1; α far off or
+    * a poor fit flags template/boilerplate/generated corpora): ordinary
+    * least squares on the log-log rank/frequency curve via the SQL
+    * regression aggregates (`regr_slope`/`regr_r2` — portable, so the
+    * DuckDB oracle recomputes the fit itself, not just the inputs).
+    * Output: one row `(n_vocab, alpha, r2)`.
+    *
+    * Scale shape: one token scan + one hash aggregate to the
+    * vocabulary-sized count table (Zipf-bounded, not corpus-bounded), a
+    * single-partition rank window over that table, one regression
+    * aggregate. */
+  def zipfFit(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uni = documents.select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val ranked = uni.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("word"))))
+    ranked.agg(count(lit(1)).as("n_vocab"),
+      round(expr("-regr_slope(ln(c), ln(rank))"), 4).as("alpha"),
+      round(expr("regr_r2(ln(c), ln(rank))"), 4).as("r2"))
+  }
+
   /** Top-k collocations by pointwise mutual information — the standard
     * corpus-analytics extraction of non-compositional phrases ("new york",
     * "machine learning") from adjacent-token bigrams:

@@ -200,4 +200,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == "rare"), "hapax pair leaked past minCount")
     assert(got.forall(r => r._4 <= got.head._4), "not ordered by pmi desc")
   }
+
+  test("zipfFit: planted Zipfian corpus fits alpha ~ 1; uniform corpus does not") {
+    // word w_r appears round(120/r) times -> freq = C/rank exactly, so the
+    // log-log OLS must recover alpha ~ 1 with a near-perfect fit
+    val zipfWords = (1 to 30).flatMap(r => Seq.fill(math.round(120.0 / r).toInt)(f"w$r%02d"))
+    val zipf = Seq((1L, zipfWords.mkString(" "))).toDF("doc_id", "text")
+    val zf = TextAnalysis.zipfFit(zipf).as[(Long, Double, Double)].head()
+    assert(zf._1 == 30L)
+    assert(math.abs(zf._2 - 1.0) < 0.05, s"alpha ${zf._2} not ~1")
+    assert(zf._3 > 0.99, s"r2 ${zf._3} not a near-perfect fit")
+    // uniform frequencies: slope ~0 -> a corpus-health red flag
+    val uniform = Seq((1L, (1 to 30).flatMap(r => Seq.fill(10)(f"u$r%02d")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val uf = TextAnalysis.zipfFit(uniform).as[(Long, Double, Double)].head()
+    assert(math.abs(uf._2) < 0.01, s"uniform corpus fit alpha ${uf._2} should be ~0")
+  }
 }
