@@ -148,6 +148,9 @@ object SparkEntry {
     "q_semi_join" -> ((s, d) => Joins.partsWithBulkShipments(
       Tables.part(s, d), Tables.lineitem(s, d), minQty = 48)),
     "q_set_ops" -> ((s, d) => Joins.customerChurn(Tables.orders(s, d), 1995, 1996)),
+    // ordered conversion funnel (first-touch): view -> click -> purchase
+    "q_funnel" -> ((s, d) => graft.ops.Temporal.funnelReport(
+      Tables.events(s, d), Seq("view", "click", "purchase"))),
     // ---- temporal joins (north-star; ops/Temporal.scala) ----
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -886,6 +889,25 @@ object SparkEntry {
         |FROM srcs s CROSS JOIN corpus c
         |LEFT JOIN cells x ON s.source = x.source AND c.decile = x.decile
         |GROUP BY s.source ORDER BY s.source""".stripMargin,
+    // first-touch funnel: each tier's per-user earliest qualifying time
+    // recomputed as correlated CTEs, counts + conversion from step 1
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > s2.t GROUP BY 1),
+        |c AS (
+        |  SELECT 1 AS step, 'view' AS event_type,
+        |    (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, event_type,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  round(n_users * 1.0 /
+        |    greatest((SELECT n_users FROM c WHERE step = 1), 1), 4) AS conversion
+        |FROM c ORDER BY step""".stripMargin,
     "q_zipf_fit" ->
       """WITH uni AS (
         |  SELECT w AS word, count(*) AS c FROM (

@@ -114,6 +114,11 @@ object Stress {
     // doc-window island merge — must trend with corpus, not pairs) and its
     // removal policy (adds the covered-position explode + rebuild agg)
     "q_dup_spans", "q_dup_trim",
+    // round 8 continuation: pair-tier source attribution, corpus-mass
+    // mix arithmetic, decile-binned PSI, bigram PMI, vocab OLS — all
+    // aggregate/window shapes that must trend with corpus size
+    "q_source_overlap", "q_temperature_mix", "q_source_drift",
+    "q_collocations", "q_zipf_fit",
     // map-side shapes that must trend flat: hash split, centroid
     // aggregate, scalar-quantization coding
     "q_split_report", "q_label_centroids", "q_sq_codes")

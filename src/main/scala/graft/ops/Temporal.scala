@@ -86,4 +86,43 @@ object Temporal {
       .withColumn("dt_us", col("_lus") - col("_rus"))
       .drop("_b", "_lus", "_rus")
   }
+
+  /** Ordered conversion funnel — the classic event-sequence report: for
+    * each step k, the users whose EARLIEST step-k event falls strictly
+    * after their earliest qualifying step-(k−1) event (first-touch
+    * semantics — deterministic, unlike "any matching subsequence" variants
+    * whose witness choice is engine-dependent). Output per step: user
+    * count and conversion rate from step 1.
+    *
+    * Scale shape: one user-keyed aggregate per step over a frame that only
+    * shrinks (step k joins step k−1's per-user row — user-cardinality,
+    * not event-cardinality), each tier pinned for its two readers
+    * (next step + count). Step count is a small constant; nothing scans
+    * the event log more than once per step and AQE right-sizes the
+    * shrinking joins. */
+  def funnelReport(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val tiers = steps.zipWithIndex
+      .foldLeft(Vector.empty[(String, DataFrame)]) { case (acc, (step, i)) =>
+        val ev = events.filter(col("event_type") === step)
+          .select(col("user_id"), col("ts"))
+        val reached =
+          if (i == 0) ev.groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+          else ev
+            .join(acc.last._2.select(col("user_id"), col("t").as("tp")), Seq("user_id"))
+            .filter(col("ts") > col("tp"))
+            .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        acc :+ (step -> reached.localCheckpoint(true))
+      }
+    val stepCounts = tiers.zipWithIndex.map { case ((s, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(s).as("event_type"), col("n_users"))
+    }.reduce(_ unionByName _)
+    val base = stepCounts.filter(col("step") === 1)
+      .select(col("n_users").as("n1"))
+    stepCounts.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("n_users"),
+        round(col("n_users") / greatest(col("n1"), lit(1L)), 4).as("conversion"))
+      .orderBy(col("step"))
+  }
 }

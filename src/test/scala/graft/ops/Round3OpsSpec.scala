@@ -341,4 +341,24 @@ class Round3OpsSpec extends SparkSpec {
       .select("sample_factor").as[Double].collect()
       .foreach(f => assert(f == 1.0))
   }
+
+  test("funnelReport: first-touch ordering, drop-offs, out-of-order excluded") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1 completes in order; u2 stops after click; u3 purchases BEFORE its
+    // click (must not count as step 3); u4 never views (absent everywhere —
+    // funnel is anchored at step 1)
+    val ev = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      (2L, "view", ts(1)), (2L, "click", ts(5)),
+      (3L, "view", ts(1)), (3L, "purchase", ts(2)), (3L, "click", ts(4)),
+      (4L, "click", ts(1)), (4L, "purchase", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Temporal.funnelReport(ev, Seq("view", "click", "purchase"))
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "view", 3L, 1.0),
+      (2L, "click", 3L, 1.0),
+      (3L, "purchase", 1L, 0.3333)), s"got $got")
+  }
 }
