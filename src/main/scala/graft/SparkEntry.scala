@@ -151,6 +151,9 @@ object SparkEntry {
     // ordered conversion funnel (first-touch): view -> click -> purchase
     "q_funnel" -> ((s, d) => graft.ops.Temporal.funnelReport(
       Tables.events(s, d), Seq("view", "click", "purchase"))),
+    // weekly retention cohorts (Monday-truncated first-seen week)
+    "q_retention" -> ((s, d) => graft.ops.Temporal.retentionCohorts(
+      Tables.events(s, d))),
     // ---- temporal joins (north-star; ops/Temporal.scala) ----
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -889,6 +892,23 @@ object SparkEntry {
         |FROM srcs s CROSS JOIN corpus c
         |LEFT JOIN cells x ON s.source = x.source AND c.decile = x.decile
         |GROUP BY s.source ORDER BY s.source""".stripMargin,
+    // retention cohorts: first-seen week, activity weeks, offset shares
+    "q_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |sizes AS (SELECT cohort, count(*) AS cohort_users FROM fs GROUP BY 1),
+        |cells AS (
+        |  SELECT cohort,
+        |    CAST(floor(date_diff('day', cohort, wk) / 7) AS BIGINT) AS week_offset,
+        |    count(*) AS n_active
+        |  FROM act JOIN fs USING (user_id) GROUP BY 1, 2)
+        |SELECT c.cohort, week_offset, CAST(n_active AS BIGINT) AS n_active,
+        |  round(n_active * 1.0 / cohort_users, 4) AS retention
+        |FROM cells c JOIN sizes s ON c.cohort = s.cohort
+        |ORDER BY c.cohort, week_offset""".stripMargin,
     // first-touch funnel: each tier's per-user earliest qualifying time
     // recomputed as correlated CTEs, counts + conversion from step 1
     "q_funnel" ->

@@ -87,6 +87,37 @@ object Temporal {
       .drop("_b", "_lus", "_rus")
   }
 
+  /** Weekly retention cohorts — the other classic event-sequence report:
+    * users grouped by the week they were first seen (Monday-truncated,
+    * identical in Spark and DuckDB), counted as retained in week-offset k
+    * when they have ANY event in cohort-week + k. Retention is the share
+    * of the cohort active at each offset (offset 0 is 1.0 by
+    * construction — a useful self-check the oracle pins for free).
+    *
+    * Scale shape: one aggregate for first-seen, one distinct over
+    * (user, week) — both user/week-cardinality — a user-keyed join, and
+    * the cohort-sized final aggregate. No window functions, no event-log
+    * self-join. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      .localCheckpoint(true) // read by the activity join and cohort sizes
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val sizes = firstSeen.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    active.join(firstSeen, Seq("user_id"))
+      .select(col("cohort"),
+        floor(datediff(col("wk"), col("cohort")) / 7).cast("bigint").as("week_offset"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("week_offset"), col("n_active"),
+        round(col("n_active") / col("cohort_users"), 4).as("retention"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
   /** Ordered conversion funnel — the classic event-sequence report: for
     * each step k, the users whose EARLIEST step-k event falls strictly
     * after their earliest qualifying step-(k−1) event (first-touch

@@ -361,4 +361,26 @@ class Round3OpsSpec extends SparkSpec {
       (2L, "click", 3L, 1.0),
       (3L, "purchase", 1L, 0.3333)), s"got $got")
   }
+
+  test("retentionCohorts: per-cohort offsets, offset 0 full, churn counted once") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int = 9) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // cohort of Mon Jan 1: u1 active weeks 0 and 2 (twice in week 2 ->
+    // still one active row), u2 only week 0; cohort of Mon Jan 8: u3
+    // active weeks 0 and 1
+    val ev = Seq(
+      (1L, ts(2)), (1L, ts(16)), (1L, ts(17)),
+      (2L, ts(3)),
+      (3L, ts(9)), (3L, ts(18)))
+      .toDF("user_id", "ts").withColumn("event_type", lit("view"))
+    val got = Temporal.retentionCohorts(ev)
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("c"),
+        col("week_offset"), col("n_active"), col("retention"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L, 1.0),
+      ("2024-01-01", 2L, 1L, 0.5),
+      ("2024-01-08", 0L, 1L, 1.0),
+      ("2024-01-08", 1L, 1L, 1.0)), s"got $got")
+  }
 }
