@@ -154,6 +154,9 @@ object SparkEntry {
     // weekly retention cohorts (Monday-truncated first-seen week)
     "q_retention" -> ((s, d) => graft.ops.Temporal.retentionCohorts(
       Tables.events(s, d))),
+    // DAU / trailing-7-day WAU / stickiness per day
+    "q_activity" -> ((s, d) => graft.ops.Temporal.activityReport(
+      Tables.events(s, d))),
     // ---- temporal joins (north-star; ops/Temporal.scala) ----
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -892,6 +895,16 @@ object SparkEntry {
         |FROM srcs s CROSS JOIN corpus c
         |LEFT JOIN cells x ON s.source = x.source AND c.decile = x.decile
         |GROUP BY s.source ORDER BY s.source""".stripMargin,
+    // DAU/WAU stickiness: (user, day) distinct tier, day-grid range join
+    "q_activity" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+        |        FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |        GROUP BY 1)
+        |SELECT d.day, dau, wau, round(dau * 1.0 / wau, 4) AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day ORDER BY d.day""".stripMargin,
     // retention cohorts: first-seen week, activity weeks, offset shares
     "q_retention" ->
       """WITH fs AS (

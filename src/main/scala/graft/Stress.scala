@@ -120,7 +120,7 @@ object Stress {
     "q_source_overlap", "q_temperature_mix", "q_source_drift",
     "q_collocations", "q_zipf_fit",
     // event-sequence reports: per-step user aggregates / cohort grids
-    "q_funnel", "q_retention",
+    "q_funnel", "q_retention", "q_activity",
     // map-side shapes that must trend flat: hash split, centroid
     // aggregate, scalar-quantization coding
     "q_split_report", "q_label_centroids", "q_sq_codes")

@@ -87,6 +87,31 @@ object Temporal {
       .drop("_b", "_lus", "_rus")
   }
 
+  /** Daily activity + stickiness — the DAU/WAU dashboard stat: per day,
+    * distinct active users, distinct users over the trailing 7 days
+    * (inclusive), and stickiness = dau/wau (the engagement ratio product
+    * teams track; 1/7 = "once a week" floor, 1.0 = daily habit).
+    *
+    * Scale shape: the event log reduces once to the (user, day) distinct
+    * tier (user×day cardinality); the trailing-window distinct is a range
+    * join of that tier against the DAY GRID — a calendar-bounded handful
+    * of rows that broadcasts, so the non-equi join never touches two big
+    * sides. */
+  def activityReport(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint(true) // read by the grid, dau, and the range join
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = broadcast(days.select(col("day").as("d")))
+      .join(ud, col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau"), 4).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** Weekly retention cohorts — the other classic event-sequence report:
     * users grouped by the week they were first seen (Monday-truncated,
     * identical in Spark and DuckDB), counted as retained in week-offset k

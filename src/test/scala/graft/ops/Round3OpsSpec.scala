@@ -383,4 +383,27 @@ class Round3OpsSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L, 1.0),
       ("2024-01-08", 1L, 1L, 1.0)), s"got $got")
   }
+
+  test("activityReport: trailing-7-day WAU windows and stickiness ratios") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")
+    // u1 daily on days 1 and 9; u2 only day 1. Day 9's trailing week
+    // [3..9] holds only u1 -> wau 1; day 1 holds both -> wau 2.
+    val ev = Seq((1L, ts(1)), (2L, ts(1)), (1L, ts(9)))
+      .toDF("user_id", "ts").withColumn("event_type", lit("view"))
+    val got = Temporal.activityReport(ev)
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("dau"), col("wau"), col("stickiness"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-09", 1L, 1L, 1.0)), s"got $got")
+    // overlapping window: u2 returns day 5 -> day 9 week [3..9] now has u1+u2
+    val ev2 = (ev.as[(Long, Timestamp, String)].collect().toSeq :+
+      ((2L, ts(5), "view"))).toDF("user_id", "ts", "event_type")
+    val d9 = Temporal.activityReport(ev2)
+      .filter(date_format(col("day"), "yyyy-MM-dd") === "2024-01-09")
+      .select(col("dau"), col("wau"), col("stickiness"))
+      .as[(Long, Long, Double)].head()
+    assert(d9 == ((1L, 2L, 0.5)), s"got $d9")
+  }
 }
