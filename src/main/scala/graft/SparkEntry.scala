@@ -1,5 +1,6 @@
 package graft
 
+import graft.Tier.PinOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -358,6 +359,11 @@ object SparkEntry {
       Tables.documents(s, d), Dedup.ngramJaccardPairs(Tables.documents(s, d)),
       minLabel = true)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // visibility for the stop-shingle df cap the exact pair tiers apply
+    // (Dedup.DefaultMaxShingleDocFreq): how many shingle keys the cap
+    // removes and the occurrence share they carried — the truncation is
+    // never silent
+    "q_hot_shingles" -> ((s, d) => Dedup.hotShingleReport(Tables.documents(s, d))),
     // cross-source duplication overlap: near-dup pairs attributed to their
     // source pair — the report behind source-level curation decisions
     "q_source_overlap" -> ((s, d) => Dedup.crossSourceOverlap(Tables.documents(s, d))),
@@ -394,7 +400,7 @@ object SparkEntry {
         }
         graft.dedup.ShingleIndex.admit(
             s, docs.filter(pmod(col("doc_id"), lit(7)) === 0), s"$stage/index")
-          .localCheckpoint(true) // materialize before the staged index is dropped
+          .pinTier // materialize before the staged index is dropped
       } finally { // a build/admit failure must not leak staged /tmp state
         new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
         ()
@@ -416,7 +422,7 @@ object SparkEntry {
         }
         graft.dedup.ShingleIndex.admitBucketed(
             s, docs.filter(pmod(col("doc_id"), lit(7)) === 0), table)
-          .localCheckpoint(true) // materialize before table+files are dropped
+          .pinTier // materialize before table+files are dropped
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $table")
         new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
@@ -589,7 +595,7 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_events"),
             Aggregations.dsum(col("value")).as("sum_value"))
           .orderBy(col("event_type"))
-          .localCheckpoint(true)
+          .pinTier
       } finally {
         new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
         ()
@@ -607,7 +613,7 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_events"),
             Aggregations.dsum(col("value")).as("sum_value"))
           .orderBy(col("event_type"))
-          .localCheckpoint(true)
+          .pinTier
       } finally {
         new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
         ()
@@ -701,10 +707,13 @@ object SparkEntry {
       |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
       |        FROM documents WHERE doc_id < 500)
       |  WHERE len(toks) > 0),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |shk AS (SELECT doc_id, shingle FROM sh
+      |        QUALIFY count(*) OVER (PARTITION BY shingle)
+      |          <= ${graft.dedup.Dedup.DefaultMaxShingleDocFreq}),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
       |exact AS (
       |  SELECT doc_a FROM inter
@@ -715,18 +724,21 @@ object SparkEntry {
       |  CAST($minRecall AS DOUBLE) AS min_recall, TRUE AS recall_ok""".stripMargin
 
   private val dupClosurePrefix: String =
-    """WITH RECURSIVE sh AS (
+    s"""WITH RECURSIVE sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, greatest(len(toks) - 2, 1) + 1),
       |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
       |  FROM (SELECT doc_id,
-      |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
       |        FROM documents)
       |  WHERE len(toks) > 0),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |shk AS (SELECT doc_id, shingle FROM sh
+      |        QUALIFY count(*) OVER (PARTITION BY shingle)
+      |          <= ${graft.dedup.Dedup.DefaultMaxShingleDocFreq}),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
       |pairs AS (
       |  SELECT doc_a, doc_b FROM inter
@@ -1285,19 +1297,25 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')), 1, 16) AS fp,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+    // stop-shingle df cap mirrored from Dedup.DefaultMaxShingleDocFreq
+    // (pairs are defined over the df <= cap shingle universe; at fixture
+    // scale no shingle reaches the cap, so the tier is a no-op here)
     "q_ngram_jaccard" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(toks) - 2, 1) + 1),
         |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
         |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
         |        FROM documents)
         |  WHERE len(toks) > 0),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shk AS (SELECT doc_id, shingle FROM sh
+        |        QUALIFY count(*) OVER (PARTITION BY shingle)
+        |          <= ${graft.dedup.Dedup.DefaultMaxShingleDocFreq}),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |  round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
@@ -1306,21 +1324,45 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // cross-source overlap: the jaccard pair tier (same CTE as
-    // q_ngram_jaccard) attributed to lexically-ordered source pairs
-    "q_source_overlap" ->
-      """WITH sh AS (
+    // the cap's visibility report: shingle df distribution vs the cap
+    "q_hot_shingles" ->
+      s"""WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(toks) - 2, 1) + 1),
         |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
         |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
         |        FROM documents)
         |  WHERE len(toks) > 0),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT count(*) AS n_shingles,
+        |  count(*) FILTER (df > ${graft.dedup.Dedup.DefaultMaxShingleDocFreq})
+        |    AS n_hot,
+        |  CAST(coalesce(sum(df) FILTER (
+        |    df > ${graft.dedup.Dedup.DefaultMaxShingleDocFreq}), 0) AS BIGINT)
+        |    AS hot_occurrences,
+        |  round(coalesce(sum(df) FILTER (
+        |    df > ${graft.dedup.Dedup.DefaultMaxShingleDocFreq}), 0) * 1.0
+        |    / sum(df), 4) AS hot_share
+        |FROM df""".stripMargin,
+    // cross-source overlap: the jaccard pair tier (same CTE as
+    // q_ngram_jaccard) attributed to lexically-ordered source pairs
+    "q_source_overlap" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) > 0),
+        |shk AS (SELECT doc_id, shingle FROM sh
+        |        QUALIFY count(*) OVER (PARTITION BY shingle)
+        |          <= ${graft.dedup.Dedup.DefaultMaxShingleDocFreq}),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |pairs AS (
         |  SELECT doc_a, doc_b FROM inter
@@ -1428,18 +1470,21 @@ object SparkEntry {
     "q_simhash_neardups" -> nearDupAuditSql("simhash", 0.8),
     "q_winnow_neardups" -> nearDupAuditSql("winnow", 0.9),
     "q_containment" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(toks) - 2, 1) + 1),
         |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
         |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
         |        FROM documents)
         |  WHERE len(toks) > 0),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shk AS (SELECT doc_id, shingle FROM sh
+        |        QUALIFY count(*) OVER (PARTITION BY shingle)
+        |          <= ${graft.dedup.Dedup.DefaultMaxShingleDocFreq}),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |  round(shared * 1.0 / sa.n, 4) AS containment

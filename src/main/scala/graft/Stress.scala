@@ -143,7 +143,10 @@ object Stress {
     spark.range(1000000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
 
-    val rows = multiples.map { m =>
+    // restored after the loop: anything running later in this session must
+    // not inherit the deepest multiple's partition count
+    val priorShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val rows = try multiples.map { m =>
       val dir = s"$outBase/x$m"
       // partitions ∝ data — the operator a 1000-executor cluster applies as
       // a matter of course. With the fan-out pinned at `cores` while the
@@ -185,6 +188,19 @@ object Stress {
             graft.sim.Similarity.cosineNearDupsLSH(
                 graft.model.Tables.embeddings(spark, dir), threshold = 0.9)
               .write.format("noop").mode("overwrite").save())) else Nil) ++
+        // hot-shingle skew probe: every document gets the same boilerplate
+        // footer appended (df = |corpus| ≫ the cap), the regime where the
+        // uncapped exact pair join degenerates to one quadratic key. The
+        // df cap must keep this family trending like the plain
+        // q_ngram_jaccard line; before the cap existed this superlinears.
+        (if (want("ngram_jaccard_hotkey")) Seq(
+          timed("ngram_jaccard_hotkey") {
+            val boiler = graft.model.Tables.documents(spark, dir)
+              .withColumn("text", concat(col("text"),
+                lit(" subscribe to our newsletter today for updates")))
+            graft.dedup.Dedup.ngramJaccardPairs(boiler)
+              .write.format("noop").mode("overwrite").save()
+          }) else Nil) ++
         // the fixpoint broadcast budget CROSSED (maxBroadcastBytes=0):
         // the per-round joins take the shuffle branch — the plan shape a
         // billion-vertex graph gets — so the fallback is exercised and
@@ -246,7 +262,7 @@ object Stress {
           }
         }
       m -> times
-    }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
     // one JSON line per query: seconds at each multiple + the 8x/1x ratio
     val m0 = multiples.head
     // locale-proof 2-decimal rendering: f"%.2f" follows the JVM default

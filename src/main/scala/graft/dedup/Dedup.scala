@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.Tier.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -110,7 +111,7 @@ object Dedup {
       .select(col("doc_id"), col("n"), col("pos"),
         concat_ws(" ", (col("tok") +: leads): _*).as("shingle"))
       .filter(col("pos") <= greatest(col("n") - k, lit(0)))
-      .localCheckpoint(true)
+      .pinTier
     val dupKeys = rows.groupBy(col("shingle"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
@@ -175,12 +176,12 @@ object Dedup {
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n"), posexplode(col("toks")))
       .withColumnsRenamed(Map("col" -> "tok"))
-      .localCheckpoint(true) // read by the shingle tier AND the rebuild
+      .pinTier // read by the shingle tier AND the rebuild
     val rows = toks
       .select(col("doc_id"), col("n"), col("pos"),
         concat_ws(" ", (col("tok") +: leads): _*).as("shingle"))
       .filter(col("pos") <= greatest(col("n") - k, lit(0)))
-      .localCheckpoint(true)
+      .pinTier
     val dupKeys = rows.groupBy(col("shingle"))
       .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
       .select(col("shingle"))
@@ -253,25 +254,85 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Document-frequency cap for the exact shingle pair tiers
+    * ([[ngramJaccardPairs]], [[containmentPairs]]): a shingle occurring in
+    * more than this many documents is a stop-shingle ("the of and",
+    * boilerplate headers) — it carries no near-dup signal, and its join
+    * bucket alone contributes df²/2 candidate rows, which at 100 TB (where
+    * such shingles appear in MOST documents) is the difference between an
+    * equi-join and a de-facto cross join on one key. Pairs are therefore
+    * defined over the df ≤ cap shingle universe — a documented semantic
+    * (classic stop-word removal before Jaccard), mirrored verbatim in the
+    * DuckDB oracle SQL, with the truncation made visible by
+    * [[hotShingleReport]]. Chosen well above any natural fixture df
+    * (max 7 at sf0.01, 25 at sf0.1, ~200 at the x8 stress multiple) so it
+    * binds only on genuine stop-shingles; the uncapped corpus-scale answer
+    * for high-df content is the MinHash path, whose banding is per-document
+    * and immune to single-key skew. Same precedent as
+    * [[winnowNearDups]]'s maxDocFreq=50 and [[simhashNearDups]]'s
+    * maxBandFreq=1000. */
+  val DefaultMaxShingleDocFreq: Int = 500
+
+  /** The capped shingle tier shared by the exact pair operators: distinct
+    * (doc_id, shingle) rows with stop-shingles (df > maxDocFreq) removed
+    * via a LEFT ANTI join against the (tiny) hot-key set, then the per-doc
+    * set size window. The hot-key aggregate is a hash aggregate on the
+    * shingle — O(rows) however skewed the key is (partial aggregation
+    * collapses each mapper's copies first); only the PAIR join after it
+    * would have been quadratic. */
+  private def cappedShingleTier(documents: DataFrame, k: Int, maxDocFreq: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val raw = shingleRows(documents, k)
+    val hot = raw.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("shingle"))
+    raw.join(hot, Seq("shingle"), "left_anti")
+      .withColumn("n", count(lit(1)).over(w))
+  }
+
+  /** Visibility companion to [[DefaultMaxShingleDocFreq]]: ONE row per
+    * corpus — distinct shingles, how many are hot (df > cap), and the
+    * share of shingle OCCURRENCES the cap removes from the pair tiers.
+    * Run it whenever the cap could plausibly bind; a hot share above a few
+    * percent means the corpus has heavy boilerplate and document-level
+    * Jaccard under the cap is measuring the non-boilerplate remainder.
+    * Fully oracle-recomputable (counts over the deterministic tier). */
+  def hotShingleReport(documents: DataFrame, k: Int = 3,
+                       maxDocFreq: Int = DefaultMaxShingleDocFreq): DataFrame =
+    shingleRows(documents, k)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") > maxDocFreq, 1)).as("n_hot"),
+        coalesce(sum(when(col("df") > maxDocFreq, col("df"))), lit(0L))
+          .as("hot_occurrences"),
+        sum(col("df")).as("total_occurrences"))
+      .select(col("n_shingles"), col("n_hot"), col("hot_occurrences"),
+        round(col("hot_occurrences") / col("total_occurrences"), 4)
+          .as("hot_share"))
+
   /** Tier 2 — exact n-gram Jaccard near-dup pairs: join docs on shared
     * shingles, count the intersection, derive |A∪B| = |A|+|B|−|A∩B|.
     * The join key is the shingle, so only documents sharing text ever meet —
-    * no cross join. Output: (doc_a < doc_b, jaccard ≥ threshold).
+    * no cross join; stop-shingles are dropped first (df cap — see
+    * [[DefaultMaxShingleDocFreq]]: without it one corpus-wide shingle makes
+    * a single join key quadratic). Jaccard is over the capped shingle
+    * universe, mirrored in the oracle. Output: (doc_a < doc_b,
+    * jaccard ≥ threshold).
     *
     * The shingle tier is pinned (same localCheckpoint pattern as
     * [[simhashNearDups]]): three consumers read it (sizes, join side a,
     * join side b), and without the pin Spark re-runs the whole
     * tokenize → posexplode → window-lead → distinct pipeline per consumer —
     * at corpus scale that is 3× the tokenization cost of the entire input. */
-  def ngramJaccardPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                        maxDocFreq: Int = DefaultMaxShingleDocFreq): DataFrame = {
     // set size rides along on the tier as a window count (the window's
     // doc_id exchange replaces what used to be a separate `sizes` aggregate
     // plus TWO post-intersection joins), and the tier is pinned so the two
     // join sides read it instead of re-running tokenize → shingle → distinct
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val rows = shingleRows(documents, k)
-      .withColumn("n", count(lit(1)).over(w))
-      .localCheckpoint(true)
+    val rows = cappedShingleTier(documents, k, maxDocFreq)
+      .pinTier
     val a = rows.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("shingle"))
     val b = rows.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -294,14 +355,14 @@ object Dedup {
     * |A∩B|/|A| = 1.0. The standard complement to near-dup scoring when
     * hunting quote/subset duplication in a corpus. Same scale shape as
     * [[ngramJaccardPairs]] — equi-join on the shingle, quadratic only
-    * within shared-shingle buckets — and the same pinned tier; emitted
+    * within shared-shingle buckets, stop-shingles capped out first (see
+    * [[DefaultMaxShingleDocFreq]]) — and the same pinned tier; emitted
     * per ORDERED pair (a≠b, both directions possible) because containment
     * is directional. */
-  def containmentPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val rows = shingleRows(documents, k)
-      .withColumn("n", count(lit(1)).over(w))
-      .localCheckpoint(true)
+  def containmentPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.8,
+                       maxDocFreq: Int = DefaultMaxShingleDocFreq): DataFrame = {
+    val rows = cappedShingleTier(documents, k, maxDocFreq)
+      .pinTier
     val a = rows.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("shingle"))
     val b = rows.select(col("doc_id").as("doc_b"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -337,7 +398,7 @@ object Dedup {
     val rows = shingleRows(documents, k)
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("is_batch", pmod(col("doc_id"), lit(batchMod)) === 0)
-      .localCheckpoint(true)
+      .pinTier
     val batch = rows.filter(col("is_batch"))
       .select(col("doc_id"), col("n"), col("shingle"))
     val other = rows.select(col("doc_id").as("match_id"), col("n").as("n_m"),
@@ -390,7 +451,7 @@ object Dedup {
   def contaminationReport(documents: DataFrame, k: Int = 5, benchMod: Int = 20): DataFrame = {
     // pinned: three consumers (bench shingles, sizes, hits) — see
     // ngramJaccardPairs on why the shared shingle tier must not recompute
-    val sh = shingleRows(documents, k).localCheckpoint(true)
+    val sh = shingleRows(documents, k).pinTier
     val isBench = pmod(col("doc_id"), lit(benchMod)) === 0
     val benchShingles = sh.filter(isBench).select(col("shingle")).distinct()
     val corpus = sh.filter(!isBench)
@@ -414,13 +475,13 @@ object Dedup {
   def contaminationReportBloom(documents: DataFrame, k: Int = 5, benchMod: Int = 20,
                                numBits: Long = graft.functions.BloomFunctions.DefaultNumBits): DataFrame = {
     import graft.functions.BloomFunctions
-    val sh = shingleRows(documents, k).localCheckpoint(true)
+    val sh = shingleRows(documents, k).pinTier
     val isBench = pmod(col("doc_id"), lit(benchMod)) === 0
     // pinned: the bench set is read twice (bloom build — an eager action —
     // and the exact verify join); without the pin the second consumer would
     // re-run the distinct over the bench slice
     val benchShingles = sh.filter(isBench).select(col("shingle"))
-      .distinct().localCheckpoint(true)
+      .distinct().pinTier
     val corpus = sh.filter(!isBench)
     val bloom = BloomFunctions.buildBloom(benchShingles, col("shingle"), numBits = numBits)
     val hits = corpus
@@ -496,7 +557,7 @@ object Dedup {
                       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     // one pinned shingle pass feeds BOTH the signatures and the verify sets
     // (see ngramJaccardPairs — unpinned, the tier would compute twice)
-    val rows = shingleRows(documents, k).localCheckpoint(true)
+    val rows = shingleRows(documents, k).pinTier
     val cands = lshCandidates(minhashSignaturesFromRows(rows, numPerm), bands, numPerm)
     // shingle sets re-collected from the codegen'd row form — the array-HOF
     // shingles() would re-tokenize per lambda element (see
@@ -602,7 +663,7 @@ object Dedup {
     // pin the sketches (8 bytes/doc): the band-frequency filter AND the
     // candidate join both read them, and without pinning the 64-vote
     // aggregation pipeline would run twice
-    val sh = simhashes(documents).localCheckpoint(true)
+    val sh = simhashes(documents).pinTier
     val banded0 = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { bnd =>
@@ -657,7 +718,7 @@ object Dedup {
     val exact = ngramJaccardPairs(
         documents.filter(col("doc_id") < auditDocs),
         threshold = exactThreshold)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      .select(col("doc_a"), col("doc_b")).pinTier
     approx.select(col("doc_a"), col("doc_b"))
       .filter(col("doc_a") < auditDocs && col("doc_b") < auditDocs)
       .join(exact, Seq("doc_a", "doc_b"), "leftsemi")

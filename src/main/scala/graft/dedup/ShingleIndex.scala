@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.Tier.PinOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -50,7 +51,7 @@ object ShingleIndex {
     * its Jaccard make rejects auditable (ties to the lower match id). */
   def classify(batchTier: DataFrame, corpusTier: DataFrame,
                threshold: Double = 0.5): DataFrame = {
-    val bt = batchTier.localCheckpoint(true)
+    val bt = batchTier.pinTier
     val batch = bt.select(col("doc_id"), col("n"), col("shingle"))
     val other = corpusTier
       .select(col("doc_id").as("match_id"), col("n").as("n_m"), col("shingle"))
@@ -138,7 +139,7 @@ object ShingleIndex {
     * the exchange-free index side on the executed plan. */
   def admitBucketed(spark: SparkSession, batch: DataFrame, table: String,
                     k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val bt = tier(batch, k).localCheckpoint(true)
+    val bt = tier(batch, k).pinTier
     val b = bt.select(col("doc_id"), col("n"), col("shingle"))
     val corpusLeg = b
       .join(spark.table(table)
@@ -169,7 +170,7 @@ object ShingleIndex {
     val admitted = verdicts.filter(col("verdict") === "new").select(col("doc_id"))
     val existing = spark.read.parquet(path).select(col("doc_id")).distinct()
     val freshDocs = admitted.join(existing, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .pinTier
     val n = freshDocs.count()
     if (n > 0)
       tier(batch.join(freshDocs, Seq("doc_id"), "leftsemi"), k)

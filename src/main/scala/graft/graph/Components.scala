@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.Tier.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -46,7 +47,7 @@ object Components {
     val sym = pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .pinTier
     val verts = sym.select(col("src").as("id")).distinct()
     val nVerts = verts.count()
     // self-loops carry each vertex's own label through the neighbor-min
@@ -65,7 +66,7 @@ object Components {
     var labels = verts
       .withColumn("label", col("id"))
       .coalesce(labelParts)
-      .localCheckpoint(true)
+      .pinTier
     // label state behind a localCheckpoint has unknown size statistics, so
     // Catalyst would shuffle-join every round; we KNOW it is nVerts rows —
     // broadcast below the safe threshold, exactly as the PageRank fixpoint
@@ -86,7 +87,7 @@ object Components {
       val steps = math.min(2, maxIter - iter)
       var next = labels
       for (_ <- 1 to steps) next = round(next)
-      labels = next.coalesce(labelParts).localCheckpoint(true)
+      labels = next.coalesce(labelParts).pinTier
       iter += steps
       val s = sigOf(labels)
       if (prevSig.contains(s)) done = true else prevSig = Some(s)
@@ -117,7 +118,7 @@ object Components {
       .select(col(a).as("u"), col(b).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .pinTier
     // order-independent edge-set signature; bit_xor (not sum) because a
     // hash sum overflows ANSI long arithmetic, and the edge set is distinct
     // so xor cancellation of duplicates cannot occur
@@ -156,7 +157,7 @@ object Components {
         .unionByName(smin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .pinTier
       prev = cur
       cur = sig(edges)
       iter += 1
@@ -181,7 +182,7 @@ object Components {
     * corpus), so no partition-sized skew. */
   def dupSurvivors(documents: DataFrame, pairs: DataFrame,
                    a: String = "doc_a", b: String = "doc_b"): DataFrame = {
-    val p = pairs.localCheckpoint(true)
+    val p = pairs.pinTier
     val comp = connectedComponentsStar(p, a, b).withColumnRenamed("id", "doc_id")
     val clustered = documents
       .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
@@ -207,7 +208,7 @@ object Components {
     // symmetrizing union), and when the pairs come from a full near-dup
     // pipeline (Dedup.ngramJaccardPairs) recomputing that pipeline per read
     // would double the most expensive stage of the funnel
-    val p = pairs.localCheckpoint(true)
+    val p = pairs.pinTier
     // star contraction is the default: round-bounded at O(log n)
     // alternations AND — the r4 driver lesson — an order of magnitude less
     // sensitive to environment contention than a diameter-many-round

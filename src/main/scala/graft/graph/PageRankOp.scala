@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.Tier.PinOps
 import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
 import org.apache.spark.graphx.lib.{PageRank => GxPageRank}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -56,7 +57,7 @@ object PageRankOp {
     // partitions, so it is near-free instead of the extra full-lineage job
     // a separate verts.cache()+count() used to pay.
     val init = vertices.select(col("id")).distinct()
-      .select(col("id"), lit(1.0).as("rank")).localCheckpoint(true)
+      .select(col("id"), lit(1.0).as("rank")).pinTier
     // Size the per-round rank-state partitioning to the vertex count, not
     // the session shuffle fan-out: 10 rounds × several stages of 32 tasks
     // over a few thousand rows is pure scheduler overhead (measured 45%
@@ -98,7 +99,7 @@ object PageRankOp {
             .as("rank"))
       ranks =
         if (i % checkpointEvery == 0 || i == numIter)
-          next.coalesce(rankParts).localCheckpoint(true)
+          next.coalesce(rankParts).pinTier
         else next
     }
     ew.unpersist(blocking = false)
@@ -127,13 +128,13 @@ object PageRankOp {
     // must compute exactly once, and the truncated lineage keeps the
     // 10-round plans small
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true)
+      .pinTier
     val vd = e.select(explode(array(
         struct(col("src").as("id"), lit(1L).as("c")),
         struct(col("dst").as("id"), lit(0L).as("c")))).as("x"))
       .select(col("x.id").as("id"), col("x.c").as("c"))
       .groupBy(col("id")).agg(sum(col("c")).as("outDeg"))
-      .localCheckpoint(true) // two consumers: vertex set + degree table
+      .pinTier // two consumers: vertex set + degree table
     pageRank(vd.select(col("id")), e, numIter, resetProb,
       degrees = Some(vd.filter(col("outDeg") > 0).select(col("id"), col("outDeg"))))
   }
@@ -171,14 +172,14 @@ object PageRankOp {
     * output boundary, not here. */
   def runWithVertices(vertices: DataFrame, edges: DataFrame,
                       numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
-    val v = vertices.select(col("id")).distinct().localCheckpoint(true)
+    val v = vertices.select(col("id")).distinct().pinTier
     // pin the filtered edge list: pageRank reads it twice (degree pass +
     // weighted-edge join), and each read would otherwise re-run both
     // semi-joins over the upstream edge lineage
     val e = edges
       .join(v.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(v.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-      .localCheckpoint(true)
+      .pinTier
     pageRank(v, e, numIter, resetProb)
   }
 

@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.Tier.PinOps
 import org.apache.spark.ml.feature.StringIndexer
 import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -145,7 +146,7 @@ object Recommend {
                sampleFraction: Double = 0.10, seed: Long = 42L): DataFrame = {
     val (recs0, model, indexed) =
       trainAndRecommend(spark, triples, nUsers, nRecs, sampleFraction, seed)
-    val recs = recs0.localCheckpoint(true)
+    val recs = recs0.pinTier
     val structure = recs.agg(
       count(lit(1)).as("n_users"),
       (count(when(size(col("recommendations")) === nRecs &&

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Tier.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -299,9 +300,9 @@ object Aggregations {
       acc + when(col("quality_score") > element_at(col("cuts"), k), 1L).otherwise(0L)
     }
     // slim (source, decile) tier read by the corpus and per-source counts
-    val binned = scored.join(broadcast(cuts))
+    val binned = scored.crossJoin(broadcast(cuts))
       .select(col("source"), decile.as("decile"))
-      .localCheckpoint(true)
+      .pinTier
     val corpus = binned.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_bin"))
     val corpusShares = corpus.crossJoin(

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Tier.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -43,7 +44,7 @@ object Joins {
     * expensive upstream like a PageRank fixpoint — runs once, not once per
     * use. */
   def enrichWithPrunedDim(small: DataFrame, dim: DataFrame, key: String): DataFrame = {
-    val pinned = small.localCheckpoint(true)
+    val pinned = small.pinTier
     val pruned = dim.join(broadcast(pinned.select(col(key)).distinct()), Seq(key), "left_semi")
     pinned.join(broadcast(pruned), Seq(key), "left")
   }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Tier.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -100,7 +101,7 @@ object Temporal {
   def activityReport(events: DataFrame): DataFrame = {
     val ud = events
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      .localCheckpoint(true) // read by the grid, dau, and the range join
+      .pinTier // read by the grid, dau, and the range join
     val days = ud.select(col("day")).distinct()
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val wau = broadcast(days.select(col("day").as("d")))
@@ -126,7 +127,7 @@ object Temporal {
   def retentionCohorts(events: DataFrame): DataFrame = {
     val firstSeen = events.groupBy(col("user_id"))
       .agg(date_trunc("week", min(col("ts"))).as("cohort"))
-      .localCheckpoint(true) // read by the activity join and cohort sizes
+      .pinTier // read by the activity join and cohort sizes
     val active = events
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
       .distinct()
@@ -168,7 +169,7 @@ object Temporal {
             .join(acc.last._2.select(col("user_id"), col("t").as("tp")), Seq("user_id"))
             .filter(col("ts") > col("tp"))
             .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
-        acc :+ (step -> reached.localCheckpoint(true))
+        acc :+ (step -> reached.pinTier)
       }
     val stepCounts = tiers.zipWithIndex.map { case ((s, df), i) =>
       df.agg(count(lit(1)).as("n_users"))

@@ -1,5 +1,6 @@
 package graft.sim
 
+import graft.Tier.PinOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -104,12 +105,12 @@ object IvfIndex {
     import org.apache.spark.ml.clustering.KMeansModel
     import org.apache.spark.ml.functions.array_to_vector
     val postIds = spark.read.parquet(s"$path/postings")
-      .select(col("vec_id")).distinct().localCheckpoint(true)
+      .select(col("vec_id")).distinct().pinTier
     val codeIds = spark.read.parquet(s"$path/codes")
-      .select(col("vec_id")).distinct().localCheckpoint(true)
+      .select(col("vec_id")).distinct().pinTier
     val admitted = postIds.join(codeIds, Seq("vec_id"), "inner")
     val fresh = batch.join(admitted, Seq("vec_id"), "left_anti")
-      .localCheckpoint(true)
+      .pinTier
     val n = fresh.count()
     if (n > 0) {
       val assigned = KMeansModel.load(s"$path/model")
@@ -141,7 +142,7 @@ object IvfIndex {
       .withColumn("p", row_number().over(wProbe))
       .filter(col("p") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell"))
-      .localCheckpoint(true) // ≤ nprobe·|Q| rows; read twice below
+      .pinTier // ≤ nprobe·|Q| rows; read twice below
     // bounded driver round-trip (≤ nlist values): the static IN filter is
     // what turns the postings read into a partition-pruned directory seek
     val cells = probes.select(col("cell")).distinct().collect().map(_.get(0))
@@ -178,7 +179,7 @@ object IvfIndex {
       .withColumn("p", row_number().over(wProbe))
       .filter(col("p") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell"))
-      .localCheckpoint(true)
+      .pinTier
     val cells = probes.select(col("cell")).distinct().collect().map(_.get(0))
     val codebook = spark.read.parquet(s"$path/codebook")
     val levels = codebook.select(col("levels")).head.getInt(0)

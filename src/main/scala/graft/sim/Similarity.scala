@@ -1,5 +1,6 @@
 package graft.sim
 
+import graft.Tier.PinOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,8 +62,20 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector (query ids drawn
     * from the corpus itself). Ties broken by neighbor id; scores rounded for
-    * cross-engine comparison. */
+    * cross-engine comparison.
+    *
+    * Cost is |Q|·|corpus| — linear in the corpus for a FIXED probe, which
+    * is why every audit uses it as ground truth; the guard caps the probe
+    * side so nobody can turn it into the all-pairs quadratic by passing a
+    * corpus-sized id list (the probe also broadcasts, so an unbounded list
+    * would OOM the executors before it finished being merely slow). */
+  val MaxProbeQueries: Int = 4096
+
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    require(queryIds.size <= MaxProbeQueries,
+      s"bruteForceTopK: ${queryIds.size} probe queries exceeds MaxProbeQueries=" +
+        s"$MaxProbeQueries — the exact baseline costs |Q|·|corpus|; probe a " +
+        "fixed sample (recallAudit's rule) or use lshTopK/ivfTopK at scale")
     val q = embeddings
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -490,7 +503,7 @@ object Similarity {
     // scan under it) would re-run per consumer
     val assigned = km.fit(vecs).transform(vecs)
       .select(col("vec_id"), col("embedding"), col("cell"))
-      .localCheckpoint(true)
+      .pinTier
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
@@ -508,11 +521,35 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Row cap for the exact quadratic baselines ([[cosineNearDups]], an
+    * unfiltered [[bruteForceTopK]]): at this size the theta self-join is
+    * ~2×10⁸ pairs — seconds on one box, and the largest probe any audit
+    * needs. Beyond it the caller is pointing an O(n²) oracle at a corpus;
+    * the guard makes the documented design intent ("small-sample baseline
+    * only; [[cosineNearDupsLSH]]/[[ivfTopK]] are the corpus paths")
+    * enforceable instead of advisory. */
+  val MaxExactRows: Long = 20000L
+
+  private def requireExactScale(embeddings: DataFrame, op: String,
+                                scalePath: String, maxExactRows: Long): Unit = {
+    // a cheap count (column-pruned scan) vs an unbounded n² join — the one
+    // extra job is the price of the guard and is ~free at baseline sizes
+    val n = embeddings.select(col("vec_id")).count()
+    require(n <= maxExactRows,
+      s"$op: $n input rows exceeds maxExactRows=$maxExactRows — this is the " +
+        s"exact O(n²) small-sample baseline; run $scalePath on a corpus, or " +
+        "confine the probe (filter vec_id) the way recallAudit does")
+  }
+
   /** Embedding-cosine near-dup pairs: all (a < b) with cosine ≥ threshold.
     * O(n²) in corpus size — this is the small-sample ORACLE BASELINE only
     * (sf0.01-scale correctness checks and the recall denominator in
-    * SimilaritySpec); the corpus-scale path is [[cosineNearDupsLSH]]. */
-  def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    * SimilaritySpec); the corpus-scale path is [[cosineNearDupsLSH]].
+    * Fail-fast row guard: refuses more than `maxExactRows` input rows
+    * rather than silently launching a quadratic plan at corpus scale. */
+  def cosineNearDups(embeddings: DataFrame, threshold: Double,
+                     maxExactRows: Long = MaxExactRows): DataFrame = {
+    requireExactScale(embeddings, "cosineNearDups", "cosineNearDupsLSH", maxExactRows)
     val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -558,11 +595,11 @@ object Similarity {
                   queryIds: Seq[Long] = 0L to 9L, k: Int = 10,
                   threshold: Double = 0.35, auditRows: Long = 500L): DataFrame = {
     // pinned: the exact sides and every approx path re-read the probe
-    val emb = embeddings.filter(col("vec_id") < auditRows).localCheckpoint(true)
+    val emb = embeddings.filter(col("vec_id") < auditRows).pinTier
     val exactTopK = bruteForceTopK(emb, queryIds, k)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      .select(col("query_id"), col("neighbor_id")).pinTier
     val exactPairs = cosineNearDups(emb, threshold)
-      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      .select(col("id_a"), col("id_b")).pinTier
     def audit(method: String, minRecall: Double, approx: DataFrame,
               exact: DataFrame, keys: Seq[String]): DataFrame =
       approx.select(keys.map(col): _*)
@@ -573,22 +610,27 @@ object Similarity {
           lit(minRecall).as("min_recall"),
           (col("n_hits").cast("double") / col("n_exact") >= lit(minRecall))
             .as("recall_ok"))
-    // clone probe: vec_id + auditRows never collides with a real probe id
+    // clone probe: vec_id + auditRows never collides with a real probe id.
+    // The pass/fail unit is the QUERY, not the (query, clone) pair: the
+    // bucket-collision promise is proven by ANY cos-1.0 neighbor in the
+    // top-k (lshTopK only scores same-bucket candidates), whereas pinning
+    // the clone id itself would flake when a query has ≥k natural
+    // rounded-1.0 neighbors that all beat the high clone id on the
+    // (cos desc, id asc) tie-break — see annContractAudit's clone leg.
     val clones = emb.filter(col("vec_id").isin(queryIds: _*))
       .withColumn("vec_id", col("vec_id") + lit(auditRows))
     val cloneExpect = emb.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"),
-        (col("vec_id") + lit(auditRows)).as("neighbor_id"))
+      .select(col("vec_id").as("query_id"))
     val cloneFound = lshTopK(emb.unionByName(clones), queryIds, k)
-      .filter(col("rnk") === 1 && col("cos_sim") === 1.0)
-      .select(col("query_id"), col("neighbor_id"))
+      .filter(col("cos_sim") === 1.0)
+      .select(col("query_id")).distinct()
     audit("ann_ivf", 0.5, ivfTopK(spark, emb, queryIds, k), exactTopK,
         Seq("query_id", "neighbor_id"))
       .unionByName(audit("ann_ivf_sq", 0.5,
         ivfSqTopK(spark, emb, queryIds, k), exactTopK,
         Seq("query_id", "neighbor_id")))
       .unionByName(audit("ann_lsh", 1.0, cloneFound, cloneExpect,
-        Seq("query_id", "neighbor_id")))
+        Seq("query_id")))
       .unionByName(audit("ann_sq8", 0.8,
         bruteForceTopK(sqRoundTrip(emb), queryIds, k), exactTopK,
         Seq("query_id", "neighbor_id")))
@@ -612,10 +654,10 @@ object Similarity {
                            auditRows: Long = 500L): DataFrame = {
     val exact = cosineNearDups(
         embeddings.filter(col("vec_id") < auditRows), threshold)
-      .localCheckpoint(true)
+      .pinTier
     val lsh = cosineNearDupsLSH(embeddings, threshold)
       .filter(col("id_a") < auditRows && col("id_b") < auditRows)
-      .localCheckpoint(true)
+      .pinTier
     val hits = lsh.select(col("id_a"), col("id_b"))
       .join(exact.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "leftsemi")
       .agg(count(lit(1)).as("n_hits"))
@@ -651,7 +693,7 @@ object Similarity {
       .withColumn("vec_id", col("vec_id") + lit(1000000L))
     val verdicts = semanticDedup(embeddings.unionByName(clone),
         nlist, threshold, seed)
-      .localCheckpoint(true)
+      .pinTier
     val partnered = cosineNearDups(
         embeddings.filter(col("vec_id") < auditRows), threshold)
       .select(col("id_b").as("vec_id")).distinct()
@@ -744,15 +786,24 @@ object Similarity {
                        minRecall: Double, approx: DataFrame,
                        queryIds: Seq[Long] = 0L to 9L, k: Int = 10,
                        cloneRecall: Boolean = false): DataFrame = {
-    val a = approx.localCheckpoint(true) // the ANN run materializes once
+    val a = approx.pinTier // the ANN run materializes once
     val probe = embeddings.filter(col("vec_id").isin(queryIds: _*))
     val nQueries = probe.agg(count(lit(1)).as("n_queries"))
+    // coverage rides along with the per-query shape check: a path that
+    // silently emits ZERO rows for some probe queries has dropped them in a
+    // candidate join — shape-of-emitted-rows alone can't see that, so the
+    // distinct emitted query count must equal the probe-set size. EXCEPT
+    // for cloneRecall (single-table LSH) paths: a probe query alone in its
+    // bucket legitimately emits nothing — coverage there is the clone
+    // leg's job (with clones planted, every query's bucket is non-empty
+    // and must yield a cos-1.0 hit, counted per query below)
     val shape = a.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n"), min(col("rnk")).as("mn"), max(col("rnk")).as("mx"))
       .agg(
         count(when(col("n") > k || col("mn") =!= 1 || col("mx") =!= col("n"), 1))
           .as("n_bad_shape"),
-        count(when(!col("query_id").isin(queryIds: _*), 1)).as("n_alien"))
+        count(when(!col("query_id").isin(queryIds: _*), 1)).as("n_alien"),
+        count(when(col("query_id").isin(queryIds: _*), 1)).as("n_covered"))
     val qe = embeddings.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val ne = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val badScores = a.join(qe, Seq("query_id")).join(ne, Seq("neighbor_id"))
@@ -761,14 +812,20 @@ object Similarity {
     val recall =
       if (cloneRecall) {
         // clone ids sit far above any fixture/stress id range (stress key
-        // shifts top out at ~3.2e8); retrieved-at-1.0 rather than rank-1 so
-        // a natural 4-decimal-rounded 1.0 tie cannot flake the gate
+        // shifts top out at ~3.2e8). The contract is bucket collision:
+        // identical vectors hash to the SAME bucket with probability 1, so
+        // after planting an exact clone of every probe query, each query
+        // must surface SOME cos-1.0 neighbor in its top-k — lshTopK only
+        // ever scores same-bucket candidates, so any 1.0 hit proves the
+        // collision. Requiring the hit to be the clone ITSELF would flake:
+        // the clone id (query + off) loses every (cos desc, id asc)
+        // tie-break, so a query with ≥k natural rounded-1.0 neighbors
+        // could push the clone out of top-k while the promise still holds.
         val off = 1000000000L
         val clones = probe.withColumn("vec_id", col("vec_id") + lit(off))
         val found = lshTopK(embeddings.unionByName(clones), queryIds, k)
-          .filter(col("cos_sim") === 1.0 &&
-            col("neighbor_id") === col("query_id") + lit(off))
-          .agg(count(lit(1)).as("n_hits"))
+          .filter(col("cos_sim") === 1.0)
+          .agg(count_distinct(col("query_id")).as("n_hits"))
         found.crossJoin(probe.agg(count(lit(1)).as("n_exact")))
       } else {
         val exact = bruteForceTopK(embeddings, queryIds, k)
@@ -780,7 +837,9 @@ object Similarity {
       }
     nQueries.crossJoin(shape).crossJoin(badScores).crossJoin(recall)
       .select(lit(method).as("method"), col("n_queries"),
-        (col("n_bad_shape") === 0 && col("n_alien") === 0).as("within_k_ok"),
+        (col("n_bad_shape") === 0 && col("n_alien") === 0 &&
+          (lit(cloneRecall) || col("n_covered") === col("n_queries")))
+          .as("within_k_ok"),
         (col("n_bad_scores") === 0).as("scores_exact_ok"),
         (col("n_hits").cast("double") / col("n_exact") >= lit(minRecall))
           .as("recall_ok"))

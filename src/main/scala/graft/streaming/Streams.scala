@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tier.PinOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -206,7 +207,7 @@ object Streams {
     // the session lifetime, outside Bench's clearCache/unpersist sweep —
     // repeated gate runs would otherwise accumulate one pinned copy per
     // invocation under a fresh UUID name
-    val out = finish(spark.table(name)).localCheckpoint(true)
+    val out = finish(spark.table(name)).pinTier
     spark.catalog.dropTempView(name)
     out
   }
@@ -271,7 +272,7 @@ object Streams {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(stage)).deleteRecursively()
     }
-    val out = finish(spark.table(name)).localCheckpoint(true)
+    val out = finish(spark.table(name)).pinTier
     spark.catalog.dropTempView(name)
     out
   }

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.Tier.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -198,8 +199,8 @@ object TextAnalysis {
   def vocabularyApproxAudit(documents: DataFrame, k: Int = 100,
                             topk: Int = 20,
                             minOverlap: Double = 0.8): DataFrame = {
-    val approx = vocabularyApprox(documents, k).localCheckpoint(true)
-    val exact = vocabulary(documents, Int.MaxValue).localCheckpoint(true)
+    val approx = vocabularyApprox(documents, k).pinTier
+    val exact = vocabulary(documents, Int.MaxValue).pinTier
     val under = approx
       .join(exact.select(col("term"), col("freq")), Seq("term"), "left")
       .agg(count(when(col("est_freq") < coalesce(col("freq"), lit(0L)), 1))
@@ -328,7 +329,7 @@ object TextAnalysis {
     val lens = documents
       .select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("n"))
       .filter(col("n") > 0)
-      .localCheckpoint(true)
+      .pinTier
     // span of the doc_id range per bucket; one 1-row action (same class as
     // the fixpoint-stats head), null-safe for an empty corpus
     val maxId = Option(lens.agg(max(col("doc_id"))).head().get(0))
@@ -463,9 +464,9 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(col("toks")))
       .withColumnsRenamed(Map("col" -> "w1"))
       .withColumn("w2", lead(col("w1"), 1).over(w))
-      .localCheckpoint(true) // unigram and bigram counts both read it
+      .pinTier // unigram and bigram counts both read it
     val uni = toks.groupBy(col("w1").as("word"))
-      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      .agg(count(lit(1)).as("c")).pinTier
     val totals = uni.agg(sum(col("c")).cast("double").as("t"))
     val bi = toks.filter(col("w2").isNotNull)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))

@@ -23,6 +23,34 @@ class ContractSpec extends SparkSpec {
         s"stale entries: ${documented -- rowsOnly}")
   }
 
+  test("the contract-pinned promise-gate set is exactly the documented one") {
+    // a promise gate's oracle recomputes counts but pins the engine-computed
+    // contract booleans as literal TRUE — a weaker check than a full DuckDB
+    // recomputation (see README "Determinism everywhere"). Any oracle whose
+    // SQL pins a literal TRUE must be on this list: silently adding one
+    // would let a trivial constant oracle masquerade as a full recompute.
+    val pinned = SparkEntry.oracleSql.collect {
+      case (name, sql) if sql.contains("TRUE AS") => name
+    }.toSet
+    val documented = Set(
+      // ANN/PCA audits (raw outputs quantizer/hyperplane-specific)
+      "q_pca_audit", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_sq",
+      "q_ann_ivf_indexed", "q_ann_ivf_sq_indexed",
+      // recall promise gates (xxhash64 sketches / k-means cells; the oracle
+      // recomputes n_exact from scratch, the recall floor is pinned)
+      "q_recall_audit", "q_cosine_near_dups_lsh", "q_semantic_dedup",
+      "q_minhash_neardups", "q_simhash_neardups", "q_winnow_neardups",
+      "q_winnow_fps",
+      // approximate-algorithm twins (HLL / approx-percentile sketches are
+      // engine-specific; the oracle pins the exact side + error contract)
+      "q_distinct_hll", "q_vocab_approx", "q_winsorize_approx",
+      // model-output gates (ALS factors, JDK codec bytes)
+      "q_als_recommend", "q_media_features")
+    assert(pinned == documented,
+      s"undocumented contract-pinned oracles: ${pinned -- documented}; " +
+        s"stale entries: ${documented -- pinned}")
+  }
+
   test("flagship entry returns rows at the smoke scale") {
     assert(SparkEntry.entry(spark).limit(1).count() == 1L)
   }

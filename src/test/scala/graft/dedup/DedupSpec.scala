@@ -23,6 +23,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() > 0)
   }
 
+  test("stop-shingle df cap: hot keys are excluded from the pair tiers and reported") {
+    // 60 documents that share ONLY a planted boilerplate footer ("subscribe
+    // to our newsletter today" — every real corpus has one); each doc's own
+    // body is unique. Without the cap the footer's shingles join all 60 docs
+    // pairwise (≈1.7k pair rows from pure boilerplate); with maxDocFreq
+    // below 60 the footer is a stop-shingle and no pair survives.
+    val footer = "subscribe to our newsletter today"
+    val d = (1 to 60).map { i =>
+      (i.toLong, s"unique body $i about topic$i entirely distinct$i $footer")
+    }.toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(d, threshold = 0.1, maxDocFreq = 50).count() == 0)
+    assert(Dedup.containmentPairs(d, threshold = 0.1, maxDocFreq = 50).count() == 0)
+    // the truncation is visible: the footer's shingles are counted as hot
+    val rep = Dedup.hotShingleReport(d, maxDocFreq = 50)
+      .as[(Long, Long, Long, Double)].head()
+    assert(rep._2 > 0 && rep._3 >= 60L && rep._4 > 0.0,
+      s"hot shingles unreported: $rep")
+    // and with the cap above the planted df, the boilerplate pairs return
+    // (semantics are the documented df <= cap universe, not a silent drop)
+    assert(Dedup.ngramJaccardPairs(d, threshold = 0.1, maxDocFreq = 100).count() > 0)
+    // the default cap leaves the real fixture corpus untouched (max df 7
+    // at this sf): capped and effectively-uncapped runs agree exactly
+    val capped = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect().toSeq
+    val uncapped = Dedup.ngramJaccardPairs(docs, threshold = 0.5,
+      maxDocFreq = Int.MaxValue).collect().toSeq
+    assert(capped == uncapped)
+  }
+
   test("minhash LSH recall: catches every pair with jaccard >= 0.9") {
     val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.9)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -34,6 +34,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("exact quadratic baselines fail fast beyond their scale guards") {
+    // cosineNearDups: refuses a corpus-sized input (the design intent —
+    // "small-sample oracle baseline only" — enforced, not advisory)
+    val big = spark.range(0, Similarity.MaxExactRows + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDups(big, threshold = 0.9)
+    }
+    assert(e1.getMessage.contains("maxExactRows"))
+    // a confined probe of the same corpus still works
+    assert(Similarity.cosineNearDups(big.filter(col("vec_id") < 3), 0.9)
+      .count() == 3L)
+    // bruteForceTopK: refuses a corpus-sized probe list
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(big,
+        0L to Similarity.MaxProbeQueries.toLong, k = 5)
+    }
+    assert(e2.getMessage.contains("MaxProbeQueries"))
+  }
+
   test("lshTopK finds an exact duplicate vector (same bucket guaranteed)") {
     val base = Tables.embeddings(spark, sf)
     val dup = base.filter(col("vec_id") === 7L)
