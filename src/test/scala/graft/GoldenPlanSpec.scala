@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Golden-plan snapshots for the expensive queries (VERDICT r8 "next" #5).
+  *
+  * PlanHygieneSpec asserts cross-cutting properties (pushdown, no
+  * cartesians, dedicated join types); this spec pins the PER-QUERY physical
+  * shape of the queries that dominate the bench, so a plan regression —
+  * a lost map-side combine, a top-K that falls back to a global sort, a
+  * one-row broadcast that becomes a shuffle — fails `sbt test` before it
+  * costs bench wall-time.
+  *
+  * Pins are chosen to be SCALE-INDEPENDENT: partial aggregation modes,
+  * TakeOrderedAndProject / WindowGroupLimit, semi/anti join types, the
+  * bounded-side broadcast shapes, and shuffle-count ceilings. Join
+  * strategies that legitimately flip with input size (broadcast vs
+  * sort-merge on two corpus-sized sides) are NOT pinned.
+  *
+  * Excluded: queries whose construction runs driver work (PageRank/ALS/IVF
+  * training, k-means, star-contraction loops, streaming gates) — their
+  * shape is asserted in their own specs — and the two guarded quadratic
+  * baselines (q_ann_brute, q_cosine_near_dups), which are documented
+  * small-sample oracles.
+  */
+class GoldenPlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  /** Unique operator-node count in a formatted plan (each node prints once
+    * in the tree and once in the details section under the same id). */
+  private def opCount(p: String, op: String): Int =
+    s"""\\((\\d+)\\) $op""".r.findAllMatchIn(p).map(_.group(1)).toSet.size
+
+  private case class Golden(
+      required: Seq[String] = Nil,
+      forbidden: Seq[String] = Nil,
+      maxExchanges: Option[Int] = None)
+
+  /** The pins. `required` / `forbidden` are literal fragments of the
+    * formatted plan; `maxExchanges` bounds the number of distinct shuffle
+    * nodes (data movement is the cost model at 100 TB). */
+  private val golden: Map[String, Golden] = Map(
+    // exact shingle pair tiers: map-side-combined df counts; the pair join
+    // is an equi join on the shingle — never a nested loop or cartesian
+    "q_ngram_jaccard" -> Golden(
+      required = Seq("partial_count"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    "q_containment" -> Golden(
+      required = Seq("partial_count"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    "q_source_overlap" -> Golden(
+      required = Seq("partial_count"),
+      forbidden = Seq("CartesianProduct")),
+    // banded near-dup audits: semi-join verification against the planted
+    // truth set, equi-joins only
+    "q_minhash_neardups" -> Golden(
+      required = Seq("partial_count", "LeftSemi"),
+      forbidden = Seq("CartesianProduct")),
+    "q_simhash_neardups" -> Golden(
+      required = Seq("partial_count", "LeftSemi"),
+      forbidden = Seq("CartesianProduct")),
+    "q_winnow_neardups" -> Golden(
+      required = Seq("partial_count", "LeftSemi", "Window"),
+      forbidden = Seq("CartesianProduct")),
+    // co-occurrence edges: order-key self-pairing via explode, combined
+    // map-side; no join fallback of any kind
+    "q_cooccur_edges" -> Golden(
+      required = Seq("partial_count"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // global stats: ONE aggregation over one scan — any Join here means the
+    // query picked up an accidental self-join
+    "q_global_stats" -> Golden(
+      required = Seq("ObjectHashAggregate", "partial_count"),
+      forbidden = Seq("Join", "CartesianProduct"),
+      maxExchanges = Some(1)),
+    // vocab sketch twin: top-k must be TakeOrderedAndProject, not sort+limit
+    "q_vocab_approx" -> Golden(
+      required = Seq("partial_count", "TakeOrderedAndProject"),
+      forbidden = Seq("CartesianProduct")),
+    // tf-idf: per-doc top terms via rank pushdown (WindowGroupLimit), df
+    // counts combined map-side
+    "q_tfidf" -> Golden(
+      required = Seq("partial_count", "WindowGroupLimit"),
+      forbidden = Seq("CartesianProduct")),
+    // PMI collocations: two hash aggs + one-row total broadcasts + top-K
+    "q_collocations" -> Golden(
+      required = Seq("partial_count", "partial_sum", "TakeOrderedAndProject"),
+      forbidden = Seq("CartesianProduct")),
+    // funnel: per-step user-keyed aggregate — the design point is NO event
+    // self-join (the one-row step totals arrive by broadcast nested loop)
+    "q_funnel" -> Golden(
+      required = Seq("partial_count"),
+      forbidden = Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // retention cohorts: user-keyed equi joins only
+    "q_retention" -> Golden(
+      required = Seq("partial_count"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // DAU/WAU: the trailing-window join runs against the BROADCAST day
+    // grid (bounded by #days) — that nested loop is the design; what must
+    // never appear is a cartesian of two user-scale sides
+    "q_activity" -> Golden(
+      required = Seq("partial_count", "BroadcastNestedLoopJoin"),
+      forbidden = Seq("CartesianProduct")),
+    // exact dedup: one fingerprint aggregation, no joins at all
+    "q_exact_dedup" -> Golden(
+      required = Seq("partial_count"),
+      forbidden = Seq("Join", "CartesianProduct"),
+      maxExchanges = Some(2)),
+    // temperature mix: corpus stays in place; the α-weights arrive as two
+    // one-row broadcasts (nested loop on a trivially-true condition)
+    "q_temperature_mix" -> Golden(
+      required = Seq("partial_sum", "BroadcastNestedLoopJoin"),
+      forbidden = Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // PSI drift: decile cuts broadcast (one row), per-(source,bucket)
+    // counts combined map-side
+    "q_source_drift" -> Golden(
+      required = Seq("partial_count", "BroadcastNestedLoopJoin"),
+      forbidden = Seq("CartesianProduct")),
+    // report top-Ks: TakeOrderedAndProject, single data shuffle, no joins
+    "q_top_customers" -> Golden(
+      required = Seq("partial_sum", "TakeOrderedAndProject"),
+      forbidden = Seq("Join", "CartesianProduct"),
+      maxExchanges = Some(1)),
+    "q_topk_orders" -> Golden(
+      required = Seq("TakeOrderedAndProject"),
+      forbidden = Seq("Join", "CartesianProduct", "Exchange")),
+    "q_top_parts_by_qty" -> Golden(
+      required = Seq("partial_sum", "TakeOrderedAndProject"),
+      forbidden = Seq("CartesianProduct")),
+    // flagship multi-agg: one partial+final pair over one scan; the only
+    // exchanges are the agg shuffle and the report ordering
+    "q_category_stats" -> Golden(
+      required = Seq("partial_sum", "partial_count"),
+      forbidden = Seq("Join", "CartesianProduct"),
+      maxExchanges = Some(2)))
+
+  golden.foreach { case (name, g) =>
+    test(s"golden plan: $name") {
+      val p = plan(name)
+      g.required.foreach { frag =>
+        assert(p.contains(frag), s"$name: required plan fragment '$frag' missing:\n$p")
+      }
+      g.forbidden.foreach { frag =>
+        assert(!p.contains(frag), s"$name: forbidden plan fragment '$frag' present:\n$p")
+      }
+      g.maxExchanges.foreach { mx =>
+        val n = opCount(p, "Exchange")
+        assert(n <= mx, s"$name: $n shuffles, pinned ceiling $mx:\n$p")
+      }
+    }
+  }
+
+  test("golden set covers every pinned name") {
+    val missing = golden.keys.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"golden pins reference unknown queries: $missing")
+  }
+}
