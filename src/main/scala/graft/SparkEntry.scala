@@ -123,6 +123,12 @@ object SparkEntry {
     "q_dynamic_search" -> ((s, d) => Filters.searchOrders(Tables.orders(s, d),
       status = Some("O"), minPrice = Some(100000.0), priority = Some("1-URGENT"))),
     "q_orders_min_items" -> ((s, d) => Filters.ordersWithAtLeastNItems(Tables.lineitem(s, d), 5)),
+    // serve-layer phase-2 surface (guiV5.py:649-710): form → filter →
+    // one-pass counts + a deterministic offset/limit page (serve.Api)
+    "q_api_page" -> ((s, d) => graft.serve.Api.ordersSearchPage(Tables.orders(s, d),
+      status = Some("O"), minPrice = Some(50000.0), k = 100, page = 2)),
+    "q_api_counts" -> ((s, d) => graft.serve.Api.ordersSearchCounts(Tables.orders(s, d),
+      status = Some("O"), minPrice = Some(50000.0))),
     "q_project_rename" -> ((s, d) => Filters.projectRenameCast(Tables.orders(s, d))),
     // ---- top-K / sorts (SURVEY §2.5) ----
     "q_topk_orders" -> ((s, d) => TopK.topOrdersByPrice(Tables.orders(s, d), 100)),
@@ -1043,6 +1049,19 @@ object SparkEntry {
     "q_orders_min_items" ->
       """SELECT l_orderkey, count(*) AS items FROM lineitem
         |GROUP BY 1 HAVING count(*) >= 5 ORDER BY l_orderkey""".stripMargin,
+    // page 2 of the serve API's orders search: k=100, offset 200, the
+    // (o_totalprice DESC, o_orderkey) tiebreak makes the slice exact
+    "q_api_page" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice >= 50000
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100 OFFSET 200""".stripMargin,
+    "q_api_counts" ->
+      """SELECT count(*) AS total,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O'
+        |    AND o_totalprice >= 50000) AS hits
+        |FROM orders""".stripMargin,
     "q_project_rename" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS ID, o_totalprice,
         |  o_orderstatus AS status
