@@ -226,6 +226,84 @@ object Multimodal {
       .withColumn("width", when(isWide, lit(maxWidth)).otherwise(col("width")))
   }
 
+  // ---------------------------------------------------------------- real
+  // JVM video path: frame-sequence containers (MJPEG = concatenated JPEGs,
+  // PNG sequence = concatenated PNGs) decode with the same zero-dep
+  // javax.imageio codecs as still images — no native codec needed. This
+  // retires the last documented decode stub for these container types;
+  // inter-frame-compressed formats (H.264 etc.) still have no JVM codec
+  // in this container and keep the [[sampleFrames]] fingerprint path.
+
+  case class VideoFrame(
+      media_id: Long, frame_no: Int, width: Int, height: Int,
+      mean_luma: Float)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+  private val JpegSig: Array[Byte] =
+    Array(0xFF, 0xD8, 0xFF).map(_.toByte)
+
+  private def matchesAt(content: Array[Byte], off: Int, sig: Array[Byte]): Boolean =
+    off + sig.length <= content.length &&
+      sig.indices.forall(i => content(off + i) == sig(i))
+
+  /** Split a frame-sequence payload at each container signature. Every
+    * frame of an MJPEG stream begins with the JPEG SOI marker (FFD8FF) and
+    * of a PNG sequence with the 8-byte PNG signature; the entropy-coded
+    * body byte-stuffs FF as FF00, so the start marker cannot occur inside
+    * a frame's scan data — splitting on it is exact for codec-written
+    * streams. Non-sequence payloads yield no frames (callers fall back to
+    * the fingerprint path). */
+  private[multimodal] def splitFrames(content: Array[Byte]): Seq[Array[Byte]] = {
+    val sig =
+      if (matchesAt(content, 0, PngSig)) PngSig
+      else if (matchesAt(content, 0, JpegSig)) JpegSig
+      else return Seq.empty
+    val starts = (0 until content.length).filter(matchesAt(content, _, sig))
+    starts.zip(starts.drop(1) :+ content.length).map { case (a, b) =>
+      java.util.Arrays.copyOfRange(content, a, b)
+    }
+  }
+
+  /** REAL frame decode for sequence containers: split → ImageIO per frame
+    * → per-frame dimensions + mean luma. Map-side (typed mapPartitions,
+    * same decoder-amortization shape as [[extractFeatures]]), `stride`
+    * keeps every strideth frame — the keyframe-sampling access pattern.
+    * Frames ImageIO cannot parse are dropped (a truncated trailing frame
+    * in a corrupt stream), so the output carries only genuinely decoded
+    * pixels. */
+  def decodeVideoFrames(spark: SparkSession, media: DataFrame,
+                        stride: Int = 1): Dataset[VideoFrame] = {
+    import spark.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.filter(_.media_type == "video").flatMap { m =>
+        splitFrames(m.content).zipWithIndex
+          .filter { case (_, i) => i % stride == 0 }
+          .flatMap { case (bytes, i) =>
+            decodeImage(bytes).map { img =>
+              var (sum, n) = (0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xFF) * 299 +
+                    ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+                  n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              VideoFrame(m.media_id, i, img.getWidth, img.getHeight,
+                if (n > 0) sum.toFloat / n else 0.0f)
+            }
+          }
+      }
+    }
+  }
+
   /** Frame sampling as a Generator: split the payload into fixed-size
     * "frames" and emit every strideth one — the video-keyframe access
     * pattern, map-side, no shuffle. The frame fingerprint is an md5 prefix

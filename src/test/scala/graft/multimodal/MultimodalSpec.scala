@@ -69,6 +69,61 @@ class MultimodalSpec extends SparkSpec {
     out.toByteArray
   }
 
+  /** A solid-color frame encoded in the given still format. */
+  private def frameBytes(w: Int, h: Int, rgb: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  test("real video decode: MJPEG stream yields every frame with true pixels") {
+    import spark.implicits._
+    // three concatenated JPEG frames: black, mid-gray, white
+    val mjpeg = frameBytes(16, 8, 0x000000, "jpg") ++
+      frameBytes(16, 8, 0x808080, "jpg") ++ frameBytes(16, 8, 0xFFFFFF, "jpg")
+    val rows = Seq(Multimodal.MediaRecord(1L, "video", mjpeg, 16, 8, 0L))
+    val frames = Multimodal.decodeVideoFrames(spark, rows.toDF())
+      .collect().sortBy(_.frame_no)
+    assert(frames.length == 3)
+    assert(frames.forall(f => f.media_id == 1L && f.width == 16 && f.height == 8))
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 1, 2))
+    // solid frames decode to their exact luma (JPEG is lossy but a solid
+    // field round-trips within a count or two)
+    assert(frames(0).mean_luma < 2.0f)
+    assert(math.abs(frames(1).mean_luma - 128.0f) < 3.0f)
+    assert(frames(2).mean_luma > 253.0f)
+  }
+
+  test("real video decode: PNG sequence, stride sampling, junk and non-video excluded") {
+    import spark.implicits._
+    val pngSeq = (0 until 4).map(i => frameBytes(8, 8, i * 0x111111, "png"))
+      .reduce(_ ++ _)
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "video", pngSeq, 8, 8, 0L),
+      Multimodal.MediaRecord(2L, "video", "no container here".getBytes, 0, 0, 0L),
+      Multimodal.MediaRecord(3L, "image", pngSeq, 8, 8, 0L)) // not video
+    val all = Multimodal.decodeVideoFrames(spark, rows.toDF()).collect()
+    assert(all.forall(_.media_id == 1L)) // junk: 0 frames; image row excluded
+    assert(all.map(_.frame_no).sorted.toSeq == Seq(0, 1, 2, 3))
+    // PNG is lossless: solid frame i has exact luma i*17
+    all.foreach(f => assert(f.mean_luma == f.frame_no * 17.0f))
+    // stride keeps frames 0 and 2 only
+    val strided = Multimodal.decodeVideoFrames(spark, rows.toDF(), stride = 2)
+      .collect().map(_.frame_no).sorted.toSeq
+    assert(strided == Seq(0, 2))
+  }
+
+  test("real video decode: truncated trailing frame is dropped, not fabricated") {
+    import spark.implicits._
+    val full = frameBytes(8, 8, 0x123456, "png")
+    val cut = full ++ full.take(20) // second frame truncated mid-header
+    val rows = Seq(Multimodal.MediaRecord(1L, "video", cut, 8, 8, 0L))
+    val frames = Multimodal.decodeVideoFrames(spark, rows.toDF()).collect()
+    assert(frames.map(_.frame_no).toSeq == Seq(0))
+  }
+
   test("real JDK decode: PNG payloads yield pixel-true features, junk falls back to the stub") {
     import spark.implicits._
     val rows = Seq(
