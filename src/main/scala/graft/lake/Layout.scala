@@ -68,7 +68,8 @@ object Layout {
     * scan of exactly the clustering columns. */
   def zorderWrite(df: DataFrame, zcols: Seq[String], path: String,
                   numFiles: Int = 8, bits: Int = 16,
-                  maxRowGroupBytes: Long = 1L << 20): Unit = {
+                  maxRowGroupBytes: Long = 1L << 20,
+                  dropCols: Seq[String] = Nil): Unit = {
     // the interleaved value must fit a signed long: clamp per-column
     // resolution rather than silently wrapping shift amounts mod 64
     val safeBits = math.max(1, math.min(bits, 63 / math.max(1, zcols.size)))
@@ -78,17 +79,21 @@ object Layout {
     // empty input (or an all-null clustering column) has no bounds and
     // nothing to cluster: write the (empty) frame as-is
     if (zcols.indices.exists(i => bounds.isNullAt(2 * i))) {
-      df.write.mode("overwrite").parquet(path)
+      df.drop(dropCols: _*).write.mode("overwrite").parquet(path)
       return
     }
     val ints = zcols.zipWithIndex.map { case (c, i) =>
       scaled(col(c), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1),
         safeBits)
     }
+    // dropCols: caller-supplied helper columns (e.g. a timestamp cast to
+    // epoch seconds purely for clustering) — they shape the curve but are
+    // dropped with __z before the write, so they never reach the schema
     df.withColumn("__z", interleave(ints, safeBits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+      .drop(dropCols: _*)
       .write.mode("overwrite")
       // small row groups keep the stats envelopes tight relative to the
       // file size, which is what page/row-group skipping prunes on
