@@ -164,6 +164,19 @@ object SparkEntry {
     // DAU / trailing-7-day WAU / stickiness per day
     "q_activity" -> ((s, d) => graft.ops.Temporal.activityReport(
       Tables.events(s, d))),
+    // last-touch conversion attribution: single window pass, 7-day lookback
+    "q_attribution" -> ((s, d) => graft.ops.Temporal.lastTouchAttribution(
+      Tables.events(s, d), "purchase", Seq("click", "view", "signup"),
+      lookbackSec = 7L * 86400)),
+    // deterministic k-per-group reservoir (md5 rank, WindowGroupLimit plan)
+    "q_reservoir_sample" -> ((s, d) => graft.ops.Sampling.reservoirPerKey(
+      Tables.documents(s, d), "source", "doc_id", k = 5, seed = 42L)),
+    // top-p (nucleus) mass-coverage selection per source, exact integer gate
+    "q_nucleus_select" -> ((s, d) => graft.ops.Sampling.nucleusSelect(
+      Tables.documents(s, d), "source", "n_chars", "doc_id", p10000 = 8000)),
+    // the α-temperature mix realized as a deterministic mod-space downsample
+    "q_temperature_sample" -> ((s, d) => graft.ops.Sampling.temperatureSample(
+      Tables.documents(s, d), "lang", "n_chars", "doc_id", alpha = 0.3)),
     // ---- temporal joins (north-star; ops/Temporal.scala) ----
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -1979,6 +1992,66 @@ object SparkEntry {
         |SELECT substr(shuffle_key, 1, 2) AS shard, count(*) AS n_rows,
         |  min(shuffle_key) AS first_key
         |FROM t GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q_attribution" ->
+      """WITH relevant AS (
+        |  SELECT user_id, ts, event_type, value, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click', 'view', 'signup')),
+        |marked AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN conv = 0 THEN ts END IGNORE NULLS)
+        |      OVER w AS t_ts,
+        |    last_value(CASE WHEN conv = 0 THEN event_type END IGNORE NULLS)
+        |      OVER w AS t_type
+        |  FROM relevant
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, conv, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CASE WHEN t_ts IS NOT NULL
+        |         AND epoch_us(ts) - epoch_us(t_ts) <= 604800000000
+        |         THEN t_type ELSE 'direct' END AS attributed_to,
+        |  count(*) AS n_conversions,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM marked WHERE conv = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_reservoir_sample" ->
+      """SELECT source, doc_id, rank FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "q_nucleus_select" ->
+      """WITH m AS (
+        |  SELECT source, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n_chars) OVER (PARTITION BY source) AS tot
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars,
+        |  round(CAST(cum AS DOUBLE) / tot, 4) AS cum_share
+        |FROM m WHERE (cum - n_chars) * 10000 < 8000 * tot
+        |ORDER BY source, n_chars DESC, doc_id""".stripMargin,
+    "q_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_total, CAST(sum(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT lang, n_total, mass,
+        |    mass * 1.0 / (SELECT sum(mass) FROM c) AS p
+        |  FROM c),
+        |z AS (SELECT sum(pow(p, 0.3)) AS z FROM p),
+        |q AS (SELECT lang, n_total,
+        |    CAST(floor(least(1.0, pow(p, 0.3) / (SELECT z FROM z) / p) * 1000)
+        |      AS BIGINT) AS quota
+        |  FROM p),
+        |k AS (SELECT d.lang, count(*) AS n_kept
+        |      FROM documents d JOIN q ON d.lang = q.lang
+        |      WHERE d.doc_id % 1000 < q.quota GROUP BY 1)
+        |SELECT q.lang, q.n_total, round(q.quota / 1000.0, 4) AS rate,
+        |  coalesce(k.n_kept, 0) AS n_kept
+        |FROM q LEFT JOIN k ON q.lang = k.lang ORDER BY q.lang""".stripMargin,
     "q_temperature_mix" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS mass

@@ -187,6 +187,105 @@ object Sampling {
       .orderBy(col(strataCol), col("split"))
   }
 
+  /** Deterministic k-per-group reservoir sample: rank rows within each
+    * stratum by a seeded md5 of the id (uniform pseudo-random order,
+    * reproducible across runs/engines/retries — md5 so the SQL oracle
+    * replays it exactly) and keep the k smallest. Equivalent in
+    * distribution to per-group reservoir sampling, but order-free and
+    * restart-safe — the properties that matter when the sample defines an
+    * eval slice.
+    *
+    * Scale shape: one shuffle on the stratum; the `row_number ≤ k` filter
+    * plans a WindowGroupLimit (asserted in GoldenPlanSpec), so each map
+    * task pre-prunes to its local top-k before the exchange — per-group
+    * work is O(partition · log k), never a full per-group sort. */
+  def reservoirPerKey(df: DataFrame, strataCol: String, idCol: String,
+                      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"reservoirPerKey: k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(concat(lit(seed.toString), lit(":"),
+        col(idCol).cast("string"))).asc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(strataCol), col(idCol), col("rank").cast("bigint").as("rank"))
+      .orderBy(col(strataCol), col("rank"))
+  }
+
+  /** Top-p (nucleus) corpus selection per stratum: order each stratum's
+    * rows by mass descending (id tiebreak) and keep the minimal prefix
+    * covering at least `p10000`/10000 of the stratum's total mass —
+    * including the row that crosses the threshold (the nucleus rule). The
+    * quality-weighted data-selection step of corpus curation: "keep the
+    * highest-value documents until 80% of each source's token mass is
+    * covered".
+    *
+    * The keep predicate is EXACT integer arithmetic (cross-multiplied
+    * bigints, no float threshold): prev_cum · 10000 < p10000 · total.
+    * Overflow bound: mass sums below ~9.2e14 per stratum stay inside
+    * int64 after the ×10000 — petabyte-scale token counts; beyond that,
+    * swap in decimal.
+    *
+    * Scale shape: one shuffle on the stratum; two window passes over the
+    * same partitioning (running and total mass), no joins. */
+  def nucleusSelect(df: DataFrame, strataCol: String, massCol: String,
+                    idCol: String, p10000: Int): DataFrame = {
+    require(p10000 >= 1 && p10000 <= 10000,
+      s"nucleusSelect: p10000 must be in [1, 10000], got $p10000")
+    val W = org.apache.spark.sql.expressions.Window
+    val run = W.partitionBy(col(strataCol))
+      .orderBy(col(massCol).desc, col(idCol).asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val all = W.partitionBy(col(strataCol))
+    df.withColumn("_cum", sum(col(massCol)).over(run))
+      .withColumn("_tot", sum(col(massCol)).over(all))
+      .filter((col("_cum") - col(massCol)) * lit(10000L) <
+        lit(p10000.toLong) * col("_tot"))
+      .select(col(strataCol), col(idCol), col(massCol),
+        round(col("_cum").cast("double") / col("_tot"), 4).as("cum_share"))
+      .orderBy(col(strataCol), col(massCol).desc, col(idCol))
+  }
+
+  /** The α-temperature mix REALIZED as a deterministic downsample: derive
+    * each stratum's sampling factor from [[temperatureMixReport]]'s
+    * arithmetic, cap upsampled strata at 1.0 (a filter cannot emit a row
+    * twice; the report's `sample_factor` documents the intended
+    * repetition), quantize to the 1/1000 mod space
+    * ([[modStratifiedSample]]'s convention, floor like `domainMixReport`),
+    * and keep rows by id mod. Output is the per-stratum audit: requested
+    * vs achieved.
+    *
+    * Scale shape: one aggregate over the corpus, rate arithmetic on the
+    * stratum-sized result with two one-row broadcasts, then one broadcast
+    * join back and a map-side filter — the corpus is never reshuffled. */
+  def temperatureSample(df: DataFrame, strataCol: String, massCol: String,
+                        idCol: String, alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_total"), sum(col(massCol)).cast("bigint").as("mass"))
+    val tot = counts.agg(sum(col("mass")).as("mass_total"))
+    val withP = counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("mass") / col("mass_total"))
+    val z = withP.agg(sum(pow(col("p"), lit(alpha))).as("z"))
+    // pinned: the stratum-sized rate table feeds both the corpus filter
+    // and the final report — without the pin the corpus aggregate runs
+    // once per consumer
+    val rates = graft.Tier.pin(withP.crossJoin(broadcast(z))
+      .select(col(strataCol), col("n_total"),
+        floor(least(lit(1.0),
+          pow(col("p"), lit(alpha)) / col("z") / col("p")) * 1000)
+          .cast("bigint").as("quota")))
+    val kept = df.join(broadcast(rates.select(col(strataCol), col("quota"))), Seq(strataCol))
+      .filter(pmod(col(idCol), lit(1000L)) < col("quota"))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n_kept"))
+    // kept is stratum-sized: broadcast it (the right side of the left
+    // outer preserves rates rows, so the broadcast must be the right)
+    rates.join(broadcast(kept), Seq(strataCol), "left")
+      .select(col(strataCol), col("n_total"),
+        round(col("quota") / 1000.0, 4).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col(strataCol))
+  }
+
   /** Seeded Bernoulli stratified sample (`DataFrameStatFunctions.sampleBy`).
     * Kept for API completeness; cache() the result before branching reuse —
     * seeded rand re-evaluates under AQE partition drift (engine-wide rule,

@@ -144,6 +144,52 @@ object Temporal {
       .orderBy(col("cohort"), col("week_offset"))
   }
 
+  /** Last-touch conversion attribution — the marketing-analytics
+    * complement of the first-touch funnel: each conversion event is
+    * credited to the user's most recent qualifying touch event within the
+    * lookback window, or to "direct" when none exists. Output per
+    * attributed touch type: conversions and decimal-exact revenue.
+    *
+    * Single-pass design (no event self-join): one window over the
+    * user-keyed timeline carries the latest touch forward
+    * (`last(..., ignoreNulls)` over rows-unbounded-preceding), with a
+    * (ts, is-conversion, event_id) total order so a touch at the exact
+    * conversion timestamp counts and ties are engine-independent — the
+    * same merge trick as [[asofJoin]], on one table.
+    *
+    * Scale shape: one shuffle on user_id for the window, then a
+    * touch-type-sized aggregate. The window state is one struct per user,
+    * never a buffered partition. */
+  def lastTouchAttribution(events: DataFrame, conversion: String,
+                           touches: Seq[String],
+                           lookbackSec: Long): DataFrame = {
+    require(touches.nonEmpty && !touches.contains(conversion),
+      "touch types must be non-empty and distinct from the conversion type")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("_conv").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type") === conversion || col("event_type").isin(touches: _*))
+      .withColumn("_conv", (col("event_type") === conversion).cast("int"))
+      .withColumn("_touch",
+        last(when(col("_conv") === 0,
+          struct(col("ts").as("t_ts"), col("event_type").as("t_type"))),
+          ignoreNulls = true).over(w))
+      .filter(col("_conv") === 1)
+      .select(
+        // exact microsecond compare (unix_micros/epoch_us) — second-level
+        // truncation differs between engines on sub-second timestamps
+        when(col("_touch").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("_touch.t_ts")) <=
+            lookbackSec * 1000000L,
+          col("_touch.t_type")).otherwise(lit("direct")).as("attributed_to"),
+        col("value"))
+      .groupBy(col("attributed_to"))
+      .agg(count(lit(1)).as("n_conversions"),
+        graft.ops.Aggregations.dsum(col("value")).as("revenue"))
+      .orderBy(col("attributed_to"))
+  }
+
   /** Ordered conversion funnel — the classic event-sequence report: for
     * each step k, the users whose EARLIEST step-k event falls strictly
     * after their earliest qualifying step-(k−1) event (first-touch

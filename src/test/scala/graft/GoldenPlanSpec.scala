@@ -134,7 +134,26 @@ class GoldenPlanSpec extends SparkSpec {
     "q_category_stats" -> Golden(
       required = Seq("partial_sum", "partial_count"),
       forbidden = Seq("Join", "CartesianProduct"),
-      maxExchanges = Some(2)))
+      maxExchanges = Some(2)),
+    // reservoir: the rank filter must push into a WindowGroupLimit so map
+    // tasks pre-prune to local top-k before the stratum shuffle
+    "q_reservoir_sample" -> Golden(
+      required = Seq("WindowGroupLimit"),
+      forbidden = Seq("Join", "CartesianProduct")),
+    // nucleus selection: two window passes over one shuffle, no joins
+    "q_nucleus_select" -> Golden(
+      required = Seq("Window"),
+      forbidden = Seq("Join", "CartesianProduct")),
+    // attribution: ONE window pass over the user timeline — an event
+    // self-join here would be the classic quadratic mistake
+    "q_attribution" -> Golden(
+      required = Seq("Window", "partial_count"),
+      forbidden = Seq("Join", "CartesianProduct")),
+    // realized temperature mix: rate table broadcasts back; the corpus
+    // must never shuffle against it
+    "q_temperature_sample" -> Golden(
+      required = Seq("BroadcastHashJoin", "partial_count"),
+      forbidden = Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")))
 
   golden.foreach { case (name, g) =>
     test(s"golden plan: $name") {

@@ -406,4 +406,85 @@ class Round3OpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].head()
     assert(d9 == ((1L, 2L, 0.5)), s"got $d9")
   }
+
+  test("lastTouchAttribution: latest touch wins, lookback bounds, ties count, direct fallback") {
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      // u1: view then click then purchase -> click (latest touch wins)
+      (1L, ts(1, 9), 1L, "view", 0.0),
+      (2L, ts(1, 10), 1L, "click", 0.0),
+      (3L, ts(1, 11), 1L, "purchase", 10.0),
+      // u2: purchase with no prior touch -> direct
+      (4L, ts(1, 9), 2L, "purchase", 5.0),
+      // u3: click 8 days before purchase -> outside 7-day lookback, direct
+      (5L, ts(1, 9), 3L, "click", 0.0),
+      (6L, ts(9, 10), 3L, "purchase", 7.0),
+      // u4: signup at the SAME timestamp as the purchase -> still counts
+      // (touches order before conversions at equal ts)
+      (7L, ts(2, 9), 4L, "signup", 0.0),
+      (8L, ts(2, 9), 4L, "purchase", 3.0),
+      // u5: error events are not attributable touches -> direct
+      (9L, ts(3, 9), 5L, "error", 0.0),
+      (10L, ts(3, 10), 5L, "purchase", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Temporal.lastTouchAttribution(
+      ev, "purchase", Seq("click", "view", "signup"), lookbackSec = 7L * 86400)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("click", 1L, 10.0),
+      ("direct", 3L, 14.0),
+      ("signup", 1L, 3.0)), s"got $got")
+  }
+
+  test("reservoirPerKey: exactly k per big group, all rows for small, seeded and deterministic") {
+    val df = ((1 to 40).map(i => (i.toLong, "big")) ++
+      Seq((100L, "small"), (101L, "small")))
+      .toDF("doc_id", "source")
+    val s42 = Sampling.reservoirPerKey(df, "source", "doc_id", k = 5, seed = 42L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(s42.count(_._1 == "big") == 5)
+    assert(s42.filter(_._1 == "small").map(_._2).toSet == Set(100L, 101L))
+    assert(s42.filter(_._1 == "big").map(_._3) == Seq(1L, 2L, 3L, 4L, 5L))
+    // deterministic replay, regardless of partitioning
+    val again = Sampling.reservoirPerKey(df.repartition(7), "source", "doc_id", 5, 42L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(s42 == again)
+    // a different seed draws a different sample (40 choose 5 makes a
+    // collision astronomically unlikely; equality would mean the seed is dead)
+    val s7 = Sampling.reservoirPerKey(df, "source", "doc_id", 5, 7L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(s42.filter(_._1 == "big").map(_._2) != s7.filter(_._1 == "big").map(_._2))
+  }
+
+  test("nucleusSelect: minimal mass-covering prefix, exact boundary, singleton stratum") {
+    val df = Seq(
+      (1L, "A", 50L), (2L, "A", 30L), (3L, "A", 20L),
+      (9L, "B", 7L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Sampling.nucleusSelect(df, "source", "n_chars", "doc_id", p10000 = 8000)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // A: 50 (prev 0) and 30 (prev 50 < 80) kept; 20 (prev 80, NOT < 80) excluded
+    assert(got == Seq(
+      ("A", 1L, 50L, 0.5),
+      ("A", 2L, 30L, 0.8),
+      ("B", 9L, 7L, 1.0)), s"got $got")
+    // p = 100% keeps everything
+    assert(Sampling.nucleusSelect(df, "source", "n_chars", "doc_id", 10000)
+      .count() == 4)
+  }
+
+  test("temperatureSample: alpha=1 keeps everything; alpha<1 boosts the tail to 100%") {
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 80) "big" else "small", 10L))
+      .toDF("doc_id", "lang", "n_chars")
+    val id = Sampling.temperatureSample(df, "lang", "n_chars", "doc_id", alpha = 1.0)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(id == Seq(("big", 80L, 1.0, 80L), ("small", 20L, 1.0, 20L)), s"got $id")
+    // alpha .5 on the 4:1 mix: big's factor 0.8333 -> quota 833; every big
+    // id (0..79) sits under 833 in the mod space, so the CAP story is in
+    // the rate column; small upsamples -> capped at 1.0, keeps all
+    val t = Sampling.temperatureSample(df, "lang", "n_chars", "doc_id", alpha = 0.5)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(t == Seq(("big", 80L, 0.833, 80L), ("small", 20L, 1.0, 20L)), s"got $t")
+  }
 }
