@@ -8,16 +8,17 @@ import org.apache.spark.storage.StorageLevel
   * tables, fixpoint state), so Spark never re-runs the producing pipeline
   * per consumer — at 100 TB the difference between 1× and 3× scan cost.
   *
-  * Storage level: `MEMORY_AND_DISK_SER` by default. The r8 bench spent 27%
-  * of wall time in GC, and the dominant residency was pinned tiers held as
-  * DESERIALIZED row objects (the `localCheckpoint(true)` default —
-  * millions of small long-lived objects parked in the old gen, exactly the
-  * shape generational collectors handle worst). Serialized blocks are a
-  * few large byte arrays instead: measured at r9 on the ten most
-  * pin-heavy queries, suite GC fell ~35% at flat wall time (the per-read
-  * deserialization cost is codegen'd row decoding, already paid once per
-  * consumer either way). Override with `GRAFT_TIER_STORAGE=deser` to
-  * reproduce the A/B.
+  * Storage level: DESERIALIZED `MEMORY_AND_DISK` (the `localCheckpoint`
+  * default). The r9 A/B over the full 126-query sf0.1 bench
+  * (`GRAFT_TIER_STORAGE` flips the level) measured: suite GC is
+  * IDENTICAL under both levels (60.7 s serialized vs 60.3 s
+  * deserialized) while serialized blocks cost ~7% wall (247.1 s vs
+  * 230.6 s) — every consumer re-pays row decoding on read, and the
+  * hypothesis that pinned-tier row objects dominate old-gen pressure is
+  * refuted: the engine's tiers are reduction outputs (shingle/sketch/
+  * stratum scale), small relative to the shuffle and codegen churn that
+  * actually drives the ~60 s suite GC total. Serialized storage remains
+  * one env var away for deployments whose tiers are corpus-scale.
   *
   * Eagerness is semantic, not an optimization hint: several callers delete
   * a staging directory (or advance streaming state) immediately after the
@@ -28,8 +29,8 @@ object Tier {
 
   private lazy val level: StorageLevel =
     sys.env.get("GRAFT_TIER_STORAGE") match {
-      case Some("deser") => StorageLevel.MEMORY_AND_DISK
-      case _             => StorageLevel.MEMORY_AND_DISK_SER
+      case Some("ser") => StorageLevel.MEMORY_AND_DISK_SER
+      case _           => StorageLevel.MEMORY_AND_DISK
     }
 
   def pin(df: DataFrame): DataFrame =
