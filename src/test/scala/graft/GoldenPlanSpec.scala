@@ -153,7 +153,18 @@ class GoldenPlanSpec extends SparkSpec {
     // must never shuffle against it
     "q_temperature_sample" -> Golden(
       required = Seq("BroadcastHashJoin", "partial_count"),
-      forbidden = Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")))
+      forbidden = Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // serve page: offset+limit over a sort stays TakeOrderedAndProject on
+    // a pushed scan — no global sort, no shuffle at all (the redundant
+    // inner ordering is optimizer-eliminated)
+    "q_api_page" -> Golden(
+      required = Seq("TakeOrderedAndProject", "PushedFilters: [Is"),
+      forbidden = Seq("Join", "CartesianProduct", "Exchange")),
+    // serve counts: ONE aggregate over one pruned scan
+    "q_api_counts" -> Golden(
+      required = Seq("partial_count"),
+      forbidden = Seq("Join", "CartesianProduct"),
+      maxExchanges = Some(1)))
 
   golden.foreach { case (name, g) =>
     test(s"golden plan: $name") {
