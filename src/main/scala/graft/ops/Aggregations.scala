@@ -314,7 +314,9 @@ object Aggregations {
     val pCol = greatest(coalesce(col("n_sd"), lit(0L)) / col("n_docs"), lit(eps))
     val qCol = greatest(col("q"), lit(eps))
     sources.crossJoin(broadcast(corpusShares))
-      .join(perCell, Seq("source", "decile"), "left")
+      // perCell is (source × decile)-sized; broadcast the right side of
+      // the left outer instead of sort-merging two tiny frames
+      .join(broadcast(perCell), Seq("source", "decile"), "left")
       .groupBy(col("source"))
       .agg(max(col("n_docs")).as("n_docs"),
         round(sum((pCol - qCol) * log(pCol / qCol)), 4).as("psi"))

@@ -77,7 +77,9 @@ object Sampling {
       .groupBy(col(strataCol)).agg(count(lit(1)).as("n_sampled"))
     val total = sampled.agg(sum(col("n_sampled")).as("n_mix"))
     quotas
-      .join(sampled, Seq(strataCol), "left")
+      // sampled is stratum-sized; broadcast it (right side of the left
+      // outer — the preserved quotas side cannot be the build side)
+      .join(broadcast(sampled), Seq(strataCol), "left")
       .join(broadcast(total))
       .select(col(strataCol), col("n_total"), col("target_share"),
         col("quota_milli"),

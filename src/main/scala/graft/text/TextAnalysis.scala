@@ -201,15 +201,21 @@ object TextAnalysis {
                             minOverlap: Double = 0.8): DataFrame = {
     val approx = vocabularyApprox(documents, k).pinTier
     val exact = vocabulary(documents, Int.MaxValue).pinTier
+    // the audit compares a k-sized candidate list against the CORPUS-scale
+    // exact vocabulary: semi-prune the big side by the broadcast candidate
+    // terms (map-side, ≤k survivors), then broadcast the survivors back —
+    // the exact tier never shuffles for this join
+    val exactSlim = exact.select(col("term"), col("freq"))
+      .join(broadcast(approx.select(col("term"))), Seq("term"), "leftsemi")
     val under = approx
-      .join(exact.select(col("term"), col("freq")), Seq("term"), "left")
+      .join(broadcast(exactSlim), Seq("term"), "left")
       .agg(count(when(col("est_freq") < coalesce(col("freq"), lit(0L)), 1))
         .as("n_under"))
     val exactTop = exact.orderBy(col("freq").desc, col("term")).limit(topk)
       .select(col("term"))
     val overlap = approx.orderBy(col("est_freq").desc, col("term")).limit(topk)
       .select(col("term"))
-      .join(exactTop, Seq("term"), "leftsemi")
+      .join(broadcast(exactTop), Seq("term"), "leftsemi")
       .agg(count(lit(1)).as("n_overlap"))
     exact.agg(count(lit(1)).as("n_terms"))
       .crossJoin(under).crossJoin(overlap)
