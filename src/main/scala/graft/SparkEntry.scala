@@ -53,6 +53,17 @@ object SparkEntry {
     * dir and returns the path. Exercises both sentinel paths on read-back:
     * `_length` carries a non-numeric segment name (→ -1) and `_ratings` is
     * omitted for every 10th row (missing attribute → -1). */
+  /** JSONL round-trip fixture: the documents corpus written as
+    * line-delimited JSON (the LLM-corpus interchange format), re-read by
+    * the schema'd jsonl source — equality against the parquet original
+    * proves the write→scan→type boundary faithful. */
+  private def jsonlDocFixture(s: SparkSession, d: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_docs_jsonl_" +
+      Integer.toHexString(d.hashCode)
+    Tables.documents(s, d).write.mode("overwrite").json(path)
+    path
+  }
+
   private def xmlVideoFixture(s: SparkSession, d: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_videos_xml_" +
       Integer.toHexString(d.hashCode)
@@ -325,6 +336,11 @@ object SparkEntry {
           col("comments"), csv(col("related")).as("related"))
         .orderBy(col("id"))
     }),
+    // jsonl corpus source: schema'd one-pass read + corrupt routing; the
+    // clean side must reproduce the parquet original byte-for-byte
+    "q_docs_jsonl" -> ((s, d) => Ingest.jsonlClean(
+      Ingest.readDocumentsJsonl(s, jsonlDocFixture(s, d)))
+      .orderBy(col("doc_id"))),
     // ---- text analysis (north-star) ----
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "q_quality_scores" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
@@ -1829,6 +1845,9 @@ object SparkEntry {
         |) d ON p_partkey = d.l_partkey
         |ORDER BY inDegree DESC, id LIMIT 50""".stripMargin,
     "q_user_count" -> "SELECT count(*) AS n_users FROM customer",
+    "q_docs_jsonl" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_videos_xml" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS id,
         |  c_name AS uploader,

@@ -141,4 +141,50 @@ object Ingest {
     * (`YoutubeNetworkAgg_Final.py:29`). */
   def userCount(users: DataFrame): DataFrame =
     users.agg(count(lit(1)).as("n_users"))
+
+  // ------------------------------------------------------------- jsonl
+  // The standard LLM training-corpus interchange format (one JSON object
+  // per line). Same no-inference rationale as the XML source: an explicit
+  // schema reads the corpus in ONE pass — schema inference would scan
+  // 100 TB twice — and pins types against silent widening.
+
+  /** Documents-corpus JSONL schema + a corrupt-record sink column. */
+  val jsonlDocumentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("_corrupt", StringType)))
+
+  /** PERMISSIVE read with corrupt-record ROUTING, not dropping: malformed
+    * lines land whole in `_corrupt` (and every schema column null), so
+    * [[jsonlQuarantine]] can persist them for repair while
+    * [[jsonlClean]] feeds the pipeline — at corpus scale "0.1% bad
+    * lines" is millions of documents someone must be able to audit,
+    * and DROPMALFORMED would erase them without a trace. */
+  def readDocumentsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(jsonlDocumentSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** The well-formed rows, corrupt column stripped. A row is clean when
+    * the parser left `_corrupt` null. */
+  def jsonlClean(raw: DataFrame): DataFrame =
+    raw.filter(col("_corrupt").isNull).drop("_corrupt")
+
+  /** Parse ONCE, split into (clean, quarantine). The parsed frame is
+    * pinned before splitting — both the right pipeline shape (the JSON
+    * parse is the expensive pass; two consumers must not re-run it) and
+    * required: Spark refuses corrupt-only projections straight off a raw
+    * scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the corrupt column exists
+    * only for rows the parser actually touched). */
+  def jsonlSplit(raw: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = graft.Tier.pin(raw)
+    (jsonlClean(parsed),
+      parsed.filter(col("_corrupt").isNotNull)
+        .select(col("_corrupt").as("raw_line")))
+  }
 }

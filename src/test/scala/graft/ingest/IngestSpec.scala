@@ -101,4 +101,36 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 3L)
     assert(Ingest.dedupAppend(spark, b1, path, "id") == 0L) // idempotent replay
   }
+
+  test("jsonl source: clean rows typed one-pass, malformed lines quarantined whole") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-jsonl").toFile
+    val path = s"${dir.getAbsolutePath}/docs.jsonl"
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello \"quoted\" world", "lang": "en", "source": "web", "n_chars": 20}""",
+      """{"doc_id": 2, "text": "line\nbreak", "lang": "de", "source": "book", "n_chars": 10}""",
+      """this is not json at all""",
+      """{"doc_id": "NOT_A_NUMBER", "text": "bad id", "lang": "en", "source": "web", "n_chars": 6}""",
+      """{"doc_id": 3, "text": null, "lang": null, "source": "web", "n_chars": 0}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val raw = Ingest.readDocumentsJsonl(spark, path)
+    val (clean, quarantine) = Ingest.jsonlSplit(raw)
+    // typed one-pass read: escapes and embedded newlines round-trip; null
+    // fields on a well-formed line are data, not corruption
+    assert(clean.count() == 3L)
+    assert(clean.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val r1 = clean.filter(col("doc_id") === 1L)
+      .select("text").as[String].head()
+    assert(r1 == "hello \"quoted\" world")
+    assert(clean.filter(col("doc_id") === 2L)
+      .select("text").as[String].head() == "line\nbreak")
+    // malformed lines (bad syntax AND schema-violating values) land whole
+    // in the quarantine, nothing silently dropped
+    val q = quarantine.as[String].collect().toSeq
+    assert(q.size == 2)
+    assert(q.exists(_.contains("not json")))
+    assert(q.exists(_.contains("NOT_A_NUMBER")))
+  }
 }
