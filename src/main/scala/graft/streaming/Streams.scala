@@ -194,10 +194,16 @@ object Streams {
       .write.mode("overwrite").parquet(s"$stage/chunk=1")
     val stream = spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$stage/chunk=*")
+    // gate-scoped shuffle fan-in — see drainAppendStreamGate: state store
+    // count ∝ shuffle partitions, and the fixed per-store per-batch cost
+    // dominates at gate scale
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = agg(stream).writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
     try q.processAllAvailable() finally {
       q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
       // the memory sink owns the result now; drop the staged copies
       import scala.reflect.io.Directory
       new Directory(new java.io.File(stage)).deleteRecursively()
@@ -265,10 +271,19 @@ object Streams {
       }
     val stream = spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$stage/chunk=*")
+    // gate-scoped shuffle fan-in: every stateful operator materializes one
+    // state store PER shuffle partition PER micro-batch — at the session's
+    // 32 partitions the fixed store init/commit overhead dwarfs the
+    // fixture-sized data. 8 partitions quarters it; correctness is
+    // partition-count-independent, and the batch aggregation over the
+    // drained sink runs after the conf is restored.
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = xform(stream).writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try q.processAllAvailable() finally {
       q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
       import scala.reflect.io.Directory
       new Directory(new java.io.File(stage)).deleteRecursively()
     }
