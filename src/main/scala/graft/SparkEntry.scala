@@ -179,6 +179,15 @@ object SparkEntry {
     "q_attribution" -> ((s, d) => graft.ops.Temporal.lastTouchAttribution(
       Tables.events(s, d), "purchase", Seq("click", "view", "signup"),
       lookbackSec = 7L * 86400)),
+    // exponentially decayed popularity, 7-day half-life from corpus max ts
+    "q_decayed_popularity" -> ((s, d) => graft.ops.Temporal.decayedPopularity(
+      Tables.events(s, d))),
+    // hourly volume z-scores vs the trailing 24 observed hours per type
+    "q_hourly_anomalies" -> ((s, d) => graft.ops.Temporal.hourlyAnomalies(
+      Tables.events(s, d))),
+    // first-order Markov transitions over per-user event sequences
+    "q_transitions" -> ((s, d) => graft.ops.Temporal.eventTransitions(
+      Tables.events(s, d))),
     // deterministic k-per-group reservoir (md5 rank, WindowGroupLimit plan)
     "q_reservoir_sample" -> ((s, d) => graft.ops.Sampling.reservoirPerKey(
       Tables.documents(s, d), "source", "doc_id", k = 5, seed = 42L)),
@@ -302,6 +311,15 @@ object SparkEntry {
         // tolerates sum-order FP drift (selection/order use the full value)
         .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
     }),
+    // HITS hubs/authorities over the same co-occurrence graph — full
+    // oracle via the pagerank-style 10-iteration CTE unroll
+    "q_hits_parts" -> ((s, d) => graft.graph.HitsOp.hits(
+      Edges.partCoOccurrence(Tables.lineitem(s, d)), numIter = 10, k = 100)),
+    // degree-oriented triangle counting + local clustering per vertex
+    "q_triangles" -> ((s, d) => graft.graph.Triangles.vertexTriangles(
+      Edges.partCoOccurrence(Tables.lineitem(s, d)))),
+    "q_triangle_stats" -> ((s, d) => graft.graph.Triangles.globalTriangleStats(
+      Edges.partCoOccurrence(Tables.lineitem(s, d)))),
     // promise-gated: ALS factor values are solver/BLAS-specific, so the
     // gate emits the pipeline's portable contract (subset size, 5 resolved
     // recs per user, train RMSE beats the mean predictor) with the
@@ -345,6 +363,10 @@ object SparkEntry {
     "q_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "q_quality_scores" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "q_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    // the Gopher rule battery: per-doc structural metrics + rule verdicts
+    "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
+    // interpolated Kneser-Ney bigram LM over the corpus, top-100 by count
+    "q_kn_bigrams" -> ((s, d) => TextAnalysis.kneserNeyBigrams(Tables.documents(s, d))),
     "q_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     // winnow fingerprint VALUES are xxhash64-specific; the gate pins the
     // portable coverage contract instead (every tokenized document emits a
@@ -700,6 +722,55 @@ object SparkEntry {
          |),""".stripMargin
     }.mkString("\n")
 
+  /** The HITS unroll (same MATERIALIZED rationale as [[pageRankIterSql]]):
+    * each round is one auth half-step (hub mass flows src→dst) and one hub
+    * half-step (auth mass flows dst→src), unnormalized — scaling happens
+    * once at the end, exactly like the Scala fixpoint. */
+  private def hitsIterSql(edgesRel: String): String =
+    (1 to 10).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT v.id, coalesce(c.x, 0.0) AS val FROM verts v
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(h${i - 1}.val) AS x
+         |    FROM $edgesRel e JOIN h${i - 1} ON e.src = h${i - 1}.id GROUP BY 1
+         |  ) c ON v.id = c.id
+         |),
+         |h$i AS MATERIALIZED (
+         |  SELECT v.id, coalesce(c.x, 0.0) AS val FROM verts v
+         |  LEFT JOIN (
+         |    SELECT e.src AS id, sum(a$i.val) AS x
+         |    FROM $edgesRel e JOIN a$i ON e.dst = a$i.id GROUP BY 1
+         |  ) c ON v.id = c.id
+         |),""".stripMargin
+    }.mkString("\n")
+
+  /** Shared triangle tier for the q_triangles / q_triangle_stats oracles:
+    * undirected simple edges (a < b) from the co-occurrence derivation,
+    * triangles enumerated once via x < y < z id order, per-vertex credit
+    * by unnesting the three corners. */
+  private val triangleTierSql: String =
+    """edges AS MATERIALIZED (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2),
+      |und AS MATERIALIZED (
+      |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+      |deg AS MATERIALIZED (
+      |  SELECT id, count(*) AS degree FROM (
+      |    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+      |tri AS MATERIALIZED (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |pv AS (
+      |  SELECT id, count(*) AS n_triangles FROM (
+      |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY 1)""".stripMargin
+
   /** Contamination oracle, shared by q_decontaminate (exact semi join) and
     * q_decontaminate_bloom (bloom prefilter + exact verify): the bloom
     * variant's verify join removes every false positive, so both queries
@@ -988,6 +1059,54 @@ object SparkEntry {
         |  round(n_users * 1.0 /
         |    greatest((SELECT n_users FROM c WHERE step = 1), 1), 4) AS conversion
         |FROM c ORDER BY step""".stripMargin,
+    // recency-weighted popularity: exact-integer microsecond ages, the
+    // weighted sum rounded per the float-agg rule
+    "q_decayed_popularity" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(sum(pow(0.5,
+        |    (max_us - epoch_us(ts)) / (86400000000.0 * 7.0))), 4) AS decayed_score
+        |FROM events CROSS JOIN mx
+        |GROUP BY event_type
+        |ORDER BY decayed_score DESC, event_type""".stripMargin,
+    // trailing-24-observed-hour z-scores; identical ROWS frame semantics,
+    // verdicts gated on the rounded published mean/stddev
+    "q_hourly_anomalies" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT event_type, hour, n_events,
+        |    count(n_events) OVER w AS n_trailing,
+        |    round(avg(n_events) OVER w, 4) AS mean24,
+        |    CASE WHEN count(n_events) OVER w >= 2
+        |         THEN round(stddev_samp(n_events) OVER w, 4) END AS std24
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour, n_events, n_trailing, mean24, std24,
+        |  CASE WHEN n_trailing >= 6 AND std24 > 0
+        |       THEN round((n_events - mean24) / std24, 4) END AS z_score,
+        |  coalesce(abs(CASE WHEN n_trailing >= 6 AND std24 > 0
+        |       THEN round((n_events - mean24) / std24, 4) END) >= 3.0, false)
+        |    AS is_anomaly
+        |FROM scored ORDER BY event_type, hour""".stripMargin,
+    // Markov transitions: identical (ts, event_id) sequence tiebreak
+    "q_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events QUALIFY next_type IS NOT NULL),
+        |counts AS (SELECT event_type, next_type, count(*) AS n
+        |           FROM pairs GROUP BY 1, 2),
+        |totals AS (SELECT event_type, sum(n) AS row_total
+        |           FROM counts GROUP BY 1)
+        |SELECT c.event_type, c.next_type, c.n,
+        |  round(c.n / t.row_total, 4) AS p
+        |FROM counts c JOIN totals t USING (event_type)
+        |ORDER BY c.event_type, c.next_type""".stripMargin,
     "q_zipf_fit" ->
       """WITH uni AS (
         |  SELECT w AS word, count(*) AS c FROM (
@@ -1194,6 +1313,72 @@ object SparkEntry {
         |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // the Gopher battery: every metric recomputed with list ops (the regex
+    // scans on the Spark side are the codegen form of the same counts);
+    // verdicts gate on the rounded published metrics
+    "q_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(text) AS txt,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+        |          / greatest(len(toks), 1), 4) AS mean_word_len,
+        |    round((
+        |      (length(txt) - length(replace(txt, '#', '')))
+        |      + (length(txt) - length(replace(txt, '...', ''))) // 3
+        |      + (length(txt) - length(replace(txt, '…', '')))
+        |    ) * 1.0 / greatest(len(toks), 1), 4) AS symbol_ratio,
+        |    round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•‣▪]')))
+        |          * 1.0 / greatest(len(lines), 1), 4) AS bullet_frac,
+        |    round(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$')))
+        |          * 1.0 / greatest(len(lines), 1), 4) AS ellipsis_line_frac,
+        |    round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        |          * 1.0 / greatest(len(toks), 1), 4) AS alpha_word_frac,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','a','an','of','to','and','in','is','it','for','on','with'])) AS BIGINT)
+        |      AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_line_frac, alpha_word_frac, n_stopwords,
+        |  (n_words BETWEEN 50 AND 100000) AS ok_words,
+        |  (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_len,
+        |  (symbol_ratio <= 0.1) AS ok_symbols,
+        |  (bullet_frac <= 0.9) AS ok_bullets,
+        |  (ellipsis_line_frac <= 0.3) AS ok_ellipsis,
+        |  (alpha_word_frac >= 0.8) AS ok_alpha,
+        |  (n_stopwords >= 2) AS ok_stopwords,
+        |  ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |    AND n_stopwords >= 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // KN-smoothed bigram LM: counts recomputed from the same within-doc
+    // adjacency; the formula applied in the identical operation order with
+    // every constant cast to DOUBLE (DuckDB's bare 0.75 is DECIMAL)
+    "q_kn_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w1,
+        |    generate_subscripts(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> ''), 1) AS pos
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks QUALIFY w2 IS NOT NULL),
+        |bi AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+        |fwd AS (SELECT w1, sum(c) AS c_w1, count(*) AS n1_fwd FROM bi GROUP BY 1),
+        |bwd AS (SELECT w2, count(*) AS n1_bwd FROM bi GROUP BY 1),
+        |types AS (SELECT CAST(count(*) AS DOUBLE) AS n1_all FROM bi)
+        |SELECT w1, w2, c,
+        |  round(greatest(c - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE)) / c_w1
+        |    + CAST(0.75 AS DOUBLE) * n1_fwd / c_w1 * (n1_bwd / n1_all), 4)
+        |    AS p_kn
+        |FROM bi JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN types
+        |ORDER BY c DESC, w1, w2 LIMIT 100""".stripMargin,
     "q_langid" ->
       """SELECT doc_id,
         |  CASE WHEN m = 0 THEN 'und'
@@ -1831,6 +2016,52 @@ object SparkEntry {
         |norm AS (SELECT count(*)::DOUBLE / sum(rank) AS s FROM r10)
         |SELECT id, round(rank * (SELECT s FROM norm), 6) AS pagerank
         |FROM r10 ORDER BY rank * (SELECT s FROM norm) DESC, id LIMIT 100""".stripMargin,
+    "q_hits_parts" ->
+      s"""WITH edges AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2
+        |),
+        |verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+        |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS val FROM verts),
+        |${hitsIterSql("edges")}
+        |an AS (SELECT count(*)::DOUBLE / sum(val) AS s FROM a10),
+        |hn AS (SELECT count(*)::DOUBLE / sum(val) AS s FROM h10),
+        |top AS (
+        |  SELECT a10.id, round(a10.val * (SELECT s FROM an), 6) AS authority,
+        |    round(h10.val * (SELECT s FROM hn), 6) AS hub_score
+        |  FROM a10 JOIN h10 ON a10.id = h10.id
+        |  ORDER BY authority DESC, a10.id LIMIT 100)
+        |SELECT row_number() OVER (ORDER BY authority DESC, id) AS rank,
+        |  id, authority, hub_score
+        |FROM top ORDER BY rank""".stripMargin,
+    // triangle oracles: naive id-orientation enumerates the identical
+    // triangle set the engine's degree-orientation does (orientation only
+    // changes join cost, never the triangles)
+    "q_triangles" ->
+      s"""WITH $triangleTierSql
+        |SELECT d.id, d.degree, coalesce(pv.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN d.degree >= 2
+        |       THEN round(CAST(2.0 AS DOUBLE) * coalesce(pv.n_triangles, 0)
+        |                  / (d.degree * (d.degree - 1)), 4)
+        |       ELSE 0.0 END AS clustering
+        |FROM deg d LEFT JOIN pv USING (id) ORDER BY d.id""".stripMargin,
+    "q_triangle_stats" ->
+      s"""WITH $triangleTierSql,
+        |pervertex AS (
+        |  SELECT d.id, d.degree, coalesce(pv.n_triangles, 0) AS n_triangles,
+        |    CASE WHEN d.degree >= 2
+        |         THEN round(CAST(2.0 AS DOUBLE) * coalesce(pv.n_triangles, 0)
+        |                    / (d.degree * (d.degree - 1)), 4)
+        |         ELSE 0.0 END AS clustering
+        |  FROM deg d LEFT JOIN pv USING (id))
+        |SELECT count(*) AS n_vertices,
+        |  CAST(sum(degree) / 2 AS BIGINT) AS n_edges,
+        |  CAST(sum(n_triangles) / 3 AS BIGINT) AS n_triangles,
+        |  round(avg(clustering), 4) AS mean_clustering
+        |FROM pervertex""".stripMargin,
     "q_in_degrees" ->
       """SELECT l_partkey AS id, count(*) AS inDegree
         |FROM lineitem GROUP BY 1 ORDER BY id""".stripMargin,

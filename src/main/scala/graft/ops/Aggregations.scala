@@ -268,7 +268,7 @@ object Aggregations {
     val decile = (1 to 9).foldLeft(lit(1L)) { (acc, k) =>
       acc + when(col("quality_score") > element_at(col("cuts"), k), 1L).otherwise(0L)
     }
-    scored.join(broadcast(cuts))
+    scored.crossJoin(broadcast(cuts))
       .withColumn("decile", decile)
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),

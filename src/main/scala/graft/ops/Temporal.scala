@@ -228,4 +228,98 @@ object Temporal {
         round(col("n_users") / greatest(col("n1"), lit(1L)), 4).as("conversion"))
       .orderBy(col("step"))
   }
+
+  /** Exponentially time-decayed popularity per event type — the standard
+    * recency-weighted ranking (each event contributes 0.5^(age/halfLife),
+    * age measured back from the corpus's latest event so the report is a
+    * pure function of the data, not of wall-clock at run time).
+    *
+    * Scale shape: one max(ts) aggregate broadcast back over the scan (the
+    * decile-cuts pattern), then one map-side weight expression and one
+    * hash aggregate — two shuffles total at any corpus size, no window.
+    * The weighted sum follows the float-agg oracle rule: ages are exact
+    * integers (microseconds), pow is evaluated per row identically in both
+    * engines, and the Σ of ≤1.0 terms is rounded to 4 decimals so partial
+    * aggregation order cannot move the report. */
+  def decayedPopularity(events: DataFrame, halfLifeDays: Double = 7.0): DataFrame = {
+    val mx = events.agg(max(unix_micros(col("ts"))).as("max_us"))
+    events
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .crossJoin(broadcast(mx))
+      .select(col("event_type"),
+        pow(lit(0.5),
+          (col("max_us") - col("us")).cast("double")
+            / lit(86400e6 * halfLifeDays)).as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("w")), 4).as("decayed_score"))
+      .orderBy(col("decayed_score").desc, col("event_type"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * counts of (event, next event) over each user's timeline and the
+    * row-normalized transition probability P(next|cur) — the standard
+    * behavioral model behind "what do users do after X" and the input to
+    * next-event prediction baselines. Sequence order is (ts, event_id) —
+    * the event-id tiebreak makes simultaneous events deterministic, so the
+    * report is reproducible cross-engine.
+    *
+    * Scale shape: ONE window lead per user (the sessionization shuffle,
+    * keyed on user_id), then a (|types|²)-sized aggregate joined against
+    * its broadcast row totals — after the lead, nothing is
+    * event-cardinality. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs.groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("row_total"))
+    counts.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("next_type"), col("n"),
+        round(col("n") / col("row_total"), 4).as("p"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  /** Hourly volume anomalies per event type: z-score of each hour's event
+    * count against the trailing 24 OBSERVED hours (row frame, not a range
+    * frame — gap hours simply don't exist in an event log; the trailing
+    * window is "the last day we actually saw", which is what an on-call
+    * alert compares against). Hours with fewer than `minTrailing` prior
+    * observations emit a null z (warm-up, no verdict); `is_anomaly` flags
+    * |z| ≥ 3 on the ROUNDED mean/stddev (the qualityScores boundary rule:
+    * the verdict is recomputable from the published columns).
+    *
+    * Scale shape: the raw log collapses to (type × hour) rows in one hash
+    * aggregate — the window then runs over that tiny frame, partitioned by
+    * event type, so the sort is per-type and never sees event-cardinality
+    * data. At 100 TB the aggregate is the only full-data pass. */
+  def hourlyAnomalies(events: DataFrame, minTrailing: Int = 6): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    val scored = hourly
+      .withColumn("n_trailing", count(col("n_events")).over(w))
+      .withColumn("mean24", round(avg(col("n_events")).over(w), 4))
+      // stddev_samp over ONE row is NaN in Spark but NULL in DuckDB /
+      // ANSI; publish the well-defined region only (≥2 observations)
+      .withColumn("std24",
+        when(count(col("n_events")).over(w) >= 2,
+          round(stddev_samp(col("n_events")).over(w), 4)))
+    scored
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("n_trailing"), col("mean24"), col("std24"),
+        when(col("n_trailing") >= minTrailing && col("std24") > 0.0,
+          round((col("n_events") - col("mean24")) / col("std24"), 4))
+          .as("z_score"))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z_score")) >= 3.0, lit(false)))
+      .orderBy(col("event_type"), col("hour"))
+  }
 }

@@ -569,4 +569,128 @@ object TextAnalysis {
       regexp_replace(regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
         UrlPattern, "<URL>").as("scrubbed"))
       .orderBy(col("doc_id"))
+
+  /** The Gopher rule battery (Rae et al. 2021 §A.1.1, the published
+    * heuristic filter every large pre-training pipeline since has copied):
+    * per-document structural metrics plus one boolean per rule plus the
+    * conjunction verdict. Thresholds are the paper's; the "required word"
+    * list is this engine's canonical [[Stopwords]] (the paper's 8-word
+    * English list, adapted — documented deviation, same ≥2-distinct-hits
+    * contract). Rules gate on the ROUNDED metrics (the [[qualityScores]]
+    * precedent: a full-precision ratio sitting on a threshold boundary
+    * rounds differently across engines; gating on the published 4-decimal
+    * value makes the verdict recomputable from the report itself).
+    *
+    * Scale shape: pure map-side projection — one codegen'd scan, no
+    * shuffle, no HOF lambdas in the hot path (counts are regex scans, the
+    * distinct-stopword count is one array_intersect over the token array).
+    * At 100 TB this is the cheapest full-corpus pass there is, which is
+    * why it runs FIRST in a filter cascade: every doc it rejects never
+    * reaches MinHash or an embedding model. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val txt = lower(col("text"))
+    val nWords = regexp_count(txt, lit("\\S+")).cast("bigint")
+    val nWordsD = greatest(nWords, lit(1L)).cast("double")
+    // Σ token lengths == non-whitespace char count (tokens are exactly the
+    // maximal non-whitespace runs) — no per-element array fold needed
+    val meanLen = round(
+      length(regexp_replace(txt, "\\s", "")).cast("double") / nWordsD, 4)
+    // Gopher's "symbols": hash marks and ellipses, counted per word
+    val nHash = length(txt) - length(regexp_replace(txt, "#", ""))
+    // the two ellipsis forms count separately: '...' removes 3 chars per
+    // hit, '…' removes 1
+    val nEll3 = (length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / lit(3)
+    val nEll1 = length(txt) - length(regexp_replace(txt, "…", ""))
+    val symbolRatio = round((nHash + nEll3 + nEll1).cast("double") / nWordsD, 4)
+    val lines = split(col("text"), "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = round(
+      regexp_count(col("text"), lit("(?m)^\\s*[-*•‣▪]")).cast("double")
+        / nLines, 4)
+    val ellipsisLineFrac = round(
+      regexp_count(col("text"), lit("(?m)(\\.\\.\\.|…)[ \\t]*$")).cast("double")
+        / nLines, 4)
+    // fraction of words containing at least one letter: same
+    // boundary-anchored single-scan shape as tokenMatchCount
+    val alphaFrac = round(
+      regexp_count(txt, lit("(^|\\s)[^\\s]*[a-z][^\\s]*(?=\\s|$)")).cast("double")
+        / nWordsD, 4)
+    val stopHits = size(array_intersect(
+      array_distinct(tokens(col("text"))),
+      typedLit(Stopwords))).cast("bigint")
+    val rWords = nWords.between(GopherMinWords, GopherMaxWords)
+    val rMeanLen = meanLen.between(3.0, 10.0)
+    val rSymbol = symbolRatio <= 0.1
+    val rBullet = bulletFrac <= 0.9
+    val rEllipsis = ellipsisLineFrac <= 0.3
+    val rAlpha = alphaFrac >= 0.8
+    val rStop = stopHits >= 2L
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisLineFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+      stopHits.as("n_stopwords"),
+      rWords.as("ok_words"), rMeanLen.as("ok_mean_len"), rSymbol.as("ok_symbols"),
+      rBullet.as("ok_bullets"), rEllipsis.as("ok_ellipsis"),
+      rAlpha.as("ok_alpha"), rStop.as("ok_stopwords"),
+      (rWords && rMeanLen && rSymbol && rBullet && rEllipsis && rAlpha && rStop)
+        .as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995 /
+    * Chen & Goodman 1998 — the standard n-gram LM smoothing, and the exact
+    * statistic a KenLM-style corpus-quality scorer trains on):
+    *
+    *   P(w2|w1) = max(c(w1w2)−d, 0)/c(w1·) + d·N1+(w1·)/c(w1·) · Pcont(w2)
+    *   Pcont(w2) = N1+(·w2) / N1+(··)
+    *
+    * with c over within-document adjacent token pairs (no cross-doc
+    * bigrams) and N1+ the distinct-continuation counts — the insight that
+    * "Francisco" is frequent but only ever follows "San" lives entirely in
+    * Pcont. Emits the top-k bigrams by count with their smoothed
+    * probability; every input to the formula is an exact integer count, so
+    * the rounded p_kn is engine-portable (the oracle recomputes the same
+    * counts and applies the formula in the same operation order).
+    *
+    * Scale shape: the [[collocations]] token tier (one window lead per
+    * doc), then three hash aggregates (bigram counts, forward
+    * continuations, backward continuations) — all map-side-combined; the
+    * continuation tables join back vocabulary-sized (broadcast), never
+    * corpus-sized. */
+  def kneserNeyBigrams(documents: DataFrame, discount: Double = 0.75,
+                       k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")))
+      .withColumnsRenamed(Map("col" -> "w1"))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"))
+      .pinTier // three aggregates read the pair tier
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")).pinTier
+    // forward: c(w1·) as a prefix total, N1+(w1·) distinct continuations
+    val fwd = bi.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c_w1"), count(lit(1)).as("n1_fwd"))
+    // backward: N1+(·w2) distinct predecessors; N1+(··) total bigram types
+    val bwd = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1_bwd"))
+    val types = bi.agg(count(lit(1)).cast("double").as("n1_all"))
+    bi
+      .join(broadcast(fwd), Seq("w1"))
+      .join(broadcast(bwd), Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c"),
+        round(
+          greatest(col("c") - lit(discount), lit(0.0)) / col("c_w1")
+            + lit(discount) * col("n1_fwd") / col("c_w1")
+              * (col("n1_bwd") / col("n1_all")), 4).as("p_kn"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

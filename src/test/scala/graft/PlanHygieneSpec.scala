@@ -183,7 +183,8 @@ class PlanHygieneSpec extends SparkSpec {
     val excluded = Set(
       "q_ann_brute", "q_cosine_near_dups", // documented non-equi oracles
       "q_als_recommend", "q_ann_ivf",      // ML training at construction
-      "q_pagerank_parts", "q_pagerank_filtered") // fixpoint at construction
+      "q_pagerank_parts", "q_pagerank_filtered",
+      "q_hits_parts")                            // fixpoint at construction
     SparkEntry.queries.keys.filterNot(excluded).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")

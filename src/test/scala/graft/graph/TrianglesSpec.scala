@@ -1,0 +1,49 @@
+package graft.graph
+
+import graft.SparkSpec
+
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vertexTriangles: hand-built graph — counts, coefficients, degree-1 convention") {
+    // K3 {1,2,3} plus a pendant 4-1 plus an open wedge 5-6, 6-7.
+    // Edges arrive directed/duplicated/self-looped to exercise undirect().
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (4L, 1L), (5L, 6L), (6L, 7L), (6L, 7L))
+      .toDF("src", "dst")
+    val got = Triangles.vertexTriangles(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // vertex 1: degree 3 (2,3,4), one triangle, C = 2*1/(3*2) = 0.3333
+    assert(got(1L) == ((3L, 1L, 0.3333)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((2L, 1L, 1.0)))
+    // pendant: degree 1 -> zero triangles, coefficient 0 by convention
+    assert(got(4L) == ((1L, 0L, 0.0)))
+    // open wedge: center 6 has degree 2 but no closing edge
+    assert(got(6L) == ((2L, 0L, 0.0)))
+    assert(got(5L) == ((1L, 0L, 0.0)) && got(7L) == ((1L, 0L, 0.0)))
+  }
+
+  test("globalTriangleStats: K4 has 4 triangles, clustering 1 everywhere") {
+    val k4 = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)).toDF("src", "dst")
+    val r = Triangles.globalTriangleStats(k4).head()
+    assert(r.getLong(0) == 4L)      // vertices
+    assert(r.getLong(1) == 6L)      // edges
+    assert(r.getLong(2) == 4L)      // triangles: C(4,3)
+    assert(r.getDouble(3) == 1.0)   // every neighborhood is complete
+  }
+
+  test("degree orientation enumerates each triangle exactly once under skew") {
+    // a hub h connected to 1..10, with spokes i-(i+1) forming triangles
+    // (h, i, i+1) for i in 1..9 — the skewed shape id-orientation handles
+    // badly and degree-orientation was built for
+    val hub = (1L to 10L).map(i => (100L, i))
+    val ring = (1L to 9L).map(i => (i, i + 1))
+    val got = Triangles.globalTriangleStats((hub ++ ring).toDF("src", "dst")).head()
+    assert(got.getLong(2) == 9L, s"expected 9 hub triangles, got $got")
+  }
+}

@@ -487,4 +487,66 @@ class Round3OpsSpec extends SparkSpec {
       .as[(String, Long, Double, Long)].collect().toSeq
     assert(t == Seq(("big", 80L, 0.833, 80L), ("small", 20L, 1.0, 20L)), s"got $t")
   }
+
+  test("decayedPopularity: exact half-life weights, anchored at corpus max ts") {
+    import java.sql.Timestamp
+    // max ts is the purchase; the view sits exactly 7 days (one half-life)
+    // earlier -> weight 0.5; the click exactly 14 days earlier -> 0.25
+    val ev = Seq(
+      (1L, "purchase", Timestamp.valueOf("2024-01-15 00:00:00")),
+      (2L, "view", Timestamp.valueOf("2024-01-08 00:00:00")),
+      (3L, "view", Timestamp.valueOf("2024-01-15 00:00:00")),
+      (4L, "click", Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Temporal.decayedPopularity(ev, halfLifeDays = 7.0)
+      .as[(String, Long, Double)].collect().toSeq
+    // view: 0.5 + 1.0 = 1.5; purchase: 1.0 (age 0); click: 0.25
+    assert(got == Seq(("view", 2L, 1.5), ("purchase", 1L, 1.0),
+      ("click", 1L, 0.25)), s"got $got")
+  }
+
+  test("eventTransitions: per-user sequences, id tiebreak, row-normalized probabilities") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1: A->B->A; u2: lone event (no pair); u3: simultaneous ts, event_id
+    // order decides C->D (not D->C)
+    val ev = Seq(
+      (1L, 1L, "A", ts(1)), (2L, 1L, "B", ts(2)), (3L, 1L, "A", ts(3)),
+      (4L, 2L, "A", ts(1)),
+      (11L, 3L, "C", ts(5)), (12L, 3L, "D", ts(5)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Temporal.eventTransitions(ev)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", "B", 1L, 1.0), ("B", "A", 1L, 1.0),
+      ("C", "D", 1L, 1.0)), s"got $got")
+  }
+
+  test("hourlyAnomalies: warm-up nulls, flat-baseline spike flagged, frame excludes self") {
+    import java.sql.Timestamp
+    // 30 hours of exactly 2 events, then one spike hour with 12: trailing
+    // mean stays 2, stddev 0 -> no verdict until the spike enters a frame
+    // WITH variance; instead plant a baseline alternating 1/3 so stddev>0
+    def hr(h: Int) = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(h.toLong))
+    val base = (0 until 30).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 3
+      (0 until n).map(i => (i.toLong, "view", hr(h)))
+    }
+    val spike = (0 until 12).map(i => (100L + i, "view", hr(30)))
+    val ev = (base ++ spike).toDF("user_id", "event_type", "ts")
+    val got = Temporal.hourlyAnomalies(ev, minTrailing = 6).collect()
+    assert(got.length == 31)
+    // first 6 hours: fewer than minTrailing observations -> null z
+    got.take(6).foreach(r => assert(r.isNullAt(r.fieldIndex("z_score"))))
+    val last = got.last
+    // spike hour: trailing 24 observed hours alternate 1/3 -> mean 2,
+    // stddev_samp ~1.0215; z = (12-2)/std ~ 9.79 -> anomaly
+    assert(last.getLong(last.fieldIndex("n_events")) == 12L)
+    assert(last.getBoolean(last.fieldIndex("is_anomaly")),
+      s"spike not flagged: $last")
+    assert(last.getDouble(last.fieldIndex("z_score")) > 3.0)
+    // a mid-series baseline hour is NOT flagged
+    val mid = got(20)
+    assert(!mid.getBoolean(mid.fieldIndex("is_anomaly")), s"false positive: $mid")
+  }
 }

@@ -15,6 +15,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("avg_token_len")) == 4.5)
   }
 
+  test("gopherRules: each rule trips on its crafted violator; clean doc passes") {
+    val fifty = ("the and " + Seq.tabulate(48)(i => s"word$i").mkString(" "))
+    val d = Seq(
+      (1L, fifty),                             // 50 words, 2 stopwords: pass
+      (2L, "the and short text here"),         // <50 words
+      (3L, ("ab " * 25) + ("#a " * 24) + "x"), // symbol-heavy: #/word > 0.1
+      (4L, Seq.tabulate(50)(_ => "12345").mkString(" ")), // no letters
+      (5L, (1 to 10).map(i => s"- bullet $i").mkString("\n")), // all bullets
+      (6L, (1 to 10).map(i => s"line $i...").mkString("\n"))) // ellipsis ends
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ok = got(1L)
+    assert(ok.getLong(ok.fieldIndex("n_words")) == 50L)
+    assert(ok.getLong(ok.fieldIndex("n_stopwords")) == 2L)
+    assert(ok.getBoolean(ok.fieldIndex("pass")), s"clean doc failed: $ok")
+    assert(!got(2L).getBoolean(got(2L).fieldIndex("ok_words")))
+    assert(!got(3L).getBoolean(got(3L).fieldIndex("ok_symbols")))
+    assert(!got(4L).getBoolean(got(4L).fieldIndex("ok_alpha")))
+    assert(!got(5L).getBoolean(got(5L).fieldIndex("ok_bullets")))
+    assert(!got(6L).getBoolean(got(6L).fieldIndex("ok_ellipsis")))
+    assert(Seq(2L, 3L, 4L, 5L, 6L)
+      .forall(i => !got(i).getBoolean(got(i).fieldIndex("pass"))))
+    // metric spot-checks: doc 5 bullet fraction is exactly 1.0; doc 6's
+    // ellipsis-line fraction 1.0; doc 4 mean word length 5.0
+    assert(got(5L).getDouble(got(5L).fieldIndex("bullet_frac")) == 1.0)
+    assert(got(6L).getDouble(got(6L).fieldIndex("ellipsis_line_frac")) == 1.0)
+    assert(got(4L).getDouble(got(4L).fieldIndex("mean_word_len")) == 5.0)
+  }
+
+  test("kneserNeyBigrams: hand-computed smoothed probabilities, no cross-doc pairs") {
+    // "a b a b a c": c(ab)=2, c(ba)=2, c(ac)=1; c(a·)=3, N1+(a·)=2;
+    // c(b·)=2, N1+(b·)=1; N1+(·a)=1, N1+(·b)=1, N1+(·c)=1; N1+(··)=3
+    val d = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyBigrams(d)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // P(b|a) = 1.25/3 + .75*2/3*(1/3) = .5833; P(a|b) = .625+.125 = .75;
+    // P(c|a) = .25/3 + .1667 = .25
+    assert(got == Seq(("a", "b", 2L, 0.5833), ("b", "a", 2L, 0.75),
+      ("a", "c", 1L, 0.25)), s"got $got")
+    // two docs never produce a bigram across the boundary
+    val two = Seq((1L, "x y"), (2L, "z w")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.kneserNeyBigrams(two)
+      .select("w1", "w2").as[(String, String)].collect().toSet
+    assert(pairs == Set("x" -> "y", "z" -> "w"), s"got $pairs")
+  }
+
   test("languageId: marker words win; no markers -> und") {
     val d = Seq(
       (1L, "the cat is on the mat"),
