@@ -389,6 +389,10 @@ object SparkEntry {
     "q_vocab_approx" -> ((s, d) => TextAnalysis.vocabularyApproxAudit(
       Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.topTermsTfIdf(Tables.documents(s, d))),
+    // first BPE merge table: vocab-weighted adjacent symbol-pair counts
+    "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeFirstMerges(Tables.documents(s, d))),
+    // chi-square most-indicative vocabulary per source
+    "q_source_terms" -> ((s, d) => TextAnalysis.sourceIndicativeTerms(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "q_chunks" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "q_pack_index" -> ((s, d) => TextAnalysis.packDocuments(Tables.documents(s, d))),
@@ -402,6 +406,16 @@ object SparkEntry {
     "q_clean_corpus" -> ((s, d) => graft.jobs.CleanCorpus.stages(Tables.documents(s, d))),
     // ---- dedup (north-star) ----
     "q_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    // prefix-blocked Levenshtein tier over the corpus plus deterministic
+    // 2-edit clones (the fixture has no natural byte-level near-dups, and
+    // an empty result would gate nothing; the oracle recomputes the same
+    // augmented corpus)
+    "q_edit_neardups" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val clones = docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" x")).as("text"))
+      Dedup.editDistancePairs(docs.unionByName(clones))
+    }),
     // headline funnel gate — rides dupClusters' default, which is the
     // round-bounded star contraction since r5 (the min-label fixpoint's
     // barrier-count made it 6.4x slower under driver-box contention while
@@ -1379,6 +1393,48 @@ object SparkEntry {
         |    AS p_kn
         |FROM bi JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN types
         |ORDER BY c DESC, w1, w2 LIMIT 100""".stripMargin,
+    // BPE first merges: same vocab-weighted pair counting, substring
+    // semantics identical across engines
+    "q_bpe_merges" ->
+      """WITH vocab AS (
+        |  SELECT w AS word, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS w
+        |    FROM documents) GROUP BY 1),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(word)),
+        |           i -> substring(word, i, 2))) AS pair, freq
+        |  FROM vocab WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // chi-square indicative terms: identical contingency arithmetic with
+    // the denominator in DOUBLE from the first factor on; ranked by the
+    // rounded statistic in both engines
+    "q_source_terms" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, source, unnest(list_distinct(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS term
+        |  FROM documents),
+        |bysrc AS (SELECT source, term, count(*) AS n11 FROM dt GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM dt GROUP BY 1 HAVING count(*) >= 5),
+        |srcs AS (SELECT source, count(*) AS srcN FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT source, term, n11,
+        |    round(n * pow(n11 * (n - df - (srcN - n11))
+        |                  - (df - n11) * (srcN - n11), 2.0)
+        |      / (CAST(n11 + (df - n11) AS DOUBLE)
+        |         * ((srcN - n11) + (n - df - (srcN - n11)))
+        |         * (n11 + (srcN - n11))
+        |         * ((df - n11) + (n - df - (srcN - n11)))), 4) AS chi2
+        |  FROM bysrc JOIN df USING (term) JOIN srcs USING (source) CROSS JOIN tot
+        |  WHERE n11 * n > df * srcN),
+        |ranked AS (
+        |  SELECT source, row_number() OVER (PARTITION BY source
+        |      ORDER BY chi2 DESC, term) AS rnk, term, n11, chi2
+        |  FROM scored)
+        |SELECT source, rnk, term, n11, chi2 FROM ranked
+        |WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
     "q_langid" ->
       """SELECT doc_id,
         |  CASE WHEN m = 0 THEN 'und'
@@ -1525,6 +1581,23 @@ object SparkEntry {
         |UNION ALL SELECT 'b_quality', count(*) FROM q
         |UNION ALL SELECT 'c_exact_dedup', count(*) FROM e
         |ORDER BY stage""".stripMargin,
+    // edit-distance tier over corpus + deterministic 2-edit clones; same
+    // prefix block, hot-prefix cap, length pre-filter, and verification
+    "q_edit_neardups" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' x' FROM documents),
+        |n AS (SELECT doc_id, lower(text) AS t,
+        |        substring(lower(text), 1, 12) AS pfx FROM base),
+        |hot AS (SELECT pfx FROM n GROUP BY 1 HAVING count(*) > 500),
+        |tier AS (SELECT * FROM n WHERE pfx NOT IN (SELECT pfx FROM hot))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+        |FROM tier a JOIN tier b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        |WHERE abs(length(a.t) - length(b.t)) <= 2
+        |  AND levenshtein(a.t, b.t) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_exact_dedup" ->
       """SELECT substr(md5(array_to_string(
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')), 1, 16) AS fp,

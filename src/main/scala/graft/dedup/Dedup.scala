@@ -729,4 +729,48 @@ object Dedup {
         (col("n_hits").cast("double") / col("n_exact") >= lit(minRecall))
           .as("recall_ok"))
   }
+
+  /** Edit-distance near-dup tier: exact Levenshtein over PREFIX-BLOCKED
+    * candidates — the classic record-linkage blocking scheme. Documents
+    * sharing their first `prefixLen` normalized characters meet in one
+    * equi-join bucket; each candidate pair is verified with the real edit
+    * distance and kept at `dist ≤ maxDist`. This tier catches the
+    * byte-level mutation class (typo farms, OCR re-scans, template fills
+    * with short substitutions) that token-shingle Jaccard under-weights,
+    * and deliberately MISSES prefix-divergent edits — recall for those is
+    * the MinHash path's contract, same division of labor as the
+    * simhash/winnow tiers.
+    *
+    * Scale shape: the join key is the prefix, so candidate cost is
+    * Σ bucket² — bounded by the same stop-key rule as the shingle tiers:
+    * a prefix shared by more than `maxBucket` documents is boilerplate
+    * (every "<!DOCTYPE html>…" page on the web), carries no edit-distance
+    * signal, and is dropped from the TIER (documented semantics, mirrored
+    * in the oracle — [[DefaultMaxShingleDocFreq]] precedent). Levenshtein
+    * itself is O(len²) per pair — at corpus scale, cap candidate text
+    * length upstream (chunk or fingerprint first); the operator verifies
+    * pairs, it does not promise sub-quadratic string compare. */
+  def editDistancePairs(documents: DataFrame, maxDist: Int = 2,
+                        prefixLen: Int = 12,
+                        maxBucket: Int = 500): DataFrame = {
+    val norm = documents.select(col("doc_id"),
+      lower(col("text")).as("t"),
+      substring(lower(col("text")), 1, prefixLen).as("pfx"))
+    val hot = norm.groupBy(col("pfx"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select(col("pfx"))
+    val tier = norm.join(hot, Seq("pfx"), "left_anti")
+    val a = tier.select(col("pfx"), col("doc_id").as("doc_a"), col("t").as("ta"))
+    val b = tier.select(col("pfx"), col("doc_id").as("doc_b"), col("t").as("tb"))
+    a.join(b, Seq("pfx"))
+      .filter(col("doc_a") < col("doc_b"))
+      // cheap length pre-filter: |len(a) - len(b)| is an edit-distance
+      // lower bound, so the O(len²) DP never runs on hopeless pairs
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

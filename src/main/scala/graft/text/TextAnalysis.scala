@@ -693,4 +693,82 @@ object TextAnalysis {
       .orderBy(col("c").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** The first BPE merge table (Sennrich et al. 2016): adjacent symbol-pair
+    * frequencies over the pre-tokenized vocabulary — the statistic the
+    * first merge step of byte-pair tokenizer training maximizes, and the
+    * first thing to inspect when choosing a tokenizer for a corpus.
+    *
+    * Scale shape — the actual BPE training trick: the corpus collapses to
+    * its VOCABULARY first (one corpus-sized hash aggregate), and the
+    * character-pair explosion runs over distinct words weighted by their
+    * frequency — vocabulary-sized, thousands of times smaller than the
+    * token stream at 100 TB. The per-word pair enumeration is an
+    * interpreted `transform` HOF, acceptable exactly because it runs over
+    * the vocab tier, not the corpus (the rule the regex rewrites in
+    * [[qualityScores]]/[[tokenMatchCount]] exist to enforce on
+    * corpus-sized paths). A pair occurring twice inside one word counts
+    * twice — BPE counting, mirrored in the oracle. */
+  def bpeFirstMerges(documents: DataFrame, k: Int = 50): DataFrame = {
+    val vocab = documents
+      .select(explode(bpeTokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    vocab
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** χ²-most-indicative terms per source — the classic feature-selection
+    * statistic (Manning/Schütze IR ch.13) behind "what vocabulary makes
+    * this crawl source different", and the features a domain classifier
+    * for source-mixture curation trains on. 2×2 contingency per
+    * (source, term) over DOCUMENT presence (not token counts):
+    * χ² = N·(n11·n00 − n10·n01)² / ((n11+n10)(n01+n00)(n11+n01)(n10+n00)),
+    * positive associations only (n11·N > df·source-size, exact integer
+    * cross-multiplication — no ratio rounding in the filter), top-k per
+    * source ranked by the ROUNDED χ² with a term tiebreak (ranking on the
+    * published value keeps the k-boundary engine-portable).
+    *
+    * Scale shape: one distinct doc-term tier (the TF-IDF shuffle), then
+    * every joined side is vocabulary- or source-cardinality and
+    * broadcast; the denominator is computed in double from the first
+    * factor on (at corpus scale the integer product overflows ~N⁴). */
+  def sourceIndicativeTerms(documents: DataFrame, k: Int = 10,
+                            minDf: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docTerms = documents
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    val bySrc = docTerms.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n11"))
+    val df = docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val srcSizes = documents.groupBy(col("source")).agg(count(lit(1)).as("srcN"))
+    val total = documents.agg(count(lit(1)).as("n"))
+    val scored = bySrc
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(srcSizes), Seq("source"))
+      .crossJoin(broadcast(total))
+      .filter(col("n11") * col("n") > col("df") * col("srcN"))
+      .withColumn("n10", col("df") - col("n11"))
+      .withColumn("n01", col("srcN") - col("n11"))
+      .withColumn("n00", col("n") - col("df") - col("n01"))
+      .withColumn("chi2", round(
+        col("n") * pow(col("n11") * col("n00") - col("n10") * col("n01"), 2.0)
+          / ((col("n11") + col("n10")).cast("double") * (col("n01") + col("n00"))
+            * (col("n11") + col("n01")) * (col("n10") + col("n00"))), 4))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("chi2").desc, col("term"))))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk").cast("bigint").as("rnk"),
+        col("term"), col("n11"), col("chi2"))
+      .orderBy(col("source"), col("rnk"))
+  }
 }

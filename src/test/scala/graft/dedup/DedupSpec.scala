@@ -257,4 +257,21 @@ class DedupSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(got == Seq(("crawl", "mirror", 1L, 1.0)), s"got $got")
   }
+
+  test("editDistancePairs: prefix-blocked typo pairs in, prefix-divergent and far pairs out") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "the quick brown fox jumps over the dgo"),   // 2 edits (swap)
+      (3L, "the quick brown cat sits under a tree now"),// same prefix, far
+      (4L, "quick brown fox jumps over the dog"),       // prefix-divergent
+      (5L, "the quick brown fox jumps over the dog"))   // exact dup of 1
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(d)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2), (1L, 5L, 0), (2L, 5L, 2)), s"got $got")
+    // the hot-prefix cap drops boilerplate buckets entirely
+    val boiler = (1L to 6L).map(i => (i, s"same prefix here doc$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(boiler, maxBucket = 5).count() == 0L)
+  }
 }

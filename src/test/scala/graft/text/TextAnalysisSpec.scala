@@ -62,6 +62,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pairs == Set("x" -> "y", "z" -> "w"), s"got $pairs")
   }
 
+  test("bpeFirstMerges: vocab-weighted pair counts, in-word repeats count twice") {
+    // "abab" (freq 2) contributes ab:2, ba:1 per occurrence -> ab:4, ba:2;
+    // "cd" (freq 3) -> cd:3; single-char words contribute nothing
+    val d = Seq((1L, "abab cd a"), (2L, "abab cd cd a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeFirstMerges(d)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq("ab" -> 4L, "cd" -> 3L, "ba" -> 2L), s"got $got")
+  }
+
+  test("sourceIndicativeTerms: planted source-exclusive term tops its source") {
+    // "zebra" appears in every srcA doc and no srcB doc; "common" everywhere
+    val d = (1L to 10L).map(i => (i, "common zebra filler", "srcA")) ++
+      (11L to 20L).map(i => (i, "common other filler", "srcB"))
+    val docs = d.toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceIndicativeTerms(docs, k = 3, minDf = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // perfectly discriminative terms rank first for their source; the
+    // ubiquitous "common"/"filler" never appear (zero chi2, filtered by
+    // the positive-association test)
+    assert(got.contains(("srcA", 1L, "zebra")), s"got ${got.toSeq}")
+    assert(got.contains(("srcB", 1L, "other")), s"got ${got.toSeq}")
+    assert(!got.exists(_._3 == "common"), s"got ${got.toSeq}")
+  }
+
   test("languageId: marker words win; no markers -> und") {
     val d = Seq(
       (1L, "the cat is on the mat"),
