@@ -123,7 +123,14 @@ object Stress {
     "q_funnel", "q_retention", "q_activity",
     // map-side shapes that must trend flat: hash split, centroid
     // aggregate, scalar-quantization coding
-    "q_split_report", "q_label_centroids", "q_sq_codes")
+    "q_split_report", "q_label_centroids", "q_sq_codes",
+    // round 9: the graph fixpoints/wedge joins (disjoint copies -> must
+    // trend ~linear), the prefix-blocked edit tier (clone families share
+    // buckets; the length band kills cross-copy DPs), and the new
+    // aggregate/window text + event shapes
+    "q_triangles", "q_hits_parts", "q_edit_neardups", "q_kn_bigrams",
+    "q_bpe_merges", "q_gopher_rules", "q_source_terms", "q_transitions",
+    "q_decayed_popularity", "q_hourly_anomalies")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -93,7 +93,9 @@ object Triangles {
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
     deg
-      .join(perVertex, Seq("id"), "left")
+      // same unknown-stats story as above: both sides are vertex-sized,
+      // and without the hint the planner sort-merges two tiny tables
+      .join(mb(perVertex, bcastDeg), Seq("id"), "left")
       .select(col("id"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn("clustering",

@@ -164,7 +164,61 @@ class GoldenPlanSpec extends SparkSpec {
     "q_api_counts" -> Golden(
       required = Seq("partial_count"),
       forbidden = Seq("Join", "CartesianProduct"),
-      maxExchanges = Some(1)))
+      maxExchanges = Some(1)),
+    // ---- round 9 ----
+    // Gopher battery: a pure map-side projection — the ONLY exchange is
+    // the report ordering; any aggregate or join here is a regression
+    "q_gopher_rules" -> Golden(
+      forbidden = Seq("Join", "CartesianProduct", "HashAggregate"),
+      maxExchanges = Some(1)),
+    // KN bigrams: continuation tables broadcast; one-row type total rides
+    // a nested loop; top-K stays TakeOrdered
+    // (the lead window lives inside the pinned pair tier — the returned
+    // plan reads the ExistingRDD scan, so Window is not pinnable here)
+    "q_kn_bigrams" -> Golden(
+      required = Seq("partial_count", "TakeOrderedAndProject", "Scan ExistingRDD"),
+      forbidden = Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // BPE merges: two agg pairs (vocab, pairs) + top-K, never a join
+    "q_bpe_merges" -> Golden(
+      required = Seq("partial_sum", "partial_count", "TakeOrderedAndProject"),
+      forbidden = Seq("Join", "CartesianProduct")),
+    // chi-square terms: the per-source top-k must push into
+    // WindowGroupLimit; dims broadcast
+    "q_source_terms" -> Golden(
+      required = Seq("partial_count", "WindowGroupLimit", "BroadcastHashJoin"),
+      forbidden = Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // transitions: ONE window pass over user timelines + |types|²-sized
+    // aggregate with broadcast row totals — an event self-join here would
+    // be the quadratic mistake
+    "q_transitions" -> Golden(
+      required = Seq("Window", "partial_count", "BroadcastHashJoin"),
+      forbidden = Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // decayed popularity: max-ts arrives as a one-row broadcast; shuffles
+    // are exactly (max agg, type agg, ordering)
+    "q_decayed_popularity" -> Golden(
+      required = Seq("partial_sum", "BroadcastNestedLoopJoin"),
+      forbidden = Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"),
+      maxExchanges = Some(3)),
+    // hourly anomalies: hour aggregate -> per-type window -> ordering;
+    // nothing event-cardinality after the first aggregate, no joins
+    "q_hourly_anomalies" -> Golden(
+      required = Seq("Window", "partial_count"),
+      forbidden = Seq("Join", "CartesianProduct"),
+      maxExchanges = Some(3)),
+    // edit-distance tier: the plan DOWNSTREAM of the pinned candidate
+    // tier — the Levenshtein projection must sit on the ExistingRDD scan
+    // with NO join below it (a join reappearing here means the optimizer
+    // pulled the DP back into the candidate join, the exact regression
+    // the pin exists to prevent)
+    "q_edit_neardups" -> Golden(
+      required = Seq("levenshtein", "Scan ExistingRDD"),
+      forbidden = Seq("Join", "CartesianProduct")),
+    // triangles: wedge generation + closure check are broadcast equi
+    // joins at this scale; corner credit is an exploded map-side-combined
+    // aggregate
+    "q_triangles" -> Golden(
+      required = Seq("BroadcastHashJoin", "LeftSemi", "partial_count"),
+      forbidden = Seq("CartesianProduct", "SortMergeJoin")))
 
   golden.foreach { case (name, g) =>
     test(s"golden plan: $name") {
