@@ -320,6 +320,11 @@ object SparkEntry {
       Edges.partCoOccurrence(Tables.lineitem(s, d)))),
     "q_triangle_stats" -> ((s, d) => graft.graph.Triangles.globalTriangleStats(
       Edges.partCoOccurrence(Tables.lineitem(s, d)))),
+    // fixed-round 80-core peel (k chosen to split the fixture graph;
+    // converges in 6 rounds at sf0.01, the 10-round contract is unrolled
+    // verbatim in the oracle)
+    "q_kcore" -> ((s, d) => graft.graph.Triangles.kCore(
+      Edges.partCoOccurrence(Tables.lineitem(s, d)), k = 80, rounds = 10)),
     // promise-gated: ALS factor values are solver/BLAS-specific, so the
     // gate emits the pipeline's portable contract (subset size, 5 resolved
     // recs per user, train RMSE beats the mean predictor) with the
@@ -784,6 +789,19 @@ object SparkEntry {
       |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
       |    UNION ALL SELECT z FROM tri)
       |  GROUP BY 1)""".stripMargin
+
+  /** The k-core unroll (PageRank precedent): round i keeps the edges whose
+    * BOTH endpoints survived round i−1, then the vertices with ≥ k
+    * surviving edges. Rounds past convergence are no-ops by construction. */
+  private def kCoreIterSql(k: Int, rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM und e
+         |  JOIN s${i - 1} sa ON e.a = sa.id JOIN s${i - 1} sb ON e.b = sb.id),
+         |s$i AS MATERIALIZED (
+         |  SELECT id FROM (SELECT a AS id FROM l$i UNION ALL SELECT b FROM l$i)
+         |  GROUP BY 1 HAVING count(*) >= $k),""".stripMargin
+    }.mkString("\n")
 
   /** Contamination oracle, shared by q_decontaminate (exact semi join) and
     * q_decontaminate_bloom (bloom prefilter + exact verify): the bloom
@@ -2135,6 +2153,29 @@ object SparkEntry {
         |  CAST(sum(n_triangles) / 3 AS BIGINT) AS n_triangles,
         |  round(avg(clustering), 4) AS mean_clustering
         |FROM pervertex""".stripMargin,
+    "q_kcore" ->
+      s"""WITH edges AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |und AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+        |s0 AS MATERIALIZED (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)),
+        |${kCoreIterSql(80, 10)}
+        |lf AS (SELECT e.a, e.b FROM und e
+        |       JOIN s10 sa ON e.a = sa.id JOIN s10 sb ON e.b = sb.id),
+        |cd AS (SELECT id, count(*) AS core_degree FROM (
+        |         SELECT a AS id FROM lf UNION ALL SELECT b FROM lf)
+        |       GROUP BY 1)
+        |SELECT v.id, (s.id IS NOT NULL) AS in_core,
+        |  coalesce(cd.core_degree, 0) AS core_degree
+        |FROM s0 v LEFT JOIN s10 s USING (id) LEFT JOIN cd USING (id)
+        |ORDER BY v.id""".stripMargin,
     "q_in_degrees" ->
       """SELECT l_partkey AS id, count(*) AS inDegree
         |FROM lineitem GROUP BY 1 ORDER BY id""".stripMargin,

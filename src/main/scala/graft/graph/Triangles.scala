@@ -115,4 +115,59 @@ object Triangles {
       (sum(col("degree")) / 2).cast("bigint").as("n_edges"),
       (sum(col("n_triangles")) / 3).cast("bigint").as("n_triangles"),
       round(avg(col("clustering")), 4).as("mean_clustering"))
+
+  /** Fixed-round k-core peel: `rounds` rounds of "drop every vertex whose
+    * degree in the surviving subgraph is < k" over the undirected simple
+    * graph — the standard cohesive-subgraph extractor (a spam/bot cluster
+    * is a dense core; a crawl frontier is shell). Bounded-round BY
+    * CONTRACT, not as an approximation dodge: the round count is part of
+    * the operator semantics so the DuckDB oracle can unroll the identical
+    * peel (the PageRank fixed-iteration precedent) — on graphs that
+    * converge earlier the extra rounds are no-ops (each round's aggregate
+    * over an unchanged survivor set), and the spec pins a long-chain case
+    * where convergence takes multiple rounds. Output: every original
+    * vertex with its final in_core verdict and surviving degree.
+    *
+    * Scale shape: each round is one semi-join of the edge list against the
+    * survivor set plus one degree aggregate — edge-cardinality work per
+    * round with map-side-combined counts; survivor state broadcasts under
+    * the [[StateBroadcast]] budget and the round count is a small fixed
+    * constant. Lineage pinned every other round (the fixpoint rule). */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 10): DataFrame = {
+    val und = undirect(edges).pinTier
+    val nEdges = und.count()
+    val allVerts = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id"))).distinct().pinTier
+    val bcast = StateBroadcast.fits(allVerts, 2L * nEdges, "kcore")
+    def mb(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    var survivors = allVerts
+    for (i <- 1 to rounds) {
+      val live = und
+        .join(mb(survivors.select(col("id").as("a"))), Seq("a"), "leftsemi")
+        .join(mb(survivors.select(col("id").as("b"))), Seq("b"), "leftsemi")
+      val next = live.select(col("a").as("id"))
+        .unionAll(live.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("id"))
+      survivors = if (i % 2 == 0 || i == rounds) next.pinTier else next
+    }
+    val live = und
+      .join(mb(survivors.select(col("id").as("a"))), Seq("a"), "leftsemi")
+      .join(mb(survivors.select(col("id").as("b"))), Seq("b"), "leftsemi")
+    val coreDeg = live.select(col("a").as("id"))
+      .unionAll(live.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+    // in_core is MEMBERSHIP in the final survivor set — distinct from
+    // having surviving edges (an unconverged survivor can hold zero edges
+    // in the final subgraph; the fixed-round contract reports it in-core
+    // with core_degree 0, and the oracle mirrors exactly that)
+    allVerts
+      .join(mb(survivors.withColumn("s", lit(1))), Seq("id"), "left")
+      .join(mb(coreDeg), Seq("id"), "left")
+      .select(col("id"),
+        col("s").isNotNull.as("in_core"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"))
+      .orderBy(col("id"))
+  }
 }

@@ -37,6 +37,23 @@ class TrianglesSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)   // every neighborhood is complete
   }
 
+  test("kCore: clique survives, path peels end-in; fixed-round contract observable") {
+    // triangle {1,2,3} (2-core) plus path 10-11-12-13-14 (peels to nothing)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("src", "dst")
+    val got = Triangles.kCore(edges, k = 2, rounds = 10).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(Seq(1L, 2L, 3L).forall(got(_) == ((true, 2L))), s"got $got")
+    assert(Seq(10L, 11L, 12L, 13L, 14L).forall(got(_) == ((false, 0L))), s"got $got")
+    // ONE round only: the path's interior {11,12,13} survives (their
+    // degree was >= 2 before the ends died) — the documented fixed-round
+    // semantics, with core_degree measured in the SURVIVING subgraph
+    val one = Triangles.kCore(edges, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(one(12L) == ((true, 2L)) && one(11L) == ((true, 1L)) &&
+      one(10L) == ((false, 0L)), s"got $one")
+  }
+
   test("degree orientation enumerates each triangle exactly once under skew") {
     // a hub h connected to 1..10, with spokes i-(i+1) forming triangles
     // (h, i, i+1) for i in 1..9 — the skewed shape id-orientation handles
