@@ -325,6 +325,18 @@ object SparkEntry {
     // verbatim in the oracle)
     "q_kcore" -> ((s, d) => graft.graph.Triangles.kCore(
       Edges.partCoOccurrence(Tables.lineitem(s, d)), k = 80, rounds = 10)),
+    // personalized PageRank from the %100 seed parts (raw seed-affinity
+    // scores, no normalization; oracle unrolls the seeded recurrence)
+    "q_ppr" -> ((s, d) => PageRankOp.personalizedPageRank(
+      Edges.partCoOccurrence(Tables.lineitem(s, d)),
+      Tables.part(s, d).select(col("p_partkey").as("id"))
+        .filter(col("id") % 100 === 0))),
+    // neighborhood-Jaccard link prediction over the STRONG co-occurrence
+    // graph (weight >= 2: repeated co-purchase — filter before the
+    // quadratic wedge step)
+    "q_link_pred" -> ((s, d) => graft.graph.Triangles.neighborJaccard(
+      Edges.partCoOccurrence(Tables.lineitem(s, d))
+        .filter(col("weight") >= 2))),
     // promise-gated: ALS factor values are solver/BLAS-specific, so the
     // gate emits the pipeline's portable contract (subset size, 5 resolved
     // recs per user, train RMSE beats the mean predictor) with the
@@ -789,6 +801,24 @@ object SparkEntry {
       |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
       |    UNION ALL SELECT z FROM tri)
       |  GROUP BY 1)""".stripMargin
+
+  /** The personalized-PageRank unroll: the reset term returns mass to the
+    * seed set only (graph ids are partkeys, so the %100 seed predicate is
+    * applied directly to the vertex id). */
+  private def pprIterSql(edgesRel: String): String =
+    (1 to 10).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT v.id,
+         |    CASE WHEN v.id % 100 = 0 THEN 0.15 ELSE 0.0 END
+         |      + 0.85 * coalesce(c.contrib, 0.0) AS rank
+         |  FROM verts v
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r${i - 1}.rank / d.outdeg) AS contrib
+         |    FROM $edgesRel e JOIN r${i - 1} ON e.src = r${i - 1}.id
+         |    JOIN outdeg d ON e.src = d.id GROUP BY 1
+         |  ) c ON v.id = c.id
+         |),""".stripMargin
+    }.mkString("\n")
 
   /** The k-core unroll (PageRank precedent): round i keeps the edges whose
     * BOTH endpoints survived round i−1, then the vertices with ≥ k
@@ -2176,6 +2206,59 @@ object SparkEntry {
         |  coalesce(cd.core_degree, 0) AS core_degree
         |FROM s0 v LEFT JOIN s10 s USING (id) LEFT JOIN cd USING (id)
         |ORDER BY v.id""".stripMargin,
+    "q_ppr" ->
+      s"""WITH edges AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2
+        |),
+        |verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+        |outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),
+        |r0 AS (SELECT id, CASE WHEN id % 100 = 0
+        |                      THEN CAST(1.0 AS DOUBLE)
+        |                      ELSE CAST(0.0 AS DOUBLE) END AS rank FROM verts),
+        |${pprIterSql("edges")}
+        |top AS (
+        |  SELECT id, round(rank, 6) AS ppr FROM r10
+        |  WHERE round(rank, 6) > 0
+        |  ORDER BY ppr DESC, id LIMIT 100)
+        |SELECT row_number() OVER (ORDER BY ppr DESC, id) AS rank, id, ppr
+        |FROM top ORDER BY rank""".stripMargin,
+    "q_link_pred" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |    GROUP BY 1, 2)
+        |  WHERE w >= 2),
+        |und AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst GROUP BY 1, 2),
+        |deg AS MATERIALIZED (
+        |  SELECT id, count(*) AS degree FROM (
+        |    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |adj AS (
+        |  SELECT u, v FROM (
+        |    SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und)
+        |  WHERE u IN (SELECT id FROM deg WHERE degree <= 1024)),
+        |common AS (
+        |  SELECT x.v, y.v AS w, count(*) AS n_common
+        |  FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v
+        |  GROUP BY 1, 2),
+        |unlinked AS (
+        |  SELECT c.* FROM common c
+        |  LEFT JOIN und ON c.v = und.a AND c.w = und.b
+        |  WHERE und.a IS NULL)
+        |SELECT u.v, u.w, u.n_common,
+        |  round(CAST(u.n_common AS DOUBLE)
+        |        / (dv.degree + dw.degree - u.n_common), 4) AS jaccard
+        |FROM unlinked u
+        |JOIN deg dv ON u.v = dv.id JOIN deg dw ON u.w = dw.id
+        |ORDER BY jaccard DESC, u.v, u.w LIMIT 100""".stripMargin,
     "q_in_degrees" ->
       """SELECT l_partkey AS id, count(*) AS inDegree
         |FROM lineitem GROUP BY 1 ORDER BY id""".stripMargin,

@@ -139,6 +139,73 @@ object PageRankOp {
       degrees = Some(vd.filter(col("outDeg") > 0).select(col("id"), col("outDeg"))))
   }
 
+  /** Personalized PageRank: the teleport mass returns to a SEED SET
+    * instead of every vertex — rank'(v) = resetProb·1[v∈S] + (1−resetProb)
+    * ·Σ_{u→v} rank(u)/outDeg(u), rank₀ = 1[v∈S] — the standard
+    * seed-relative relevance score ("what co-occurs with THESE parts",
+    * "what does this community reach"), emitted raw (no sum-to-N
+    * normalization: PPR mass legitimately decays through dangling
+    * vertices, and the raw score IS the seed-affinity). Same fixpoint
+    * scaffolding as [[pageRank]] (cached weighted edges, StateBroadcast-
+    * guarded rank joins, lineage pinned every 3 rounds); the oracle
+    * unrolls the identical recurrence with a seed-conditional reset term.
+    * Returns the top-k by score with a rank column. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           numIter: Int = 10, resetProb: Double = 0.15,
+                           k: Int = 100): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).pinTier
+    val vd = e.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("c")),
+        struct(col("dst").as("id"), lit(0L).as("c")))).as("x"))
+      .select(col("x.id").as("id"), col("x.c").as("c"))
+      .groupBy(col("id")).agg(sum(col("c")).as("outDeg"))
+      .pinTier
+    val outDeg = vd.filter(col("outDeg") > 0)
+      .select(col("id").as("src"), col("outDeg"))
+    val ew = e.join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("outDeg")).as("w"))
+      .repartition(col("src")).cache()
+    // seed flag rides the vertex state (one broadcast join, not per-round)
+    val init = vd.select(col("id"))
+      .join(broadcast(seeds.select(col("id"), lit(1).as("s"))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("s"), lit(0)).cast("double").as("seed"))
+      .select(col("id"), col("seed"), col("seed").as("rank"))
+      .pinTier
+    val nVerts = init.count()
+    val sc = init.sparkSession.sparkContext
+    val stateParts = math.max(1,
+      math.min(sc.defaultParallelism, (nVerts / 100000L).toInt + 1))
+    val bcastState = StateBroadcast.fits(init, nVerts, "ppr")
+    def mb(df: DataFrame): DataFrame = if (bcastState) broadcast(df) else df
+    val verts = init.select(col("id"), col("seed"))
+    var ranks = init.select(col("id"), col("rank")).coalesce(stateParts)
+    for (i <- 1 to numIter) {
+      val contribs = ew
+        .join(mb(ranks.withColumnRenamed("id", "src")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("w") * col("rank")).as("contrib"))
+      val next = verts
+        .join(mb(contribs), Seq("id"), "left")
+        .select(col("id"),
+          (lit(resetProb) * col("seed")
+            + lit(1.0 - resetProb) * coalesce(col("contrib"), lit(0.0)))
+            .as("rank"))
+      ranks =
+        if (i % 3 == 0 || i == numIter) next.coalesce(stateParts).pinTier
+        else next
+    }
+    ew.unpersist(blocking = false)
+    val top = ranks
+      .select(col("id"), round(col("rank"), 6).as("ppr"))
+      .filter(col("ppr") > 0.0)
+      .orderBy(col("ppr").desc, col("id"))
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ppr").desc, col("id"))).cast("bigint"))
+      .select(col("rank"), col("id"), col("ppr"))
+  }
+
   /** GraphX Pregel leg — the reference's actual engine
     * (GraphFrames→GraphX). Kept as the independent implementation that
     * cross-validates [[pageRank]] in tests; the DataFrame path is the one

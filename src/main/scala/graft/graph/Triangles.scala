@@ -116,6 +116,60 @@ object Triangles {
       (sum(col("n_triangles")) / 3).cast("bigint").as("n_triangles"),
       round(avg(col("clustering")), 4).as("mean_clustering"))
 
+  /** Neighborhood-Jaccard link prediction: for every UNLINKED vertex pair
+    * with at least one common neighbor, the Jaccard overlap of their
+    * neighborhoods |N(v)∩N(w)| / |N(v)∪N(w)| — the classic
+    * common-neighbors link predictor ("parts that should co-occur but
+    * don't yet"; on a doc graph, "near-communities about to merge").
+    * Top-k by the ROUNDED score (tie (v, w)) for k-boundary portability;
+    * existing edges are anti-joined away — the operator predicts NEW
+    * links only.
+    *
+    * Scale shape: the wedge aggregate is Σ deg(u)² over PIVOT vertices —
+    * the one quadratic-in-degree step, so (a) the caller should feed a
+    * PRUNED edge set (the q_link_pred gate uses co-occurrence weight ≥ 2:
+    * repeated co-purchase, 7k edges where the raw graph has 2.4M — the
+    * filter-before-the-quadratic rule), and (b) pivots above
+    * `maxPivotDeg` are excluded, with the cap part of the semantics
+    * (a celebrity hub's neighborhood predicts nothing — the stop-key
+    * precedent, mirrored in the oracle). Pair degrees for the union term
+    * stay the FULL undirected degrees. */
+  def neighborJaccard(edges: DataFrame, maxPivotDeg: Int = 1024,
+                      k: Int = 100): DataFrame = {
+    val und = undirect(edges).pinTier
+    val nEdges = und.count()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .pinTier
+    val bcastDeg = StateBroadcast.fits(deg, 2L * nEdges, "linkpred.deg")
+    val bcastEdges = StateBroadcast.fits(und, nEdges, "linkpred.closure")
+    def mb(df: DataFrame, b: Boolean): DataFrame = if (b) broadcast(df) else df
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val pivotAdj = adj
+      .join(mb(deg.filter(col("degree") <= maxPivotDeg)
+        .select(col("id").as("u")), bcastDeg), Seq("u"), "leftsemi")
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism, col("u"))
+      .pinTier // both wedge legs
+    val common = pivotAdj
+      .join(mb(pivotAdj.withColumnsRenamed(Map("v" -> "w")), bcastEdges), Seq("u"))
+      .filter(col("v") < col("w"))
+      .groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("n_common"))
+    val unlinked = common.join(
+      mb(und.select(col("a").as("v"), col("b").as("w")), bcastEdges),
+      Seq("v", "w"), "left_anti")
+    unlinked
+      .join(mb(deg.select(col("id").as("v"), col("degree").as("dv")), bcastDeg), Seq("v"))
+      .join(mb(deg.select(col("id").as("w"), col("degree").as("dw")), bcastDeg), Seq("w"))
+      .select(col("v"), col("w"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("dv") + col("dw") - col("n_common")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("v"), col("w"))
+      .limit(k)
+  }
+
   /** Fixed-round k-core peel: `rounds` rounds of "drop every vertex whose
     * degree in the surviving subgraph is < k" over the undirected simple
     * graph — the standard cohesive-subgraph extractor (a spam/bot cluster

@@ -62,6 +62,44 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRank matches a hand-rolled seeded power iteration") {
+    // 1 -> 2 -> 3, 3 -> 2, plus isolated-source 4 -> 1; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L), (4L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = PageRankOp.personalizedPageRank(edges, seeds, numIter = 10, k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // reference simulation of the same recurrence
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(3L), 3L -> Seq(2L), 4L -> Seq(1L))
+    val verts = Seq(1L, 2L, 3L, 4L)
+    var r = verts.map(v => v -> (if (v == 1L) 1.0 else 0.0)).toMap
+    for (_ <- 1 to 10) {
+      val contrib = verts.map { v =>
+        v -> verts.filter(u => adj(u).contains(v))
+          .map(u => r(u) / adj(u).size).sum
+      }.toMap
+      r = verts.map(v =>
+        v -> ((if (v == 1L) 0.15 else 0.0) + 0.85 * contrib(v))).toMap
+    }
+    val expect = r.map { case (v, x) => v -> math.round(x * 1e6) / 1e6 }
+      .filter(_._2 > 0)
+    assert(got == expect, s"got $got expect $expect")
+    // vertex 4 never receives mass (nothing points at it, not a seed)
+    assert(!got.contains(4L))
+  }
+
+  test("neighborJaccard: cycle closes diagonals; hub cap silences the star") {
+    // square 1-2-3-4-1: the two diagonals share both neighbors -> 1.0
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = Triangles.neighborJaccard(square)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)), s"got $got")
+    // star: every leaf pair is predicted via the center — until the pivot
+    // cap excludes the hub, then nothing is
+    val star = (1L to 5L).map(i => (100L, i)).toDF("src", "dst")
+    assert(Triangles.neighborJaccard(star).count() == 10L)
+    assert(Triangles.neighborJaccard(star, maxPivotDeg = 4).count() == 0L)
+  }
+
   test("runStringIds drops edges with endpoints outside the vertex set") {
     val vertices = Seq("a", "b", "c").toDF("id")
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "zz"), ("zz", "a"))
