@@ -337,6 +337,11 @@ object SparkEntry {
     "q_link_pred" -> ((s, d) => graft.graph.Triangles.neighborJaccard(
       Edges.partCoOccurrence(Tables.lineitem(s, d))
         .filter(col("weight") >= 2))),
+    // deterministic 5-round synchronous label propagation over the same
+    // strong graph (communities collapse to one blob on the dense raw one)
+    "q_communities" -> ((s, d) => graft.graph.Communities.labelPropagation(
+      Edges.partCoOccurrence(Tables.lineitem(s, d))
+        .filter(col("weight") >= 2), rounds = 5)),
     // promise-gated: ALS factor values are solver/BLAS-specific, so the
     // gate emits the pipeline's portable contract (subset size, 5 resolved
     // recs per user, train RMSE beats the mean predictor) with the
@@ -818,6 +823,20 @@ object SparkEntry {
          |    JOIN outdeg d ON e.src = d.id GROUP BY 1
          |  ) c ON v.id = c.id
          |),""".stripMargin
+    }.mkString("\n")
+
+  /** The LPA unroll: each round re-counts neighbor labels and takes the
+    * per-vertex argmax under the total (cnt desc, label asc) order — the
+    * deterministic synchronous sweep of [[graft.graph.Communities]]. */
+  private def lpaIterSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT id, label FROM (
+         |    SELECT adj.id, l${i - 1}.label, count(*) AS cnt
+         |    FROM adj JOIN l${i - 1} ON adj.nbr = l${i - 1}.id
+         |    GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY id
+         |    ORDER BY cnt DESC, label) = 1),""".stripMargin
     }.mkString("\n")
 
   /** The k-core unroll (PageRank precedent): round i keeps the edges whose
@@ -2259,6 +2278,25 @@ object SparkEntry {
         |FROM unlinked u
         |JOIN deg dv ON u.v = dv.id JOIN deg dw ON u.w = dw.id
         |ORDER BY jaccard DESC, u.v, u.w LIMIT 100""".stripMargin,
+    "q_communities" ->
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |    GROUP BY 1, 2)
+        |  WHERE w >= 2),
+        |und AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst GROUP BY 1, 2),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS id, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+        |l0 AS (SELECT DISTINCT id, id AS label FROM adj),
+        |${lpaIterSql(5)}
+        |sizes AS (SELECT label, count(*) AS community_size FROM l5 GROUP BY 1)
+        |SELECT l.id, l.label AS community, s.community_size
+        |FROM l5 l JOIN sizes s USING (label) ORDER BY l.id""".stripMargin,
     "q_in_degrees" ->
       """SELECT l_partkey AS id, count(*) AS inDegree
         |FROM lineitem GROUP BY 1 ORDER BY id""".stripMargin,
