@@ -724,6 +724,57 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document bigram log-loss under the corpus's own Kneser–Ney model
+    * — the KenLM/CCNet-style perplexity filter: documents whose token
+    * sequences the corpus LM finds surprising (high mean negative
+    * log-likelihood) are boilerplate, garbled, or off-distribution, and
+    * this is the standard score pipelines threshold on. Self-scoring by
+    * construction (the model is trained on the same corpus it scores), so
+    * every document bigram has c ≥ 1 and the smoothed probability is
+    * always defined — no backoff path needed. Emits (doc_id, n_bigrams,
+    * mean_nll in nats, rounded); zero-bigram documents are absent by
+    * contract (nothing to score).
+    *
+    * Scale shape: the [[kneserNeyBigrams]] aggregates (all map-combined)
+    * plus ONE join of the per-doc bigram stream against the bigram-TYPE
+    * model table — vocabulary²-bounded, usually broadcastable, and even
+    * as a shuffle join it is keyed on the bigram, never doc-cardinality
+    * on the build side. Probabilities enter the join at full precision
+    * (the identical operation order both engines evaluate — the
+    * q_kn_bigrams proof), and only the per-doc mean is rounded. */
+  def docBigramLogLoss(documents: DataFrame,
+                       discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")))
+      .withColumnsRenamed(Map("col" -> "w1"))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+      .pinTier // model aggregates + the scoring join all read it
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")).pinTier
+    val fwd = bi.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c_w1"), count(lit(1)).as("n1_fwd"))
+    val bwd = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1_bwd"))
+    val types = bi.agg(count(lit(1)).cast("double").as("n1_all"))
+    val model = bi
+      .join(broadcast(fwd), Seq("w1"))
+      .join(broadcast(bwd), Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"),
+        (greatest(col("c") - lit(discount), lit(0.0)) / col("c_w1")
+          + lit(discount) * col("n1_fwd") / col("c_w1")
+            * (col("n1_bwd") / col("n1_all"))).as("p"))
+    pairs
+      .join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("p"))), 4).as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** χ²-most-indicative terms per source — the classic feature-selection
     * statistic (Manning/Schütze IR ch.13) behind "what vocabulary makes
     * this crawl source different", and the features a domain classifier
