@@ -647,6 +647,9 @@ object SparkEntry {
     // deterministic hash split audit: per (source, split) counts + shares
     "q_split_report" -> ((s, d) => graft.ops.Sampling.splitReport(
       Tables.documents(s, d), "source", "doc_id", seed = 42L)),
+    // eval-integrity audit: near-dup pairs straddling the split boundary
+    "q_split_leakage" -> ((s, d) => graft.ops.Sampling.splitLeakageReport(
+      Tables.documents(s, d), seed = 42L)),
     // ---- events / sessionization (north-star; streaming twin in
     // graft.streaming.Streams runs the same expressions incrementally) ----
     "q_hourly_events" -> ((s, d) => Streams.hourlyCountsBatch(Tables.events(s, d))),
@@ -1726,6 +1729,46 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // split-leakage audit: the capped jaccard pair tier crossed with the
+    // md5 split assignment (same hex boundaries as q_split_report)
+    "q_split_leakage" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) > 0),
+        |shk AS (SELECT doc_id, shingle FROM sh
+        |        QUALIFY count(*) OVER (PARTITION BY shingle)
+        |          <= ${graft.dedup.Dedup.DefaultMaxShingleDocFreq}),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |           THEN 'test'
+        |         WHEN substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 2) < '34'
+        |           THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM documents),
+        |att AS (
+        |  SELECT least(pa.split, pb.split) AS split_a,
+        |    greatest(pa.split, pb.split) AS split_b
+        |  FROM pairs JOIN sp pa ON doc_a = pa.doc_id
+        |  JOIN sp pb ON doc_b = pb.doc_id)
+        |SELECT split_a, split_b, count(*) AS n_pairs,
+        |  (split_a <> split_b) AS cross_split
+        |FROM att GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
     // the cap's visibility report: shingle df distribution vs the cap
     "q_hot_shingles" ->
       s"""WITH sh AS (

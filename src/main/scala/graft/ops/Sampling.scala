@@ -189,6 +189,38 @@ object Sampling {
       .orderBy(col(strataCol), col("split"))
   }
 
+  /** Train/val/test LEAKAGE audit: the [[hashSplit]] assignment crossed
+    * with the exact near-dup pair tier — how many near-duplicate document
+    * pairs STRADDLE a split boundary. The eval-integrity number document-
+    * level splitting alone can't see: a test document whose near-twin
+    * sits in train inflates every benchmark it touches, which is why
+    * pipelines dedup BEFORE splitting and audit after. Emits the split×
+    * split pair matrix with a cross_split flag; the diagonal is benign
+    * within-split duplication, any off-diagonal mass is leakage.
+    *
+    * Scale shape (the crossSourceOverlap rule): the pair tier dominates
+    * and is the already-capped [[graft.dedup.Dedup.ngramJaccardPairs]];
+    * attribution adds two pair-list-sized equi-joins against the
+    * (doc_id, split) projection and one ≤9-row aggregate. */
+  def splitLeakageReport(documents: DataFrame, seed: Long = 42L,
+                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(documents, k, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val splits = hashSplit(documents.select(col("doc_id")), "doc_id", seed)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.withColumnsRenamed(Map("doc_id" -> "doc_a", "split" -> "sa")),
+        Seq("doc_a"))
+      .join(splits.withColumnsRenamed(Map("doc_id" -> "doc_b", "split" -> "sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_split", col("split_a") =!= col("split_b"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Deterministic k-per-group reservoir sample: rank rows within each
     * stratum by a seeded md5 of the id (uniform pseudo-random order,
     * reproducible across runs/engines/retries — md5 so the SQL oracle

@@ -488,6 +488,30 @@ class Round3OpsSpec extends SparkSpec {
     assert(t == Seq(("big", 80L, 0.833, 80L), ("small", 20L, 1.0, 20L)), s"got $t")
   }
 
+  test("splitLeakageReport: planted cross-boundary twin lands off-diagonal") {
+    // replicate the hashSplit rule to pick ids deterministically per split
+    def splitOf(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = hex.substring(0, 2)
+      if (b < "1a") "test" else if (b < "34") "val" else "train"
+    }
+    val testId = (1L to 300L).find(splitOf(_) == "test").get
+    val trainIds = (1L to 300L).filter(splitOf(_) == "train").take(3)
+    val run = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (testId, s"$run leak"),                 // near-twin of a train doc
+      (trainIds(0), s"$run tail"),
+      (trainIds(1), s"$run other"),           // second twin: within-train pair too
+      (trainIds(2), "entirely different text with its own words here"))
+      .toDF("doc_id", "text")
+    val got = Sampling.splitLeakageReport(d)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("test", "train", 2L, true),
+      ("train", "train", 1L, false)), s"got $got")
+  }
+
   test("decayedPopularity: exact half-life weights, anchored at corpus max ts") {
     import java.sql.Timestamp
     // max ts is the purchase; the view sits exactly 7 days (one half-life)
