@@ -67,10 +67,11 @@ object HitsOp {
     for (i <- 1 to numIter) {
       auth = halfStep(hub, "src", "dst")
       hub = halfStep(auth, "dst", "src")
-      if (i % 2 == 0 || i == numIter) {
-        auth = auth.coalesce(stateParts).pinTier
-        hub = hub.coalesce(stateParts).pinTier
-      }
+      // only the HUB state needs truncation mid-run (auth is consumed by
+      // the very next half-step inside the same lineage window); auth is
+      // pinned once at the end for its two final readers (sum + join)
+      if (i % 2 == 0 || i == numIter) hub = hub.coalesce(stateParts).pinTier
+      if (i == numIter) auth = auth.coalesce(stateParts).pinTier
     }
     edges.unpersist(blocking = false)
     // empty graph / all-zero state: fall back to scale 1 instead of NaN
