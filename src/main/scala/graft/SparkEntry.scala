@@ -639,6 +639,9 @@ object SparkEntry {
     // per-class centroid table (cluster-balanced sampling / drift monitor)
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(
       Tables.embeddings(s, d))),
+    // mislabel hunt: per-vector cosine to its own label centroid, z-scored
+    "q_emb_outliers" -> ((s, d) => Similarity.centroidOutliers(
+      Tables.embeddings(s, d))),
     // PCA promise gate: component values are solver-specific, so the gate
     // pins the solver-independent contract (orthonormal basis, ordered
     // explained variance, corpus-wide projection-norm isometry bound)
@@ -2019,6 +2022,36 @@ object SparkEntry {
         |        unnest(embedding) AS v
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    // centroid outliers: decimal-exact rounded centroids re-nested in dim
+    // order, the q_ann_brute cosine arithmetic, verdicts on rounded stats
+    "q_emb_outliers" ->
+      """WITH cent AS (
+        |  SELECT label, dim,
+        |    round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS mean_val
+        |  FROM (SELECT label, unnest(range(1, len(embedding)+1)) AS dim,
+        |          unnest(embedding) AS v
+        |        FROM embeddings)
+        |  GROUP BY 1, 2),
+        |carr AS (SELECT label, list(mean_val ORDER BY dim) AS centroid
+        |         FROM cent GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                 c.centroid), 4) AS cos_centroid
+        |  FROM embeddings e JOIN carr c USING (label)),
+        |stats AS (
+        |  SELECT label, round(avg(cos_centroid), 4) AS mean_cos,
+        |    CASE WHEN count(*) >= 2
+        |         THEN round(stddev_samp(cos_centroid), 4) END AS std_cos
+        |  FROM scored GROUP BY 1)
+        |SELECT s.vec_id, s.label, s.cos_centroid,
+        |  CASE WHEN std_cos > 0
+        |       THEN round((cos_centroid - mean_cos) / std_cos, 4) END AS z_score,
+        |  coalesce(CASE WHEN std_cos > 0
+        |       THEN round((cos_centroid - mean_cos) / std_cos, 4) END <= -3.0,
+        |    false) AS is_outlier
+        |FROM scored s JOIN stats USING (label) ORDER BY vec_id""".stripMargin,
     // boundary literals derive from hashSplit's defaults: seed 42,
     // testSlots=26 -> '1a' hex, testSlots+valSlots=52 -> '34' hex
     // (COUPLED: Sampling.hashSplit notes the reverse dependency)

@@ -393,6 +393,50 @@ object Similarity {
         col("n_vecs"))
       .orderBy(col("label"), col("dim"))
 
+  /** Embedding outlier detection against the per-label centroid — the
+    * mislabeled/noisy-vector hunt a curation pipeline runs before training
+    * on labeled embeddings: each vector's cosine to its OWN label's
+    * centroid, z-scored within the label, flagged at z ≤ −3 (a vector
+    * three sigma LESS similar to its own class center than its peers is a
+    * labeling error or encoder glitch candidate).
+    *
+    * Cross-engine exactness chain: centroids are the [[labelCentroids]]
+    * decimal-exact rounded means (identical values both engines by the
+    * proven q_label_centroids gate), re-nested position-ordered; cosine at
+    * round-4 is the proven q_ann_brute arithmetic; the z verdict gates on
+    * the ROUNDED published mean/std (the hourlyAnomalies boundary rule,
+    * including the n ≥ 2 stddev guard).
+    *
+    * Scale shape: the centroid table is (labels × dim)-sized and
+    * broadcasts; scoring is one map-side codegen'd cosine per row; the
+    * label-window stats run over label-partitioned data — nothing
+    * corpus-sized shuffles except the one label partition pass. */
+  def centroidOutliers(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = labelCentroids(embeddings)
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mean_val")))).as("c"))
+      .select(col("label"),
+        transform(col("c"), s => s.getField("mean_val")).as("centroid"))
+    val scored = embeddings
+      .join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding").cast("array<double>"), col("centroid")), 4)
+          .as("cos_centroid"))
+    val w = Window.partitionBy(col("label"))
+    scored
+      .withColumn("mean_cos", round(avg(col("cos_centroid")).over(w), 4))
+      .withColumn("std_cos",
+        when(count(lit(1)).over(w) >= 2,
+          round(stddev_samp(col("cos_centroid")).over(w), 4)))
+      .select(col("vec_id"), col("label"), col("cos_centroid"),
+        when(col("std_cos") > 0.0,
+          round((col("cos_centroid") - col("mean_cos")) / col("std_cos"), 4))
+          .as("z_score"))
+      .withColumn("is_outlier", coalesce(col("z_score") <= -3.0, lit(false)))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-dimension scalar-quantization stats: ONE row holding the corpus
     * min and max per dimension as position-ordered arrays — the codebook
     * of [[sqQuantize]]. One shuffle over (dim, value) pairs into a

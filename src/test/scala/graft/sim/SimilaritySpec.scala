@@ -269,4 +269,22 @@ class SimilaritySpec extends SparkSpec {
     val ev = m.explainedVariance.toArray
     assert(ev(0) / ev.sum > 0.99, s"dominant direction not found: ${ev.toSeq}")
   }
+
+  test("centroidOutliers: planted anti-aligned vector flagged, peers clean") {
+    // 15 identical inliers along +x, one flipped vector in the same label:
+    // max attainable |z| for one outlier among 16 is 15/4 = 3.75 > 3
+    val rows = (0L until 15L).map(i => (i, Array(1f, 0f), 1)) :+
+      ((99L, Array(-1f, 0f), 1))
+    val d = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(4))).toMap
+    assert(got(99L)._2, s"flipped vector not flagged: $got")
+    assert((0L until 15L).forall(i => !got(i)._2), s"false positive: $got")
+    // inliers sit closer to the centroid than the outlier, by construction
+    assert(got(0L)._1 > got(99L)._1)
+    // single-member label: stddev undefined -> null z, never flagged
+    val solo = Seq((1L, Array(1f, 0f), 7)).toDF("vec_id", "embedding", "label")
+    val s = Similarity.centroidOutliers(solo).head()
+    assert(s.isNullAt(3) && !s.getBoolean(4))
+  }
 }
