@@ -218,7 +218,16 @@ class GoldenPlanSpec extends SparkSpec {
     // aggregate
     "q_triangles" -> Golden(
       required = Seq("BroadcastHashJoin", "LeftSemi", "partial_count"),
-      forbidden = Seq("CartesianProduct", "SortMergeJoin")))
+      forbidden = Seq("CartesianProduct", "SortMergeJoin")),
+    // centroid outliers: the (labels × dim) centroid side must broadcast;
+    // the label stats are windows, never a second corpus join
+    "q_emb_outliers" -> Golden(
+      required = Seq("BroadcastHashJoin", "Window"),
+      forbidden = Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // split leakage: pair-tier attribution via equi joins + one tiny agg
+    "q_split_leakage" -> Golden(
+      required = Seq("partial_count"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   golden.foreach { case (name, g) =>
     test(s"golden plan: $name") {
