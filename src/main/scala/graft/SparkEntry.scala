@@ -188,6 +188,9 @@ object SparkEntry {
     // first-order Markov transitions over per-user event sequences
     "q_transitions" -> ((s, d) => graft.ops.Temporal.eventTransitions(
       Tables.events(s, d))),
+    // gap-based sessionization: 30-min inactivity splits, per-session stats
+    "q_sessions" -> ((s, d) => graft.ops.Temporal.sessionize(
+      Tables.events(s, d))),
     // deterministic k-per-group reservoir (md5 rank, WindowGroupLimit plan)
     "q_reservoir_sample" -> ((s, d) => graft.ops.Sampling.reservoirPerKey(
       Tables.documents(s, d), "source", "doc_id", k = 5, seed = 42L)),
@@ -331,6 +334,14 @@ object SparkEntry {
       Edges.partCoOccurrence(Tables.lineitem(s, d)),
       Tables.part(s, d).select(col("p_partkey").as("id"))
         .filter(col("id") % 100 === 0))),
+    // multi-source BFS hop distances from the %100 seed parts over the
+    // strong co-occurrence graph (6-hop horizon; frontier iteration —
+    // oracle replays it as a bounded recursive CTE with min-dist collapse)
+    "q_bfs_dist" -> ((s, d) => graft.graph.Bfs.hopDistances(
+      Edges.partCoOccurrence(Tables.lineitem(s, d))
+        .filter(col("weight") >= 2),
+      Tables.part(s, d).select(col("p_partkey").as("id"))
+        .filter(col("id") % 100 === 0), maxHops = 6)),
     // neighborhood-Jaccard link prediction over the STRONG co-occurrence
     // graph (weight >= 2: repeated co-purchase — filter before the
     // quadratic wedge step)
@@ -637,6 +648,11 @@ object SparkEntry {
       .select(col("vec_id"), col("label"), col("n_dims"),
         csv(col("codes")).as("codes"))),
     // per-class centroid table (cluster-balanced sampling / drift monitor)
+    // fixed-round spherical k-means: 8 seed clusters (lowest vec_ids),
+    // 3 assignment rounds, decimal-exact centroid updates — oracle unrolls
+    // the identical recurrence
+    "q_kmeans" -> ((s, d) => Similarity.kMeansSpherical(
+      Tables.embeddings(s, d), k = 8, rounds = 3)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(
       Tables.embeddings(s, d))),
     // mislabel hunt: per-vector cosine to its own label centroid, z-scored
@@ -859,6 +875,36 @@ object SparkEntry {
          |s$i AS MATERIALIZED (
          |  SELECT id FROM (SELECT a AS id FROM l$i UNION ALL SELECT b FROM l$i)
          |  GROUP BY 1 HAVING count(*) >= $k),""".stripMargin
+    }.mkString("\n")
+
+  /** The spherical k-means unroll: round i assigns by round-4 cosine with
+    * the lowest-cid tiebreak (q_ann_brute arithmetic + the LPA argmax
+    * order), then — between consecutive assignment rounds — recomputes
+    * centroids as decimal-exact rounded per-dimension means (the
+    * q_label_centroids formula). Empty clusters drop out. */
+  private def kmeansIterSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      val assign =
+        s"""a$i AS MATERIALIZED (
+           |  SELECT vec_id, cluster, cos_sim FROM (
+           |    SELECT e.vec_id, c.cid AS cluster,
+           |      round(list_cosine_similarity(e.emb, c.centroid), 4) AS cos_sim,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round(list_cosine_similarity(e.emb, c.centroid), 4)
+           |          DESC, c.cid) AS rn
+           |    FROM emb e CROSS JOIN c${i - 1} c) WHERE rn = 1),""".stripMargin
+      val update =
+        s"""c$i AS MATERIALIZED (
+           |  SELECT cluster AS cid, list(mv ORDER BY dim) AS centroid FROM (
+           |    SELECT a.cluster, u.dim,
+           |      round(CAST(sum(CAST(round(u.v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           |        / count(*), 6) AS mv
+           |    FROM a$i a
+           |    JOIN (SELECT vec_id, unnest(range(1, len(emb)+1)) AS dim,
+           |            unnest(emb) AS v FROM emb) u USING (vec_id)
+           |    GROUP BY 1, 2) GROUP BY 1),""".stripMargin
+      // the final assignment is the last CTE in the list: no trailing comma
+      if (i < rounds) assign + "\n" + update else assign.dropRight(1)
     }.mkString("\n")
 
   /** Contamination oracle, shared by q_decontaminate (exact semi join) and
@@ -1197,6 +1243,28 @@ object SparkEntry {
         |  round(c.n / t.row_total, 4) AS p
         |FROM counts c JOIN totals t USING (event_type)
         |ORDER BY c.event_type, c.next_type""".stripMargin,
+    // gap-based sessions: identical (ts, event_id) order, boundary > 30 min,
+    // exact-integer microsecond durations (truncating division, both >= 0)
+    "q_sessions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |bounded AS (
+        |  SELECT user_id, ts, event_type, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM seq)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(floor((max(us) - min(us)) / 1000000.0) AS BIGINT) AS duration_sec
+        |FROM bounded GROUP BY 1, 2
+        |ORDER BY user_id, session_idx""".stripMargin,
     "q_zipf_fit" ->
       """WITH uni AS (
         |  SELECT w AS word, count(*) AS c FROM (
@@ -2013,6 +2081,17 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // spherical k-means unroll: k=8 lowest-vec_id seeds (cluster id IS the
+    // seed id), 3 assignment rounds, 2 decimal-exact centroid updates
+    "q_kmeans" ->
+      s"""WITH emb AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS MATERIALIZED (
+        |  SELECT vec_id AS cid, list_transform(emb, x -> round(x, 6)) AS centroid
+        |  FROM emb ORDER BY vec_id LIMIT 8),
+        |${kmeansIterSql(3)}
+        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, cos_sim
+        |FROM a3 ORDER BY vec_id""".stripMargin,
     "q_label_centroids" ->
       """SELECT label, dim,
         |  round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
@@ -2350,6 +2429,28 @@ object SparkEntry {
         |  ORDER BY ppr DESC, id LIMIT 100)
         |SELECT row_number() OVER (ORDER BY ppr DESC, id) AS rank, id, ppr
         |FROM top ORDER BY rank""".stripMargin,
+    // bounded recursive CTE: UNION (distinct) dedups (id, dist) states, so
+    // the walk is vertex-layer-bounded, never path-enumerating; min(dist)
+    // collapses later rediscoveries to the BFS layer = true hop distance
+    "q_bfs_dist" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |    GROUP BY 1, 2)
+        |  WHERE w >= 2),
+        |verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |walk(id, dist) AS (
+        |  SELECT id, 0 FROM (SELECT DISTINCT p_partkey AS id FROM part
+        |                     WHERE p_partkey % 100 = 0) s
+        |  WHERE id IN (SELECT id FROM verts)
+        |  UNION
+        |  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.id
+        |  WHERE w.dist < 6)
+        |SELECT id, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1 ORDER BY dist, id""".stripMargin,
     "q_link_pred" ->
       """WITH e AS MATERIALIZED (
         |  SELECT src, dst FROM (

@@ -322,4 +322,44 @@ object Temporal {
         coalesce(abs(col("z_score")) >= 3.0, lit(false)))
       .orderBy(col("event_type"), col("hour"))
   }
+
+  /** Gap-based sessionization: split each user's timeline into sessions at
+    * inactivity gaps > `gapMinutes`, and publish per-session stats — the
+    * canonical unit of engagement analytics (session counts, durations,
+    * depth) and the batch ground truth a streaming session-window job is
+    * checked against. A session boundary opens where the previous event is
+    * absent (first event) or more than the gap away; the session index is
+    * the running count of boundaries — both exact integer constructions, so
+    * the report is reproducible cross-engine. Sequence order is
+    * (ts, event_id), the [[eventTransitions]] tiebreak.
+    *
+    * Scale shape: ONE shuffle on user_id for the window pass; the per-
+    * session aggregate groups on (user_id, session_idx), whose clustering
+    * is already satisfied by the window's hash partitioning, so Catalyst
+    * plans it exchange-free. Nothing downstream of the window sees
+    * event-cardinality data except that one map-combined aggregate. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bounded = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_session",
+        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+          .cast("int"))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    bounded
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        count_distinct(col("event_type")).as("n_types"),
+        ((max(col("us")) - min(col("us"))) / lit(1000000L))
+          .cast("long").as("duration_sec"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
 }

@@ -437,6 +437,72 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Fixed-round spherical k-means over the embedding corpus — the
+    * embedding-space clustering a curation pipeline uses for
+    * cluster-balanced sampling, topic discovery, and as the cell structure
+    * semantic dedup / IVF search confine their quadratics to. "Spherical":
+    * assignment is by COSINE to the centroid (argmax), the natural metric
+    * for normalized text embeddings.
+    *
+    * Determinism contract (every leg a proven oracle pattern):
+    *   - init: the k lowest vec_ids seed the clusters, and the cluster id
+    *     IS the seed's vec_id (no renumbering round to drift);
+    *   - assignment: round-4 cosine (the q_ann_brute arithmetic), ties to
+    *     the lowest cluster id via the max(struct) total order (the LPA
+    *     argmax rule) — never a float equality;
+    *   - update: per-dimension decimal-exact rounded mean (the
+    *     q_label_centroids formula), so centroids are identical
+    *     cross-engine regardless of partition order;
+    *   - fixed `rounds` assignment passes with an update between
+    *     consecutive ones (the k-core bounded-round precedent), so the
+    *     oracle unrolls the identical recurrence. Clusters that lose all
+    *     members simply drop out (no re-seeding round to replicate).
+    *
+    * Scale shape: centroids are a k-row broadcast; assignment is one
+    * map-side cosine per (row × k) — no shuffle beyond the per-round
+    * argmax aggregate; the update is the posexplode tier with map-side
+    * partial aggregation collapsing n·dim rows to k·dim before the only
+    * exchange. Each round's centroid table is pinned: it is both an
+    * optimizer barrier (the cosine must not fold into the next round's
+    * aggregate) and the guarantee the update runs once, not once per
+    * downstream consumer. */
+  def kMeansSpherical(embeddings: DataFrame, k: Int = 8,
+                      rounds: Int = 3): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .pinTier // consumed by every round's assignment + update
+    var centroids = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"),
+        transform(col("emb"), v => round(v, 6)).as("centroid"))
+    var assign: DataFrame = null
+    for (r <- 1 to rounds) {
+      assign = emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("cid"),
+          round(cosine(col("emb"), col("centroid")), 4).as("cos_sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos_sim"), (-col("cid")).as("ncid"))).as("best"))
+        .select(col("vec_id"),
+          (-col("best.ncid")).cast("long").as("cluster"),
+          col("best.cos_sim").as("cos_sim"))
+      if (r < rounds) {
+        centroids = assign.join(emb, Seq("vec_id"))
+          .select(col("cluster"), posexplode(col("emb")))
+          .select(col("cluster"), (col("pos") + 1).as("dim"),
+            round(col("col"), 6).cast("decimal(18,6)").as("v"))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .select(col("cluster").as("cid"), col("dim"),
+            round(col("s").cast("double") / col("n"), 6).as("mv"))
+          .groupBy(col("cid"))
+          .agg(sort_array(collect_list(struct(col("dim"), col("mv")))).as("c"))
+          .select(col("cid"),
+            transform(col("c"), s => s.getField("mv")).as("centroid"))
+          .pinTier
+      }
+    }
+    assign.orderBy(col("vec_id"))
+  }
+
   /** Per-dimension scalar-quantization stats: ONE row holding the corpus
     * min and max per dimension as position-ordered arrays — the codebook
     * of [[sqQuantize]]. One shuffle over (dim, value) pairs into a

@@ -111,4 +111,25 @@ class GraphSpec extends SparkSpec {
     val m = ranks.as[(String, Double)].collect().toMap
     assert(m("c") > m("b") && m("b") > m("a"))
   }
+
+  test("hopDistances: layered mins, horizon cut, direction, dropped alien seed") {
+    // directed path 1->2->3->4->5 plus a shortcut 1->4: BFS layering must
+    // record 4 at hop 1 (the shortcut edge), not hop 3 (via the path), and
+    // 5 at hop 2 through the shortcut
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("id") // 99 is not a graph vertex
+    val got = Bfs.hopDistances(edges, seeds, maxHops = 6)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (4L, 1L), (3L, 2L), (5L, 2L)),
+      s"got $got")
+    // horizon: maxHops = 1 stops after the first layer
+    val cut = Bfs.hopDistances(edges, Seq(1L).toDF("id"), maxHops = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(cut == Seq((1L, 0L), (2L, 1L), (4L, 1L)), s"got $cut")
+    // direction: nothing reaches upstream of the seed
+    val down = Bfs.hopDistances(edges, Seq(4L).toDF("id"), maxHops = 6)
+      .as[(Long, Long)].collect().toSeq
+    assert(down == Seq((4L, 0L), (5L, 1L)), s"got $down")
+  }
 }

@@ -573,4 +573,25 @@ class Round3OpsSpec extends SparkSpec {
     val mid = got(20)
     assert(!mid.getBoolean(mid.fieldIndex("is_anomaly")), s"false positive: $mid")
   }
+
+  test("sessionize: gap splits, boundary-exact gap kept, per-session stats") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // u1: 10:00 view, 10:10 click (same session), 11:00 view (50-min gap ->
+    // new session); u2: one event; u3: gap of EXACTLY 30 min stays one
+    // session (boundary is > gap, not >=)
+    val ev = Seq(
+      (1L, 1L, "view", ts(10, 0)), (2L, 1L, "click", ts(10, 10)),
+      (3L, 1L, "view", ts(11, 0)),
+      (4L, 2L, "view", ts(9, 0)),
+      (5L, 3L, "view", ts(9, 0)), (6L, 3L, "view", ts(9, 30)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Temporal.sessionize(ev, gapMinutes = 30)
+      .select("user_id", "session_idx", "n_events", "n_types", "duration_sec")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, 2L, 600L), (1L, 2L, 1L, 1L, 0L),
+      (2L, 1L, 1L, 1L, 0L),
+      (3L, 1L, 2L, 1L, 1800L)), s"got $got")
+  }
 }

@@ -287,4 +287,28 @@ class SimilaritySpec extends SparkSpec {
     val s = Similarity.centroidOutliers(solo).head()
     assert(s.isNullAt(3) && !s.getBoolean(4))
   }
+
+  test("kMeansSpherical: seeds recover planted clusters; update tightens centroids") {
+    // two planted directions; seeds 0 and 1 land one in each cluster.
+    // vec 8 leans 60/40 toward x -> joins cluster 0; after the centroid
+    // update its cosine to the (mean) centroid must not decrease
+    val rows = Seq(
+      (0L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (4L, Array(1f, 0.05f)),
+      (1L, Array(0f, 1f)), (3L, Array(0.1f, 0.9f)), (5L, Array(0.05f, 1f)),
+      (8L, Array(0.6f, 0.4f)))
+    val d = rows.toDF("vec_id", "embedding")
+    val got = Similarity.kMeansSpherical(d, k = 2, rounds = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == rows.map(_._1).toSet)
+    Seq(0L, 2L, 4L, 8L).foreach(i => assert(got(i)._1 == 0L, s"vec $i: $got"))
+    Seq(1L, 3L, 5L).foreach(i => assert(got(i)._1 == 1L, s"vec $i: $got"))
+    // cluster ids are the seed vec_ids; a seed scores ~1.0 against its own
+    // first-round centroid but the final centroid is the cluster mean, so
+    // every member's final cosine is high but below 1.0 except by chance
+    assert(got.values.forall(_._2 > 0.8), s"loose cluster: $got")
+    // one round = pure seed assignment (no update applied)
+    val one = Similarity.kMeansSpherical(d, k = 2, rounds = 1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(one(0L) == 1.0 && one(1L) == 1.0)
+  }
 }
