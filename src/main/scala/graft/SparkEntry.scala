@@ -418,6 +418,11 @@ object SparkEntry {
         col("fps_nonempty_ok"))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
+    // vocabulary coverage curve at candidate tokenizer sizes (OOV budget);
+    // ks sized to the synthetic corpus's 31-type vocabulary so the curve
+    // has shape, with one overshoot k exercising the 100% clamp
+    "q_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(
+      Tables.documents(s, d), ks = Seq(5, 10, 20, 100))),
     // sketch twin, promise-gated: CMS estimates are seeded-hash-specific,
     // so the gate emits the sketch's portable contract (exact distinct-term
     // count oracle-recomputed; never-undercount + heavy-hitter recovery
@@ -471,6 +476,9 @@ object SparkEntry {
     // removes and the occurrence share they carried — the truncation is
     // never silent
     "q_hot_shingles" -> ((s, d) => Dedup.hotShingleReport(Tables.documents(s, d))),
+    // per-doc n-gram novelty vs earlier doc_ids: the "is this snapshot
+    // adding anything" admission score (linear — no pair join)
+    "q_novelty" -> ((s, d) => Dedup.noveltyReport(Tables.documents(s, d))),
     // cross-source duplication overlap: near-dup pairs attributed to their
     // source pair — the report behind source-level curation decisions
     "q_source_overlap" -> ((s, d) => Dedup.crossSourceOverlap(Tables.documents(s, d))),
@@ -2788,6 +2796,46 @@ object SparkEntry {
         |SELECT term, CAST(sum(tf) AS BIGINT) AS freq, count(*) AS doc_freq
         |FROM tf GROUP BY term
         |ORDER BY freq DESC, term LIMIT 100""".stripMargin,
+    // coverage curve: (freq desc, term) rank order, running occurrence sum,
+    // max-cum-at-rank<=k so a k past the vocabulary reports 100%
+    "q_vocab_coverage" ->
+      """WITH vocab AS (
+        |  SELECT term, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |    FROM documents)
+        |  GROUP BY 1),
+        |r AS (SELECT row_number() OVER (ORDER BY freq DESC, term) AS rank,
+        |        sum(freq) OVER (ORDER BY freq DESC, term
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM vocab),
+        |t AS (SELECT max(cum) AS n_tokens FROM r),
+        |ks(vocab_k) AS (VALUES (5), (10), (20), (100))
+        |SELECT CAST(vocab_k AS BIGINT) AS vocab_k,
+        |  CAST(max(cum) AS BIGINT) AS n_covered,
+        |  (SELECT CAST(n_tokens AS BIGINT) FROM t) AS n_tokens,
+        |  round(max(cum) * 1.0 / (SELECT n_tokens FROM t), 4) AS coverage
+        |FROM r JOIN ks ON r.rank <= ks.vocab_k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // novelty: first corpus occurrence per shingle (min doc_id), one
+    // first_doc row attached per (doc, shingle) — linear, no df cap
+    "q_novelty" ->
+      """WITH sh AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) > 0),
+        |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_seen_before,
+        |  round(1.0 - sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+        |    * 1.0 / count(*), 4) AS novelty
+        |FROM sh s JOIN fs f USING (shingle)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

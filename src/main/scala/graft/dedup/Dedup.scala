@@ -74,6 +74,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-document n-gram novelty — how much of each document the corpus has
+    * ALREADY seen in earlier documents (doc_id order = ingestion order):
+    * the share of a doc's distinct k-shingles whose first corpus occurrence
+    * is a smaller doc_id. The curation stat behind "is this crawl snapshot
+    * adding anything" and the streaming-ingest admission score; low-novelty
+    * tails are boilerplate/syndication even when no single pair crosses a
+    * near-dup threshold. Exact integers + one round-4 ratio, so the report
+    * is oracle-recomputable.
+    *
+    * Scale shape: linear where the pair tiers are quadratic — the shingle
+    * tier shuffles once on the shingle key into a map-combined min
+    * aggregate, and the join back attaches exactly ONE first_doc row per
+    * (doc, shingle) occurrence, so a stop-shingle fans out |docs carrying
+    * it| rows, never df². No df cap needed, and the aggregate side arrives
+    * already partitioned by the groupBy. */
+  def noveltyReport(documents: DataFrame, k: Int = 3): DataFrame = {
+    val sh = shingleRows(documents, k).pinTier // two consumers below
+    val firstSeen = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen_before"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen_before"),
+        round(lit(1.0) - col("n_seen_before") / col("n_shingles"), 4)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Substring-level duplication statistics — the span form of corpus dedup
     * (Lee et al., "Deduplicating Training Data Makes Language Models
     * Better", ACL'22: repeated ≥N-token substrings are the main memorization

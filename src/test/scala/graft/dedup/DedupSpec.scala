@@ -274,4 +274,18 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.editDistancePairs(boiler, maxBucket = 5).count() == 0L)
   }
+
+  test("noveltyReport: first doc fully novel, exact copy fully stale, mixed doc scored") {
+    // doc 1: 4 tokens -> 2 distinct 3-shingles, all first-seen. doc 2:
+    // exact copy -> novelty 0. doc 3: shares doc 1's first shingle plus a
+    // fresh tail: shingles "a b c" (seen), "b c x" (new), "c x y" (new)
+    val d = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x y"))
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyReport(d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, 1.0), (2L, 2L, 2L, 0.0), (3L, 3L, 1L, 0.6667)),
+      s"got $got")
+  }
 }

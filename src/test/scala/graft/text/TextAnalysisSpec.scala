@@ -309,4 +309,15 @@ class TextAnalysisSpec extends SparkSpec {
     val uf = TextAnalysis.zipfFit(uniform).as[(Long, Double, Double)].head()
     assert(math.abs(uf._2) < 0.01, s"uniform corpus fit alpha ${uf._2} should be ~0")
   }
+
+  test("vocabCoverage: hand-computed curve, tie order, overshoot k reports 100%") {
+    // freqs: a=4, b=2, c=2, d=1 (9 occurrences). Rank order (freq desc,
+    // term asc): a, b, c, d. k=1 -> 4/9; k=3 -> 8/9; k=10 > |vocab| -> 9/9
+    val d = Seq((1L, "a a b c"), (2L, "a a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(d, ks = Seq(1, 3, 10))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 9L, 0.4444), (3L, 8L, 9L, 0.8889), (10L, 9L, 9L, 1.0)),
+      s"got $got")
+  }
 }
