@@ -132,7 +132,12 @@ object Stress {
     "q_communities", "q_edit_neardups", "q_kn_bigrams", "q_doc_nll",
     "q_split_leakage", "q_emb_outliers",
     "q_bpe_merges", "q_gopher_rules", "q_source_terms", "q_transitions",
-    "q_decayed_popularity", "q_hourly_anomalies")
+    "q_decayed_popularity", "q_hourly_anomalies",
+    // round 9 continuation: the session window pass, the BFS frontier
+    // iteration (disjoint copy subgraphs -> ~linear), the k-round centroid
+    // loop (corpus × k map-side work), and the two linear text/dedup
+    // aggregates
+    "q_sessions", "q_bfs_dist", "q_kmeans", "q_novelty", "q_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -227,7 +227,27 @@ class GoldenPlanSpec extends SparkSpec {
     // split leakage: pair-tier attribution via equi joins + one tiny agg
     "q_split_leakage" -> Golden(
       required = Seq("partial_count"),
-      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // sessionization: one user-keyed window shuffle; the per-session
+    // aggregate must ride the window's partitioning (its clustering keys
+    // are a superset), so the only other exchange is the output sort
+    "q_sessions" -> Golden(
+      required = Seq("Window", "partial_count"),
+      forbidden = Seq("Join", "CartesianProduct"),
+      maxExchanges = Some(2)),
+    // novelty: linear shingle-tier shape — map-combined min aggregate,
+    // equi join back on the shingle, never a pair-tier nested loop
+    "q_novelty" -> Golden(
+      required = Seq("partial_min", "partial_count"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // coverage curve: the ks table is the INTENDED bounded broadcast side
+    // of the rank<=k band join, and the per-k coverage is a map-combined
+    // max over the pinned vocab tier (the ranking window runs inside the
+    // pin, so the visible plan starts at the tier scan)
+    "q_vocab_coverage" -> Golden(
+      required = Seq("BroadcastNestedLoopJoin", "partial_max",
+        "Scan ExistingRDD"),
+      forbidden = Seq("CartesianProduct", "SortMergeJoin")))
 
   golden.foreach { case (name, g) =>
     test(s"golden plan: $name") {
