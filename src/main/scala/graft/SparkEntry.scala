@@ -161,6 +161,9 @@ object SparkEntry {
           Aggregations.dsum(col("l_extendedprice")).as("revenue"))
         .orderBy(col("p_brand"))
     }),
+    // per-column profile of the orders table: one aggregate pass, long-form
+    "q_profile_orders" -> ((s, d) => graft.ops.Profiling.profile(
+      Tables.orders(s, d))),
     "q_anti_join" -> ((s, d) => Joins.customersWithoutOrders(
       Tables.customer(s, d), Tables.orders(s, d), inYear = 1995)),
     "q_semi_join" -> ((s, d) => Joins.partsWithBulkShipments(
@@ -2437,6 +2440,27 @@ object SparkEntry {
         |  ORDER BY ppr DESC, id LIMIT 100)
         |SELECT row_number() OVER (ORDER BY ppr DESC, id) AS rank, id, ppr
         |FROM top ORDER BY rank""".stripMargin,
+    // column profile: per-column stats recomputed as one UNION ALL branch
+    // per column (the long-form contract; numeric min/max as DOUBLE, null
+    // for non-numerics; type names are Spark simpleString literals)
+    "q_profile_orders" -> {
+      val cols = Seq(
+        ("o_orderkey", "bigint", true), ("o_custkey", "bigint", true),
+        ("o_orderstatus", "string", false), ("o_totalprice", "double", true),
+        ("o_orderdate", "timestamp", false), ("o_orderpriority", "string", false))
+      val branches = cols.map { case (c, t, num) =>
+        val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS column_name, '$t' AS data_type,
+           |  count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  round((count(*) - count($c)) * 1.0 / count(*), 4) AS null_rate,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $mn AS min_value, $mx AS max_value
+           |FROM orders""".stripMargin
+      }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     // bounded recursive CTE: UNION (distinct) dedups (id, dist) states, so
     // the walk is vertex-layer-bounded, never path-enumerating; min(dist)
     // collapses later rediscoveries to the BFS layer = true hop distance

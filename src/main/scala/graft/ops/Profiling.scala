@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column data-profile report — the first thing a lake operator runs
+  * against an unfamiliar (or freshly landed) table: row count, null
+  * count/rate, exact distinct cardinality, and numeric min/max per column,
+  * long-form (one row per column) so the report is oracle-hashable and
+  * joins against catalogs/expectation tables.
+  *
+  * Scale shape: ONE aggregate pass over the table — every per-column
+  * statistic is a column of the same single-row aggregate, and the
+  * long-form pivot explodes that one row, so the table is scanned exactly
+  * once. The exact multi-column distinct uses Spark's Expand (one input
+  * row fans out to |cols| aggregation streams): the right exact-tier cost
+  * at report scale, while a 100 TB profile swaps `count_distinct` for
+  * `approx_count_distinct` (same plan minus the Expand) — the documented
+  * sketch twin, same rule as vocabulary/vocabularyApprox.
+  */
+object Profiling {
+
+  def profile(df: DataFrame): DataFrame = {
+    val numeric: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
+        count_distinct(c).as(s"${f.name}__distinct")) ++
+        (if (numeric.contains(f.dataType)) Seq(
+          min(c).cast("double").as(s"${f.name}__min"),
+          max(c).cast("double").as(s"${f.name}__max"))
+        else Nil)
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs.toIndexedSeq: _*)
+    val perCol = df.schema.fields.map { f =>
+      val hasMinMax = numeric.contains(f.dataType)
+      struct(
+        lit(f.name).as("column_name"),
+        lit(f.dataType.simpleString).as("data_type"),
+        col(s"${f.name}__nulls").as("n_nulls"),
+        col(s"${f.name}__distinct").as("n_distinct"),
+        (if (hasMinMax) col(s"${f.name}__min") else lit(null).cast("double"))
+          .as("min_value"),
+        (if (hasMinMax) col(s"${f.name}__max") else lit(null).cast("double"))
+          .as("max_value"))
+    }
+    one
+      .select(col("n_rows"), explode(array(perCol.toIndexedSeq: _*)).as("p"))
+      .select(col("p.column_name"), col("p.data_type"), col("n_rows"),
+        col("p.n_nulls"),
+        round(col("p.n_nulls") / col("n_rows"), 4).as("null_rate"),
+        col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
+      .orderBy(col("column_name"))
+  }
+}

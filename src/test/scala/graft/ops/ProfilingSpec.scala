@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: hand-computed per-column stats, numeric-only min/max, one row per column") {
+    val d = Seq(
+      (1L, Some(2.5), Some("a")),
+      (2L, None, Some("b")),
+      (3L, Some(7.5), None),
+      (4L, Some(2.5), Some("a")))
+      .toDF("id", "score", "tag")
+    val got = Profiling.profile(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size == 3)
+    val id = got("id")
+    assert(id.getString(1) == "bigint" && id.getLong(2) == 4L &&
+      id.getLong(3) == 0L && id.getDouble(4) == 0.0 && id.getLong(5) == 4L &&
+      id.getDouble(6) == 1.0 && id.getDouble(7) == 4.0, s"id row: $id")
+    val score = got("score")
+    assert(score.getLong(3) == 1L && score.getDouble(4) == 0.25 &&
+      score.getLong(5) == 2L && // distinct excludes null; 2.5 counted once
+      score.getDouble(6) == 2.5 && score.getDouble(7) == 7.5, s"score row: $score")
+    val tag = got("tag")
+    assert(tag.getString(1) == "string" && tag.getLong(3) == 1L &&
+      tag.getLong(5) == 2L && tag.isNullAt(6) && tag.isNullAt(7), s"tag row: $tag")
+  }
+}
