@@ -203,6 +203,9 @@ object SparkEntry {
     // the α-temperature mix realized as a deterministic mod-space downsample
     "q_temperature_sample" -> ((s, d) => graft.ops.Sampling.temperatureSample(
       Tables.documents(s, d), "lang", "n_chars", "doc_id", alpha = 0.3)),
+    // systematic PPS draw ∝ n_chars, integer-exact selection
+    "q_pps_sample" -> ((s, d) => graft.ops.Sampling.systematicWeightedSample(
+      Tables.documents(s, d), "n_chars", "doc_id", step = 10000L)),
     // ---- temporal joins (north-star; ops/Temporal.scala) ----
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -1254,6 +1257,18 @@ object SparkEntry {
         |  round(c.n / t.row_total, 4) AS p
         |FROM counts c JOIN totals t USING (event_type)
         |ORDER BY c.event_type, c.next_type""".stripMargin,
+    // systematic PPS: identical doc_id-ordered prefix sum, BIGINT floor
+    // division on both sides (// in DuckDB, div in Spark)
+    "q_pps_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    sum(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT doc_id, w AS weight,
+        |  CAST(cum // 10000 - (cum - w) // 10000 AS BIGINT) AS n_picks
+        |FROM c WHERE cum // 10000 - (cum - w) // 10000 >= 1
+        |ORDER BY doc_id""".stripMargin,
     // gap-based sessions: identical (ts, event_id) order, boundary > 30 min,
     // exact-integer microsecond durations (truncating division, both >= 0)
     "q_sessions" ->

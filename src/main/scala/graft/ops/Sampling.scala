@@ -327,4 +327,36 @@ object Sampling {
   def rngStratifiedSample(df: DataFrame, strataCol: String,
                           fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Systematic PPS (probability-proportional-to-size) sample: walk the
+    * corpus in id order accumulating the weight column and pick a row
+    * every time the running total crosses a multiple of `step` — each row
+    * selected with probability ∝ its weight (the survey-sampling PPS
+    * contract; rows heavier than `step` report multiplicity > 1). The
+    * weighted companion to [[reservoirPerKey]]'s uniform draw: "sample
+    * documents ∝ token count" without ever touching float thresholds —
+    * selection is PURE INTEGER arithmetic (floor-divided cumulative sums),
+    * so the drawn set is identical cross-engine, immune to the libm
+    * ulp differences a -ln(u)/w exponential-key draw would gate on.
+    *
+    * Scale shape: one window pass in id order for the prefix sum (the
+    * pack_index precedent — at 100 TB the same sum runs as the two-level
+    * per-partition prefix aggregate), then a map-side predicate; no joins,
+    * no second pass. Expected sample size = total_weight / step. */
+  def systematicWeightedSample(df: DataFrame, weightCol: String,
+                               idCol: String, step: Long): DataFrame = {
+    require(step >= 1, s"systematicWeightedSample: step must be >= 1, got $step")
+    val W = org.apache.spark.sql.expressions.Window
+    val run = W.orderBy(col(idCol))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    // `div` (long integer division), not floor(a/b): the double detour
+    // loses exactness past 2^53 — reachable cumulative mass at corpus scale
+    df.select(col(idCol), col(weightCol).cast("bigint").as("w"))
+      .withColumn("_cum", sum(col("w")).over(run))
+      .select(col(idCol), col("w").as("weight"),
+        (expr(s"_cum div $step") - expr(s"(_cum - w) div $step"))
+          .cast("bigint").as("n_picks"))
+      .filter(col("n_picks") >= 1)
+      .orderBy(col(idCol))
+  }
 }

@@ -574,6 +574,23 @@ class Round3OpsSpec extends SparkSpec {
     assert(!mid.getBoolean(mid.fieldIndex("is_anomaly")), s"false positive: $mid")
   }
 
+  test("systematicWeightedSample: picks at step crossings, multiplicity, zero-weight skipped") {
+    // weights 3,4,0,5,9 in id order; cum = 3,7,7,12,21; step 5.
+    // crossings: id 2 crosses 5 (7 div 5 = 1 > 0), id 4 crosses 10
+    // (12 div 5 = 2 > 1), id 5 crosses 15 AND 20 -> n_picks 2 (21 div 5 =
+    // 4 > 2); id 1 and the zero-weight id 3 never cross
+    val d = Seq((1L, 3L), (2L, 4L), (3L, 0L), (4L, 5L), (5L, 9L))
+      .toDF("doc_id", "n_chars")
+    val got = Sampling.systematicWeightedSample(d, "n_chars", "doc_id", step = 5L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 4L, 1L), (4L, 5L, 1L), (5L, 9L, 2L)), s"got $got")
+    // expected size tracks total/step: heavy rows always selected
+    val heavy = Seq((1L, 100L), (2L, 1L)).toDF("doc_id", "n_chars")
+    val h = Sampling.systematicWeightedSample(heavy, "n_chars", "doc_id", step = 10L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(h.head == ((1L, 100L, 10L)), s"got $h")
+  }
+
   test("sessionize: gap splits, boundary-exact gap kept, per-session stats") {
     import java.sql.Timestamp
     def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
