@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Tier.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -339,20 +340,36 @@ object Sampling {
     * so the drawn set is identical cross-engine, immune to the libm
     * ulp differences a -ln(u)/w exponential-key draw would gate on.
     *
-    * Scale shape: one window pass in id order for the prefix sum (the
-    * pack_index precedent — at 100 TB the same sum runs as the two-level
-    * per-partition prefix aggregate), then a map-side predicate; no joins,
-    * no second pass. Expected sample size = total_weight / step. */
+    * Scale shape: the prefix sum is the packDocuments two-level form — a
+    * per-bucket window runs in parallel over id-range buckets and only the
+    * `buckets`-row totals take an ordered window before broadcasting back
+    * — so no stage ever sees a single-partition sort of the corpus. Then a
+    * map-side predicate; no second pass. Expected sample size =
+    * total_weight / step. Requires a numeric id (the bucket range split;
+    * every graft id is). */
   def systematicWeightedSample(df: DataFrame, weightCol: String,
-                               idCol: String, step: Long): DataFrame = {
+                               idCol: String, step: Long,
+                               buckets: Int = 64): DataFrame = {
     require(step >= 1, s"systematicWeightedSample: step must be >= 1, got $step")
     val W = org.apache.spark.sql.expressions.Window
-    val run = W.orderBy(col(idCol))
+    // pinned: three consumers (max-id action, local windows, bucket totals)
+    val lens = df.select(col(idCol), col(weightCol).cast("bigint").as("w"))
+      .pinTier
+    val maxId = Option(lens.agg(max(col(idCol))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val span = math.max(1L, maxId / buckets + 1)
+    val bucketed = lens.withColumn("bucket", (col(idCol) / span).cast("bigint"))
+    val wLocal = W.partitionBy(col("bucket")).orderBy(col(idCol))
       .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val prefixed = bucketed.withColumn("local_cum", sum(col("w")).over(wLocal))
+    val wBucket = W.orderBy(col("bucket")).rowsBetween(W.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket")).agg(sum(col("w")).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(wBucket), lit(0L)))
+      .select(col("bucket"), col("boff"))
     // `div` (long integer division), not floor(a/b): the double detour
     // loses exactness past 2^53 — reachable cumulative mass at corpus scale
-    df.select(col(idCol), col(weightCol).cast("bigint").as("w"))
-      .withColumn("_cum", sum(col("w")).over(run))
+    prefixed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("_cum", col("boff") + col("local_cum"))
       .select(col(idCol), col("w").as("weight"),
         (expr(s"_cum div $step") - expr(s"(_cum - w) div $step"))
           .cast("bigint").as("n_picks"))
