@@ -164,6 +164,14 @@ object SparkEntry {
     // per-column profile of the orders table: one aggregate pass, long-form
     "q_profile_orders" -> ((s, d) => graft.ops.Profiling.profile(
       Tables.orders(s, d))),
+    // referential-integrity audit: orphan counts for the two lineitem FKs
+    "q_fk_audit" -> ((s, d) => graft.ops.Profiling.fkAudit(
+        Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey",
+        "lineitem.l_orderkey -> orders")
+      .unionByName(graft.ops.Profiling.fkAudit(
+        Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey",
+        "lineitem.l_partkey -> part"))
+      .orderBy(col("fk"))),
     "q_anti_join" -> ((s, d) => Joins.customersWithoutOrders(
       Tables.customer(s, d), Tables.orders(s, d), inYear = 1995)),
     "q_semi_join" -> ((s, d) => Joins.partsWithBulkShipments(
@@ -2476,6 +2484,26 @@ object SparkEntry {
       }
       branches.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    // FK audit: LEFT ANTI orphan semantics (null child keys are orphans —
+    // NOT IN would nullify them away, so the oracle uses an anti join too)
+    "q_fk_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem.l_orderkey -> orders' AS fk,
+        |    (SELECT count(*) FROM lineitem) AS n_child,
+        |    (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+        |       ON l.l_orderkey = o.o_orderkey) AS n_orphans,
+        |    round((SELECT count(*) FROM lineitem l ANTI JOIN orders o
+        |       ON l.l_orderkey = o.o_orderkey) * 1.0
+        |      / (SELECT count(*) FROM lineitem), 4) AS orphan_rate
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey -> part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l ANTI JOIN part p
+        |       ON l.l_partkey = p.p_partkey),
+        |    round((SELECT count(*) FROM lineitem l ANTI JOIN part p
+        |       ON l.l_partkey = p.p_partkey) * 1.0
+        |      / (SELECT count(*) FROM lineitem), 4))
+        |ORDER BY fk""".stripMargin,
     // bounded recursive CTE: UNION (distinct) dedups (id, dist) states, so
     // the walk is vertex-layer-bounded, never path-enumerating; min(dist)
     // collapses later rediscoveries to the BFS layer = true hop distance

@@ -55,4 +55,26 @@ object Profiling {
         col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
       .orderBy(col("column_name"))
   }
+
+  /** Referential-integrity audit for one child→parent key: child rows,
+    * orphans (child keys with no parent row — LEFT ANTI, so null child
+    * keys count as orphans, which is what a landed-data audit wants
+    * surfaced), and the orphan rate. One labeled row, so several audits
+    * union into one FK report.
+    *
+    * Scale shape: the anti join is a plain equi join on the key — shuffle
+    * on both sides at fact×fact scale, broadcast when the parent key set
+    * fits (Catalyst's size estimate decides; the parent side is projected
+    * to its key column first, so "fits" is keys, not rows). */
+  def fkAudit(child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String,
+              label: String): DataFrame = {
+    val orphans = child.select(col(childKey).as("k"))
+      .join(parent.select(col(parentKey).as("k")).distinct(), Seq("k"),
+        "left_anti")
+    child.agg(count(lit(1)).as("n_child"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(label).as("fk"), col("n_child"), col("n_orphans"),
+        round(col("n_orphans") / col("n_child"), 4).as("orphan_rate"))
+  }
 }

@@ -27,4 +27,16 @@ class ProfilingSpec extends SparkSpec {
     assert(tag.getString(1) == "string" && tag.getLong(3) == 1L &&
       tag.getLong(5) == 2L && tag.isNullAt(6) && tag.isNullAt(7), s"tag row: $tag")
   }
+
+  test("fkAudit: orphans counted, null child key is an orphan, clean FK reports zero") {
+    val parent = Seq(1L, 2L).toDF("pid")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None)
+      .toDF("cid") // 9 dangles, null surfaces as an orphan
+    val got = Profiling.fkAudit(child, "cid", parent, "pid", "c -> p")
+      .as[(String, Long, Long, Double)].head()
+    assert(got == (("c -> p", 4L, 2L, 0.5)), s"got $got")
+    val clean = Profiling.fkAudit(parent, "pid", parent, "pid", "self")
+      .as[(String, Long, Long, Double)].head()
+    assert(clean == (("self", 2L, 0L, 0.0)), s"got $clean")
+  }
 }
