@@ -137,7 +137,10 @@ object Stress {
     // iteration (disjoint copy subgraphs -> ~linear), the k-round centroid
     // loop (corpus × k map-side work), and the two linear text/dedup
     // aggregates
-    "q_sessions", "q_bfs_dist", "q_kmeans", "q_novelty", "q_vocab_coverage")
+    "q_sessions", "q_bfs_dist", "q_kmeans", "q_novelty", "q_vocab_coverage",
+    // lake-hygiene surfaces: the one-pass Expand profile, the two-level
+    // prefix-sum PPS draw, the anti-join FK audit
+    "q_profile_orders", "q_pps_sample", "q_fk_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -247,7 +247,24 @@ class GoldenPlanSpec extends SparkSpec {
     "q_vocab_coverage" -> Golden(
       required = Seq("BroadcastNestedLoopJoin", "partial_max",
         "Scan ExistingRDD"),
-      forbidden = Seq("CartesianProduct", "SortMergeJoin")))
+      forbidden = Seq("CartesianProduct", "SortMergeJoin")),
+    // column profile: ONE scan fanned through Expand into the multi-column
+    // distinct aggregate; a Join here means the per-column stats stopped
+    // sharing the single pass
+    "q_profile_orders" -> Golden(
+      required = Seq("Expand", "partial_count"),
+      forbidden = Seq("Join", "CartesianProduct")),
+    // PPS draw: per-bucket windows over the pinned weight tier; the
+    // bucket-offset table broadcasts back (never a corpus-side shuffle
+    // join); selection is a filter, not a join
+    "q_pps_sample" -> Golden(
+      required = Seq("Window", "BroadcastHashJoin", "Scan ExistingRDD"),
+      forbidden = Seq("SortMergeJoin", "CartesianProduct")),
+    // FK audit: orphanhood is LEFT ANTI; the two one-row aggregate sides
+    // meet in an intended bounded nested-loop cross
+    "q_fk_audit" -> Golden(
+      required = Seq("LeftAnti"),
+      forbidden = Seq("SortMergeJoin")))
 
   golden.foreach { case (name, g) =>
     test(s"golden plan: $name") {
