@@ -677,6 +677,12 @@ object SparkEntry {
       Tables.embeddings(s, d), k = 8, rounds = 3)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(
       Tables.embeddings(s, d))),
+    // 1-NN label-consistency confusion matrix over the %10 probe set
+    "q_knn_labels" -> ((s, d) => Similarity.knnLabelAudit(
+      Tables.embeddings(s, d), probeMod = 10)),
+    // per-label centroid drift between the vec_id-parity corpus halves
+    "q_emb_drift" -> ((s, d) => Similarity.centroidDrift(
+      Tables.embeddings(s, d))),
     // mislabel hunt: per-vector cosine to its own label centroid, z-scored
     "q_emb_outliers" -> ((s, d) => Similarity.centroidOutliers(
       Tables.embeddings(s, d))),
@@ -2135,6 +2141,47 @@ object SparkEntry {
         |        unnest(embedding) AS v
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    // 1-NN confusion: the q_ann_brute argmax (round-4 cosine, neighbor-id
+    // tiebreak) at rnk=1, labels joined, shares over the label total
+    "q_knn_labels" ->
+      """WITH nn AS (
+        |  SELECT q_label, n_label FROM (
+        |    SELECT a.label AS q_label, b.label AS n_label,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_cosine_similarity(
+        |            CAST(a.embedding AS DOUBLE[]),
+        |            CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rnk
+        |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |    WHERE a.vec_id % 10 = 0)
+        |  WHERE rnk = 1)
+        |SELECT q_label AS label, n_label AS nn_label,
+        |  count(*) AS n_probes,
+        |  round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY q_label), 4)
+        |    AS share
+        |FROM nn GROUP BY 1, 2 ORDER BY label, nn_label""".stripMargin,
+    // centroid drift: the q_label_centroids decimal-exact means per parity
+    // half, re-nested in dim order, compared at round-4 cosine
+    "q_emb_drift" ->
+      """WITH cent AS (
+        |  SELECT vec_id % 2 AS side, label, dim,
+        |    round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS mean_val,
+        |    count(*) AS n
+        |  FROM (SELECT vec_id, label, unnest(range(1, len(embedding)+1)) AS dim,
+        |          unnest(embedding) AS v
+        |        FROM embeddings)
+        |  GROUP BY 1, 2, 3),
+        |carr AS (SELECT side, label, list(mean_val ORDER BY dim) AS centroid,
+        |           max(n) AS n
+        |         FROM cent GROUP BY 1, 2)
+        |SELECT label,
+        |  coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b,
+        |  CASE WHEN a.centroid IS NOT NULL AND b.centroid IS NOT NULL
+        |       THEN round(list_cosine_similarity(a.centroid, b.centroid), 4)
+        |  END AS cos_drift
+        |FROM (SELECT * FROM carr WHERE side = 0) a
+        |FULL OUTER JOIN (SELECT * FROM carr WHERE side = 1) b USING (label)
+        |ORDER BY label""".stripMargin,
     // centroid outliers: decimal-exact rounded centroids re-nested in dim
     // order, the q_ann_brute cosine arithmetic, verdicts on rounded stats
     "q_emb_outliers" ->

@@ -437,6 +437,82 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** 1-NN label-consistency audit — the standard label-noise estimate over
+    * labeled embeddings: for a deterministic probe set (vec_id %
+    * `probeMod` = 0), find each probe's exact nearest neighbor (excluding
+    * itself) and tally the (own label × neighbor label) confusion matrix.
+    * Diagonal mass ≈ label/encoder coherence; a hot off-diagonal cell is a
+    * systematically confused class pair (or a labeling-pipeline bug).
+    *
+    * Exactness: the argmax is the q_ann_brute pattern — round-4 cosine
+    * ranked with the neighbor-id tiebreak via one max(struct) (the id
+    * makes the order total, so the appended label rides along without
+    * ever deciding a comparison). Shares: integer counts over the
+    * label-window total, round-4.
+    *
+    * Scale shape: the probe side is guarded (≤ [[MaxProbeQueries]], the
+    * bruteForceTopK rule) and broadcasts; the corpus streams past it
+    * map-side; everything after the per-probe argmax is |labels|²-sized. */
+  def knnLabelAudit(embeddings: DataFrame, probeMod: Int = 10): DataFrame = {
+    val probes = embeddings
+      .filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+      .pinTier
+    val nProbes = probes.count()
+    require(nProbes <= MaxProbeQueries,
+      s"knnLabelAudit: $nProbes probes exceeds MaxProbeQueries=" +
+        s"$MaxProbeQueries — raise probeMod (the audit costs |Q|·|corpus|)")
+    val nn = broadcast(probes)
+      .join(embeddings.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"), col("embedding").as("c_emb")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_label"),
+        struct(round(cosine(col("q_emb"), col("c_emb")), 4).as("cos"),
+          (-col("neighbor_id")).as("nid"), col("n_label").as("nl")).as("s"))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(max(col("s")).as("best"))
+    nn.groupBy(col("q_label").as("label"), col("best.nl").as("nn_label"))
+      .agg(count(lit(1)).as("n_probes"))
+      .withColumn("share",
+        round(col("n_probes") / sum(col("n_probes")).over(
+          Window.partitionBy(col("label"))), 4))
+      .orderBy(col("label"), col("nn_label"))
+  }
+
+  /** Per-label embedding drift between the two corpus halves (vec_id
+    * parity): cosine between each half's label centroid — the "did the
+    * encoder/distribution move" check run between snapshots or pipeline
+    * versions, here in its self-audit form (a healthy corpus's halves are
+    * statistically identical, so cos ≈ 1; a label whose halves diverge is
+    * the drift signal). Centroids are the [[labelCentroids]] decimal-exact
+    * rounded means; the comparison is the round-4 cosine — both proven
+    * oracle arithmetic. Labels present in only one half report a null
+    * drift (no comparison exists).
+    *
+    * Scale shape: two labelCentroids passes (each one shuffle into a
+    * (labels × dim)-sized aggregate) + a labels-sized join — nothing else
+    * touches corpus cardinality. */
+  def centroidDrift(embeddings: DataFrame): DataFrame = {
+    def half(side: Int): DataFrame =
+      labelCentroids(embeddings.filter(pmod(col("vec_id"), lit(2)) === side))
+        .groupBy(col("label"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("mean_val")))).as("c"),
+          max(col("n_vecs")).as("n"))
+        .select(col("label"),
+          transform(col("c"), s => s.getField("mean_val")).as("centroid"),
+          col("n"))
+    half(0).withColumnsRenamed(Map("centroid" -> "cent_a", "n" -> "n_a"))
+      .join(half(1).withColumnsRenamed(Map("centroid" -> "cent_b", "n" -> "n_b")),
+        Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("cent_a").isNotNull && col("cent_b").isNotNull,
+          round(cosine(col("cent_a"), col("cent_b")), 4)).as("cos_drift"))
+      .orderBy(col("label"))
+  }
+
   /** Fixed-round spherical k-means over the embedding corpus — the
     * embedding-space clustering a curation pipeline uses for
     * cluster-balanced sampling, topic discovery, and as the cell structure

@@ -288,6 +288,43 @@ class SimilaritySpec extends SparkSpec {
     assert(s.isNullAt(3) && !s.getBoolean(4))
   }
 
+  test("knnLabelAudit: coherent labels diagonal, planted mislabel lands off-diagonal") {
+    // two tight direction families; vec 10 carries family-0 geometry but
+    // label 1 -> its nearest neighbor has label 0: an off-diagonal (1,0)
+    val rows = Seq(
+      (0L, Array(1f, 0f), 0), (20L, Array(0.95f, 0.05f), 0),
+      (30L, Array(0f, 1f), 1), (40L, Array(0.05f, 0.95f), 1),
+      (10L, Array(0.90f, 0.10f), 1))
+    val d = rows.toDF("vec_id", "embedding", "label")
+    // probeMod 10 -> probes are 0, 10, 20, 30, 40 (everything here)
+    val got = Similarity.knnLabelAudit(d, probeMod = 10)
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(got == Seq((0, 0, 2L, 1.0), (1, 0, 1L, 0.3333), (1, 1, 2L, 0.6667)),
+      s"got $got")
+    // probe guard: a probeMod that admits too many probes must fail fast
+    val big = (0L until 5000L).map(i => (i, Array(1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException](
+      Similarity.knnLabelAudit(big, probeMod = 1))
+    assert(e.getMessage.contains("MaxProbeQueries"))
+  }
+
+  test("centroidDrift: identical halves cos 1, rotated half drops, lone-side label null") {
+    // label 0: same vector both parities -> drift 1.0; label 1: even half
+    // on x, odd half on y -> drift 0.0; label 2: only even ids -> null
+    val rows = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
+      (2L, Array(1f, 0f), 1), (3L, Array(0f, 1f), 1),
+      (4L, Array(1f, 1f), 2))
+    val d = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(d).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(0) == ((1L, 1L, Some(1.0))), s"got $got")
+    assert(got(1) == ((1L, 1L, Some(0.0))), s"got $got")
+    assert(got(2) == ((1L, 0L, None)), s"got $got")
+  }
+
   test("kMeansSpherical: seeds recover planted clusters; update tightens centroids") {
     // two planted directions; seeds 0 and 1 land one in each cluster.
     // vec 8 leans 60/40 toward x -> joins cluster 0; after the centroid
