@@ -140,7 +140,13 @@ object Stress {
     "q_sessions", "q_bfs_dist", "q_kmeans", "q_novelty", "q_vocab_coverage",
     // lake-hygiene surfaces: the one-pass Expand profile, the two-level
     // prefix-sum PPS draw, the anti-join FK audit
-    "q_profile_orders", "q_pps_sample", "q_fk_audit")
+    "q_profile_orders", "q_pps_sample", "q_fk_audit",
+    // parity-half centroid drift: two label-sized aggregates, linear.
+    // q_knn_labels is deliberately absent: its probe set is a fixed
+    // fraction of the corpus, so the |Q|*|C| audit cost is quadratic in
+    // corpus size BY CONTRACT (the guarded ann_brute class) - at scale the
+    // probe is a fixed sample, not a fixed fraction
+    "q_emb_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

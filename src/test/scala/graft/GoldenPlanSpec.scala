@@ -264,7 +264,13 @@ class GoldenPlanSpec extends SparkSpec {
     // meet in an intended bounded nested-loop cross
     "q_fk_audit" -> Golden(
       required = Seq("LeftAnti"),
-      forbidden = Seq("SortMergeJoin")))
+      forbidden = Seq("SortMergeJoin")),
+    // 1-NN audit: the guarded probe tier broadcasts into the intended
+    // theta nested-loop scan of the corpus; the argmax is a map-combined
+    // max(struct) aggregate, never a corpus-side shuffle join
+    "q_knn_labels" -> Golden(
+      required = Seq("BroadcastNestedLoopJoin", "partial_max"),
+      forbidden = Seq("SortMergeJoin", "CartesianProduct")))
 
   golden.foreach { case (name, g) =>
     test(s"golden plan: $name") {
