@@ -202,6 +202,13 @@ object SparkEntry {
     // gap-based sessionization: 30-min inactivity splits, per-session stats
     "q_sessions" -> ((s, d) => graft.ops.Temporal.sessionize(
       Tables.events(s, d))),
+    // wide daily activity matrix: pinned-type pivot, absent cells are 0
+    "q_pivot_daily" -> ((s, d) => graft.ops.Temporal.dailyTypePivot(
+      Tables.events(s, d),
+      Seq("click", "error", "purchase", "signup", "view"))),
+    // gap-free calendar spine over the log's own day range (ISO dow)
+    "q_date_spine" -> ((s, d) => graft.ops.Temporal.dateSpine(
+      Tables.events(s, d))),
     // deterministic k-per-group reservoir (md5 rank, WindowGroupLimit plan)
     "q_reservoir_sample" -> ((s, d) => graft.ops.Sampling.reservoirPerKey(
       Tables.documents(s, d), "source", "doc_id", k = 5, seed = 42L)),
@@ -1283,6 +1290,27 @@ object SparkEntry {
         |  CAST(cum // 10000 - (cum - w) // 10000 AS BIGINT) AS n_picks
         |FROM c WHERE cum // 10000 - (cum - w) // 10000 >= 1
         |ORDER BY doc_id""".stripMargin,
+    // static pivot: one conditional count per pinned type (CASE form — the
+    // portable spelling of PIVOT), zero-filled
+    "q_pivot_daily" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // calendar spine: generate_series over the corpus day bounds; isodow
+    // matches the engine's ISO conversion (Monday=1)
+    "q_date_spine" ->
+      """WITH b AS (SELECT date_trunc('day', min(ts)) AS d0,
+        |                  date_trunc('day', max(ts)) AS d1 FROM events)
+        |SELECT day, CAST(isodow(day) AS BIGINT) AS iso_dow,
+        |  date_trunc('week', day) AS week_start,
+        |  date_trunc('month', day) AS month_start
+        |FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |      FROM b)
+        |ORDER BY day""".stripMargin,
     // gap-based sessions: identical (ts, event_id) order, boundary > 30 min,
     // exact-integer microsecond durations (truncating division, both >= 0)
     "q_sessions" ->

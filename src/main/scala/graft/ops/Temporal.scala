@@ -323,6 +323,53 @@ object Temporal {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Daily event-type pivot — the wide activity matrix (one row per day,
+    * one count column per event type) dashboards and spreadsheet exports
+    * consume. The type list is caller-pinned: a stable report schema must
+    * not depend on which types happen to appear in the scanned window
+    * (and Spark's values-less `pivot` would pay a driver-side distinct
+    * collect to discover them). Unlisted types are ignored; absent
+    * (day, type) cells are 0, not null.
+    *
+    * Scale shape: pivot with pinned values is ONE hash aggregate on the
+    * day — each count is a conditional aggregate column, map-combined; no
+    * second pass, no transpose shuffle. */
+  def dailyTypePivot(events: DataFrame, types: Seq[String]): DataFrame = {
+    val day = date_trunc("day", col("ts")).as("day")
+    events
+      .groupBy(day)
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types) // a cell with no rows pivots to null, not 0
+      .select(col("day") +: types.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy(col("day"))
+  }
+
+  /** Calendar spine over the event log's own [min, max] day range: one row
+    * per day with the date dimensions (dow, week start, month) — the
+    * gap-free axis that trend reports and as-of backfills join against (an
+    * event-log GROUP BY day silently skips empty days; the spine is what
+    * makes them visible as zeros). Generated distributed via
+    * sequence+explode from a one-row broadcast of the corpus bounds —
+    * never a driver-side range materialization.
+    *
+    * dow is ISO (Monday=1..Sunday=7, DuckDB's isodow) — Spark's dayofweek
+    * is Sunday=1, the one cross-engine calendar trap here. */
+  def dateSpine(events: DataFrame): DataFrame = {
+    val bounds = events.agg(
+      date_trunc("day", min(col("ts"))).as("d0"),
+      date_trunc("day", max(col("ts"))).as("d1"))
+    bounds
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .select(col("day"),
+        (pmod(dayofweek(col("day")) + lit(5), lit(7)) + lit(1))
+          .cast("bigint").as("iso_dow"),
+        date_trunc("week", col("day")).as("week_start"),
+        date_trunc("month", col("day")).as("month_start"))
+      .orderBy(col("day"))
+  }
+
   /** Gap-based sessionization: split each user's timeline into sessions at
     * inactivity gaps > `gapMinutes`, and publish per-session stats — the
     * canonical unit of engagement analytics (session counts, durations,

@@ -574,6 +574,37 @@ class Round3OpsSpec extends SparkSpec {
     assert(!mid.getBoolean(mid.fieldIndex("is_anomaly")), s"false positive: $mid")
   }
 
+  test("dailyTypePivot: pinned columns, zero fill, unlisted type ignored") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, "view", Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, "view", Timestamp.valueOf("2024-01-01 11:00:00")),
+      (3L, "click", Timestamp.valueOf("2024-01-02 10:00:00")),
+      (4L, "mystery", Timestamp.valueOf("2024-01-02 10:00:00")))
+      .toDF("event_id", "event_type", "ts")
+    val got = Temporal.dailyTypePivot(ev, Seq("click", "view"))
+      .as[(Timestamp, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 0L, 2L),
+      (Timestamp.valueOf("2024-01-02 00:00:00"), 1L, 0L)), s"got $got")
+  }
+
+  test("dateSpine: gap days present, ISO dow, week and month starts") {
+    import java.sql.Timestamp
+    // events on Mon Jan 1 and Thu Jan 4 only -> spine has all 4 days
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 15:00:00")),
+      (2L, Timestamp.valueOf("2024-01-04 03:00:00")))
+      .toDF("event_id", "ts")
+    val got = Temporal.dateSpine(ev)
+      .as[(Timestamp, Long, Timestamp, Timestamp)].collect().toSeq
+    assert(got.map(_._1.toString.take(10)) ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"), s"got $got")
+    assert(got.map(_._2) == Seq(1L, 2L, 3L, 4L), s"dow: $got") // Jan 1 2024 is a Monday
+    assert(got.forall(_._3 == Timestamp.valueOf("2024-01-01 00:00:00")), s"week: $got")
+    assert(got.forall(_._4 == Timestamp.valueOf("2024-01-01 00:00:00")), s"month: $got")
+  }
+
   test("systematicWeightedSample: picks at step crossings, multiplicity, zero-weight skipped") {
     // weights 3,4,0,5,9 in id order; cum = 3,7,7,12,21; step 5.
     // crossings: id 2 crosses 5 (7 div 5 = 1 > 0), id 4 crosses 10
