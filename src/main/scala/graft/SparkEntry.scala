@@ -209,6 +209,12 @@ object SparkEntry {
     // gap-free calendar spine over the log's own day range (ISO dow)
     "q_date_spine" -> ((s, d) => graft.ops.Temporal.dateSpine(
       Tables.events(s, d))),
+    // melt the wide matrix back to tidy long form (native unpivot/Expand)
+    "q_unpivot_daily" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      graft.ops.Temporal.meltDailyPivot(
+        graft.ops.Temporal.dailyTypePivot(Tables.events(s, d), types), types)
+    }),
     // deterministic k-per-group reservoir (md5 rank, WindowGroupLimit plan)
     "q_reservoir_sample" -> ((s, d) => graft.ops.Sampling.reservoirPerKey(
       Tables.documents(s, d), "source", "doc_id", k = 5, seed = 42L)),
@@ -1300,6 +1306,22 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // unpivot round trip: the pivot's conditional counts melted back —
+    // equivalently the plain (day, type) aggregate COMPLETED against the
+    // pinned type list (zero cells are values in the melted form)
+    "q_unpivot_daily" ->
+      """WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+        |types(event_type) AS (
+        |  VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+        |cells AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+        |  FROM events WHERE event_type IN (SELECT event_type FROM types)
+        |  GROUP BY 1, 2)
+        |SELECT d.day, t.event_type,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        |FROM days d CROSS JOIN types t
+        |LEFT JOIN cells c ON c.day = d.day AND c.event_type = t.event_type
+        |ORDER BY d.day, t.event_type""".stripMargin,
     // calendar spine: generate_series over the corpus day bounds; isodow
     // matches the engine's ISO conversion (Monday=1)
     "q_date_spine" ->

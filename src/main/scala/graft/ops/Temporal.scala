@@ -345,6 +345,22 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** Unpivot (melt) of the wide daily matrix back to tidy long form —
+    * the inverse reshape, for feeding wide exports back into the
+    * aggregate/window operators, which all expect (day, type, n) rows.
+    * Built on the native `unpivot` (no explode/struct detour: Catalyst's
+    * Expand, one input row fanning out to |types| output rows map-side).
+    * Zero cells survive the round trip (they are values, not missing
+    * rows); variable order is the pinned column order. */
+  def meltDailyPivot(wide: DataFrame, types: Seq[String]): DataFrame =
+    wide.unpivot(
+        Array(col("day")),
+        types.map(t => col(s"n_$t")).toArray,
+        "event_type", "n_events")
+      .withColumn("event_type",
+        regexp_replace(col("event_type"), "^n_", ""))
+      .orderBy(col("day"), col("event_type"))
+
   /** Calendar spine over the event log's own [min, max] day range: one row
     * per day with the date dimensions (dow, week start, month) — the
     * gap-free axis that trend reports and as-of backfills join against (an

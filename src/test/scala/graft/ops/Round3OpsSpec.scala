@@ -589,6 +589,23 @@ class Round3OpsSpec extends SparkSpec {
       (Timestamp.valueOf("2024-01-02 00:00:00"), 1L, 0L)), s"got $got")
   }
 
+  test("meltDailyPivot: exact inverse of the pivot, zeros survive as rows") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, "view", Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, "click", Timestamp.valueOf("2024-01-02 10:00:00")))
+      .toDF("event_id", "event_type", "ts")
+    val types = Seq("click", "view")
+    val melted = Temporal.meltDailyPivot(
+      Temporal.dailyTypePivot(ev, types), types)
+      .as[(Timestamp, String, Long)].collect().toSeq
+    assert(melted == Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "click", 0L),
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "view", 1L),
+      (Timestamp.valueOf("2024-01-02 00:00:00"), "click", 1L),
+      (Timestamp.valueOf("2024-01-02 00:00:00"), "view", 0L)), s"got $melted")
+  }
+
   test("dateSpine: gap days present, ISO dow, week and month starts") {
     import java.sql.Timestamp
     // events on Mon Jan 1 and Thu Jan 4 only -> spine has all 4 days
