@@ -209,6 +209,10 @@ object SparkEntry {
     // gap-free calendar spine over the log's own day range (ISO dow)
     "q_date_spine" -> ((s, d) => graft.ops.Temporal.dateSpine(
       Tables.events(s, d))),
+    // embedded-JSON props extraction: schema-declared from_json, per-type
+    // parse-health + field stats
+    "q_props_extract" -> ((s, d) => graft.ingest.Ingest.propsFieldReport(
+      Tables.events(s, d))),
     // melt the wide matrix back to tidy long form (native unpivot/Expand)
     "q_unpivot_daily" -> ((s, d) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -1306,6 +1310,14 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // props extraction: ->> returns NULL for missing key or malformed doc,
+    // matching from_json's null — one number for both failure modes
+    "q_props_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(*) - count(CAST(props->>'k' AS BIGINT)) AS n_missing_k,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // unpivot round trip: the pivot's conditional counts melted back —
     // equivalently the plain (day, type) aggregate COMPLETED against the
     // pinned type list (zero cells are values in the melted form)

@@ -187,4 +187,29 @@ object Ingest {
       parsed.filter(col("_corrupt").isNotNull)
         .select(col("_corrupt").as("raw_line")))
   }
+
+  /** Semi-structured property extraction — the embedded-JSON column every
+    * event log carries (`props`): parse with an explicit schema
+    * (`from_json`, map-side, no driver-side schema inference) and report
+    * per-type health — row count, rows whose `k` did not parse (missing
+    * key OR malformed document; both surface as null, which is exactly
+    * what an ingest monitor wants as one number), and the extracted
+    * field's sum/mean. The typed-extraction boundary rule of the XML
+    * source applied to JSON: schema declared, never inferred, so the scan
+    * stays one pass and the plan is stable however dirty the data.
+    *
+    * Scale shape: one map-side parse + one hash aggregate — the
+    * |types|-sized report is the only thing that shuffles. */
+  def propsFieldReport(events: DataFrame): DataFrame = {
+    val k = from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+      .getField("k")
+    events
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (count(lit(1)) - count(col("k"))).as("n_missing_k"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
 }

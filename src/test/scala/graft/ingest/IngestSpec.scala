@@ -133,4 +133,19 @@ class IngestSpec extends SparkSpec {
     assert(q.exists(_.contains("not json")))
     assert(q.exists(_.contains("NOT_A_NUMBER")))
   }
+
+  test("propsFieldReport: parsed values aggregated; missing key and malformed both count as missing") {
+    val ev = Seq(
+      ("view", """{"k": 10}"""),
+      ("view", """{"k": 20}"""),
+      ("view", """{"other": 5}"""), // key absent
+      ("click", "not json at all"), // malformed document
+      ("click", """{"k": 7}"""))
+      .toDF("event_type", "props")
+    val got = Ingest.propsFieldReport(ev)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("click", 2L, 1L, 7L, 7.0),
+      ("view", 3L, 1L, 30L, 15.0)), s"got $got")
+  }
 }
