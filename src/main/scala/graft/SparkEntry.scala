@@ -373,6 +373,11 @@ object SparkEntry {
         .filter(col("weight") >= 2),
       Tables.part(s, d).select(col("p_partkey").as("id"))
         .filter(col("id") % 100 === 0), maxHops = 6)),
+    // degree assortativity (Newman 2002) over the strong co-occurrence
+    // graph: one corr aggregate over degree-joined symmetric edges
+    "q_assortativity" -> ((s, d) => graft.graph.Triangles.degreeAssortativity(
+      Edges.partCoOccurrence(Tables.lineitem(s, d))
+        .filter(col("weight") >= 2))),
     // neighborhood-Jaccard link prediction over the STRONG co-occurrence
     // graph (weight >= 2: repeated co-purchase — filter before the
     // quadratic wedge step)
@@ -2635,6 +2640,42 @@ object SparkEntry {
         |  WHERE w.dist < 6)
         |SELECT id, CAST(min(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY 1 ORDER BY dist, id""".stripMargin,
+    // assortativity: identical und/degree derivation, both orientations
+    // into one corr, rounded at 4 (the float-agg rule)
+    "q_assortativity" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |    GROUP BY 1, 2)
+        |  WHERE w >= 2),
+        |und AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst GROUP BY 1, 2),
+        |deg AS (SELECT id, count(*) AS degree FROM (
+        |          SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+        |        GROUP BY 1),
+        |sym AS (SELECT a AS x, b AS y FROM und
+        |        UNION ALL SELECT b, a FROM und),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(dx.degree) AS BIGINT) AS sx,
+        |    CAST(sum(dy.degree) AS BIGINT) AS sy,
+        |    CAST(sum(dx.degree * dy.degree) AS BIGINT) AS sxy,
+        |    CAST(sum(dx.degree * dx.degree) AS BIGINT) AS sxx,
+        |    CAST(sum(dy.degree * dy.degree) AS BIGINT) AS syy
+        |  FROM sym JOIN deg dx ON sym.x = dx.id JOIN deg dy ON sym.y = dy.id)
+        |SELECT (SELECT count(*) FROM deg) AS n_vertices,
+        |  (SELECT count(*) FROM und) AS n_edges,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |        AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+        |       THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+        |  END AS assortativity
+        |FROM m""".stripMargin,
     "q_link_pred" ->
       """WITH e AS MATERIALIZED (
         |  SELECT src, dst FROM (

@@ -224,4 +224,52 @@ object Triangles {
         coalesce(col("core_degree"), lit(0L)).as("core_degree"))
       .orderBy(col("id"))
   }
+
+  /** Degree assortativity — the one-number mixing signature of the graph:
+    * Pearson correlation of endpoint degrees over the (symmetrized)
+    * undirected edge list. Positive: hubs attach to hubs (social/citation
+    * shape); negative: hubs fan out to leaves (star/spam shape); the
+    * Newman 2002 statistic, a standing health metric next to the degree
+    * histogram. Both edge orientations enter the correlation (the
+    * undirected convention — the statistic must be symmetric in (x, y)).
+    *
+    * Scale shape: one degree aggregate over the undirected edges, two
+    * equi joins attaching endpoint degrees, one moment aggregate — every
+    * stage keyed and map-combined; the output is a single row.
+    *
+    * Exactness: NOT the corr() aggregate — its running float update is
+    * partition-order-dependent (and ANSI Spark raises DIVIDE_BY_ZERO on
+    * a zero-variance regular graph mid-aggregate). The five moment sums
+    * are exact integers (order-independent), and the closed-form Pearson
+    * arithmetic runs once on them in the identical IEEE order both
+    * engines — products stay exact below 2^53, fine to ~10^8-degree-mass
+    * graphs; beyond that swap the moment sums to decimal. Zero variance
+    * publishes null. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = undirect(edges).pinTier
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .pinTier // joined twice below
+    val sym = und.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(und.select(col("b").as("x"), col("a").as("y")))
+    val m = sym
+      .join(deg.select(col("id").as("x"), col("degree").as("dx")), Seq("x"))
+      .join(deg.select(col("id").as("y"), col("degree").as("dy")), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val vx = d("n") * d("sxx") - d("sx") * d("sx")
+    val vy = d("n") * d("syy") - d("sy") * d("sy")
+    m.select(
+        when(vx > 0.0 && vy > 0.0,
+          round((d("n") * d("sxy") - d("sx") * d("sy")) / sqrt(vx * vy), 4))
+          .as("assortativity"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_vertices"), col("n_edges"), col("assortativity"))
+  }
 }

@@ -63,4 +63,16 @@ class TrianglesSpec extends SparkSpec {
     val got = Triangles.globalTriangleStats((hub ++ ring).toDF("src", "dst")).head()
     assert(got.getLong(2) == 9L, s"expected 9 hub triangles, got $got")
   }
+
+  test("degreeAssortativity: star is -1, regular cycle has no variance (null)") {
+    // star: center degree 5, leaves degree 1 -> perfectly disassortative
+    val star = (1L to 5L).map(i => (100L, i)).toDF("src", "dst")
+    val s = Triangles.degreeAssortativity(star).head()
+    assert(s.getLong(0) == 6L && s.getLong(1) == 5L)
+    assert(s.getDouble(2) == -1.0, s"star: $s")
+    // 4-cycle: every degree 2 -> corr undefined over zero variance
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val c = Triangles.degreeAssortativity(cycle).head()
+    assert(c.getLong(0) == 4L && c.getLong(1) == 4L && c.isNullAt(2), s"cycle: $c")
+  }
 }
