@@ -146,7 +146,11 @@ object Stress {
     // fraction of the corpus, so the |Q|*|C| audit cost is quadratic in
     // corpus size BY CONTRACT (the guarded ann_brute class) - at scale the
     // probe is a fixed sample, not a fixed fraction
-    "q_emb_drift")
+    "q_emb_drift",
+    // reshape/JSON/graph-stat surfaces: single-aggregate shapes + the
+    // moment-sum assortativity (degree joins over the strong graph)
+    "q_pivot_daily", "q_unpivot_daily", "q_date_spine", "q_props_extract",
+    "q_assortativity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
