@@ -373,6 +373,12 @@ object SparkEntry {
         .filter(col("weight") >= 2),
       Tables.part(s, d).select(col("p_partkey").as("id"))
         .filter(col("id") % 100 === 0), maxHops = 6)),
+    // weighted PageRank: the walk follows co-purchase WEIGHTS (pageRank is
+    // the w=1 special case); same fixpoint scaffolding, oracle-unrolled
+    "q_pagerank_weighted" -> ((s, d) => PageRankOp.weightedPageRank(
+        Edges.partCoOccurrence(Tables.lineitem(s, d)))
+      .orderBy(col("pagerank").desc, col("id")).limit(100)
+      .select(col("id"), round(col("pagerank"), 6).as("wpagerank"))),
     // degree assortativity (Newman 2002) over the strong co-occurrence
     // graph: one corr aggregate over degree-joined symmetric edges
     "q_assortativity" -> ((s, d) => graft.graph.Triangles.degreeAssortativity(
@@ -810,6 +816,20 @@ object SparkEntry {
           .as("features_ok"))
       .orderBy(col("media_id"))),
   )
+
+  /** The weighted-PageRank unroll: identical to [[pageRankIterSql]] except
+    * contributions follow the precomputed per-edge transition weight
+    * (`ew.w = weight / Σ_out weight`) instead of 1/outdeg. */
+  private def wprIterSql: String =
+    (1 to 10).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT v.id, 0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank FROM verts v
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(e.w * r${i - 1}.rank) AS contrib
+         |    FROM ew e JOIN r${i - 1} ON e.src = r${i - 1}.id GROUP BY 1
+         |  ) c ON v.id = c.id
+         |),""".stripMargin
+    }.mkString("\n")
 
   /** The PageRank fixpoint as oracle SQL: DuckDB forbids aggregates in a
     * recursive CTE term, so the FIXED 10-iteration loop (the reference's
@@ -2640,6 +2660,28 @@ object SparkEntry {
         |  WHERE w.dist < 6)
         |SELECT id, CAST(min(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY 1 ORDER BY dist, id""".stripMargin,
+    // weighted PageRank: transition weight = w / Σ_out w, exact-integer
+    // numerators and denominators; round-6 at the verify boundary
+    "q_pagerank_weighted" ->
+      s"""WITH edges AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |verts AS MATERIALIZED (
+        |  SELECT DISTINCT src AS id FROM edges UNION SELECT dst FROM edges),
+        |outw AS MATERIALIZED (
+        |  SELECT src AS id, CAST(sum(w) AS DOUBLE) AS outw
+        |  FROM edges GROUP BY 1),
+        |ew AS MATERIALIZED (
+        |  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.outw AS w
+        |  FROM edges e JOIN outw o ON e.src = o.id),
+        |r0 AS (SELECT id, 1.0 AS rank FROM verts),
+        |$wprIterSql
+        |norm AS (SELECT count(*)::DOUBLE / sum(rank) AS s FROM r10)
+        |SELECT id, round(rank * (SELECT s FROM norm), 6) AS wpagerank
+        |FROM r10 ORDER BY rank * (SELECT s FROM norm) DESC, id LIMIT 100""".stripMargin,
     // assortativity: identical und/degree derivation, both orientations
     // into one corr, rounded at 4 (the float-agg rule)
     "q_assortativity" ->

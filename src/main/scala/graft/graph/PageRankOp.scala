@@ -52,6 +52,44 @@ object PageRankOp {
     val ew = edges.join(outDeg, Seq("src"))
       .select(col("src"), col("dst"), (lit(1.0) / col("outDeg")).as("w"))
       .repartition(col("src")).cache()
+    fixpointSumToN(vertices, ew, numIter, resetProb, "pagerank")
+  }
+
+  /** Weighted PageRank: rank'(v) = resetProb + (1−resetProb) ·
+    * Σ_{u→v} rank(u) · w_uv / W_u with W_u = Σ_out w — the walk follows
+    * edge WEIGHTS (repeat co-purchase strength) instead of treating every
+    * edge equally; [[pageRank]] is the w ≡ 1 special case. Same fixpoint
+    * scaffolding and sum-to-N normalization; only the transition matrix
+    * changes. Weights are integer counts carried in doubles, so the
+    * per-source weight sums are exact (order-independent below 2^53) and
+    * both engines divide identical numerators by identical denominators. */
+  def weightedPageRank(edges: DataFrame,
+                       numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("weight").cast("double").as("wt")).pinTier
+    // one aggregate yields the vertex set AND per-source weight mass
+    // (0.0 for pure sinks) — the runLongIds single-pass rule
+    val vd = e.select(explode(array(
+        struct(col("src").as("id"), col("wt").as("w")),
+        struct(col("dst").as("id"), lit(0.0).as("w")))).as("x"))
+      .select(col("x.id").as("id"), col("x.w").as("w"))
+      .groupBy(col("id")).agg(sum(col("w")).as("outw"))
+      .pinTier
+    val ew = e
+      .join(vd.filter(col("outw") > 0.0)
+        .select(col("id").as("src"), col("outw")), Seq("src"))
+      .select(col("src"), col("dst"), (col("wt") / col("outw")).as("w"))
+      .repartition(col("src")).cache()
+    fixpointSumToN(vd.select(col("id")), ew, numIter, resetProb, "wpagerank")
+  }
+
+  /** The shared rank fixpoint over a prepared transition-weight edge list
+    * `ew` (src, dst, w with Σ_out w = 1 per non-sink source), followed by
+    * the GraphX sum-to-N normalization. Runs eagerly (checkpoints + the
+    * stats action), releasing `ew`'s cache before returning. */
+  private def fixpointSumToN(vertices: DataFrame, ew: DataFrame,
+                             numIter: Int, resetProb: Double,
+                             tag: String): DataFrame = {
     // ONE eager materialization pins the vertex set AND initializes rank
     // state AND supplies the vertex count — the count() below reads pinned
     // partitions, so it is near-free instead of the extra full-lineage job
@@ -84,7 +122,7 @@ object PageRankOp {
     // cached weighted edges, and the only per-round shuffle left is the
     // contribution aggregate. At billion-vertex scale the same test keeps
     // the shuffle join; Stress forces that branch via the config every run.
-    val bcastRankState = StateBroadcast.fits(init, nVerts, "pagerank")
+    val bcastRankState = StateBroadcast.fits(init, nVerts, tag)
     def maybeBcast(df: DataFrame): DataFrame =
       if (bcastRankState) broadcast(df) else df
     for (i <- 1 to numIter) {

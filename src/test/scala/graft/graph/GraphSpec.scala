@@ -112,6 +112,26 @@ class GraphSpec extends SparkSpec {
     assert(m("c") > m("b") && m("b") > m("a"))
   }
 
+  test("weightedPageRank: weights steer the walk; w=1 reduces to pageRank") {
+    // 1 -> 2 with weight 9, 1 -> 3 with weight 1: the heavy edge carries
+    // 90% of vertex 1's rank mass
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "weight")
+    val m = PageRankOp.weightedPageRank(e)
+      .as[(Long, Double)].collect().toMap
+    assert(m(2L) > m(3L), s"heavy edge did not win: $m")
+    // the 9:1 contribution split survives the reset floor clearly
+    assert(m(2L) > 1.3 * m(3L), s"mass split off: $m")
+    // uniform weights reduce to the unweighted fixpoint exactly
+    val uni = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 3L, 1L))
+      .toDF("src", "dst", "weight")
+    val w = PageRankOp.weightedPageRank(uni).as[(Long, Double)].collect().toMap
+    val p = PageRankOp.runLongIds(spark, uni.select("src", "dst"))
+      .as[(Long, Double)].collect().toMap
+    w.foreach { case (id, r) =>
+      assert(math.abs(r - p(id)) < 1e-12, s"w=1 mismatch at $id: $r vs ${p(id)}")
+    }
+  }
+
   test("hopDistances: layered mins, horizon cut, direction, dropped alien seed") {
     // directed path 1->2->3->4->5 plus a shortcut 1->4: BFS layering must
     // record 4 at hop 1 (the shortcut edge), not hop 3 (via the path), and
