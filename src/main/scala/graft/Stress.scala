@@ -150,7 +150,9 @@ object Stress {
     // reshape/JSON/graph-stat surfaces: single-aggregate shapes + the
     // moment-sum assortativity (degree joins over the strong graph)
     "q_pivot_daily", "q_unpivot_daily", "q_date_spine", "q_props_extract",
-    "q_assortativity")
+    "q_assortativity",
+    // the weighted rank fixpoint (same cost class as q_pagerank_parts)
+    "q_pagerank_weighted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
