@@ -505,6 +505,36 @@ object SparkEntry {
     // the star variant ran the identical pair tier at 9.4 s, VERDICT r4)
     "q_dup_clusters" -> ((s, d) => graft.graph.Components.dupClusters(
       Tables.documents(s, d), Dedup.ngramJaccardPairs(Tables.documents(s, d)))),
+    // the standing components index: build on the %7!=0-endpoint pairs,
+    // admit the rest as the batch (affected-components-only re-solve),
+    // then the dupClusters-shaped doc report — incremental must equal the
+    // full recompute, so it shares the closure oracle verbatim
+    "q_components_admit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs)
+        .select(col("doc_a"), col("doc_b")).pinTier
+      val base = pairs.filter(
+        pmod(col("doc_a"), lit(7)) =!= 0 && pmod(col("doc_b"), lit(7)) =!= 0)
+      val batch = pairs.join(base, Seq("doc_a", "doc_b"), "left_anti")
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-cc-index").toFile.getAbsolutePath
+      try {
+        Telemetry.timed("q_components_admit") {
+          graft.graph.ComponentsIndex.build(base, s"$stage/cc")
+        }
+        val merged = graft.graph.ComponentsIndex.admit(s, batch, s"$stage/cc")
+        docs.select(col("doc_id"))
+          .join(merged.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"))
+          .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("int"))
+          .orderBy(col("doc_id"))
+          .pinTier // materialize before the staged index is dropped
+      } finally {
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
+    }),
     // the min-label fixpoint against the SAME closure oracle: both
     // algorithms must produce identical clusters (renamed from
     // q_dup_clusters_star in r5 when the default flipped — the star leg now
@@ -2141,6 +2171,8 @@ object SparkEntry {
     // two algorithms must agree clustering-exactly.
     "q_dup_clusters_minlabel" -> dupClustersSql,
     "q_dup_clusters" -> dupClustersSql,
+    // incremental admission must equal the full recompute exactly
+    "q_components_admit" -> dupClustersSql,
     "q_dup_survivors" -> dupSurvivorsSql,
     "q_incremental_dedup" ->
       """WITH sh AS (

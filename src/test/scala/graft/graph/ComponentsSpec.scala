@@ -51,4 +51,36 @@ class ComponentsSpec extends SparkSpec {
       (1L, 1L, 1L, 1), (2L, 2L, 2L, 0), (3L, 3L, 1L, 1),
       (4L, 2L, 9L, 1), (5L, 5L, 1L, 1), (6L, 2L, 2L, 0)))
   }
+
+  test("ComponentsIndex: admission merges, spares untouched comps, equals full recompute, replays idempotently") {
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-cc-index-spec").toFile.getAbsolutePath
+    try {
+      // standing: {1,2}, {3,4}, {10,11}. batch: 2-3 (merges the first two)
+      // and 20-21 (brand-new vertices). {10,11} must be untouched.
+      val base = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val batch = Seq((2L, 3L), (20L, 21L)).toDF("doc_a", "doc_b")
+      ComponentsIndex.build(base, s"$stage/cc")
+      val merged = ComponentsIndex.admit(spark, batch, s"$stage/cc")
+        .as[(Long, Long)].collect().toMap
+      assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L), s"got $merged")
+      // incremental == full recompute over the union
+      val full = Components.connectedComponentsStar(
+        base.unionByName(batch), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      assert(merged == full)
+      // replaying the SAME batch changes nothing: labels stable, no
+      // duplicate edges appended (exactly-once)
+      val replay = ComponentsIndex.admit(spark, batch, s"$stage/cc")
+        .as[(Long, Long)].collect().toMap
+      assert(replay == merged, s"replay drifted: $replay")
+      val edges = spark.read.parquet(s"$stage/cc/edges")
+      assert(edges.count() == 5L && edges.distinct().count() == 5L,
+        "replay appended duplicate edges")
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+      ()
+    }
+  }
 }
