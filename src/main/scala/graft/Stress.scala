@@ -152,7 +152,9 @@ object Stress {
     "q_pivot_daily", "q_unpivot_daily", "q_date_spine", "q_props_extract",
     "q_assortativity",
     // the weighted rank fixpoint (same cost class as q_pagerank_parts)
-    "q_pagerank_weighted")
+    "q_pagerank_weighted",
+    // standing components index: pair tier + build + affected-only admit
+    "q_components_admit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
