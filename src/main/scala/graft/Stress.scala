@@ -286,6 +286,20 @@ object Stress {
                 graft.sim.IvfIndex.build(spark, embCorpus, s"$stage/ivf")),
               timed("ivf_index_admit_fixed_batch") {
                 graft.sim.IvfIndex.admit(spark, embBatch, s"$stage/ivf"); ()
+              }) else Nil) ++
+            // same economics for the components index: labels solved over
+            // the x$m corpus's pair tier, a FIXED 1× batch's pairs admitted
+            // via the affected-components-only re-solve (pruned scans of
+            // the standing labels/edges; the solve is batch-bounded)
+            (if (want("cc_index_build")) Seq(
+              timed("cc_index_build")(
+                graft.graph.ComponentsIndex.build(
+                  graft.dedup.Dedup.ngramJaccardPairs(corpus)
+                    .select(col("doc_a"), col("doc_b")), s"$stage/cc")),
+              timed("cc_index_admit_fixed_batch") {
+                graft.graph.ComponentsIndex.admit(spark,
+                  graft.dedup.Dedup.ngramJaccardPairs(fixedBatch)
+                    .select(col("doc_a"), col("doc_b")), s"$stage/cc"); ()
               }) else Nil)
           } finally {
             new scala.reflect.io.Directory(new java.io.File(stage))
