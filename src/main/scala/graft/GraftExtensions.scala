@@ -33,6 +33,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_product(a, b) takes exactly two array arguments")
         DotProduct(args.head, args(1))
       }))
+    // cosine_sim as a COMPOSED expression tree over the same native
+    // DotProduct — the engine's round-free cosine (Similarity.cosine) made
+    // available to pure SQL; composition keeps one codegen'd kernel
+    // instead of a second hand-written expression to maintain
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[DotProduct].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(a, b) takes exactly two array arguments")
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        val (a, b) = (args.head, args(1))
+        Divide(DotProduct(a, b),
+          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+      }))
     // Spark's runtime-filter bloom expressions, exposed as first-class SQL:
     // the optimizer only injects them into eligible join shapes, but a
     // pipeline author knows WHERE the membership prefilter belongs (see

@@ -19,6 +19,15 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(got == 32.0)
       // arity errors surface at analysis, not execution
       intercept[Exception] { s2.sql("SELECT dot_product(array(1.0D))").head }
+      // cosine_sim composes the same native kernel: orthogonal -> exactly
+      // 0; parallel -> 1 up to the sqrt ulp (callers round, as the engine
+      // does at its verify boundaries)
+      val cos = s2.sql(
+        """SELECT cosine_sim(array(1.0D, 0.0D), array(0.0D, 2.0D)) AS o,
+          |       cosine_sim(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS p""".stripMargin)
+        .head
+      assert(cos.getDouble(0) == 0.0, s"cosine: $cos")
+      assert(math.abs(cos.getDouble(1) - 1.0) < 1e-12, s"cosine: $cos")
       // the bloom pair, end to end in pure SQL: build over the members
       // table via scalar subquery, probe map-side — the explicit form of
       // Spark's own runtime bloom join filter
