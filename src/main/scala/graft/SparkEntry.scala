@@ -164,6 +164,9 @@ object SparkEntry {
     // per-column profile of the orders table: one aggregate pass, long-form
     "q_profile_orders" -> ((s, d) => graft.ops.Profiling.profile(
       Tables.orders(s, d))),
+    // k-anonymity: (lang, source) quasi-identifier combos below k=10
+    "q_kanonymity" -> ((s, d) => graft.ops.Profiling.kAnonymity(
+      Tables.documents(s, d), Seq("lang", "source"), k = 10L)),
     // referential-integrity audit: orphan counts for the two lineitem FKs
     "q_fk_audit" -> ((s, d) => graft.ops.Profiling.fkAudit(
         Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey",
@@ -2650,6 +2653,11 @@ object SparkEntry {
       }
       branches.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    // k-anonymity: verdict recomputable from the published count
+    "q_kanonymity" ->
+      """SELECT lang, source, count(*) AS n_rows,
+        |  count(*) < 10 AS at_risk
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
     // FK audit: LEFT ANTI orphan semantics (null child keys are orphans —
     // NOT IN would nullify them away, so the oracle uses an anti join too)
     "q_fk_audit" ->

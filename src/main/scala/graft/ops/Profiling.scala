@@ -56,6 +56,25 @@ object Profiling {
       .orderBy(col("column_name"))
   }
 
+  /** k-anonymity audit over a quasi-identifier combination — the
+    * re-identification risk check run before a dataset leaves the
+    * boundary: rows whose quasi-identifier combo is shared by fewer than
+    * `k` rows are individually distinguishable. Long-form per-combo
+    * output (values, group size, risk verdict) so the risky combos are
+    * actionable, not just counted; the [[profile]] of privacy.
+    *
+    * Scale shape: ONE hash aggregate on the quasi-identifier tuple —
+    * combo cardinality output, map-combined; the verdict is a column
+    * comparison on the published count (recomputable from the row). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1,
+      s"kAnonymity: need quasi columns and k >= 1, got $quasiCols / $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("at_risk", col("n_rows") < k)
+      .orderBy(quasiCols.map(col): _*)
+  }
+
   /** Referential-integrity audit for one child→parent key: child rows,
     * orphans (child keys with no parent row — LEFT ANTI, so null child
     * keys count as orphans, which is what a landed-data audit wants

@@ -28,6 +28,17 @@ class ProfilingSpec extends SparkSpec {
       tag.getLong(5) == 2L && tag.isNullAt(6) && tag.isNullAt(7), s"tag row: $tag")
   }
 
+  test("kAnonymity: small combos flagged, boundary k not flagged") {
+    val d = (Seq.fill(10)(("en", "a")) ++ Seq.fill(3)(("en", "b")) :+
+      (("fr", "a"))).toDF("lang", "source")
+    val got = Profiling.kAnonymity(d, Seq("lang", "source"), k = 10L)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("en", "a", 10L, false), // exactly k -> safe (< k is the risk rule)
+      ("en", "b", 3L, true),
+      ("fr", "a", 1L, true)), s"got $got")
+  }
+
   test("fkAudit: orphans counted, null child key is an orphan, clean FK reports zero") {
     val parent = Seq(1L, 2L).toDF("pid")
     val child = Seq(Some(1L), Some(1L), Some(9L), None)
