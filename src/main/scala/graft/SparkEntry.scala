@@ -770,6 +770,10 @@ object SparkEntry {
     // batch twin: readStream -> tumbling window(1h) -> memory sink, two
     // forced micro-batches so windows accumulate across batch boundaries
     "q_hourly_events_stream" -> ((s, d) => Streams.hourlyCountsStreamGate(s, d)),
+    // streaming twin of the daily pivot (conditional counts — the only
+    // incremental form; shares the batch oracle verbatim)
+    "q_pivot_daily_stream" -> ((s, d) => Streams.dailyPivotStreamGate(
+      s, d, Seq("click", "error", "purchase", "signup", "view"))),
     // the stream-stream interval join behind the batch band join's oracle:
     // append mode, live watermark eviction, time-ordered staged arrival —
     // the eviction-correctness check the complete-mode gates can't express
@@ -1135,7 +1139,8 @@ object SparkEntry {
       // windowed-aggregation / join semantics is exactly the property
       // under test (same pattern as q_user_sessions_stream)
       ("q_hourly_events_stream" -> baseOracleSql("q_hourly_events")) +
-      ("q_band_join_stream" -> baseOracleSql("q_band_join"))
+      ("q_band_join_stream" -> baseOracleSql("q_band_join")) +
+      ("q_pivot_daily_stream" -> baseOracleSql("q_pivot_daily"))
   }
 
   private lazy val baseOracleSql: Map[String, String] = Map(

@@ -401,6 +401,28 @@ object Streams {
         col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type")))
 
+  /** Streaming daily activity matrix — [[graft.ops.Temporal.dailyTypePivot]]'s
+    * streaming twin: `pivot()` is unsupported on streaming frames, so the
+    * wide matrix runs as the pinned-type conditional-count aggregate Spark
+    * CAN accumulate incrementally — which is also exactly the CASE form
+    * the batch oracle recomputes, so the twin shares q_pivot_daily's
+    * oracle verbatim. Tumbling 1-day windows (window.start IS
+    * date_trunc('day'), the hourly-gate precedent); absent cells are 0 by
+    * construction here (count of an empty predicate set), matching the
+    * batch form's zero fill. */
+  def dailyPivotStreamGate(spark: SparkSession, sfDir: String,
+                           types: Seq[String]): DataFrame =
+    drainEventsStreamGate(spark, sfDir)(stream => {
+      val counts = types.map(t =>
+        count(when(col("event_type") === t, 1)).as(s"n_$t"))
+      stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(counts.head, counts.tail: _*)
+    })(t => t
+      .select(col("w.start").as("day") +: types.map(c => col(s"n_$c")): _*)
+      .orderBy(col("day")))
+
   /** Batch session windows (session_window works in batch mode too). */
   def userSessionsBatch(events: DataFrame, gap: String = "5 minutes"): DataFrame =
     events

@@ -61,6 +61,19 @@ class StreamsSpec extends SparkSpec {
       "gate must drop its memory-sink temp view")
   }
 
+  test("daily pivot stream gate equals the batch pivot on the fixture") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val streamed = Streams.dailyPivotStreamGate(spark, sf, types)
+      .withColumn("day", col("day").cast("string"))
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Temporal.dailyTypePivot(
+        graft.model.Tables.events(spark, sf), types)
+      .withColumn("day", col("day").cast("string"))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stream-stream join gate equals the batch band join on the fixture") {
     // append mode + live eviction: cross-chunk pairs near the time split
     // must survive the watermark for this to hold
