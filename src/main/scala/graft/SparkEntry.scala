@@ -164,6 +164,18 @@ object SparkEntry {
     // per-column profile of the orders table: one aggregate pass, long-form
     "q_profile_orders" -> ((s, d) => graft.ops.Profiling.profile(
       Tables.orders(s, d))),
+    // typed-Aggregator top-k: k-bounded buffers through partial agg (O(k)
+    // per-group shuffle, no window sort) vs the window-form oracle
+    "q_topk_agg" -> ((s, d) => {
+      val topk = graft.functions.TopKAggregator.topK(3)
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("bigint").as("rnk"),
+          col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
     // k-anonymity: (lang, source) quasi-identifier combos below k=10
     "q_kanonymity" -> ((s, d) => graft.ops.Profiling.kAnonymity(
       Tables.documents(s, d), Seq("lang", "source"), k = 10L)),
@@ -2658,6 +2670,15 @@ object SparkEntry {
       }
       branches.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    // aggregator top-k vs the window form: identical total order
+    // (price desc, orderkey asc), so the two MUST agree row-for-row
+    "q_topk_agg" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
     // k-anonymity: verdict recomputable from the published count
     "q_kanonymity" ->
       """SELECT lang, source, count(*) AS n_rows,
