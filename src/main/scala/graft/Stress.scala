@@ -154,7 +154,10 @@ object Stress {
     // the weighted rank fixpoint (same cost class as q_pagerank_parts)
     "q_pagerank_weighted",
     // standing components index: pair tier + build + affected-only admit
-    "q_components_admit")
+    "q_components_admit",
+    // single-aggregate privacy audit; the k-bounded typed-Aggregator top-k
+    // (O(k) per-group shuffle — the claim under test)
+    "q_kanonymity", "q_topk_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
