@@ -179,6 +179,9 @@ object SparkEntry {
     // k-anonymity: (lang, source) quasi-identifier combos below k=10
     "q_kanonymity" -> ((s, d) => graft.ops.Profiling.kAnonymity(
       Tables.documents(s, d), Seq("lang", "source"), k = 10L)),
+    // Benford first-digit forensics over order totals (integer-cents digit)
+    "q_benford" -> ((s, d) => graft.ops.Profiling.benfordReport(
+      Tables.orders(s, d), "o_totalprice")),
     // referential-integrity audit: orphan counts for the two lineitem FKs
     "q_fk_audit" -> ((s, d) => graft.ops.Profiling.fkAudit(
         Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey",
@@ -2684,6 +2687,20 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_rows,
         |  count(*) < 10 AS at_risk
         |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    // Benford: first digit of the exact integer-cents rendering (no float
+    // logs in digit extraction; log10 only on the 9 reference constants)
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |t AS (SELECT count(*) AS total FROM d)
+        |SELECT digit, count(*) AS n_obs,
+        |  round(count(*) * 1.0 / (SELECT total FROM t), 4) AS share,
+        |  round(log10(1.0 + 1.0 / digit), 4) AS benford_share,
+        |  round(round(count(*) * 1.0 / (SELECT total FROM t), 4)
+        |      - round(log10(1.0 + 1.0 / digit), 4), 4) AS excess
+        |FROM d GROUP BY 1 ORDER BY digit""".stripMargin,
     // FK audit: LEFT ANTI orphan semantics (null child keys are orphans —
     // NOT IN would nullify them away, so the oracle uses an anti join too)
     "q_fk_audit" ->

@@ -56,6 +56,32 @@ object Profiling {
       .orderBy(col("column_name"))
   }
 
+  /** Benford first-digit audit — the data-forensics screen for fabricated
+    * or synthetic numeric columns: naturally occurring multi-magnitude
+    * amounts follow log10(1 + 1/d) first-digit frequencies; uniform or
+    * hand-made data does not. Digit extraction avoids float logarithms
+    * entirely (log10 at power-of-10 boundaries differs per libm): amounts
+    * become exact integer CENTS (the decimal-money rule) and the first
+    * digit is the first character of the integer's decimal rendering —
+    * identical in every engine. Non-positive amounts are excluded (no
+    * first significant digit).
+    *
+    * Scale shape: one map-side digit projection + one 9-row aggregate. */
+  def benfordReport(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100 + 0.5).cast("bigint")
+    val digits = df
+      .filter(col(valueCol) > 0.0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+    digits
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(digits.agg(count(lit(1)).as("total"))))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs") / col("total"), 4).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("benford_share"))
+      .withColumn("excess", round(col("share") - col("benford_share"), 4))
+      .orderBy(col("digit"))
+  }
+
   /** k-anonymity audit over a quasi-identifier combination — the
     * re-identification risk check run before a dataset leaves the
     * boundary: rows whose quasi-identifier combo is shared by fewer than

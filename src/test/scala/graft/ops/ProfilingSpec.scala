@@ -28,6 +28,18 @@ class ProfilingSpec extends SparkSpec {
       tag.getLong(5) == 2L && tag.isNullAt(6) && tag.isNullAt(7), s"tag row: $tag")
   }
 
+  test("benfordReport: hand-computed digits, cents boundary, non-positive excluded") {
+    // 19.99 -> 1999 cents -> digit 1; 0.01 -> 1; 905.00 -> 9; 2.50 -> 2;
+    // 0 and -5 excluded (no first significant digit)
+    val d = Seq(19.99, 0.01, 905.00, 2.50, 0.0, -5.0).toDF("v")
+    val got = Profiling.benfordReport(d, "v")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2) == Seq(1 -> 2L, 2 -> 1L, 9 -> 1L),
+      s"got $got")
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m(1)._3 == 0.5 && m(1)._4 == 0.301 && m(1)._5 == 0.199, s"got $got")
+  }
+
   test("kAnonymity: small combos flagged, boundary k not flagged") {
     val d = (Seq.fill(10)(("en", "a")) ++ Seq.fill(3)(("en", "b")) :+
       (("fr", "a"))).toDF("lang", "source")
