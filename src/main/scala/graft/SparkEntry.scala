@@ -179,6 +179,9 @@ object SparkEntry {
     // k-anonymity: (lang, source) quasi-identifier combos below k=10
     "q_kanonymity" -> ((s, d) => graft.ops.Profiling.kAnonymity(
       Tables.documents(s, d), Seq("lang", "source"), k = 10L)),
+    // source-mix diversity: Shannon/Simpson one-rower over the corpus
+    "q_diversity" -> ((s, d) => graft.ops.Profiling.diversityReport(
+      Tables.documents(s, d), "source")),
     // Benford first-digit forensics over order totals (integer-cents digit)
     "q_benford" -> ((s, d) => graft.ops.Profiling.benfordReport(
       Tables.orders(s, d), "o_totalprice")),
@@ -2687,6 +2690,22 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_rows,
         |  count(*) < 10 AS at_risk
         |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    // diversity: per-source terms are identical IEEE expressions; only the
+    // <=|sources|-term sum is order-sensitive -> round-4 (the float rule)
+    "q_diversity" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS k FROM c)
+        |SELECT (SELECT total FROM t) AS n_rows,
+        |  (SELECT k FROM t) AS n_categories,
+        |  round(-sum((n * 1.0 / (SELECT total FROM t))
+        |    * ln(n * 1.0 / (SELECT total FROM t))), 4) AS entropy_nats,
+        |  CASE WHEN (SELECT k FROM t) > 1 THEN
+        |    round(round(-sum((n * 1.0 / (SELECT total FROM t))
+        |      * ln(n * 1.0 / (SELECT total FROM t))), 4)
+        |      / ln(CAST((SELECT k FROM t) AS DOUBLE)), 4) END AS norm_entropy,
+        |  round(sum((n * 1.0 / (SELECT total FROM t))
+        |    * (n * 1.0 / (SELECT total FROM t))), 4) AS simpson
+        |FROM c""".stripMargin,
     // Benford: first digit of the exact integer-cents rendering (no float
     // logs in digit extraction; log10 only on the 9 reference constants)
     "q_benford" ->

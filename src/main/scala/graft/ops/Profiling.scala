@@ -101,6 +101,37 @@ object Profiling {
       .orderBy(quasiCols.map(col): _*)
   }
 
+  /** Source-mix diversity — the one-row corpus-health summary of how
+    * concentrated the corpus is across a categorical column: Shannon
+    * entropy (nats) with its normalized form (fraction of the uniform-mix
+    * maximum), and the Simpson concentration Σp² (the probability two
+    * random docs share a source — 1/Simpson is the "effective source
+    * count"). The number a mixture re-balancer tracks before/after
+    * [[Sampling]]'s temperature/target-share passes.
+    *
+    * Floats follow the decayedPopularity rule: shares come from exact
+    * integer counts, each term is one identical IEEE expression per
+    * group, and only the Σ of ≤|categories| terms is order-sensitive —
+    * published at round-4. Degenerate single-category corpora publish a
+    * null normalized entropy (ln 1 = 0 denominator). */
+  def diversityReport(df: DataFrame, catCol: String): DataFrame = {
+    val counts = df.groupBy(col(catCol)).agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(
+        sum(col("n")).as("total"), count(lit(1)).as("n_categories"))))
+      .select(col("n"), col("total"), col("n_categories"),
+        (col("n") / col("total")).as("p"))
+      .agg(max(col("total")).as("n_rows"),
+        max(col("n_categories")).as("n_categories"),
+        round(-sum(col("p") * log(col("p"))), 4).as("entropy_nats"),
+        round(sum(col("p") * col("p")), 4).as("simpson"))
+      .withColumn("norm_entropy",
+        when(col("n_categories") > 1,
+          round(col("entropy_nats") / log(col("n_categories").cast("double")), 4)))
+      .select(col("n_rows"), col("n_categories"), col("entropy_nats"),
+        col("norm_entropy"), col("simpson"))
+  }
+
   /** Referential-integrity audit for one child→parent key: child rows,
     * orphans (child keys with no parent row — LEFT ANTI, so null child
     * keys count as orphans, which is what a landed-data audit wants

@@ -28,6 +28,26 @@ class ProfilingSpec extends SparkSpec {
       tag.getLong(5) == 2L && tag.isNullAt(6) && tag.isNullAt(7), s"tag row: $tag")
   }
 
+  test("diversityReport: uniform mix maxes entropy; skew drops it; single source null-normalized") {
+    // 2+2 uniform over two sources: entropy ln 2, simpson 0.5. The norm
+    // divides the PUBLISHED (rounded) entropy — recomputable from the row
+    // — so uniform reads 0.9999, not 1.0 (0.6931/ln 2 after the round)
+    val uniform = Seq("a", "a", "b", "b").toDF("source")
+    val u = Profiling.diversityReport(uniform, "source").head()
+    assert(u.getLong(0) == 4L && u.getLong(1) == 2L)
+    assert(u.getDouble(2) == 0.6931 && u.getDouble(3) == 0.9999 &&
+      u.getDouble(4) == 0.5, s"uniform: $u")
+    // 3:1 skew: entropy below max, simpson above the uniform floor
+    val skew = Seq("a", "a", "a", "b").toDF("source")
+    val s = Profiling.diversityReport(skew, "source").head()
+    assert(s.getDouble(2) < 0.6931 && s.getDouble(4) > 0.5, s"skew: $s")
+    // one source: entropy 0, normalized undefined -> null
+    val solo = Seq("a", "a").toDF("source")
+    val o = Profiling.diversityReport(solo, "source").head()
+    assert(o.getDouble(2) == 0.0 && o.isNullAt(3) && o.getDouble(4) == 1.0,
+      s"solo: $o")
+  }
+
   test("benfordReport: hand-computed digits, cents boundary, non-positive excluded") {
     // 19.99 -> 1999 cents -> digit 1; 0.01 -> 1; 905.00 -> 9; 2.50 -> 2;
     // 0 and -5 excluded (no first significant digit)
