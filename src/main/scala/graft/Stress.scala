@@ -157,7 +157,9 @@ object Stress {
     "q_components_admit",
     // single-aggregate privacy audit; the k-bounded typed-Aggregator top-k
     // (O(k) per-group shuffle — the claim under test)
-    "q_kanonymity", "q_topk_agg")
+    "q_kanonymity", "q_topk_agg",
+    // forensics/diversity one-pass aggregates
+    "q_benford", "q_diversity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
