@@ -481,6 +481,9 @@ object SparkEntry {
         col("fps_nonempty_ok"))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
+    // vocabulary inequality one-rower (rank-formula Gini, exact sums)
+    "q_vocab_gini" -> ((s, d) => TextAnalysis.vocabGini(
+      Tables.documents(s, d))),
     // vocabulary coverage curve at candidate tokenizer sizes (OOV budget);
     // ks sized to the synthetic corpus's 31-type vocabulary so the curve
     // has shape, with one overshoot k exercising the 100% clamp
@@ -3157,6 +3160,25 @@ object SparkEntry {
         |SELECT term, CAST(sum(tf) AS BIGINT) AS freq, count(*) AS doc_freq
         |FROM tf GROUP BY term
         |ORDER BY freq DESC, term LIMIT 100""".stripMargin,
+    // Gini: exact HUGEINT rank/mass sums; the closing double arithmetic
+    // mirrors the engine's operand order token for token
+    "q_vocab_gini" ->
+      """WITH vocab AS (
+        |  SELECT term, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |    FROM documents)
+        |  GROUP BY 1),
+        |r AS (SELECT CAST(freq AS HUGEINT) AS x,
+        |        CAST(row_number() OVER (ORDER BY freq ASC, term ASC)
+        |          AS HUGEINT) AS i
+        |      FROM vocab),
+        |m AS (SELECT count(*) AS n, sum(x) AS s1, sum(i * x) AS s2 FROM r)
+        |SELECT n AS n_types, CAST(s1 AS BIGINT) AS total_tokens,
+        |  round(2.0 * CAST(s2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS gini
+        |FROM m""".stripMargin,
     // coverage curve: (freq desc, term) rank order, running occurrence sum,
     // max-cum-at-rank<=k so a k past the vocabulary reports 100%
     "q_vocab_coverage" ->

@@ -159,7 +159,7 @@ object Stress {
     // (O(k) per-group shuffle — the claim under test)
     "q_kanonymity", "q_topk_agg",
     // forensics/diversity one-pass aggregates
-    "q_benford", "q_diversity")
+    "q_benford", "q_diversity", "q_vocab_gini")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -178,6 +178,34 @@ object TextAnalysis {
       .orderBy(col("vocab_k"))
   }
 
+  /** Gini coefficient of the vocabulary frequency distribution — the
+    * inequality one-rower next to [[zipfFit]] (shape) and
+    * [[vocabCoverage]] (budget): 0 = every type equally frequent,
+    * →1 = occurrence mass concentrated in a few types. Computed by the
+    * rank formula over ascending-sorted frequencies,
+    * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n — every sum an EXACT integer
+    * (decimal(38,0) — rank×freq overflows int64 at corpus scale), so the
+    * one double expression at the end runs on identical operands in
+    * identical order both engines. Same vocab-tier window caveat as
+    * vocabCoverage: the global rank sorts vocab-cardinality rows, never
+    * the corpus. */
+  def vocabGini(documents: DataFrame): DataFrame = {
+    val ord = Window.orderBy(col("freq").asc, col("term").asc)
+    val ranked = documents
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .select(col("freq").cast("decimal(38,0)").as("x"),
+        row_number().over(ord).cast("decimal(38,0)").as("i"))
+    ranked
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("x")).as("s1"), sum(col("i") * col("x")).as("s2"))
+      .select(col("n_types"), col("s1").cast("bigint").as("total_tokens"),
+        round(lit(2.0) * col("s2").cast("double")
+            / (col("n_types").cast("double") * col("s1").cast("double"))
+          - (col("n_types") + 1).cast("double") / col("n_types").cast("double"),
+          4).as("gini"))
+  }
+
   /** Sketch-based heavy-hitters twin of [[vocabulary]] — the 100 TB form.
     * The exact pass shuffles every distinct term corpus-wide; at scale the
     * memory-bounded shape is (a) ONE count-min-sketch aggregate over the

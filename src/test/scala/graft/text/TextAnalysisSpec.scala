@@ -310,6 +310,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(uf._2) < 0.01, s"uniform corpus fit alpha ${uf._2} should be ~0")
   }
 
+  test("vocabGini: uniform is 0; concentration raises it; hand-checked two-type case") {
+    // equal frequencies -> perfect equality
+    val uniform = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val u = TextAnalysis.vocabGini(uniform).as[(Long, Long, Double)].head()
+    assert(u == ((3L, 6L, 0.0)), s"uniform: $u")
+    // freqs (1, 9): G = 2*(1*1 + 2*9)/(2*10) - 3/2 = 38/20 - 1.5 = 0.4
+    val skew = Seq((1L, ("b " + "a " * 9).trim)).toDF("doc_id", "text")
+    val s = TextAnalysis.vocabGini(skew).as[(Long, Long, Double)].head()
+    assert(s == ((2L, 10L, 0.4)), s"skew: $s")
+  }
+
   test("vocabCoverage: hand-computed curve, tie order, overshoot k reports 100%") {
     // freqs: a=4, b=2, c=2, d=1 (9 occurrences). Rank order (freq desc,
     // term asc): a, b, c, d. k=1 -> 4/9; k=3 -> 8/9; k=10 > |vocab| -> 9/9
