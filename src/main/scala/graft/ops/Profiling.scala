@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -63,20 +64,22 @@ object Profiling {
     * entirely (log10 at power-of-10 boundaries differs per libm): amounts
     * become exact integer CENTS (the decimal-money rule) and the first
     * digit is the first character of the integer's decimal rendering —
-    * identical in every engine. Non-positive amounts are excluded (no
-    * first significant digit).
+    * identical in every engine. Exclusion happens on the CENTS (`>= 1`),
+    * not the raw value: an amount in (0, 0.005) is positive but rounds to
+    * zero cents, and a digit-0 row would divide by zero in the reference
+    * share (engine-divergent: null under non-ANSI Spark, error elsewhere).
     *
-    * Scale shape: one map-side digit projection + one 9-row aggregate. */
+    * Scale shape: one map-side digit projection + one 9-row aggregate;
+    * the share denominator is a window total over the SAME 9-row
+    * aggregate (no second scan of the input, no pinned tier). */
   def benfordReport(df: DataFrame, valueCol: String): DataFrame = {
-    val cents = floor(col(valueCol) * 100 + 0.5).cast("bigint")
-    val digits = df
-      .filter(col(valueCol) > 0.0)
-      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
-    digits
+    val all = Window.partitionBy()
+    df.select(floor(col(valueCol) * 100 + 0.5).cast("bigint").as("cents"))
+      .filter(col("cents") >= 1)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
-      .crossJoin(broadcast(digits.agg(count(lit(1)).as("total"))))
       .select(col("digit"), col("n_obs"),
-        round(col("n_obs") / col("total"), 4).as("share"),
+        round(col("n_obs") / sum(col("n_obs")).over(all), 4).as("share"),
         round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("benford_share"))
       .withColumn("excess", round(col("share") - col("benford_share"), 4))
       .orderBy(col("digit"))
@@ -115,12 +118,15 @@ object Profiling {
     * published at round-4. Degenerate single-category corpora publish a
     * null normalized entropy (ln 1 = 0 denominator). */
   def diversityReport(df: DataFrame, catCol: String): DataFrame = {
-    val counts = df.groupBy(col(catCol)).agg(count(lit(1)).as("n"))
-    counts
-      .crossJoin(broadcast(counts.agg(
-        sum(col("n")).as("total"), count(lit(1)).as("n_categories"))))
-      .select(col("n"), col("total"), col("n_categories"),
-        (col("n") / col("total")).as("p"))
+    // total and category count are window totals over the per-category
+    // aggregate itself (|categories| rows) — the input is scanned once,
+    // with no pinned tier and no second aggregate pass
+    val all = Window.partitionBy()
+    df.groupBy(col(catCol)).agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        sum(col("n")).over(all).as("total"),
+        count(lit(1)).over(all).as("n_categories"),
+        (col("n") / sum(col("n")).over(all)).as("p"))
       .agg(max(col("total")).as("n_rows"),
         max(col("n_categories")).as("n_categories"),
         round(-sum(col("p") * log(col("p"))), 4).as("entropy_nats"),

@@ -78,7 +78,7 @@ object IvfIndex {
     * [[Similarity.ivfSqTopK]]'s retrain form. */
   private def writeCodes(assigned: DataFrame, codebook: DataFrame,
                          path: String, overwrite: Boolean): Unit = {
-    val levels = codebook.select(col("levels")).head.getInt(0)
+    val levels = codebook.select(col("levels")).head().getInt(0)
     assigned.crossJoin(broadcast(codebook.drop("levels")))
       .select(col("cell"), col("vec_id"),
         Similarity.sqCodesExpr(col("embedding"), levels).as("codes"),
@@ -147,7 +147,7 @@ object IvfIndex {
     // what turns the postings read into a partition-pruned directory seek
     val cells = probes.select(col("cell")).distinct().collect().map(_.get(0))
     val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("cell").isin(cells: _*))
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     probes
@@ -182,14 +182,14 @@ object IvfIndex {
       .pinTier
     val cells = probes.select(col("cell")).distinct().collect().map(_.get(0))
     val codebook = spark.read.parquet(s"$path/codebook")
-    val levels = codebook.select(col("levels")).head.getInt(0)
+    val levels = codebook.select(col("levels")).head().getInt(0)
     val (qConst, wCol) = Similarity.adcQueryConsts(levels)
     val wq = probes.crossJoin(broadcast(codebook.drop("levels")))
       .select(col("query_id"), col("q_emb"), col("cell"),
         qConst.as("q_const"), wCol.as("w"),
         Similarity.norm(col("q_emb")).as("q_norm"))
     val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("cell").isin(cells: _*))
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
     val candidates = wq
@@ -203,7 +203,7 @@ object IvfIndex {
       .filter(col("cr") <= k * rerankFactor)
       .select(col("query_id"), col("q_emb"), col("neighbor_id"))
     val exact = spark.read.parquet(s"$path/postings")
-      .filter(col("cell").isin(cells: _*))
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))

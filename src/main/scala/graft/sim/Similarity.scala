@@ -544,6 +544,11 @@ object Similarity {
     * downstream consumer. */
   def kMeansSpherical(embeddings: DataFrame, k: Int = 8,
                       rounds: Int = 3): DataFrame = {
+    // fail fast like TopKAggregator/kAnonymity: rounds = 0 would return
+    // the null pre-loop assignment and k <= 0 an empty frame — both
+    // silent wrong answers, not configurations
+    require(k >= 1 && rounds >= 1,
+      s"kMeansSpherical: need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
     val emb = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .pinTier // consumed by every round's assignment + update

@@ -311,7 +311,7 @@ object Streams {
     drainAppendStreamGate(spark, sfDir, events => {
       val midUs = events
         .agg(((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
-          .cast("long")).head.getLong(0)
+          .cast("long")).head().getLong(0)
       Seq(events.filter(unix_micros(col("ts")) < midUs),
         events.filter(unix_micros(col("ts")) >= midUs))
     }, oneFilePerChunk = true)(stream => clickErrorPairsStream(
@@ -377,7 +377,7 @@ object Streams {
         events.filter(pmod(col("event_id"), lit(2)) === 1)),
       oneFilePerChunk = false)(stream => {
       import spark.implicits._
-      runningUserProfile(spark, stream.as[Event]).toDF
+      runningUserProfile(spark, stream.as[Event]).toDF()
     })(profiles => profiles
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),

@@ -64,11 +64,14 @@ class GoldenPlanSpec extends SparkSpec {
     "q_winnow_neardups" -> Golden(
       required = Seq("partial_count", "LeftSemi", "Window"),
       forbidden = Seq("CartesianProduct")),
-    // co-occurrence edges: order-key self-pairing via explode, combined
-    // map-side; no join fallback of any kind
+    // co-occurrence edges now PROBE the standing edge tier (EdgeTier): a
+    // columnar parquet scan + output sort. The derivation's aggregate must
+    // NOT reappear in the probe plan — partial_count here would mean the
+    // query re-derived the graph it was supposed to read from the tier.
     "q_cooccur_edges" -> Golden(
-      required = Seq("partial_count"),
-      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      required = Seq("Scan parquet"),
+      forbidden = Seq("partial_count", "Join", "CartesianProduct"),
+      maxExchanges = Some(1)),
     // global stats: ONE aggregation over one scan — any Join here means the
     // query picked up an accidental self-join
     "q_global_stats" -> Golden(

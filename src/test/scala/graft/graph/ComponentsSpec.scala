@@ -75,9 +75,41 @@ class ComponentsSpec extends SparkSpec {
       val replay = ComponentsIndex.admit(spark, batch, s"$stage/cc")
         .as[(Long, Long)].collect().toMap
       assert(replay == merged, s"replay drifted: $replay")
-      val edges = spark.read.parquet(s"$stage/cc/edges")
+      val edges = ComponentsIndex.edges(spark, s"$stage/cc")
       assert(edges.count() == 5L && edges.distinct().count() == 5L,
         "replay appended duplicate edges")
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+      ()
+    }
+  }
+
+  test("ComponentsIndex: a crashed admission is invisible and a DIFFERENT later batch still admits correctly") {
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-cc-crash-spec").toFile.getAbsolutePath
+    try {
+      val base = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+      ComponentsIndex.build(base, s"$stage/cc") // commits v1
+      // simulate a crash mid-admission of batch (2,3): both v2 artifacts
+      // written but the pointer never flipped — the exact window the r9
+      // advisor flagged (previous layout published the edges immediately)
+      Seq((2L, 3L)).toDF("a", "b")
+        .write.parquet(s"$stage/cc/edges/part_v=2")
+      Seq((99L, 99L)).toDF("id", "component") // garbage half-state
+        .write.parquet(s"$stage/cc/labels_v=2")
+      assert(ComponentsIndex.currentVersion(spark, s"$stage/cc") == 1L)
+      // readers see only v1: the orphaned edge partition is pruned out
+      assert(ComponentsIndex.edges(spark, s"$stage/cc").count() == 2L)
+      // a DIFFERENT batch admits on top of v1; the crashed leftovers are
+      // cleared, not merged (the old layout needed the SAME batch replayed)
+      val merged = ComponentsIndex.admit(
+        spark, Seq((4L, 10L)).toDF("doc_a", "doc_b"), s"$stage/cc")
+        .as[(Long, Long)].collect().toMap
+      assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 3L),
+        s"got $merged")
+      assert(ComponentsIndex.edges(spark, s"$stage/cc")
+        .as[(Long, Long)].collect().toSet ==
+        Set((1L, 2L), (3L, 4L), (4L, 10L)))
     } finally {
       new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
       ()
