@@ -664,14 +664,19 @@ object SparkEntry {
     // sits there, so the drop path is actually exercised
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedupAudit(
       Tables.embeddings(s, d), threshold = 0.35)),
-    // sketch near-dup paths, promise-gated: raw pair sets are xxhash64-
-    // specific, so each gate emits its portable CONTRACT instead — recall
-    // vs the exact Jaccard >= 0.9 ground truth the oracle recomputes
-    // independently (bounds = DedupSpec's: minhash 0.95, winnow 0.9,
+    // GRADUATED r10 (VERDICT r9 "next" #8): the MinHash pipeline now runs
+    // on the oracle-replicable PolyHash universal family (shingle
+    // code-point polynomial → 64 (a·x+b) mod p permutations → exact band
+    // equality), so this gate emits the ACTUAL near-dup pair set and
+    // DuckDB recomputes the identical signatures, bands, candidates and
+    // Jaccard values — strictly stronger than the old pinned recall
+    // boolean. The ≥0.95 recall property stays spec-gated in DedupSpec.
+    "q_minhash_neardups" -> ((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d))),
+    // simhash/winnow remain promise-gated: their sketches still hash with
+    // xxhash64 — recall vs the exact Jaccard >= 0.9 ground truth the
+    // oracle recomputes independently (bounds = DedupSpec's: winnow 0.9,
     // simhash 0.8) — and the oracle pins recall_ok = true
-    "q_minhash_neardups" -> ((s, d) => Dedup.nearDupRecallAudit(
-      Tables.documents(s, d), "minhash_lsh", 0.95,
-      Dedup.minhashNearDups(Tables.documents(s, d)))),
     "q_simhash_neardups" -> ((s, d) => Dedup.nearDupRecallAudit(
       Tables.documents(s, d), "simhash", 0.8,
       Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 10))),
@@ -1086,6 +1091,75 @@ object SparkEntry {
     * shingle-Jaccard >= 0.9 pair count from scratch (same tokenization as
     * the oracle-green q_ngram_jaccard) and pin the method's contractual
     * recall promise as `recall_ok = true`. */
+  /** The full MinHash/LSH recompute (r10 graduation of
+    * q_minhash_neardups): every stage of the Spark pipeline re-derived in
+    * DuckDB — the code-point polynomial base hash (list_reduce over ord,
+    * byte-for-byte the [[graft.functions.PolyHash]] recurrence), the 64
+    * universal-family permutations with the SAME interpolated (a_j, b_j)
+    * constants `Dedup.minhashPerm` uses, min-aggregated signatures, exact
+    * band-equality candidates (16 bands × 4 values), and the exact-Jaccard
+    * verify over the candidate-bounded shingle join. */
+  /** The reusable CTE chain of the recompute, parameterized on the source
+    * relation (any (doc_id, text) CTE or table) and a CTE-name prefix so
+    * it splices into larger oracles (the clean-corpus funnel). The final
+    * CTE `<pfx>pairs` holds (doc_a, doc_b, jaccard ≥ threshold). */
+  private def minhashCtes(src: String, pfx: String,
+                          threshold: Double = 0.5): String = {
+    val p = graft.functions.PolyHash.Mod
+    val numPerm = 64; val bands = 16; val r = numPerm / bands
+    val sigCols = (0 until numPerm).map { j =>
+      val (a, b) = graft.dedup.Dedup.minhashPerm(j)
+      s"min(($a * ph + $b) % $p) AS h$j"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { bnd =>
+      val ks = (bnd * r until (bnd + 1) * r).map(j => s"h$j").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, [$ks] AS key FROM ${pfx}sig"
+    }.mkString("\n  UNION ALL ")
+    s"""${pfx}sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      |        FROM $src)
+      |  WHERE len(toks) > 0),
+      |${pfx}ph AS (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(shingle) + 1),
+      |      i -> CAST(ord(substr(shingle, CAST(i AS INT), 1)) AS BIGINT))),
+      |    (acc, c) -> (acc * 131 + c) % $p) AS ph
+      |  FROM ${pfx}sh),
+      |${pfx}sig AS (
+      |  SELECT doc_id,
+      |    $sigCols
+      |  FROM ${pfx}ph GROUP BY 1),
+      |${pfx}bands AS (
+      |  $bandSelects),
+      |${pfx}cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM ${pfx}bands a JOIN ${pfx}bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |${pfx}sizes AS (SELECT doc_id, count(*) AS n FROM ${pfx}sh GROUP BY 1),
+      |${pfx}inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+      |  FROM ${pfx}cand c
+      |  JOIN ${pfx}sh a ON a.doc_id = c.doc_a
+      |  JOIN ${pfx}sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2),
+      |${pfx}pairs AS (
+      |  SELECT i.doc_a, i.doc_b,
+      |    round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+      |  FROM ${pfx}inter i
+      |  JOIN ${pfx}sizes sa ON i.doc_a = sa.doc_id
+      |  JOIN ${pfx}sizes sb ON i.doc_b = sb.doc_id
+      |  WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= $threshold)""".stripMargin
+  }
+
+  private def minhashFullSql: String =
+    s"""WITH ${minhashCtes("documents", "")}
+      |SELECT doc_a, doc_b, jaccard FROM pairs
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private def nearDupAuditSql(method: String, minRecall: Double): String =
     s"""WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -1929,11 +2003,15 @@ object SparkEntry {
         |    regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[^\s]+', '<URL>', 'g')), 1, 16) AS scrub_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the d-stage near-dedup count joined the oracle in r10: the MinHash
+    // stage now runs the PolyHash family, so DuckDB recomputes the pair
+    // set over the exact-dedup survivors' SCRUBBED text and the funnel is
+    // oracle-checked end to end (it used to stop at exact dedup)
     "q_clean_corpus" ->
-      """WITH scrubbed AS (
+      s"""WITH scrubbed AS (
         |  SELECT doc_id, regexp_replace(regexp_replace(text,
-        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-        |    'https?://[^\s]+', '<URL>', 'g') AS text
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\\s]+', '<URL>', 'g') AS text
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, text,
@@ -1941,19 +2019,24 @@ object SparkEntry {
         |        + 0.3 * round(len(list_filter(toks, x -> list_contains(
         |              ['the','a','an','of','to','and','in','is','it','for','on','with'], x)))
         |              * 1.0 / greatest(len(toks), 1), 4)
-        |        + 0.2 * (1.0 - round((length(txt) - length(regexp_replace(txt, '[^a-z0-9\s]', '', 'g')))
+        |        + 0.2 * (1.0 - round((length(txt) - length(regexp_replace(txt, '[^a-z0-9\\s]', '', 'g')))
         |              * 1.0 / greatest(length(txt), 1), 4)), 5) AS quality_score
         |  FROM (SELECT doc_id, text, lower(text) AS txt,
-        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
         |        FROM scrubbed)),
         |q AS (SELECT doc_id, text FROM scored WHERE quality_score >= 0.3),
         |e AS (SELECT min(doc_id) AS doc_id FROM (
         |    SELECT doc_id, substr(md5(array_to_string(
-        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')), 1, 16) AS fp
-        |    FROM q) GROUP BY fp)
+        |      list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')), 1, 16) AS fp
+        |    FROM q) GROUP BY fp),
+        |e2 AS (SELECT q.doc_id, q.text FROM q JOIN e ON q.doc_id = e.doc_id),
+        |${minhashCtes("e2", "mh")}
         |SELECT 'a_input' AS stage, count(*) AS n_docs FROM documents
         |UNION ALL SELECT 'b_quality', count(*) FROM q
         |UNION ALL SELECT 'c_exact_dedup', count(*) FROM e
+        |UNION ALL SELECT 'd_near_dedup',
+        |  (SELECT count(*) FROM e)
+        |    - (SELECT count(DISTINCT doc_b) FROM mhpairs)
         |ORDER BY stage""".stripMargin,
     // edit-distance tier over corpus + deterministic 2-edit clones; same
     // prefix block, hot-prefix cap, length pre-filter, and verification
@@ -2186,7 +2269,10 @@ object SparkEntry {
         |       ELSE md5(coalesce(kept_text, '')) END AS kept_md5
         |FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
-    "q_minhash_neardups" -> nearDupAuditSql("minhash_lsh", 0.95),
+    // full recompute (r10 graduation): DuckDB re-derives the polynomial
+    // base hash, all 64 universal-family permutations, the 16 exact-
+    // equality bands, the candidate pairs, and the verified Jaccard
+    "q_minhash_neardups" -> minhashFullSql,
     "q_simhash_neardups" -> nearDupAuditSql("simhash", 0.8),
     "q_winnow_neardups" -> nearDupAuditSql("winnow", 0.9),
     "q_containment" ->

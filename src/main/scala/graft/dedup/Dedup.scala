@@ -536,13 +536,31 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Tier 3a — MinHash signatures: numPerm independent permutations
-    * approximated as xxhash64(shingle, seed); signature[j] = min over
+  /** The MinHash "permutation" family — deterministic and ORACLE-
+    * REPLICABLE (the r9→r10 graduation of q_minhash_neardups from a
+    * recall promise gate to a full DuckDB recompute): permutation j maps
+    * a shingle's code-point polynomial hash ([[graft.functions.PolyHash]],
+    * both engines compute it identically) through the order-1 universal
+    * family h_j(x) = (a_j·x + b_j) mod p, p = 2³¹−1. The (a_j, b_j)
+    * constants are pure functions of j — the oracle SQL interpolates the
+    * same literal numbers, so nothing engine-specific remains anywhere in
+    * the pipeline. All products stay < 2⁶² (no overflow divergence). */
+  def minhashPerm(j: Int): (Long, Long) = {
+    val p = graft.functions.PolyHash.Mod
+    val a = (2654435761L * (j + 1) + 0x9E3779B9L) % (p - 1) + 1
+    val b = (2246822519L * (j + 1) + 0x85EBCA6BL) % p
+    (a, b)
+  }
+
+  /** Tier 3a — MinHash signatures: numPerm universal-family permutations
+    * over the shingle's polynomial base hash; signature[j] = min over
     * shingles. Computed as numPerm `min` aggregates over exploded shingle
     * rows — fully codegen'd partial+final hash aggregation — rather than a
     * nested array HOF (interpreted; it made this the slowest query in the
-    * engine by 5× before the rewrite). One shuffle, numPerm×|shingles|
-    * hash calls, 8·numPerm bytes per doc out. */
+    * engine by 5× before the rewrite). The base hash is computed ONCE per
+    * shingle row (the 64 permutations are pure integer arithmetic on it),
+    * where the previous xxhash64-per-seed form re-read the string 64
+    * times. One shuffle, 8·numPerm bytes per doc out. */
   def minhashSignatures(documents: DataFrame, k: Int = 3, numPerm: Int = 64): DataFrame =
     minhashSignaturesFromRows(shingleRows(documents, k), numPerm)
 
@@ -550,8 +568,14 @@ object Dedup {
     * [[minhashNearDups]] share one pinned shingle pass between the
     * signature aggregation and the exact-Jaccard verify sets. */
   def minhashSignaturesFromRows(rows: DataFrame, numPerm: Int = 64): DataFrame = {
-    val aggs = (0 until numPerm).map(j => min(xxhash64(col("shingle"), lit(j))).as(s"h$j"))
+    val p = graft.functions.PolyHash.Mod
+    val aggs = (0 until numPerm).map { j =>
+      val (a, b) = minhashPerm(j)
+      min((lit(a) * col("__ph") + lit(b)) % lit(p)).as(s"h$j")
+    }
     rows
+      .select(col("doc_id"),
+        graft.functions.PolyHash.poly_hash(col("shingle")).as("__ph"))
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until numPerm).map(j => col(s"h$j")): _*).as("signature"))
@@ -565,16 +589,19 @@ object Dedup {
   def lshCandidates(signatures: DataFrame, bands: Int = 16, numPerm: Int = 64): DataFrame = {
     require(numPerm % bands == 0, s"numPerm=$numPerm must divide into bands=$bands")
     val r = numPerm / bands
-    // xxhash64 hashes the band's sub-array directly (it supports array input)
+    // the band key is the r-value sub-array ITSELF (arrays are orderable
+    // join keys): exact band equality with no hash in the path, so the
+    // candidate set is deterministic and the oracle recomputes it verbatim
+    // (a band hash would admit collision pairs no other engine replays)
     val banded = signatures.select(
       col("doc_id"),
       posexplode(array((0 until bands).map { bnd =>
-        xxhash64(slice(col("signature"), bnd * r + 1, r), lit(bnd))
+        slice(col("signature"), bnd * r + 1, r)
       }: _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
     val a = banded.withColumnRenamed("doc_id", "doc_a")
     val b = banded.withColumnRenamed("doc_id", "doc_b")
-    a.join(b, Seq("band", "band_hash"))
+    a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()

@@ -83,24 +83,34 @@ object CleanCorpus {
     spark.stop()
   }
 
-  /** Per-stage survivor counts for the oracle-checkable prefix of the
-    * funnel (scrub → quality → exact dedup; the MinHash stage hashes with
-    * xxhash64, which the oracle engine lacks — its semantics are pinned by
-    * CleanCorpusSpec instead). Stage names are prefixed for stable
-    * ordering. */
+  /** Per-stage survivor counts for the FULL funnel, every stage
+    * oracle-checkable since r10: the MinHash stage runs the
+    * oracle-replicable PolyHash family ([[Dedup.minhashPerm]]), so the
+    * near-dedup survivor count is a DuckDB recompute like the rest —
+    * before the graduation the oracle had to stop at exact dedup. Stage
+    * names are prefixed for stable ordering. The d-stage uses [[run]]'s
+    * default pair-wise drop policy (larger side of each verified pair). */
   def stages(documents: DataFrame, minQuality: Double = 0.3): DataFrame = {
     val sq = scrubbedWithQuality(documents).cache()
     val quality = sq.filter(col("quality_score") >= minQuality)
-    val exact = quality
+    val exactKept = quality
       .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = quality.join(exactKept, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text")).cache()
+    val nExact = exact.count()
+    val nearDropped = Dedup.minhashNearDups(exact)
+      .select(col("doc_b")).distinct().count()
     val spark = documents.sparkSession
     import spark.implicits._
     val counts = Seq(
       ("a_input", documents.count()),
       ("b_quality", quality.count()),
-      ("c_exact_dedup", exact.count()))
-    sq.unpersist() // all three counts are consumed eagerly above
+      ("c_exact_dedup", nExact),
+      ("d_near_dedup", nExact - nearDropped))
+    sq.unpersist() // all counts are consumed eagerly above
+    exact.unpersist()
     counts.toDF("stage", "n_docs").orderBy(col("stage"))
   }
 }

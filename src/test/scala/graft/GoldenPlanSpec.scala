@@ -53,11 +53,14 @@ class GoldenPlanSpec extends SparkSpec {
     "q_source_overlap" -> Golden(
       required = Seq("partial_count"),
       forbidden = Seq("CartesianProduct")),
+    // minhash (r10, graduated to a full pair-set gate): map-side-combined
+    // signature mins over the poly-hash tier, band candidates via an EQUI
+    // join on the (band, band_key-array) key — never a nested loop
+    "q_minhash_neardups" -> Golden(
+      required = Seq("partial_min"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // banded near-dup audits: semi-join verification against the planted
     // truth set, equi-joins only
-    "q_minhash_neardups" -> Golden(
-      required = Seq("partial_count", "LeftSemi"),
-      forbidden = Seq("CartesianProduct")),
     "q_simhash_neardups" -> Golden(
       required = Seq("partial_count", "LeftSemi"),
       forbidden = Seq("CartesianProduct")),
