@@ -490,13 +490,13 @@ object SparkEntry {
     // non-empty fingerprint set — the oracle recomputes the tokenized-doc
     // count), while values/recall stay pinned in TextAnalysisSpec and the
     // q_winnow_neardups promise gate
+    // GRADUATED r10: winnowing now hashes with poly_hash, so the gate
+    // emits the actual selected fingerprints (row form — scalar columns
+    // for the driver hash) and DuckDB re-derives every shingle hash,
+    // window minimum, and valid-start selection
     "q_winnow_fps" -> ((s, d) => TextAnalysis
-      .winnowFingerprints(Tables.documents(s, d))
-      .agg(count(lit(1)).as("n_docs"),
-        (count(when(size(col("winnow_fp")) > 0, 1)) === count(lit(1)))
-          .as("fps_nonempty_ok"))
-      .select(lit("winnow_fps").as("method"), col("n_docs"),
-        col("fps_nonempty_ok"))),
+      .winnowFingerprintRows(Tables.documents(s, d))
+      .orderBy(col("doc_id"), col("fp"))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
     "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
     // vocabulary inequality one-rower (rank-formula Gini, exact sums)
@@ -673,16 +673,19 @@ object SparkEntry {
     // boolean. The ≥0.95 recall property stays spec-gated in DedupSpec.
     "q_minhash_neardups" -> ((s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d))),
-    // simhash/winnow remain promise-gated: their sketches still hash with
-    // xxhash64 — recall vs the exact Jaccard >= 0.9 ground truth the
-    // oracle recomputes independently (bounds = DedupSpec's: winnow 0.9,
-    // simhash 0.8) — and the oracle pins recall_ok = true
-    "q_simhash_neardups" -> ((s, d) => Dedup.nearDupRecallAudit(
-      Tables.documents(s, d), "simhash", 0.8,
-      Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 10))),
-    "q_winnow_neardups" -> ((s, d) => Dedup.nearDupRecallAudit(
-      Tables.documents(s, d), "winnow", 0.9,
-      Dedup.winnowNearDups(Tables.documents(s, d)))),
+    // GRADUATED r10: simhash bit-votes now come from the PolyHash
+    // universal family (parity of (a_i·x+b_i) mod p, constants disjoint
+    // from the MinHash range), so the gate emits the verified pair set
+    // and DuckDB recomputes all 64 votes, the band df cap, candidates,
+    // and the exact band-wise Hamming distance. Recall stays spec-gated.
+    "q_simhash_neardups" -> ((s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 10)),
+    // GRADUATED r10 (the minhash precedent): the winnow near-dup pair
+    // set is deterministic under poly_hash, so the gate emits it and the
+    // oracle recomputes the full pipeline including the df <= 50 cap and
+    // the >= 3 shared-fingerprint threshold
+    "q_winnow_neardups" -> ((s, d) =>
+      Dedup.winnowNearDups(Tables.documents(s, d))),
     // ---- similarity search (north-star) ----
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(
       Tables.embeddings(s, d), 0L to 9L, k = 10)),
@@ -1099,6 +1102,102 @@ object SparkEntry {
     * constants `Dedup.minhashPerm` uses, min-aggregated signatures, exact
     * band-equality candidates (16 bands × 4 values), and the exact-Jaccard
     * verify over the candidate-bounded shingle join. */
+  /** The [[graft.functions.PolyHash]] recurrence as a DuckDB expression
+    * over a string-valued column/expression — shared by every graduated
+    * sketch oracle (minhash, winnowing, simhash). */
+  private def polyHashSql(expr: String): String =
+    s"""list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($expr) + 1),
+      |      i -> CAST(ord(substr($expr, CAST(i AS INT), 1)) AS BIGINT))),
+      |    (acc, c) -> (acc * 131 + c) % ${graft.functions.PolyHash.Mod})""".stripMargin
+
+  /** The winnowing recompute (r10 graduation of q_winnow_fps /
+    * q_winnow_neardups): k=4 token shingles with positions (parallel
+    * unnests zip elementwise in DuckDB), poly-hashed, min over the w=5
+    * forward row frame, valid window starts only, distinct — exactly
+    * `TextAnalysis.winnowFingerprintRows`. Final CTE `wsel` holds
+    * (doc_id, fp). */
+  private def winnowCtes: String =
+    s"""wtoks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+      |           x -> x <> '') AS toks
+      |  FROM documents),
+      |wshl AS (
+      |  SELECT doc_id, len(toks) AS n,
+      |    list_transform(range(1, greatest(len(toks) - 3, 1) + 1),
+      |      i -> array_to_string(toks[i:i+3], ' ')) AS sl
+      |  FROM wtoks WHERE len(toks) > 0),
+      |wsh AS (
+      |  SELECT doc_id, n,
+      |    unnest(range(0, len(sl))) AS pos,
+      |    unnest(list_transform(sl, s -> ${polyHashSql("s")})) AS sh
+      |  FROM wshl),
+      |wfps AS (
+      |  SELECT doc_id, pos, n,
+      |    min(sh) OVER (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+      |  FROM wsh),
+      |wsel AS (
+      |  SELECT DISTINCT doc_id, fp FROM wfps
+      |  WHERE pos <= greatest(n - 3 - 5, 0))""".stripMargin
+
+  /** The SimHash recompute (r10 graduation of q_simhash_neardups):
+    * per-token poly base hash, 64 parity votes (`Dedup.simhashBit`
+    * constants interpolated literally), 16-bit band packing, the
+    * df ≤ 1000 band cap, exact band-equality candidates, and band-wise
+    * Hamming verification — the packed-BIGINT form stays Spark-internal
+    * (bit 63 would need two's-complement gymnastics in SQL; the four
+    * 16-bit bands carry identical information). */
+  private def simhashFullSql: String = {
+    val p = graft.functions.PolyHash.Mod
+    val voteCols = (0 until 64).map { i =>
+      val (a, b) = graft.dedup.Dedup.simhashBit(i)
+      s"sum(CASE WHEN (($a * ph + $b) % $p) % 2 = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n    ")
+    val bandCols = (0 until 4).map { bnd =>
+      (0 until 16).map { bit =>
+        s"(CASE WHEN v${bnd * 16 + bit} > 0 THEN ${1 << bit} ELSE 0 END)"
+      }.mkString(" + ") + s" AS band$bnd"
+    }.mkString(",\n    ")
+    val bandUnion = (0 until 4)
+      .map(bnd => s"SELECT doc_id, $bnd AS band, band$bnd AS band_val FROM sbands")
+      .mkString("\n  UNION ALL ")
+    val hamming = (0 until 4)
+      .map(bnd => s"bit_count(xor(x.band$bnd, y.band$bnd))")
+      .mkString(" + ")
+    s"""WITH stoks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+      |  FROM documents),
+      |sph AS (SELECT doc_id, ${polyHashSql("tok")} AS ph FROM stoks),
+      |svotes AS (
+      |  SELECT doc_id,
+      |    $voteCols
+      |  FROM sph GROUP BY 1),
+      |sbands AS (
+      |  SELECT doc_id,
+      |    $bandCols
+      |  FROM svotes),
+      |sbu AS (
+      |  $bandUnion),
+      |srare AS (SELECT band, band_val FROM sbu
+      |          GROUP BY 1, 2 HAVING count(*) <= 1000),
+      |skept AS (SELECT b.doc_id, b.band, b.band_val
+      |          FROM sbu b JOIN srare USING (band, band_val)),
+      |scand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM skept a JOIN skept b
+      |    ON a.band = b.band AND a.band_val = b.band_val
+      |   AND a.doc_id < b.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      |  CAST($hamming AS INTEGER) AS hamming
+      |FROM scand c
+      |JOIN sbands x ON x.doc_id = c.doc_a
+      |JOIN sbands y ON y.doc_id = c.doc_b
+      |WHERE $hamming <= 10
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** The reusable CTE chain of the recompute, parameterized on the source
     * relation (any (doc_id, text) CTE or table) and a CTE-name prefix so
     * it splices into larger oracles (the clean-corpus funnel). The final
@@ -1159,31 +1258,6 @@ object SparkEntry {
     s"""WITH ${minhashCtes("documents", "")}
       |SELECT doc_a, doc_b, jaccard FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
-
-  private def nearDupAuditSql(method: String, minRecall: Double): String =
-    s"""WITH sh AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |    range(1, greatest(len(toks) - 2, 1) + 1),
-      |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
-      |  FROM (SELECT doc_id,
-      |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-      |        FROM documents WHERE doc_id < 500)
-      |  WHERE len(toks) > 0),
-      |shk AS (SELECT doc_id, shingle FROM sh
-      |        QUALIFY count(*) OVER (PARTITION BY shingle)
-      |          <= ${graft.dedup.Dedup.DefaultMaxShingleDocFreq}),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      |  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |exact AS (
-      |  SELECT doc_a FROM inter
-      |  JOIN sizes sa ON doc_a = sa.doc_id
-      |  JOIN sizes sb ON doc_b = sb.doc_id
-      |  WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.9)
-      |SELECT '$method' AS method, (SELECT count(*) FROM exact) AS n_exact,
-      |  CAST($minRecall AS DOUBLE) AS min_recall, TRUE AS recall_ok""".stripMargin
 
   private val dupClosurePrefix: String =
     s"""WITH RECURSIVE sh AS (
@@ -2273,8 +2347,19 @@ object SparkEntry {
     // base hash, all 64 universal-family permutations, the 16 exact-
     // equality bands, the candidate pairs, and the verified Jaccard
     "q_minhash_neardups" -> minhashFullSql,
-    "q_simhash_neardups" -> nearDupAuditSql("simhash", 0.8),
-    "q_winnow_neardups" -> nearDupAuditSql("winnow", 0.9),
+    // full recompute (r10): 64 parity votes -> 4 16-bit bands -> df-capped
+    // band candidates -> band-wise Hamming verify
+    "q_simhash_neardups" -> simhashFullSql,
+    // full recompute (r10): df-capped shared-fingerprint pair counts
+    "q_winnow_neardups" ->
+      s"""WITH $winnowCtes,
+        |wrare AS (SELECT fp FROM wsel GROUP BY fp HAVING count(*) <= 50),
+        |wkept AS (SELECT s.doc_id, s.fp FROM wsel s JOIN wrare USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS n_shared
+        |FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_containment" ->
       s"""WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -2611,12 +2696,9 @@ object SparkEntry {
     // winnowing coverage promise gate: tokenized-document count recomputed
     // with the q_vocab tokenization; the non-empty-fps promise pinned
     "q_winnow_fps" ->
-      """SELECT 'winnow_fps' AS method,
-        |  (SELECT count(*) FROM (
-        |     SELECT list_filter(string_split_regex(lower(text), '\s+'),
-        |       x -> x <> '') AS toks FROM documents) WHERE len(toks) > 0)
-        |    AS n_docs,
-        |  TRUE AS fps_nonempty_ok""".stripMargin,
+      s"""WITH $winnowCtes
+        |SELECT doc_id, fp FROM wsel
+        |ORDER BY doc_id, fp""".stripMargin,
     // vocabulary-sketch promise gate: exact distinct-term count recomputed
     // with the q_vocab tokenization; CMS promises pinned
     "q_vocab_approx" ->

@@ -668,15 +668,27 @@ object Dedup {
   /** Tier 4a — 64-bit SimHash: each token hash votes ±1 per bit position;
     * the sketch sets bit i when the vote sum is positive. One aggregate
     * fold over token hashes — map-side, 8 bytes per document out. */
+  /** The per-bit hash family (r10 graduation, the [[minhashPerm]]
+    * precedent): bit i of a token's sketch contribution is the PARITY of
+    * the universal hash (a·x + b) mod p over the token's code-point
+    * polynomial ([[graft.functions.PolyHash]]) — permutation constants
+    * `minhashPerm(64 + i)`, disjoint from the MinHash family's 0..63. No
+    * xxhash64 anywhere, so the DuckDB oracle re-derives every vote. */
+  def simhashBit(i: Int): (Long, Long) = minhashPerm(64 + i)
+
   def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    // shift amounts are lambda-bound Columns, so go through the SQL functions
-    // (the Scala shiftright/shiftleft overloads only take Int positions)
+    val p = lit(graft.functions.PolyHash.Mod)
+    val aArr = array((0 until 64).map(i => lit(simhashBit(i)._1)): _*)
+    val bArr = array((0 until 64).map(i => lit(simhashBit(i)._2)): _*)
     val votes = aggregate(
-      hashes,
+      transform(TextAnalysis.tokens(text),
+        t => graft.functions.PolyHash.poly_hash(t)),
       array_repeat(lit(0), 64),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (v, i) => v + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)))
+        (v, i) => v + when(
+          ((element_at(aArr, (i + 1).cast("int")) * h
+            + element_at(bArr, (i + 1).cast("int"))) % p) % 2 === 1,
+          1).otherwise(-1)))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)),
         (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
@@ -686,17 +698,22 @@ object Dedup {
   /** [[simhash]] as 64 codegen'd conditional-sum aggregates over exploded
     * token rows (the same interpreted-HOF → hash-aggregate rewrite as
     * MinHash; the column expression form is kept for composability and as
-    * the semantics reference — [[DedupSpec]] pins them equal). */
+    * the semantics reference — [[DedupSpec]] pins them equal). The poly
+    * base hash is computed once per token; the 64 bit-votes are integer
+    * arithmetic on it. */
   def simhashes(documents: DataFrame): DataFrame = {
+    val p = graft.functions.PolyHash.Mod
     val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+      val (a, b) = simhashBit(i)
+      sum(when(((lit(a) * col("h") + lit(b)) % lit(p)) % 2 === 1, 1)
+        .otherwise(-1)).as(s"v$i")
     }
     val packed = (0 until 64).map { i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     documents
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), graft.functions.PolyHash.poly_hash(col("tok")).as("h"))
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
@@ -741,50 +758,6 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  // ------------------------------------------------- recall promise gates
-
-  /** Driver-gated recall audit for a sketch-based near-dup path — the
-    * [[graft.sim.Similarity.recallAudit]] pattern applied to text dedup.
-    * The raw pair sets of [[minhashNearDups]]/[[simhashNearDups]]/
-    * [[winnowNearDups]] are engine-specific (xxhash64 signatures and bit
-    * votes), so they can never hash-match a cross-engine oracle; their
-    * CONTRACT, though, is portable: each method promises to recover at
-    * least `minRecall` of the true high-similarity pairs (exact shingle
-    * Jaccard ≥ `exactThreshold` — the same ground truth DedupSpec's
-    * recall bounds assert, and one DuckDB can recompute independently
-    * because q_ngram_jaccard's tokenization is already oracle-green).
-    * The gate emits `(method, n_exact, min_recall, recall_ok)`; the
-    * oracle recomputes `n_exact` from scratch and pins
-    * `recall_ok = true`. A config change that legitimately moves observed
-    * recall needs no oracle edit while the promise holds; a recall
-    * regression goes red on both engines' terms.
-    *
-    * Scale shape — the [[graft.sim.Similarity.recallAudit]] probe rule:
-    * recall is a property of the algorithm configuration, not the corpus
-    * size, so the exact ground truth is confined to a FIXED `auditDocs`
-    * document probe (exactly the whole corpus at the sf0.01 gate) while
-    * the METHOD still runs over the full input — the gate keeps
-    * exercising the production path end-to-end, and the quadratic-ish
-    * exact side stays O(1) however large the table grows. */
-  def nearDupRecallAudit(documents: DataFrame, method: String,
-                         minRecall: Double, approx: DataFrame,
-                         exactThreshold: Double = 0.9,
-                         auditDocs: Long = 500L): DataFrame = {
-    val exact = ngramJaccardPairs(
-        documents.filter(col("doc_id") < auditDocs),
-        threshold = exactThreshold)
-      .select(col("doc_a"), col("doc_b")).pinTier
-    approx.select(col("doc_a"), col("doc_b"))
-      .filter(col("doc_a") < auditDocs && col("doc_b") < auditDocs)
-      .join(exact, Seq("doc_a", "doc_b"), "leftsemi")
-      .agg(count(lit(1)).as("n_hits"))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-      .select(lit(method).as("method"), col("n_exact"),
-        lit(minRecall).as("min_recall"),
-        (col("n_hits").cast("double") / col("n_exact") >= lit(minRecall))
-          .as("recall_ok"))
   }
 
   /** Edit-distance near-dup tier: exact Levenshtein over PREFIX-BLOCKED

@@ -467,7 +467,11 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("toks")).as("n"), posexplode(col("toks")))
       .withColumnsRenamed(Map("col" -> "tok"))
       .select(col("doc_id"), col("n"), col("pos"),
-        xxhash64(concat_ws(" ", (col("tok") +: leads): _*)).as("sh"))
+        // poly_hash (r10): the oracle-replicable base hash — graduates the
+        // winnow gates to full DuckDB recomputes (the MinHash precedent);
+        // winnowing only needs an order-preserving-free deterministic value
+        graft.functions.PolyHash.poly_hash(
+          concat_ws(" ", (col("tok") +: leads): _*)).as("sh"))
       .filter(col("pos") <= greatest(col("n") - k, lit(0)))
     val wmin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, w - 1)

@@ -38,11 +38,10 @@ class ContractSpec extends SparkSpec {
       "q_ann_ivf_indexed", "q_ann_ivf_sq_indexed",
       // recall promise gates (xxhash64 sketches / k-means cells; the oracle
       // recomputes n_exact from scratch, the recall floor is pinned).
-      // q_minhash_neardups GRADUATED to a full recompute in r10 — its
-      // pipeline now runs the oracle-replicable PolyHash family.
+      // q_minhash_neardups, q_simhash_neardups, q_winnow_neardups and
+      // q_winnow_fps all GRADUATED to full recomputes in r10 — their
+      // pipelines now run the oracle-replicable PolyHash family.
       "q_recall_audit", "q_cosine_near_dups_lsh", "q_semantic_dedup",
-      "q_simhash_neardups", "q_winnow_neardups",
-      "q_winnow_fps",
       // approximate-algorithm twins (HLL / approx-percentile sketches are
       // engine-specific; the oracle pins the exact side + error contract)
       "q_distinct_hll", "q_vocab_approx", "q_winsorize_approx",

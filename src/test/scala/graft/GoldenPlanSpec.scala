@@ -59,13 +59,17 @@ class GoldenPlanSpec extends SparkSpec {
     "q_minhash_neardups" -> Golden(
       required = Seq("partial_min"),
       forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
-    // banded near-dup audits: semi-join verification against the planted
-    // truth set, equi-joins only
+    // simhash (r10, graduated): the 64 parity-vote sums run at pin time
+    // (the sketch tier is a lineage-truncating pinTier, so they cannot
+    // appear in this plan); what must hold here is the post-pin shape —
+    // map-combined band-df counts, band explode, equi joins only
     "q_simhash_neardups" -> Golden(
-      required = Seq("partial_count", "LeftSemi"),
-      forbidden = Seq("CartesianProduct")),
+      required = Seq("partial_count", "Generate"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // winnowing (r10, graduated): the w-frame min is a Window over the
+    // poly-hashed shingle tier; shared-fp pair counts combine map-side
     "q_winnow_neardups" -> Golden(
-      required = Seq("partial_count", "LeftSemi", "Window"),
+      required = Seq("partial_count", "Window"),
       forbidden = Seq("CartesianProduct")),
     // co-occurrence edges now PROBE the standing edge tier (EdgeTier): a
     // columnar parquet scan + output sort. The derivation's aggregate must
