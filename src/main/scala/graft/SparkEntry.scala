@@ -658,12 +658,13 @@ object SparkEntry {
         ()
       }
     }),
-    // SemDeDup: k-means cells + within-cell exact cosine (engine-specific
-    // quantizer -> rows-only gate; properties pinned in SimilaritySpec)
-    // 0.35 matches the exact/LSH cosine gates: the fixture's near-dup mass
-    // sits there, so the drop path is actually exercised
-    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedupAudit(
-      Tables.embeddings(s, d), threshold = 0.35)),
+    // SemDeDup — GRADUATED r10: cells now come from the fixed-round
+    // spherical k-means (the q_kmeans recurrence), so the gate emits the
+    // ACTUAL per-vector verdicts and DuckDB recomputes cells, within-cell
+    // cosines and drops. 0.35 matches the exact/LSH cosine gates: the
+    // fixture's near-dup mass sits there, so the drop path is exercised.
+    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(
+      Tables.embeddings(s, d), nlist = 16, threshold = 0.35)),
     // GRADUATED r10 (VERDICT r9 "next" #8): the MinHash pipeline now runs
     // on the oracle-replicable PolyHash universal family (shingle
     // code-point polynomial → 64 (a·x+b) mod p permutations → exact band
@@ -2678,10 +2679,26 @@ object SparkEntry {
         |  TRUE AS precision_ok""".stripMargin,
     // semantic-dedup promise gate: verdict count recomputed (corpus + the
     // planted clone); the drop-soundness and clone-drop promises pinned
+    // full recompute (r10 graduation): the spherical-k-means cell unroll
+    // (the q_kmeans recurrence at k=16), within-cell round-4 cosine
+    // pairs, lower-id-wins drop verdicts — every row re-derived
     "q_semantic_dedup" ->
-      """SELECT 'semantic_dedup' AS method,
-        |  (SELECT count(*) + 1 FROM embeddings) AS n_vecs,
-        |  TRUE AS drops_verified_ok, TRUE AS clone_dropped_ok""".stripMargin,
+      s"""WITH emb AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS MATERIALIZED (
+        |  SELECT vec_id AS cid, list_transform(emb, x -> round(x, 6)) AS centroid
+        |  FROM emb ORDER BY vec_id LIMIT 16),
+        |${kmeansIterSql(3)},
+        |dropped AS MATERIALIZED (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM a3 x JOIN a3 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  JOIN emb ea ON ea.vec_id = x.vec_id
+        |  JOIN emb eb ON eb.vec_id = y.vec_id
+        |  WHERE round(list_cosine_similarity(ea.emb, eb.emb), 4) >= 0.35)
+        |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cell,
+        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM a3 a LEFT JOIN dropped d USING (vec_id)
+        |ORDER BY a.vec_id""".stripMargin,
     // ALS promise gate: the contract (subset size, structure, resolution,
     // fit quality) — factor values themselves are solver-specific
     "q_als_recommend" ->

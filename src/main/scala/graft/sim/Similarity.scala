@@ -675,24 +675,27 @@ object Similarity {
     * Scale shape — the whole point of the cell pass: the quadratic
     * comparison is confined to each cell (n²/nlist per cell in expectation,
     * tunable by nlist), reached by an equi-join on the cell id; the
-    * centroid table broadcasts. Same trained-quantizer machinery as
-    * [[ivfTopK]], and like it the k-means fit is seeded → deterministic,
-    * but engine-specific (rows-only at the oracle gate; properties pinned
-    * in SimilaritySpec: every dropped vector has a verified lower-id
-    * partner at ≥ threshold, keeps are monotone in the threshold).
+    * centroid table broadcasts.
+    *
+    * Cells come from [[kMeansSpherical]] (r10 — previously the spark.ml
+    * Lloyd quantizer): the fixed-round spherical recurrence is
+    * deterministic AND oracle-replicable (the q_kmeans unroll), which
+    * graduates q_semantic_dedup to a full DuckDB recompute of every
+    * verdict — and cosine cells match SemDeDup's own setting (the paper
+    * clusters normalized embeddings, where Euclidean ≡ cosine order).
+    * SimilaritySpec keeps the algebraic properties pinned: every dropped
+    * vector has a verified lower-id partner at ≥ threshold, keeps are
+    * monotone in the threshold.
     * Output: (vec_id, cell, keep) for the full corpus. */
   def semanticDedup(embeddings: DataFrame,
                     nlist: Int = 16, threshold: Double = 0.8,
-                    seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val vecs = embeddings.withColumn("v", array_to_vector(col("embedding")))
-    val km = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("v").setPredictionCol("cell")
+                    rounds: Int = 3): DataFrame = {
     // pin the assignment: the join reads it twice (both pair sides) and the
-    // verdict join a third time — unpinned, the k-means transform (and the
-    // scan under it) would re-run per consumer
-    val assigned = km.fit(vecs).transform(vecs)
+    // verdict join a third time — unpinned, the k-means rounds (and the
+    // scan under them) would re-run per consumer
+    val assigned = embeddings.select(col("vec_id"), col("embedding"))
+      .join(kMeansSpherical(embeddings, k = nlist, rounds = rounds)
+        .select(col("vec_id"), col("cluster").as("cell")), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("cell"))
       .pinTier
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
@@ -861,46 +864,6 @@ object Similarity {
         (col("n_hits").cast("double") / col("n_exact") >= lit(minRecall))
           .as("recall_ok"),
         (col("n_bad") === 0).as("precision_ok"))
-  }
-
-  /** Driver-gated promise audit for [[semanticDedup]] — the raw verdicts
-    * are k-means-cell-specific, but three contracts are portable and
-    * DuckDB-pinnable:
-    *   - `n_vecs`: one verdict per corpus vector (+1 for the planted
-    *     clone), recomputed independently by the oracle;
-    *   - `drops_verified_ok`: every dropped probe vector has a VERIFIED
-    *     lower-id partner at ≥ threshold in the exact all-pairs oracle —
-    *     precision 1 by construction (a drop is only ever issued against
-    *     an exact within-cell cosine);
-    *   - `clone_dropped_ok`: a planted exact clone of vector 7 (same
-    *     point → same cell, cosine 1.0 to a lower id) must be dropped —
-    *     true for ANY quantizer, so it pins the drop path end-to-end.
-    * The method runs over the full corpus; the exact verify is confined
-    * to the `auditRows` probe per the [[recallAudit]] scale rule. */
-  def semanticDedupAudit(embeddings: DataFrame, nlist: Int = 16,
-                         threshold: Double = 0.35, seed: Long = 42L,
-                         auditRows: Long = 500L): DataFrame = {
-    val clone = embeddings.filter(col("vec_id") === 7L)
-      .withColumn("vec_id", col("vec_id") + lit(1000000L))
-    val verdicts = semanticDedup(embeddings.unionByName(clone),
-        nlist, threshold, seed)
-      .pinTier
-    val partnered = cosineNearDups(
-        embeddings.filter(col("vec_id") < auditRows), threshold)
-      .select(col("id_b").as("vec_id")).distinct()
-    val unverified = verdicts
-      .filter(col("keep") === 0 && col("vec_id") < auditRows)
-      .select(col("vec_id"))
-      .join(partnered, Seq("vec_id"), "left_anti")
-      .agg(count(lit(1)).as("n_unverified"))
-    val cloneRow = verdicts.filter(col("vec_id") === lit(1000007L))
-      .agg(count(lit(1)).as("n_clone"), max(col("keep")).as("clone_keep"))
-    verdicts.agg(count(lit(1)).as("n_vecs"))
-      .crossJoin(unverified).crossJoin(cloneRow)
-      .select(lit("semantic_dedup").as("method"), col("n_vecs"),
-        (col("n_unverified") === 0).as("drops_verified_ok"),
-        (col("n_clone") === 1 && col("clone_keep") === 0)
-          .as("clone_dropped_ok"))
   }
 
   /** Driver-gated promise audit for PCA over the embedding corpus — the

@@ -36,12 +36,13 @@ class ContractSpec extends SparkSpec {
       // ANN/PCA audits (raw outputs quantizer/hyperplane-specific)
       "q_pca_audit", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_sq",
       "q_ann_ivf_indexed", "q_ann_ivf_sq_indexed",
-      // recall promise gates (xxhash64 sketches / k-means cells; the oracle
+      // recall promise gates (xxhash64 hyperplane sketches; the oracle
       // recomputes n_exact from scratch, the recall floor is pinned).
-      // q_minhash_neardups, q_simhash_neardups, q_winnow_neardups and
-      // q_winnow_fps all GRADUATED to full recomputes in r10 — their
-      // pipelines now run the oracle-replicable PolyHash family.
-      "q_recall_audit", "q_cosine_near_dups_lsh", "q_semantic_dedup",
+      // q_minhash_neardups, q_simhash_neardups, q_winnow_neardups,
+      // q_winnow_fps and q_semantic_dedup all GRADUATED to full
+      // recomputes in r10 — their pipelines now run the oracle-replicable
+      // PolyHash family / spherical-k-means recurrence.
+      "q_recall_audit", "q_cosine_near_dups_lsh",
       // approximate-algorithm twins (HLL / approx-percentile sketches are
       // engine-specific; the oracle pins the exact side + error contract)
       "q_distinct_hll", "q_vocab_approx", "q_winsorize_approx",
