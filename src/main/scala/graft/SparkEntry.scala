@@ -386,17 +386,17 @@ object SparkEntry {
     // wedge+closure pipeline itself is lazy and runs at the sink, so
     // probe-side seconds in the artifact are the wedge stage
     "q_triangles" -> ((s, d) => Telemetry.timed("q_triangles")(
-      graft.graph.Triangles.vertexTriangles(
-        EdgeTier.coOccurrence(s, d)))),
+      graft.graph.Triangles.vertexTrianglesUnd(
+        EdgeTier.undirected(s, d)))),
     "q_triangle_stats" -> ((s, d) => Telemetry.timed("q_triangle_stats")(
-      graft.graph.Triangles.globalTriangleStats(
-        EdgeTier.coOccurrence(s, d)))),
+      graft.graph.Triangles.globalTriangleStatsUnd(
+        EdgeTier.undirected(s, d)))),
     // fixed-round 80-core peel (k chosen to split the fixture graph;
     // converges in 6 rounds at sf0.01, the 10-round contract is unrolled
     // verbatim in the oracle)
     "q_kcore" -> ((s, d) => Telemetry.timed("q_kcore")(
-      graft.graph.Triangles.kCore(
-        EdgeTier.coOccurrence(s, d), k = 80, rounds = 10))),
+      graft.graph.Triangles.kCoreUnd(
+        EdgeTier.undirected(s, d), k = 80, rounds = 10))),
     // personalized PageRank from the %100 seed parts (raw seed-affinity
     // scores, no normalization; oracle unrolls the seeded recurrence)
     "q_ppr" -> ((s, d) => Telemetry.timed("q_ppr")(

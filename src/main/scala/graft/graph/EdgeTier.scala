@@ -46,10 +46,11 @@ import graft.model.Tables
   */
 object EdgeTier {
 
-  /** Bump when [[Edges.partCoOccurrence]] semantics change: the data
-    * fingerprint alone cannot see code drift, and a stale tier would
-    * silently diverge from the oracle's recomputation. */
-  private val FormatVersion = 1
+  /** Bump when [[Edges.partCoOccurrence]] semantics or the tier LAYOUT
+    * change: the data fingerprint alone cannot see code drift, and a
+    * stale tier would silently diverge from the oracle's recomputation.
+    * v2: added the precomputed undirected pair set (`und/`). */
+  private val FormatVersion = 2
 
   private val lock = new Object
 
@@ -85,13 +86,24 @@ object EdgeTier {
   /** The co-occurrence graph for `sfDir`, served from the standing tier —
     * built on first touch (or source drift), probed thereafter. Row set is
     * identical to [[Edges.partCoOccurrence]] over the same lineitem. */
-  def coOccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+  def coOccurrence(spark: SparkSession, sfDir: String): DataFrame =
+    probe(spark, sfDir, "edges")
+
+  /** The UNDIRECTED simple pair set (a < b, distinct) of the same graph —
+    * [[Triangles.undirect]] precomputed at build time: the wedge/peel
+    * family (triangles, clustering, k-core) each started by re-deriving
+    * it from the directed tier (one full-tier shuffle per query). Row set
+    * is identical to `Triangles.undirect(coOccurrence(…))`. */
+  def undirected(spark: SparkSession, sfDir: String): DataFrame =
+    probe(spark, sfDir, "und")
+
+  private def probe(spark: SparkSession, sfDir: String, part: String): DataFrame = {
     val dir = new File(tierDir(sfDir))
     val fp = fingerprint(spark, sfDir)
     lock.synchronized {
       if (!readMeta(dir).contains(fp)) build(spark, sfDir, dir, fp)
     }
-    spark.read.parquet(new File(dir, "edges").getAbsolutePath)
+    spark.read.parquet(new File(dir, part).getAbsolutePath)
   }
 
   private def build(spark: SparkSession, sfDir: String,
@@ -100,12 +112,22 @@ object EdgeTier {
       val staging = new File(dir.getParentFile, dir.getName + ".staging")
       delete(staging)
       // src-clustered, sorted files: consumers joining or aggregating on
-      // src get row-group locality and min/max pruning for seed probes
-      Edges.partCoOccurrence(Tables.lineitem(spark, sfDir))
+      // src get row-group locality and min/max pruning for seed probes.
+      // Pinned: the directed write and the undirected derivation both
+      // consume the same two-shuffle derivation.
+      val edges = graft.Tier.pin(
+        Edges.partCoOccurrence(Tables.lineitem(spark, sfDir)))
+      edges
         .repartition(col("src"))
         .sortWithinPartitions(col("src"), col("dst"))
         .write.mode("overwrite")
         .parquet(new File(staging, "edges").getAbsolutePath)
+      Triangles.undirect(edges)
+        .repartition(col("a"))
+        .sortWithinPartitions(col("a"), col("b"))
+        .write.mode("overwrite")
+        .parquet(new File(staging, "und").getAbsolutePath)
+      edges.unpersist(blocking = false)
       java.nio.file.Files.write(new File(staging, "_meta").toPath,
         fp.getBytes("UTF-8"))
       delete(dir)

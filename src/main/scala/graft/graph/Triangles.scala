@@ -39,8 +39,17 @@ object Triangles {
     * of degree 1 have an undefined coefficient → 0.0 by convention (no
     * possible wedge — emitting null would make every mean over the column
     * a three-valued-logic trap). Ordered by id. */
-  def vertexTriangles(edges: DataFrame): DataFrame = {
-    val und = undirect(edges).pinTier // read by degrees, orientation, closure
+  def vertexTriangles(edges: DataFrame): DataFrame =
+    vertexTrianglesUnd(undirect(edges))
+
+  /** [[vertexTriangles]] over an ALREADY-undirected simple pair set
+    * (a < b, distinct — [[graft.graph.EdgeTier.undirected]]'s contract):
+    * the standing tier precomputes the undirect shuffle once per dataset,
+    * so the wedge family starts at the pinned tier instead of re-deriving
+    * it per query. */
+  def vertexTrianglesUnd(undirected: DataFrame): DataFrame = {
+    val und = undirected.select(col("a"), col("b"))
+      .pinTier // read by degrees, orientation, closure
     val nEdges = und.count()
     val deg = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
@@ -74,7 +83,7 @@ object Triangles {
       // row fans out into O(outDeg) wedges of pure CPU, the classic AQE
       // blind spot. One cheap exchange of the edge list buys every core a
       // share of the Σ outDeg² work.
-      .repartition(edges.sparkSession.sparkContext.defaultParallelism, col("u"))
+      .repartition(undirected.sparkSession.sparkContext.defaultParallelism, col("u"))
     // wedges u -> (v, w), v < w by id: two oriented out-edges of one pivot.
     // The wedge stream NEVER hits an exchange: the pair-generation join
     // broadcasts one copy of the (edge-sized) oriented list, and the
@@ -110,7 +119,12 @@ object Triangles {
     * local clustering coefficient (computed over the published rounded
     * per-vertex values, so it is recomputable from the report). */
   def globalTriangleStats(edges: DataFrame): DataFrame =
-    vertexTriangles(edges).agg(
+    globalTriangleStatsUnd(undirect(edges))
+
+  /** [[globalTriangleStats]] over a pre-undirected pair set (the standing
+    * tier's contract). */
+  def globalTriangleStatsUnd(undirected: DataFrame): DataFrame =
+    vertexTrianglesUnd(undirected).agg(
       count(lit(1)).as("n_vertices"),
       (sum(col("degree")) / 2).cast("bigint").as("n_edges"),
       (sum(col("n_triangles")) / 3).cast("bigint").as("n_triangles"),
@@ -187,8 +201,13 @@ object Triangles {
     * round with map-side-combined counts; survivor state broadcasts under
     * the [[StateBroadcast]] budget and the round count is a small fixed
     * constant. Lineage pinned every other round (the fixpoint rule). */
-  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 10): DataFrame = {
-    val und = undirect(edges).pinTier
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 10): DataFrame =
+    kCoreUnd(undirect(edges), k, rounds)
+
+  /** [[kCore]] over a pre-undirected pair set (the standing tier's
+    * contract). */
+  def kCoreUnd(undirected: DataFrame, k: Int = 3, rounds: Int = 10): DataFrame = {
+    val und = undirected.select(col("a"), col("b")).pinTier
     val nEdges = und.count()
     val allVerts = und.select(col("a").as("id"))
       .union(und.select(col("b").as("id"))).distinct().pinTier

@@ -26,6 +26,15 @@ class EdgeTierSpec extends SparkSpec {
     assert(tier.nonEmpty)
   }
 
+  test("undirected tier content equals Triangles.undirect over the directed tier") {
+    EdgeTier.invalidate(sf)
+    val tier = EdgeTier.undirected(spark, sf)
+      .orderBy(col("a"), col("b")).collect().toSeq
+    val direct = Triangles.undirect(EdgeTier.coOccurrence(spark, sf))
+      .orderBy(col("a"), col("b")).collect().toSeq
+    assert(tier == direct && tier.nonEmpty)
+  }
+
   test("second probe reuses the committed tier; invalidate forces a rebuild") {
     EdgeTier.invalidate(sf)
     EdgeTier.coOccurrence(spark, sf).count()
