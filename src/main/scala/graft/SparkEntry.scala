@@ -760,9 +760,15 @@ object SparkEntry {
     // corpus-scale path, recall ≥0.9 pinned in SimilaritySpec
     "q_cosine_near_dups" -> ((s, d) => Similarity.cosineNearDups(
       Tables.embeddings(s, d), threshold = 0.35)),
-    // the corpus-scale LSH run, promise-gated: pair sets are hyperplane-
-    // hash-specific, so the gate pins recall >= 0.9 and precision 1 vs the
-    // exact probe pairs the oracle recomputes (full-corpus path exercised)
+    // the corpus-scale LSH run, promise-gated — examined for the r10
+    // graduation pass and left pinned DELIBERATELY: the hyperplane signs
+    // are plan-time constants an oracle could interpolate literally, but
+    // the PLANE COUNT auto-scales with the corpus (log2(n/4) — the
+    // scale-invariant-occupancy rule the stress trend depends on), and a
+    // static oracle cannot know n. Pinning the plane count at the gate
+    // would un-scale the production path to make the oracle's life easier
+    // — backwards. The gate pins recall >= 0.9 and precision 1 vs the
+    // exact probe pairs the oracle recomputes (full-corpus path exercised).
     "q_cosine_near_dups_lsh" -> ((s, d) => Similarity.cosineLshCorpusAudit(
       Tables.embeddings(s, d), threshold = 0.35)),
     // recall audit for the approx paths above plus the sq8 round trip:
