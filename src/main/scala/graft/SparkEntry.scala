@@ -479,6 +479,13 @@ object SparkEntry {
     "q_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     // the Gopher rule battery: per-doc structural metrics + rule verdicts
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
+    // the C4 line/page cascade (Raffel et al. 2020): line retention +
+    // page verdicts, the line-granularity complement to the Gopher rules.
+    // The fixture corpus is punctuation-free word soup, so every fixture
+    // verdict is legitimately false — the gate proves the counts and
+    // booleans cross-engine; the rule DISCRIMINATION cases (kept lines,
+    // javascript drop, brace/dirty-word pages) are TextAnalysisSpec's.
+    "q_c4_filters" -> ((s, d) => TextAnalysis.c4Filters(Tables.documents(s, d))),
     // interpolated Kneser-Ney bigram LM over the corpus, top-100 by count
     "q_kn_bigrams" -> ((s, d) => TextAnalysis.kneserNeyBigrams(Tables.documents(s, d))),
     // KenLM-style per-doc perplexity filter: mean bigram NLL under the
@@ -1833,6 +1840,38 @@ object SparkEntry {
     // the Gopher battery: every metric recomputed with list ops (the regex
     // scans on the Spark side are the codegen form of the same counts);
     // verdicts gate on the rounded published metrics
+    // C4 cascade: line explode + RE2-subset retention regex + translate
+    // sentence marks + token-set dirty-word check — every leg recomputed
+    "q_c4_filters" ->
+      s"""WITH pre AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    NOT contains(lower(text), '{') AS ok_no_brace,
+        |    NOT contains(lower(text), 'lorem ipsum') AS ok_no_lorem,
+        |    NOT list_has_any(list_distinct(list_filter(
+        |        string_split_regex(lower(text), '\\s+'), x -> x <> '')),
+        |      ['xxx', 'porn', 'viagra']) AS ok_dirty
+        |  FROM documents),
+        |lined AS (
+        |  SELECT *, regexp_matches(line, '^\\s*\\S+(\\s+\\S+){2,}[.!?"]\\s*$$')
+        |      AND NOT contains(lower(line), 'javascript') AS keep
+        |  FROM pre),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_lines,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+        |    CAST(sum(CASE WHEN keep
+        |      THEN length(line) - length(translate(line, '.!?', ''))
+        |      ELSE 0 END) AS BIGINT) AS n_sentences,
+        |    bool_and(ok_no_brace) AS ok_no_brace,
+        |    bool_and(ok_no_lorem) AS ok_no_lorem,
+        |    bool_and(ok_dirty) AS ok_dirty_words
+        |  FROM lined GROUP BY 1)
+        |SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+        |  n_sentences >= 5 AS ok_sentences, ok_no_brace, ok_no_lorem,
+        |  ok_dirty_words,
+        |  (n_sentences >= 5 AND ok_no_brace AND ok_no_lorem
+        |    AND ok_dirty_words) AS pass
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_gopher_rules" ->
       """WITH t AS (
         |  SELECT doc_id, lower(text) AS txt,

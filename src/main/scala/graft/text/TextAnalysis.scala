@@ -714,6 +714,69 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The C4 line/page filter battery (Raffel et al. 2020 §2.2, the other
+    * published heuristic cascade next to [[gopherRules]] — C4 cleans at
+    * LINE granularity where Gopher judges whole documents):
+    *
+    *   - line retention: ≥ 3 words, ends in terminal punctuation
+    *     (. ! ? "), does not mention "javascript" — the paper's rules
+    *     verbatim;
+    *   - page verdicts: ≥ 5 sentences across the RETAINED lines
+    *     (sentence ≈ terminal-mark count, the paper's proxy), no curly
+    *     brace (code), no "lorem ipsum", no dirty-word token (the paper
+    *     uses the full "List of Dirty, Naughty…" — here a small
+    *     placeholder list, parameterized: a deployment plugs its own;
+    *     the MECHANISM, token-set intersection, is what's under test).
+    *
+    * Output per document: line totals, retained-line/sentence counts,
+    * one boolean per page rule, and the conjunction verdict — the same
+    * report-plus-verdict shape as [[gopherRules]], so the two cascades
+    * compose into one cheap pre-MinHash gate.
+    *
+    * Scale shape: ONE scan — the line explode is a codegen'd Generate
+    * (no HOF lambdas; per-line predicates are plain column ops), the
+    * page-level booleans are computed before the explode and ride the
+    * rows into a min-aggregate, and the only shuffle is the
+    * map-combined per-doc aggregate. Counting sentence marks uses
+    * `translate` (identical semantics in DuckDB, no regex dialect
+    * risk); the retained-line regex stays inside the RE2-compatible
+    * subset so the oracle can run it verbatim. */
+  val C4LineKeep = "^\\s*\\S+(\\s+\\S+){2,}[.!?\"]\\s*$"
+  val C4DirtyWords: Seq[String] = Seq("xxx", "porn", "viagra")
+
+  def c4Filters(documents: DataFrame,
+                dirtyWords: Seq[String] = C4DirtyWords): DataFrame = {
+    val txt = lower(col("text"))
+    val pre = documents.select(
+      col("doc_id"),
+      posexplode(split(col("text"), "\n")),
+      (!txt.contains("{")).as("ok_no_brace"),
+      (!txt.contains("lorem ipsum")).as("ok_no_lorem"),
+      (size(array_intersect(array_distinct(tokens(col("text"))),
+        typedLit(dirtyWords))) === 0).as("ok_dirty_words"))
+      .withColumnsRenamed(Map("col" -> "line"))
+    val kept = col("line").rlike(C4LineKeep) &&
+      !lower(col("line")).contains("javascript")
+    val marks = (length(col("line"))
+      - length(translate(col("line"), ".!?", ""))).cast("long")
+    pre
+      .withColumn("keep_line", kept)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep_line"), 1L).otherwise(0L)).as("n_kept_lines"),
+        sum(when(col("keep_line"), marks).otherwise(0L)).as("n_sentences"),
+        min(col("ok_no_brace")).as("ok_no_brace"),
+        min(col("ok_no_lorem")).as("ok_no_lorem"),
+        min(col("ok_dirty_words")).as("ok_dirty_words"))
+      .withColumn("ok_sentences", col("n_sentences") >= 5L)
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        col("n_sentences"), col("ok_sentences"), col("ok_no_brace"),
+        col("ok_no_lorem"), col("ok_dirty_words"),
+        (col("ok_sentences") && col("ok_no_brace") && col("ok_no_lorem")
+          && col("ok_dirty_words")).as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995 /
     * Chen & Goodman 1998 — the standard n-gram LM smoothing, and the exact
     * statistic a KenLM-style corpus-quality scorer trains on):

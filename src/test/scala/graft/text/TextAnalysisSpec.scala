@@ -331,4 +331,30 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 4L, 9L, 0.4444), (3L, 8L, 9L, 0.8889), (10L, 9L, 9L, 1.0)),
       s"got $got")
   }
+  test("c4Filters: line retention, sentence floor, and page verdicts follow the paper's rules") {
+    val d = Seq(
+      // doc 1: five good sentences across lines -> passes everything
+      (1L, "This is a good line one. Another fine line two.\nA third proper line here. Fourth sentence stands. The fifth one closes."),
+      // doc 2: lines lack terminal punctuation -> zero kept lines, fails floor
+      (2L, "no punctuation here\nstill none\nnope"),
+      // doc 3: javascript line dropped; remaining sentences under the floor
+      (3L, "Please enable javascript to continue now.\nOnly one real sentence here."),
+      // doc 4: code page (curly brace) fails the brace rule
+      (4L, "A perfectly fine sentence one. Two more sentences follow here. Three is enough now. Four keeps going fine. Five closes it out. { code }"),
+      // doc 5: dirty token fails the word-list rule
+      (5L, "Sentence one is fine here. Sentence two is also fine. Sentence three works well. Sentence four still good. Sentence five viagra ends."))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.c4Filters(d)
+      .select("doc_id", "n_kept_lines", "n_sentences", "ok_sentences",
+        "ok_no_brace", "ok_dirty_words", "pass")
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._7, s"doc 1 should pass: ${got(1L)}")
+    assert(got(2L)._2 == 0L && !got(2L)._4 && !got(2L)._7)
+    // doc 3: the javascript line is NOT retained even though it ends in '.'
+    assert(got(3L)._2 == 1L && !got(3L)._7)
+    assert(!got(4L)._5 && !got(4L)._7, s"brace page must fail: ${got(4L)}")
+    assert(!got(5L)._6 && !got(5L)._7, s"dirty-word page must fail: ${got(5L)}")
+  }
+
 }
