@@ -3,7 +3,7 @@ package graft.jobs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{Degrees, Edges, PageRankOp}
+import graft.graph.{Degrees, PageRankOp}
 import graft.ml.Recommend
 import graft.model.Tables
 import graft.ops.Aggregations
@@ -28,8 +28,10 @@ object Precompute {
   def pagerankJob(spark: SparkSession, sfDir: String, outDir: String, k: Int = 500): DataFrame = {
     val dim = Tables.part(spark, sfDir)
       .select(col("p_partkey").as("id"), col("p_brand").as("uploader"))
+    // probe the standing edge tier (EdgeTier): the nightly jobs share the
+    // same co-occurrence graph the report queries read
     val result = PageRankOp.topInfluencers(
-        spark, Edges.partCoOccurrence(Tables.lineitem(spark, sfDir)), dim, k)
+        spark, graft.graph.EdgeTier.coOccurrence(spark, sfDir), dim, k)
       .select(col("rank"), col("id").cast("string").as("ID"),
         col("influence_score"), col("uploader"))
     Caches.write(result, s"$outDir/pagerank_cache")
@@ -40,7 +42,7 @@ object Precompute {
     * view stats — global AND buckets (`run_netagg_job.py:17-173`). */
   def netaggJob(spark: SparkSession, sfDir: String, outDir: String): Map[String, DataFrame] = {
     val li = Tables.lineitem(spark, sfDir).cache() // S6: one load, six consumers
-    val edges = Edges.partCoOccurrence(li)
+    val edges = graft.graph.EdgeTier.coOccurrence(spark, sfDir)
     val vertices = Tables.part(spark, sfDir).select(col("p_partkey").as("id"), col("p_brand"))
     val out = Map(
       "degree_hist" -> Degrees.outDegreeHistogram(edges).limit(20),
