@@ -479,6 +479,9 @@ object SparkEntry {
     "q_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     // the Gopher rule battery: per-doc structural metrics + rule verdicts
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
+    // character-distribution screen: the gibberish/binary axis (entropy
+    // band + top-char share) the token heuristics miss
+    "q_char_stats" -> ((s, d) => TextAnalysis.charStats(Tables.documents(s, d))),
     // the C4 line/page cascade (Raffel et al. 2020): line retention +
     // page verdicts, the line-granularity complement to the Gopher rules.
     // The fixture corpus is punctuation-free word soup, so every fixture
@@ -1840,6 +1843,30 @@ object SparkEntry {
     // the Gopher battery: every metric recomputed with list ops (the regex
     // scans on the Spark side are the codegen form of the same counts);
     // verdicts gate on the rounded published metrics
+    // char screen: identical one-pass entropy identity, exact counts,
+    // round-4 publishes; empty docs zero-fill with null stats
+    "q_char_stats" ->
+      """WITH pc AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+        |    FROM documents)
+        |  WHERE ch <> '' GROUP BY 1, 2),
+        |st AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |    count(*) AS n_distinct_chars,
+        |    round(log2(CAST(sum(c) AS DOUBLE))
+        |      - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS char_entropy,
+        |    round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_char_share
+        |  FROM pc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(st.n_chars, 0) AS n_chars,
+        |  coalesce(st.n_distinct_chars, 0) AS n_distinct_chars,
+        |  st.char_entropy, st.top_char_share,
+        |  (st.char_entropy IS NOT NULL
+        |    AND st.char_entropy BETWEEN 2.0 AND 5.0
+        |    AND st.top_char_share <= 0.3) AS pass
+        |FROM documents d LEFT JOIN st USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // C4 cascade: line explode + RE2-subset retention regex + translate
     // sentence marks + token-set dirty-word check — every leg recomputed
     "q_c4_filters" ->

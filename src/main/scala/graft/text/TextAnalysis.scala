@@ -777,6 +777,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document character-distribution screen — the gibberish/binary
+    * axis the token-level heuristics miss entirely: base64 blobs,
+    * hex dumps and compressed junk sail through length/stopword/alpha
+    * checks while their CHARACTER distributions are unmistakable.
+    * Emits, per document: character count, distinct characters, Shannon
+    * entropy over the character frequencies (bits), the most-frequent
+    * character's share — and verdicts: natural text sits in a
+    * [minEntropy, maxEntropy] band (≈4.1–4.4 bits for English incl.
+    * space; lowercased base64/hex junk sits ≥ 5.2; binary/
+    * base64 pushes toward log₂|alphabet|, runs of one character toward
+    * 0) with no single character dominating (`maxTopShare`).
+    *
+    * Floats follow the [[graft.ops.Profiling.diversityReport]] rule:
+    * shares come from exact integer counts, each term is one identical
+    * IEEE expression per character, and only the Σ over ≤|alphabet|
+    * terms is order-sensitive — published at round-4, gates on the
+    * rounded value. Empty documents report null stats and fail the
+    * entropy band (nothing to screen — surfaced, not hidden).
+    *
+    * Scale shape: one per-character explode (codegen'd Generate — chars,
+    * not tokens, so ~5× the token row count, still linear) into a
+    * map-combined (doc, char) count, then the per-doc aggregate; the
+    * zero-fill join back is doc-keyed. Lowercased first so case carries
+    * no entropy (the screen targets the alphabet, not the casing). */
+  def charStats(documents: DataFrame,
+                minEntropy: Double = 2.0, maxEntropy: Double = 5.0,
+                maxTopShare: Double = 0.3): DataFrame = {
+    val perChar = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), "")).as("ch"))
+      .filter(col("ch") =!= "") // empty docs split to [""] in both engines
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    // H = log2(N) − (Σ c·log2 c)/N — the one-pass identity: no second
+    // total-attaching pass, exact integer c per term, one rounded publish
+    val stats = perChar
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * log(2.0, col("c"))).as("clog"),
+        max(col("c")).as("maxc"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        round(log(2.0, col("n_chars")) - col("clog") / col("n_chars"), 4)
+          .as("char_entropy"),
+        round(col("maxc") / col("n_chars"), 4).as("top_char_share"))
+    documents.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        col("char_entropy"), col("top_char_share"),
+        (col("char_entropy").isNotNull
+          && col("char_entropy").between(minEntropy, maxEntropy)
+          && col("top_char_share") <= maxTopShare).as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995 /
     * Chen & Goodman 1998 — the standard n-gram LM smoothing, and the exact
     * statistic a KenLM-style corpus-quality scorer trains on):

@@ -357,4 +357,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got(5L)._6 && !got(5L)._7, s"dirty-word page must fail: ${got(5L)}")
   }
 
+  test("charStats: entropy band separates natural text from runs and base64 junk") {
+    val b64 = ("abcdefghijklmnopqrstuvwxyz0123456789+/" * 30)
+    val d = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank today."),
+      (2L, "a" * 200),          // single-char run: entropy 0, top share 1
+      (3L, b64),                 // uniform wide alphabet: entropy ~5.25 bits
+      (4L, ""))                  // empty: null stats, fail surfaced
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charStats(d)
+      .select("doc_id", "n_chars", "char_entropy", "top_char_share", "pass")
+      .as[(Long, Long, Option[Double], Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._5, s"natural text must pass: ${got(1L)}")
+    assert(got(1L)._3.exists(e => e >= 3.5 && e <= 4.8))
+    assert(got(2L)._3.contains(0.0) && got(2L)._4.contains(1.0) && !got(2L)._5)
+    assert(got(3L)._3.exists(_ > 5.0) && !got(3L)._5, s"base64 junk must fail: ${got(3L)}")
+    assert(got(4L)._2 == 0L && got(4L)._3.isEmpty && !got(4L)._5)
+  }
+
 }
