@@ -245,6 +245,16 @@ class GoldenPlanSpec extends SparkSpec {
       required = Seq("Window", "partial_count"),
       forbidden = Seq("Join", "CartesianProduct"),
       maxExchanges = Some(2)),
+    // C4 cascade: codegen'd line explode + map-combined per-doc counts;
+    // page booleans fold through the same aggregate — no joins at all
+    "q_c4_filters" -> Golden(
+      required = Seq("Generate", "partial_count"),
+      forbidden = Seq("Join", "CartesianProduct")),
+    // char screen: char explode + two map-combined aggregates + the
+    // doc-keyed zero-fill join — equi only, no corpus self-join
+    "q_char_stats" -> Golden(
+      required = Seq("Generate", "partial_count"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // novelty: linear shingle-tier shape — map-combined min aggregate,
     // equi join back on the shingle, never a pair-tier nested loop
     "q_novelty" -> Golden(
