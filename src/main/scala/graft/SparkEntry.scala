@@ -563,8 +563,14 @@ object SparkEntry {
     // full recompute, so it shares the closure oracle verbatim
     "q_components_admit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs)
-        .select(col("doc_a"), col("doc_b")).pinTier
+      // own telemetry key: the pair-tier derivation dominates this gate's
+      // "probe" seconds and is input preparation, not admission cost —
+      // Bench surfaces non-query keys in the artifact's tier_build map,
+      // so the three-way split (pairs / index build / admit+report) is
+      // readable without a profiler
+      val pairs = Telemetry.timed("components_pair_tier")(
+        Dedup.ngramJaccardPairs(docs)
+          .select(col("doc_a"), col("doc_b")).pinTier)
       val base = pairs.filter(
         pmod(col("doc_a"), lit(7)) =!= 0 && pmod(col("doc_b"), lit(7)) =!= 0)
       val batch = pairs.join(base, Seq("doc_a", "doc_b"), "left_anti")
