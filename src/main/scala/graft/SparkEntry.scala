@@ -612,6 +612,24 @@ object SparkEntry {
     // cross-source duplication overlap: near-dup pairs attributed to their
     // source pair — the report behind source-level curation decisions
     "q_source_overlap" -> ((s, d) => Dedup.crossSourceOverlap(Tables.documents(s, d))),
+    // CCNet-style cross-document boilerplate-line removal: lines recurring
+    // verbatim in >= 30 distinct docs are template chrome and get cut. The
+    // newline-free fixture derives 10-token pseudo-lines and PLANTS two
+    // footers (doc_id%4: newsletter, doc_id%5: cookie banner — df 125/100
+    // at sf0.01, far over the cap; natural lines stay unique) so the drop
+    // leg gates something, the edit_neardups augmentation precedent; the
+    // oracle recomputes the same planted tier
+    "q_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val natural = TextAnalysis.linesFromTokens(docs)
+      val planted = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), lit(1000000L).as("line_no"),
+          lit("subscribe to our newsletter for updates and offers").as("line"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"), lit(1000001L).as("line_no"),
+            lit("this site uses cookies accept to continue reading").as("line")))
+      Dedup.boilerplateRemoval(natural.unionByName(planted))
+    }),
     // substring-level duplication (Lee et al. ACL'22 span form): per-doc
     // count/coverage of tokens inside ≥2-occurrence 5-gram spans — the
     // memorization-vector stat document-level dedup can't see
@@ -899,6 +917,41 @@ object SparkEntry {
         new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
         ()
       }
+    }),
+    // SCD2 dimension merge (Kimball type-2, lake/Scd.scala): current dim
+    // from customer at version 1 plus planted pre-existing history rows
+    // (custkey%10==0); batch = changes (%7==0 -> segment MOVED), no-ops
+    // (%7==1, attrs identical) and inserts (%13==0 -> key+1000000,
+    // FRESH). The merge must preserve history untouched, expire changed
+    // rows at v2 and open their replacements — one full-outer join, legs
+    // emitted via a codegen'd array-explode
+    "q_scd2" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val cur = cust.select(col("c_custkey").as("cust_key"),
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("bigint").as("nation"),
+        lit(1L).as("version_from"),
+        lit(graft.lake.Scd.OpenVersion).as("version_to"),
+        lit(true).as("is_current"))
+      val hist = cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_custkey").as("cust_key"),
+          concat(lit("OLD_"), col("c_mktsegment")).as("segment"),
+          col("c_nationkey").cast("bigint").as("nation"),
+          lit(0L).as("version_from"), lit(1L).as("version_to"),
+          lit(false).as("is_current"))
+      val batch = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey").as("cust_key"), lit("MOVED").as("segment"),
+          col("c_nationkey").cast("bigint").as("nation"))
+        .unionByName(cust.filter(pmod(col("c_custkey"), lit(7)) === 1)
+          .select(col("c_custkey").as("cust_key"),
+            col("c_mktsegment").as("segment"),
+            col("c_nationkey").cast("bigint").as("nation")))
+        .unionByName(cust.filter(pmod(col("c_custkey"), lit(13)) === 0)
+          .select((col("c_custkey") + lit(1000000L)).as("cust_key"),
+            lit("FRESH").as("segment"),
+            col("c_nationkey").cast("bigint").as("nation")))
+      graft.lake.Scd.scd2Merge(cur.unionByName(hist), batch, "cust_key",
+        Seq("segment", "nation"), batchVersion = 2L)
     }),
     // ---- multimodal plumbing (north-star; decode is a marked stub) ----
     "q_media_meta" -> ((s, d) => Multimodal.largeLandscapeImages(
@@ -3223,6 +3276,56 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // SCD2 merge: same dim/batch derivation; legs split by the
+    // IS DISTINCT FROM attr comparison the engine's <=> negation mirrors
+    "q_scd2" ->
+      """WITH cur AS (
+        |  SELECT c_custkey AS cust_key, c_mktsegment AS segment,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(1 AS BIGINT) AS version_from,
+        |    CAST(999999999 AS BIGINT) AS version_to, true AS is_current
+        |  FROM customer),
+        |hist AS (
+        |  SELECT c_custkey AS cust_key, 'OLD_' || c_mktsegment AS segment,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(0 AS BIGINT) AS version_from,
+        |    CAST(1 AS BIGINT) AS version_to, false AS is_current
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |batch AS (
+        |  SELECT c_custkey AS b_key, 'MOVED' AS b_segment,
+        |    CAST(c_nationkey AS BIGINT) AS b_nation
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS BIGINT)
+        |  FROM customer WHERE c_custkey % 7 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'FRESH', CAST(c_nationkey AS BIGINT)
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |j AS (SELECT * FROM cur FULL OUTER JOIN batch ON cust_key = b_key),
+        |emitted AS (
+        |  SELECT cust_key, segment, nation, version_from, version_to, is_current
+        |  FROM j WHERE cust_key IS NOT NULL AND (b_key IS NULL
+        |    OR (segment IS NOT DISTINCT FROM b_segment
+        |        AND nation IS NOT DISTINCT FROM b_nation))
+        |  UNION ALL
+        |  SELECT cust_key, segment, nation, version_from,
+        |    CAST(2 AS BIGINT), false
+        |  FROM j WHERE cust_key IS NOT NULL AND b_key IS NOT NULL
+        |    AND (segment IS DISTINCT FROM b_segment
+        |         OR nation IS DISTINCT FROM b_nation)
+        |  UNION ALL
+        |  SELECT b_key, b_segment, b_nation, CAST(2 AS BIGINT),
+        |    CAST(999999999 AS BIGINT), true
+        |  FROM j WHERE cust_key IS NOT NULL AND b_key IS NOT NULL
+        |    AND (segment IS DISTINCT FROM b_segment
+        |         OR nation IS DISTINCT FROM b_nation)
+        |  UNION ALL
+        |  SELECT b_key, b_segment, b_nation, CAST(2 AS BIGINT),
+        |    CAST(999999999 AS BIGINT), true
+        |  FROM j WHERE cust_key IS NULL)
+        |SELECT cust_key, segment, nation, version_from, version_to, is_current
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM emitted)
+        |ORDER BY cust_key, version_from""".stripMargin,
     "q_top_event_types" ->
       """SELECT window_start, event_type, n_events, rnk FROM (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -3502,6 +3605,46 @@ object SparkEntry {
         |    * 1.0 / count(*), 4) AS novelty
         |FROM sh s JOIN fs f USING (shingle)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // boilerplate-line removal over the planted line tier: 10-token
+    // pseudo-lines + the two planted footers; df >= 30 distinct docs drops
+    // a line everywhere; clean_fp pins the exact kept-lines reconstruction
+    "q_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |nat AS (
+        |  SELECT doc_id, i AS line_no,
+        |    array_to_string(toks[(i * 10 + 1):((i + 1) * 10)], ' ') AS line
+        |  FROM t, LATERAL (SELECT unnest(range(0,
+        |    CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i)
+        |  WHERE len(toks) > 0),
+        |lines AS (
+        |  SELECT * FROM nat
+        |  UNION ALL
+        |  SELECT doc_id, 1000000 AS line_no,
+        |    'subscribe to our newsletter for updates and offers' AS line
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1000001,
+        |    'this site uses cookies accept to continue reading'
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |fps AS MATERIALIZED (
+        |  SELECT doc_id, line_no, line, substr(md5(line), 1, 16) AS fp FROM lines),
+        |drops AS (
+        |  SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df FROM fps GROUP BY 1)
+        |  WHERE df >= 30),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    substr(md5(string_agg(line, chr(10) ORDER BY line_no)), 1, 16) AS clean_fp
+        |  FROM fps WHERE fp NOT IN (SELECT fp FROM drops)
+        |  GROUP BY doc_id)
+        |SELECT f.doc_id, count(*) AS n_lines,
+        |  coalesce(any_value(k.n_kept), 0) AS n_kept,
+        |  count(*) - coalesce(any_value(k.n_kept), 0) AS n_dropped,
+        |  coalesce(any_value(k.clean_fp), substr(md5(''), 1, 16)) AS clean_fp
+        |FROM fps f LEFT JOIN kept k ON f.doc_id = k.doc_id
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -104,6 +104,55 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document boilerplate-line removal — the CCNet/RefinedWeb paragraph
+    * dedup pass (Wenzek et al. 2020 §3.1 dedup lines across shards; Penedo
+    * et al. 2023 line-wise corrections): a line that recurs verbatim across
+    * ≥ `maxLineDocFreq` DISTINCT documents is template chrome (nav bars,
+    * cookie banners, footers), not content, and is cut from every document
+    * that carries it. Document-level dedup can't see this — no two pages
+    * are near-dups, yet the same footer is in all of them — which is why
+    * the line pass runs FIRST in the CCNet funnel, before any pair tier.
+    *
+    * Input is a line tier `(doc_id, line_no, line)` (real corpora:
+    * `split(text, '\n')`; the newline-free fixture derives lines via
+    * [[graft.text.TextAnalysis.linesFromTokens]]). Output per document:
+    * `(doc_id, n_lines, n_kept, n_dropped, clean_fp)` where `clean_fp` is
+    * the md5-16 of the kept lines rejoined in line order — the exact
+    * reconstruction pin, same discipline as the span-trim gate. Documents
+    * whose every line is boilerplate still appear (md5 of the empty string).
+    *
+    * Scale shape, 100 TB: the doc-frequency aggregate map-combines on the
+    * 16-byte line fingerprint after a per-partition distinct; the drop set
+    * (lines with df ≥ threshold) is a few thousand rows at any corpus size
+    * — template chrome, by definition, repeats — so the removal itself is a
+    * broadcast LEFT ANTI, a map-side drop with no corpus-side shuffle; the
+    * per-doc rebuild is the one doc_id-keyed exchange. The line tier is
+    * pinned: three consumers (totals, df aggregate, kept rebuild). */
+  def boilerplateRemoval(lines: DataFrame, maxLineDocFreq: Int = 30): DataFrame = {
+    val fps = lines
+      .select(col("doc_id"), col("line_no"), col("line"),
+        substring(md5(col("line")), 1, 16).as("fp"))
+      .pinTier
+    val dropFps = fps.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= maxLineDocFreq)
+      .select(col("fp"))
+    val kept = fps.join(broadcast(dropFps), Seq("fp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(struct(col("line_no"), col("line")))).as("ordered"))
+      .select(col("doc_id"), col("n_kept"),
+        substring(md5(concat_ws("\n",
+          transform(col("ordered"), x => x.getField("line")))), 1, 16).as("clean_fp"))
+    fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_fp"), substring(md5(lit("")), 1, 16)).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Substring-level duplication statistics — the span form of corpus dedup
     * (Lee et al., "Deduplicating Training Data Makes Language Models
     * Better", ACL'22: repeated ≥N-token substrings are the main memorization

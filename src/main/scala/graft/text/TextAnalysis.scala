@@ -436,6 +436,24 @@ object TextAnalysis {
       .orderBy(col("seq_id"), col("doc_id"))
   }
 
+  /** Deterministic pseudo-lines: the token stream cut into `lineTokens`-token
+    * lines, emitted as `(doc_id, line_no, line)`. The corpus fixture carries
+    * no newlines, so line-granular operators (the C4 cascade's real input
+    * shape, [[graft.dedup.Dedup.boilerplateRemoval]]) derive their line tier
+    * here; on a real crawl the same operators consume `split(text, '\n')`
+    * directly. Same reassembly discipline as [[chunkDocuments]]: sort_array
+    * over (pos, token) structs — collect_list alone is
+    * partition-order-dependent. */
+  def linesFromTokens(documents: DataFrame, lineTokens: Int = 10): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .withColumnsRenamed(Map("col" -> "tok"))
+      .withColumn("line_no", floor(col("pos") / lit(lineTokens)).cast("bigint"))
+      .groupBy(col("doc_id"), col("line_no"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ordered"))
+      .select(col("doc_id"), col("line_no"),
+        concat_ws(" ", transform(col("ordered"), x => x.getField("tok"))).as("line"))
+
   /** Content fingerprint: 64-bit hex from the md5 of whitespace-normalized
     * text — the cheap exact-identity key for dedup joins (md5 exists in both
     * engines, so this one is oracle-checkable, unlike xxhash64). */

@@ -288,4 +288,43 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 0L, 1.0), (2L, 2L, 2L, 0.0), (3L, 3L, 1L, 0.6667)),
       s"got $got")
   }
+
+  test("boilerplateRemoval: cross-doc template lines cut, unique lines kept, reconstruction exact") {
+    // 5 docs: every doc carries the same footer line; each has a unique
+    // body line; doc 5 is ONLY the footer (must survive as an empty doc).
+    val footer = "subscribe to our newsletter"
+    val lines = Seq(
+      (1L, 0L, "unique body one"), (1L, 1L, footer),
+      (2L, 0L, "unique body two"), (2L, 1L, footer),
+      (3L, 0L, "unique body three"), (3L, 1L, footer),
+      (4L, 0L, "unique body four"), (4L, 1L, footer),
+      (5L, 0L, footer)
+    ).toDF("doc_id", "line_no", "line")
+    val got = Dedup.boilerplateRemoval(lines, maxLineDocFreq = 5)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) == Seq(
+      (1L, 2L, 1L, 1L), (2L, 2L, 1L, 1L), (3L, 2L, 1L, 1L),
+      (4L, 2L, 1L, 1L), (5L, 1L, 0L, 1L)), s"got $got")
+    // exact reconstruction: doc 1's clean text is just its body line
+    val expFp = java.security.MessageDigest.getInstance("MD5")
+      .digest("unique body one".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    assert(got.head._5 == expFp, s"clean_fp ${got.head._5} != $expFp")
+    // the all-boilerplate doc reconstructs to the empty string
+    val emptyFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString.take(16)
+    assert(got.last._5 == emptyFp)
+    // below the df threshold nothing is dropped
+    val none = Dedup.boilerplateRemoval(lines, maxLineDocFreq = 6)
+    assert(none.agg(sum(col("n_dropped"))).head().getLong(0) == 0L)
+    // line-tier derivation: 10-token pseudo-lines reassemble order-exactly
+    val doc = Seq((7L, (1 to 23).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val derived = graft.text.TextAnalysis.linesFromTokens(doc)
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._2)
+    assert(derived.map(_._3) == Seq(
+      (1 to 10).map("t" + _).mkString(" "),
+      (11 to 20).map("t" + _).mkString(" "),
+      (21 to 23).map("t" + _).mkString(" ")), s"got $derived")
+  }
 }
