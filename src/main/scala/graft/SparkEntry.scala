@@ -952,6 +952,9 @@ object SparkEntry {
             col("c_nationkey").cast("bigint").as("nation")))
       graft.lake.Scd.scd2Merge(cur.unionByName(hist), batch, "cust_key",
         Seq("segment", "nation"), batchVersion = 2L)
+        // ordering is a gate concern — the operator itself is order-free
+        // (r10 verdict: no total-order shuffle inside the merge)
+        .orderBy(col("cust_key"), col("version_from"))
     }),
     // ---- multimodal plumbing (north-star; decode is a marked stub) ----
     "q_media_meta" -> ((s, d) => Multimodal.largeLandscapeImages(

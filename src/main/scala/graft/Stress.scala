@@ -159,7 +159,14 @@ object Stress {
     // (O(k) per-group shuffle — the claim under test)
     "q_kanonymity", "q_topk_agg",
     // forensics/diversity one-pass aggregates
-    "q_benford", "q_diversity", "q_vocab_gini")
+    "q_benford", "q_diversity", "q_vocab_gini",
+    // round 11: the SCD2 full-outer merge (dimension and batch both scale
+    // with the copies — the one-join claim must trend ~linear) and the
+    // CCNet boilerplate line pass (line-df aggregate + guarded anti-join
+    // + per-doc rebuild; planted footers recur in every copy, so the drop
+    // set stays fixed while the corpus grows — the broadcast-smallness
+    // claim under test)
+    "q_scd2", "q_boilerplate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -254,6 +261,16 @@ object Stress {
           timed("dup_clusters_shuffle_branch") {
             spark.conf.set(graft.graph.StateBroadcast.ConfKey, "0")
             try SparkEntry.queries("q_dup_clusters")(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            finally spark.conf.unset(graft.graph.StateBroadcast.ConfKey)
+          }) else Nil) ++
+        // the boilerplate drop-set guard CROSSED: the removal takes the
+        // shuffled LEFT ANTI — the plan an unbounded drop set would need —
+        // so the fallback branch is trend-checked, not dead code
+        (if (want("boilerplate_shuffle_branch")) Seq(
+          timed("boilerplate_shuffle_branch") {
+            spark.conf.set(graft.graph.StateBroadcast.ConfKey, "0")
+            try SparkEntry.queries("q_boilerplate")(spark, dir)
               .write.format("noop").mode("overwrite").save()
             finally spark.conf.unset(graft.graph.StateBroadcast.ConfKey)
           }) else Nil)) ++ {

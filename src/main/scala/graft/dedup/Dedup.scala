@@ -127,7 +127,19 @@ object Dedup {
     * — template chrome, by definition, repeats — so the removal itself is a
     * broadcast LEFT ANTI, a map-side drop with no corpus-side shuffle; the
     * per-doc rebuild is the one doc_id-keyed exchange. The line tier is
-    * pinned: three consumers (totals, df aggregate, kept rebuild). */
+    * pinned: three consumers (totals, df aggregate, kept rebuild).
+    *
+    * The "drop set is small" assumption is GUARDED, not asserted (r10
+    * verdict's one unguarded-smallness finding): the default
+    * `maxLineDocFreq = 30` keeps it to template chrome, but a caller
+    * passing a low threshold over a huge corpus would otherwise hand an
+    * unbounded frame to `broadcast()`. The drop set is counted (one cheap
+    * re-aggregate over the pinned tier) and sized against the shared
+    * [[graft.graph.StateBroadcast]] budget; past the budget the removal
+    * falls back to a shuffled LEFT ANTI on the fingerprint — the plan a
+    * billion-distinct-line threshold misuse would need — and Stress forces
+    * that branch every run via the same `maxBroadcastBytes=0` switch the
+    * graph fixpoints use, so the fallback is never dead code. */
   def boilerplateRemoval(lines: DataFrame, maxLineDocFreq: Int = 30): DataFrame = {
     val fps = lines
       .select(col("doc_id"), col("line_no"), col("line"),
@@ -137,7 +149,11 @@ object Dedup {
       .groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= maxLineDocFreq)
       .select(col("fp"))
-    val kept = fps.join(broadcast(dropFps), Seq("fp"), "left_anti")
+    val dropSide =
+      if (graft.graph.StateBroadcast.fits(dropFps, dropFps.count(),
+        "boilerplate_dropset")) broadcast(dropFps)
+      else dropFps
+    val kept = fps.join(dropSide, Seq("fp"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         sort_array(collect_list(struct(col("line_no"), col("line")))).as("ordered"))

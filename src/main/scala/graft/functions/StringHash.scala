@@ -30,6 +30,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Codegen'd (whole-stage tier (b) of the custom-operator preference
   * order); interpreted fallback matches exactly.
+  *
+  * Collision caveat (r10 advisor #4, a DELIBERATE tradeoff): the 31-bit
+  * value space is far below xxhash64's — collisions are trivially
+  * constructible (any two strings equal mod the polynomial), and all 64
+  * "permutations" are affine maps of ONE base value, so a base collision
+  * collides every signature row at once. For the shingle sketches this
+  * costs a ~n²/2³² birthday term of spurious near-dup CANDIDATES (the
+  * Jaccard verify step still filters them — precision survives, the
+  * candidate tier grows) and is adversarially forgeable; it is accepted
+  * here because it buys exact cross-engine oracle replication, which a
+  * 64-bit seed-mixed hash cannot give. If sketch quality on adversarial
+  * or 10¹⁰-document corpora ever matters more than DuckDB-exactness,
+  * widen `Mod` to the 61-bit Mersenne prime 2⁶¹−1 with 128-bit
+  * intermediates (`Math.multiplyHigh` / DuckDB HUGEINT — still exactly
+  * replicable); the family structure is unchanged.
   */
 case class PolyHash(child: Expression) extends UnaryExpression {
 

@@ -109,8 +109,25 @@ object EdgeTier {
   private def build(spark: SparkSession, sfDir: String,
                     dir: File, fp: String): Unit =
     Telemetry.timed("edge_tier_build") {
-      val staging = new File(dir.getParentFile, dir.getName + ".staging")
+      // per-attempt staging name (pid + nanotime): the object lock
+      // serializes builders in ONE JVM, but two PROCESSES building the
+      // same tier previously shared a fixed ".staging" path — each build
+      // starts by clearing it, so concurrent builds could wipe or
+      // interleave each other's staging writes and rename a mixed
+      // half-written directory into place with a valid _meta (r10 advisor
+      // #1). Unique staging keeps every attempt self-contained; the
+      // rename-race recovery below is unchanged.
+      val staging = new File(dir.getParentFile,
+        dir.getName +
+          s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
       delete(staging)
+      // reclaim stagings orphaned by crashed attempts — age-gated so a
+      // LIVE concurrent build's staging is never swept out from under it
+      Option(dir.getParentFile.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.getName.startsWith(dir.getName + ".staging-") &&
+          f.getName != staging.getName &&
+          f.lastModified() < System.currentTimeMillis() - 60L * 60 * 1000)
+        .foreach(delete)
       // src-clustered, sorted files: consumers joining or aggregating on
       // src get row-group locality and min/max pruning for seed probes.
       // Pinned: the directed write and the undirected derivation both

@@ -18,6 +18,7 @@ import graft.lake.Layout
   * ```
   * root/data/day=2026-01-15/v3-part….parquet  ← immutable pooled files
   * root/manifest/v=3                          ← one pool-relative path/line
+  * root/manifest/v=3.counts                   ← per-day row counts (report metadata)
   * root/_current                              ← committed manifest version
   * ```
   *
@@ -76,7 +77,7 @@ object PartitionedEventLog {
       val mdir = new Path(root, "manifest")
       if (!f.exists(mdir)) 0L
       else f.listStatus(mdir).toSeq
-        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.getPath.getName).filter(_.matches("v=\\d+"))
         .map(_.stripPrefix("v=").toLong).sorted.lastOption.getOrElse(0L)
     }
   }
@@ -91,6 +92,27 @@ object PartitionedEventLog {
       val in = f.open(p)
       try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
         .map(_.trim).filter(_.nonEmpty)
+      finally in.close()
+    }
+  }
+
+  /** Per-day row counts of the committed snapshot `v` (`manifest/v=N.counts`,
+    * `day<TAB>count` lines) — the metadata that makes the next cycle's
+    * Report derivable WITHOUT re-reading the whole log (r10 advisor #2:
+    * the post-commit expired/retained counts previously full-scanned the
+    * previous manifest every cycle, contradicting the "commit cost ∝
+    * batch + one day" claim). Written with the same tmp+rename discipline,
+    * BEFORE the manifest, so a committed version always has its counts.
+    * None only for a log written before this format existed. */
+  def dayCounts(spark: SparkSession, root: String, v: Long): Option[Map[String, Long]] = {
+    val p = new Path(root, s"manifest/v=$v.counts")
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+        .map { l => val Array(d, c) = l.split("\t"); d -> c.toLong }.toMap)
       finally in.close()
     }
   }
@@ -140,22 +162,47 @@ object PartitionedEventLog {
       .withColumn("__day", date_format(col("ts"), "yyyy-MM-dd"))
       .pinTier // consumed per touched day + counted for the report
 
+    // the previous snapshot's per-day counts — the report's raw material.
+    // A log written before the counts format existed heals with ONE full
+    // grouped scan here and never pays it again.
+    val prevCounts: Map[String, Long] =
+      if (existing.isEmpty) Map.empty
+      else dayCounts(spark, root, fromV).getOrElse(
+        readEntries(existing)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+
     // day triage: batch days rewrite; the cutoff's own day rewrites (it
     // can hold a mix of expired and live rows); wholly-expired days drop
     // from the manifest with NO rewrite; the rest carry forward verbatim
-    val batchDays = freshLive.select(col("__day")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val freshPerDay: Map[String, Long] = freshLive
+      .groupBy(col("__day")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchDays = freshPerDay.keySet
     val droppedDays = byDay.keySet.filter(_ < cutoffDay)
     val boundaryDays = byDay.keySet.filter(_ == cutoffDay)
     val rewriteDays = (batchDays ++ boundaryDays).toSeq.sorted
     val untouchedDays =
       (byDay.keySet -- rewriteDays -- droppedDays).toSeq.sorted
 
-    // rewrite each touched day into staging, z-ordered within the day
+    // rewrite each touched day into staging, z-ordered within the day;
+    // carry (new per-day count, rows expired out of the day) alongside the
+    // pooled entries so the report derives from metadata + this-day scans
+    // only. freshLive days are all >= cutoffDay, so a rewritten
+    // non-boundary day keeps every old row (count carried from prevCounts)
+    // — only the single boundary day pays a kept-row count scan.
     val staging = new Path(root, s"_staging_v$toV")
     f.delete(staging, true)
-    val moved = rewriteDays.flatMap { day =>
+    val rewritten: Seq[(Seq[String], String, Long, Long)] = rewriteDays.map { day =>
       val oldEntries = byDay.getOrElse(day, Seq.empty)
+      val keptOldCount: Long =
+        if (oldEntries.isEmpty) 0L
+        else if (day == cutoffDay)
+          readEntries(oldEntries).filter(col("ts") >= lit(cutoff)).count()
+        else prevCounts.getOrElse(day, 0L)
+      val expiredInDay: Long =
+        if (oldEntries.isEmpty || day != cutoffDay) 0L
+        else prevCounts.getOrElse(day, 0L) - keptOldCount
       val oldRows =
         if (oldEntries.isEmpty) None
         else Some(readEntries(oldEntries).filter(col("ts") >= lit(cutoff)))
@@ -179,20 +226,35 @@ object PartitionedEventLog {
       // (append-only: a crash after any move leaves unreferenced files)
       val dataDay = new Path(root, s"data/day=$day")
       f.mkdirs(dataDay)
-      f.listStatus(dayStage).toSeq.filter(_.isFile)
+      val pooled = f.listStatus(dayStage).toSeq.filter(_.isFile)
         .map(_.getPath.getName)
         .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
         .map { n =>
-          val pooled = s"v$toV-$n"
-          require(f.rename(new Path(dayStage, n), new Path(dataDay, pooled)),
-            s"pool move failed for day=$day/$pooled")
-          s"day=$day/$pooled"
+          val name = s"v$toV-$n"
+          require(f.rename(new Path(dayStage, n), new Path(dataDay, name)),
+            s"pool move failed for day=$day/$name")
+          s"day=$day/$name"
         }
+      (pooled, day, keptOldCount + freshPerDay.getOrElse(day, 0L), expiredInDay)
     }
     f.delete(staging, true)
+    val moved = rewritten.flatMap(_._1)
 
-    // commit: manifest first (overwrite a dead attempt's), pointer last
+    // commit: counts first, then manifest (overwrite a dead attempt's),
+    // pointer last — a committed version always has its counts file
     val entries = untouchedDays.flatMap(byDay) ++ moved
+    val newDayCounts: Seq[(String, Long)] =
+      untouchedDays.map(d => d -> prevCounts.getOrElse(d, 0L)) ++
+        rewritten.map(r => r._2 -> r._3)
+    val cTmp = new Path(root, s"manifest/v=$toV.counts.tmp")
+    val cOut = f.create(cTmp, true)
+    try cOut.write(newDayCounts.sortBy(_._1)
+      .map { case (d, c) => s"$d\t$c" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally cOut.close()
+    f.delete(new Path(root, s"manifest/v=$toV.counts"), false)
+    require(f.rename(cTmp, new Path(root, s"manifest/v=$toV.counts")),
+      s"counts commit failed for v$toV")
     val mTmp = new Path(root, s"manifest/v=$toV.tmp")
     val out = f.create(mTmp, true)
     try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -207,13 +269,16 @@ object PartitionedEventLog {
     require(f.rename(pTmp, new Path(root, "_current")),
       s"pointer flip failed for v$toV")
 
-    // report from committed state
-    val retained =
-      if (entries.isEmpty) 0L else readEntries(entries).count()
-    val appended = freshLive.count()
+    // report from committed METADATA (r10 advisor #2): retained = the new
+    // counts file; expired existing = dropped days' prior counts + the
+    // boundary day's kept-vs-prior delta — no full-log re-read. The only
+    // data scans are batch-sized (incoming late rows) — the boundary-day
+    // kept count was already paid inside the rewrite loop.
+    val retained = newDayCounts.map(_._2).sum
+    val appended = freshPerDay.values.sum
     val expiredExisting =
-      if (existing.isEmpty) 0L
-      else readEntries(existing).filter(col("ts") < lit(cutoff)).count()
+      droppedDays.toSeq.map(d => prevCounts.getOrElse(d, 0L)).sum +
+        rewritten.map(_._4).sum
     val expiredIncoming = incoming.filter(col("ts") < lit(cutoff)).count()
     Report(toV, appended, expiredExisting + expiredIncoming, retained,
       rewriteDays, droppedDays.toSeq.sorted, untouchedDays)
@@ -229,9 +294,11 @@ object PartitionedEventLog {
     val mdir = new Path(root, "manifest")
     if (!f.exists(mdir)) return Nil
     val versions = f.listStatus(mdir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
-    versions.filter(_ <= cur - keepVersions)
-      .foreach(v => f.delete(new Path(root, s"manifest/v=$v"), false))
+      .filter(_.matches("v=\\d+")).map(_.stripPrefix("v=").toLong).sorted
+    versions.filter(_ <= cur - keepVersions).foreach { v =>
+      f.delete(new Path(root, s"manifest/v=$v"), false)
+      f.delete(new Path(root, s"manifest/v=$v.counts"), false)
+    }
     val kept = versions.filter(_ > cur - keepVersions)
     val referenced = kept.flatMap(v => manifest(spark, root, v)).toSet
     val dataDir = new Path(root, "data")

@@ -42,6 +42,22 @@ object Scd {
     *     `batchVersion` PLUS the batch row opened at `batchVersion`;
     *   - batch-only keys: inserted as open rows at `batchVersion`.
     * History rows (`is_current` = false) bypass the join entirely.
+    *
+    * The batch is key-deduplicated before the join (one arbitrary
+    * representative per key, Spark's `dropDuplicates`): a batch carrying
+    * the same key twice would otherwise fan out through the full-outer
+    * join and emit the current row expired twice plus two simultaneous
+    * open rows — silently breaking the one-open-row-per-key invariant.
+    * Callers whose batches layer multiple versions of a key must apply
+    * them as separate `scd2Merge` calls in version order (a type-2 batch
+    * is a snapshot delta; "two versions in one batch" has no well-defined
+    * single-merge answer).
+    *
+    * Output order is NOT defined: ordering is a report/oracle concern and
+    * a global sort of the whole dimension inside the operator would be a
+    * gratuitous total-order shuffle on every merge at 100 TB. Consumers
+    * that want clustering on disk should `sortWithinPartitions` at the
+    * write site (see [[ScdTable]]); gates order at the gate.
     */
   def scd2Merge(dim: DataFrame, batch: DataFrame, key: String,
                 attrs: Seq[String], batchVersion: Long): DataFrame = {
@@ -49,7 +65,8 @@ object Scd {
     val history = dim.filter(!col("is_current"))
     val current = dim.filter(col("is_current"))
 
-    val b = attrs.foldLeft(batch.withColumnRenamed(key, "b_key")) {
+    val b = attrs.foldLeft(
+      batch.dropDuplicates(key).withColumnRenamed(key, "b_key")) {
       (df, a) => df.withColumnRenamed(a, s"b_$a")
     }
     val joined = current.join(b, col(key) === col("b_key"), "full_outer")
@@ -83,6 +100,5 @@ object Scd {
       .select(col(key) +: attrs.map(col) :+ col("version_from") :+
         col("version_to") :+ col("is_current"): _*)
       .unionByName(emitted)
-      .orderBy(col(key), col("version_from"))
   }
 }

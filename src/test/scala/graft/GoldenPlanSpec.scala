@@ -290,7 +290,23 @@ class GoldenPlanSpec extends SparkSpec {
     // max(struct) aggregate, never a corpus-side shuffle join
     "q_knn_labels" -> Golden(
       required = Seq("BroadcastNestedLoopJoin", "partial_max"),
-      forbidden = Seq("SortMergeJoin", "CartesianProduct")))
+      forbidden = Seq("SortMergeJoin", "CartesianProduct")),
+    // ---- round 11 ----
+    // boilerplate removal: the line-df aggregate map-combines on the
+    // fingerprint (partial_count over the pinned line tier); the removal
+    // itself is a broadcast LEFT ANTI — a map-side drop with no
+    // corpus-side shuffle before the per-doc rebuild (the shuffled
+    // fallback is guard-gated; DedupSpec proves it identical)
+    "q_boilerplate" -> Golden(
+      required = Seq("partial_count", "BroadcastHashJoin", "LeftAnti"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // SCD2 merge: ONE full-outer join on the key, legs emitted via the
+    // codegen'd array-explode (Generate) — no second diff pass; the only
+    // rangepartitioning is this gate's own report ordering (ScdSpec pins
+    // the operator itself sort-free)
+    "q_scd2" -> Golden(
+      required = Seq("FullOuter", "Generate"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   golden.foreach { case (name, g) =>
     test(s"golden plan: $name") {

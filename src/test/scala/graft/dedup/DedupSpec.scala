@@ -327,4 +327,23 @@ class DedupSpec extends SparkSpec {
       (11 to 20).map("t" + _).mkString(" "),
       (21 to 23).map("t" + _).mkString(" ")), s"got $derived")
   }
+
+  test("boilerplateRemoval: broadcast and shuffled anti-join branches agree row-for-row") {
+    // the drop-set smallness guard (r10 verdict What's-wrong #3): force
+    // the fallback branch via the shared fixpoint budget switch and prove
+    // it computes the identical result
+    val footer = "subscribe to our newsletter"
+    val lines = (1L to 6L).flatMap(d => Seq(
+      (d, 0L, s"unique body $d"), (d, 1L, footer)))
+      .toDF("doc_id", "line_no", "line")
+    val bcast = Dedup.boilerplateRemoval(lines, maxLineDocFreq = 5)
+    val shuffled = try {
+      spark.conf.set(graft.graph.StateBroadcast.ConfKey, "0")
+      Dedup.boilerplateRemoval(lines, maxLineDocFreq = 5)
+    } finally spark.conf.unset(graft.graph.StateBroadcast.ConfKey)
+    assert(bcast.exceptAll(shuffled).isEmpty &&
+      shuffled.exceptAll(bcast).isEmpty,
+      "broadcast and shuffled drop branches diverged")
+    assert(shuffled.agg(sum(col("n_dropped"))).head().getLong(0) == 6L)
+  }
 }

@@ -20,7 +20,10 @@ class ScdSpec extends SparkSpec {
   ).toDF("k", "seg", "nat")
 
   test("scd2Merge: expire+open on change, passthrough no-ops, insert new keys, history untouched") {
+    // the operator's output order is undefined (ordering is a gate
+    // concern) — sort here, at the gate
     val got = Scd.scd2Merge(dim, batch, "k", Seq("seg", "nat"), batchVersion = 2L)
+      .orderBy(col("k"), col("version_from"))
       .as[(Long, String, Long, Long, Long, Boolean)].collect().toSeq
     assert(got == Seq(
       (1L, "A", 10L, 1L, 2L, false),              // expired at v2
@@ -43,6 +46,7 @@ class ScdSpec extends SparkSpec {
     val batch3 = Seq((1L, "A3", 10L)).toDF("k", "seg", "nat")
     val v3 = Scd.scd2Merge(v2, batch3, "k", Seq("seg", "nat"), 3L)
       .filter(col("k") === 1L)
+      .orderBy(col("version_from"))
       .as[(Long, String, Long, Long, Long, Boolean)].collect().toSeq
     assert(v3 == Seq(
       (1L, "A", 10L, 1L, 2L, false),
@@ -55,6 +59,7 @@ class ScdSpec extends SparkSpec {
       .toDF("k", "seg", "nat", "version_from", "version_to", "is_current")
     val b = Seq((1L, "X", 10L)).toDF("k", "seg", "nat")
     val got = Scd.scd2Merge(d, b, "k", Seq("seg", "nat"), 2L)
+      .orderBy(col("version_from"))
       .as[(Long, String, Long, Long, Long, Boolean)].collect().toSeq
     assert(got.map(r => (r._2, r._5, r._6)) ==
       Seq((null, 2L, false), ("X", Scd.OpenVersion, true)), s"got $got")
@@ -64,5 +69,31 @@ class ScdSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Scd.scd2Merge(dim, batch, "k", Seq.empty, 2L)
     }
+  }
+
+  test("scd2Merge: a batch with duplicate keys keeps one open row per key") {
+    // the same key twice in one batch must NOT fan out through the
+    // full-outer join (double-expired current row, two open rows)
+    val b = Seq((1L, "A2", 10L), (1L, "A9", 10L), (9L, "N", 90L))
+      .toDF("k", "seg", "nat")
+    val got = Scd.scd2Merge(dim, b, "k", Seq("seg", "nat"), 2L)
+    val openPerKey = got.filter(col("is_current"))
+      .groupBy(col("k")).count().filter(col("count") > 1).count()
+    assert(openPerKey == 0L, "duplicate batch keys broke one-open-row-per-key")
+    val expired1 = got.filter(col("k") === 1L && !col("is_current") &&
+      col("version_to") === 2L).count()
+    assert(expired1 == 1L, "current row for key 1 expired more than once")
+  }
+
+  test("scd2Merge plan: one join, explode-emitted legs, no operator-level global sort") {
+    val p = Scd.scd2Merge(dim, batch, "k", Seq("seg", "nat"), 2L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val joins = """\((\d+)\) [A-Za-z]*Join""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(joins == 1, s"expected exactly one join (the full-outer merge), got $joins:\n$p")
+    assert(p.contains("Generate"), s"legs must emit via the codegen'd explode:\n$p")
+    // r10 verdict What's-wrong #2: no total-order shuffle inside the operator
+    assert(!p.contains("rangepartitioning"), s"operator must not global-sort:\n$p")
   }
 }
