@@ -57,6 +57,38 @@ object SparkEntry {
     * line-delimited JSON (the LLM-corpus interchange format), re-read by
     * the schema'd jsonl source — equality against the parquet original
     * proves the write→scan→type boundary faithful. */
+  /** Shared SCD2 fixture (q_scd2 / q_scd2_table, oracle-mirrored): the
+    * customer dimension at version 1 plus planted pre-existing history
+    * (custkey%10==0), and a batch of changes (%7==0 → segment MOVED),
+    * no-ops (%7==1) and inserts (%13==0 → key+1000000, FRESH). */
+  private def scdFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val cust = Tables.customer(s, d)
+    val cur = cust.select(col("c_custkey").as("cust_key"),
+      col("c_mktsegment").as("segment"),
+      col("c_nationkey").cast("bigint").as("nation"),
+      lit(1L).as("version_from"),
+      lit(graft.lake.Scd.OpenVersion).as("version_to"),
+      lit(true).as("is_current"))
+    val hist = cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .select(col("c_custkey").as("cust_key"),
+        concat(lit("OLD_"), col("c_mktsegment")).as("segment"),
+        col("c_nationkey").cast("bigint").as("nation"),
+        lit(0L).as("version_from"), lit(1L).as("version_to"),
+        lit(false).as("is_current"))
+    val batch = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select(col("c_custkey").as("cust_key"), lit("MOVED").as("segment"),
+        col("c_nationkey").cast("bigint").as("nation"))
+      .unionByName(cust.filter(pmod(col("c_custkey"), lit(7)) === 1)
+        .select(col("c_custkey").as("cust_key"),
+          col("c_mktsegment").as("segment"),
+          col("c_nationkey").cast("bigint").as("nation")))
+      .unionByName(cust.filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .select((col("c_custkey") + lit(1000000L)).as("cust_key"),
+          lit("FRESH").as("segment"),
+          col("c_nationkey").cast("bigint").as("nation")))
+    (cur.unionByName(hist), batch)
+  }
+
   private def jsonlDocFixture(s: SparkSession, d: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_docs_jsonl_" +
       Integer.toHexString(d.hashCode)
@@ -926,35 +958,36 @@ object SparkEntry {
     // rows at v2 and open their replacements — one full-outer join, legs
     // emitted via a codegen'd array-explode
     "q_scd2" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
-      val cur = cust.select(col("c_custkey").as("cust_key"),
-        col("c_mktsegment").as("segment"),
-        col("c_nationkey").cast("bigint").as("nation"),
-        lit(1L).as("version_from"),
-        lit(graft.lake.Scd.OpenVersion).as("version_to"),
-        lit(true).as("is_current"))
-      val hist = cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
-        .select(col("c_custkey").as("cust_key"),
-          concat(lit("OLD_"), col("c_mktsegment")).as("segment"),
-          col("c_nationkey").cast("bigint").as("nation"),
-          lit(0L).as("version_from"), lit(1L).as("version_to"),
-          lit(false).as("is_current"))
-      val batch = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
-        .select(col("c_custkey").as("cust_key"), lit("MOVED").as("segment"),
-          col("c_nationkey").cast("bigint").as("nation"))
-        .unionByName(cust.filter(pmod(col("c_custkey"), lit(7)) === 1)
-          .select(col("c_custkey").as("cust_key"),
-            col("c_mktsegment").as("segment"),
-            col("c_nationkey").cast("bigint").as("nation")))
-        .unionByName(cust.filter(pmod(col("c_custkey"), lit(13)) === 0)
-          .select((col("c_custkey") + lit(1000000L)).as("cust_key"),
-            lit("FRESH").as("segment"),
-            col("c_nationkey").cast("bigint").as("nation")))
-      graft.lake.Scd.scd2Merge(cur.unionByName(hist), batch, "cust_key",
+      val (dim, batch) = scdFixture(s, d)
+      graft.lake.Scd.scd2Merge(dim, batch, "cust_key",
         Seq("segment", "nation"), batchVersion = 2L)
         // ordering is a gate concern — the operator itself is order-free
         // (r10 verdict: no total-order shuffle inside the merge)
         .orderBy(col("cust_key"), col("version_from"))
+    }),
+    // the MAINTAINED dimension twin (lake/ScdTable): build the standing
+    // table at v1 (append-only history log + key-bucketed copy-on-write
+    // current slice), ADMIT the same batch — touched-bucket-only merge,
+    // manifest commit, atomic pointer flip — then read the committed
+    // dimension back. Shares q_scd2's oracle byte-for-byte: the standing
+    // layout must not change one row of the merge verdict
+    "q_scd2_table" -> ((s, d) => {
+      val (dim, batch) = scdFixture(s, d)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-scd-table").toFile.getAbsolutePath
+      try {
+        Telemetry.timed("q_scd2_table") {
+          graft.lake.ScdTable.build(dim, s"$stage/dim", "cust_key",
+            Seq("segment", "nation"), nBuckets = 16)
+        }
+        graft.lake.ScdTable.admit(s, batch, s"$stage/dim")
+        graft.lake.ScdTable.dim(s, s"$stage/dim")
+          .orderBy(col("cust_key"), col("version_from"))
+          .pinTier // materialize before the staged table is dropped
+      } finally {
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
     }),
     // ---- multimodal plumbing (north-star; decode is a marked stub) ----
     "q_media_meta" -> ((s, d) => Multimodal.largeLandscapeImages(
@@ -979,6 +1012,57 @@ object SparkEntry {
           .as("features_ok"))
       .orderBy(col("media_id"))),
   )
+
+  /** Shared SCD2 oracle (q_scd2 / q_scd2_table — byte-identical SQL is
+    * the documented shared-oracle class). */
+  private val scdOracleSql: String =
+    """WITH cur AS (
+        |  SELECT c_custkey AS cust_key, c_mktsegment AS segment,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(1 AS BIGINT) AS version_from,
+        |    CAST(999999999 AS BIGINT) AS version_to, true AS is_current
+        |  FROM customer),
+        |hist AS (
+        |  SELECT c_custkey AS cust_key, 'OLD_' || c_mktsegment AS segment,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(0 AS BIGINT) AS version_from,
+        |    CAST(1 AS BIGINT) AS version_to, false AS is_current
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |batch AS (
+        |  SELECT c_custkey AS b_key, 'MOVED' AS b_segment,
+        |    CAST(c_nationkey AS BIGINT) AS b_nation
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS BIGINT)
+        |  FROM customer WHERE c_custkey % 7 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'FRESH', CAST(c_nationkey AS BIGINT)
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |j AS (SELECT * FROM cur FULL OUTER JOIN batch ON cust_key = b_key),
+        |emitted AS (
+        |  SELECT cust_key, segment, nation, version_from, version_to, is_current
+        |  FROM j WHERE cust_key IS NOT NULL AND (b_key IS NULL
+        |    OR (segment IS NOT DISTINCT FROM b_segment
+        |        AND nation IS NOT DISTINCT FROM b_nation))
+        |  UNION ALL
+        |  SELECT cust_key, segment, nation, version_from,
+        |    CAST(2 AS BIGINT), false
+        |  FROM j WHERE cust_key IS NOT NULL AND b_key IS NOT NULL
+        |    AND (segment IS DISTINCT FROM b_segment
+        |         OR nation IS DISTINCT FROM b_nation)
+        |  UNION ALL
+        |  SELECT b_key, b_segment, b_nation, CAST(2 AS BIGINT),
+        |    CAST(999999999 AS BIGINT), true
+        |  FROM j WHERE cust_key IS NOT NULL AND b_key IS NOT NULL
+        |    AND (segment IS DISTINCT FROM b_segment
+        |         OR nation IS DISTINCT FROM b_nation)
+        |  UNION ALL
+        |  SELECT b_key, b_segment, b_nation, CAST(2 AS BIGINT),
+        |    CAST(999999999 AS BIGINT), true
+        |  FROM j WHERE cust_key IS NULL)
+        |SELECT cust_key, segment, nation, version_from, version_to, is_current
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM emitted)
+        |ORDER BY cust_key, version_from""".stripMargin
 
   /** The weighted-PageRank unroll: identical to [[pageRankIterSql]] except
     * contributions follow the precomputed per-edge transition weight
@@ -3281,54 +3365,10 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // SCD2 merge: same dim/batch derivation; legs split by the
     // IS DISTINCT FROM attr comparison the engine's <=> negation mirrors
-    "q_scd2" ->
-      """WITH cur AS (
-        |  SELECT c_custkey AS cust_key, c_mktsegment AS segment,
-        |    CAST(c_nationkey AS BIGINT) AS nation,
-        |    CAST(1 AS BIGINT) AS version_from,
-        |    CAST(999999999 AS BIGINT) AS version_to, true AS is_current
-        |  FROM customer),
-        |hist AS (
-        |  SELECT c_custkey AS cust_key, 'OLD_' || c_mktsegment AS segment,
-        |    CAST(c_nationkey AS BIGINT) AS nation,
-        |    CAST(0 AS BIGINT) AS version_from,
-        |    CAST(1 AS BIGINT) AS version_to, false AS is_current
-        |  FROM customer WHERE c_custkey % 10 = 0),
-        |batch AS (
-        |  SELECT c_custkey AS b_key, 'MOVED' AS b_segment,
-        |    CAST(c_nationkey AS BIGINT) AS b_nation
-        |  FROM customer WHERE c_custkey % 7 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS BIGINT)
-        |  FROM customer WHERE c_custkey % 7 = 1
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, 'FRESH', CAST(c_nationkey AS BIGINT)
-        |  FROM customer WHERE c_custkey % 13 = 0),
-        |j AS (SELECT * FROM cur FULL OUTER JOIN batch ON cust_key = b_key),
-        |emitted AS (
-        |  SELECT cust_key, segment, nation, version_from, version_to, is_current
-        |  FROM j WHERE cust_key IS NOT NULL AND (b_key IS NULL
-        |    OR (segment IS NOT DISTINCT FROM b_segment
-        |        AND nation IS NOT DISTINCT FROM b_nation))
-        |  UNION ALL
-        |  SELECT cust_key, segment, nation, version_from,
-        |    CAST(2 AS BIGINT), false
-        |  FROM j WHERE cust_key IS NOT NULL AND b_key IS NOT NULL
-        |    AND (segment IS DISTINCT FROM b_segment
-        |         OR nation IS DISTINCT FROM b_nation)
-        |  UNION ALL
-        |  SELECT b_key, b_segment, b_nation, CAST(2 AS BIGINT),
-        |    CAST(999999999 AS BIGINT), true
-        |  FROM j WHERE cust_key IS NOT NULL AND b_key IS NOT NULL
-        |    AND (segment IS DISTINCT FROM b_segment
-        |         OR nation IS DISTINCT FROM b_nation)
-        |  UNION ALL
-        |  SELECT b_key, b_segment, b_nation, CAST(2 AS BIGINT),
-        |    CAST(999999999 AS BIGINT), true
-        |  FROM j WHERE cust_key IS NULL)
-        |SELECT cust_key, segment, nation, version_from, version_to, is_current
-        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM emitted)
-        |ORDER BY cust_key, version_from""".stripMargin,
+    "q_scd2" -> scdOracleSql,
+    // the maintained-table twin shares the merge oracle byte-for-byte:
+    // bucketed copy-on-write persistence must not change one output row
+    "q_scd2_table" -> scdOracleSql,
     "q_top_event_types" ->
       """SELECT window_start, event_type, n_events, rnk FROM (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -166,7 +166,11 @@ object Stress {
     // + per-doc rebuild; planted footers recur in every copy, so the drop
     // set stays fixed while the corpus grows — the broadcast-smallness
     // claim under test)
-    "q_scd2", "q_boilerplate")
+    "q_scd2", "q_boilerplate",
+    // the maintained-dimension twin: build + admit per run, both sides
+    // scaling with the copies (the fixed-batch economics line below is
+    // the ∝-batch claim; this is the end-to-end trend)
+    "q_scd2_table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -322,6 +326,31 @@ object Stress {
                 graft.graph.ComponentsIndex.admit(spark,
                   graft.dedup.Dedup.ngramJaccardPairs(fixedBatch)
                     .select(col("doc_a"), col("doc_b")), s"$stage/cc"); ()
+              }) else Nil) ++
+            // same economics for the maintained SCD2 dimension: the table
+            // built over the x$m customer dim (nBuckets ∝ data — the
+            // bounded-bucket-size operator), then a FIXED 1× change batch
+            // admitted. Admit rewrites only the touched buckets, so its
+            // cost must stay ∝ batch while build grows ∝ dimension.
+            (if (want("scd_table_build")) Seq(
+              timed("scd_table_build") {
+                val dimAll = graft.model.Tables.customer(spark, dir).select(
+                  col("c_custkey").as("cust_key"),
+                  col("c_mktsegment").as("segment"),
+                  col("c_nationkey").cast("bigint").as("nation"),
+                  lit(1L).as("version_from"),
+                  lit(graft.lake.Scd.OpenVersion).as("version_to"),
+                  lit(true).as("is_current"))
+                graft.lake.ScdTable.build(dimAll, s"$stage/scd", "cust_key",
+                  Seq("segment", "nation"), nBuckets = 16 * m)
+              },
+              timed("scd_table_admit_fixed_batch") {
+                val batch = graft.model.Tables.customer(spark, sfDir)
+                  .filter(pmod(col("c_custkey"), lit(7)) === 0)
+                  .select(col("c_custkey").as("cust_key"),
+                    lit("MOVED").as("segment"),
+                    col("c_nationkey").cast("bigint").as("nation"))
+                graft.lake.ScdTable.admit(spark, batch, s"$stage/scd"); ()
               }) else Nil)
           } finally {
             new scala.reflect.io.Directory(new java.io.File(stage))
