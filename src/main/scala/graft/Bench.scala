@@ -105,9 +105,28 @@ object Bench {
     // query's number is explainable and every later probe reads clean
     val tierBuilds = scala.collection.mutable.Map[String, (String, Double)]()
     // the inter-query System.gc() hygiene sweep is a FORCED full collection
-    // per query per pass — its cost is harness protocol, not query GC, and
-    // must be separable in the artifact (VERDICT r9 "what's wrong" #2: the
-    // suite-wide gc_ms_total was unattributed)
+    // — its cost is harness protocol, not query GC, and must be separable
+    // in the artifact (VERDICT r9 "what's wrong" #2). r10 measured the
+    // per-query-per-pass policy at 93.5 s of a 342 s suite (89% of all GC
+    // time), so r11 amortizes it: sweep every K queries (default 4) OR
+    // immediately when post-clearCache storage residency exceeds a budget
+    // — broadcast blocks are reclaimed only by the ContextCleaner on GC,
+    // and the residency trigger is what keeps a broadcast-heavy stretch
+    // from accumulating for K queries. Both knobs are env-tunable and the
+    // artifact records the policy (gc_sweep_every) plus the sweep count
+    // (gc_sweeps), so the A/B vs the old per-query policy stays auditable.
+    val gcSweepEvery = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_GC_SWEEP_EVERY", "4").toInt)
+    // the residency budget is a SAFETY VALVE, not the cadence: unpersist
+    // above is non-blocking, so the post-clear reading still counts
+    // blocks whose release is in flight — a tight budget (A/B'd at 512 MB)
+    // degenerates back to near-per-query sweeping on that phantom signal
+    // (255/348 sweeps fired). 2 GiB only catches genuine multi-query
+    // accumulation runaway.
+    val gcSweepMb =
+      sys.env.getOrElse("SPARK_GRAFT_GC_SWEEP_MB", "2048").toLong
+    var sinceSweep = 0
+    var gcSweeps = 0L
     var gcSweepMs = 0L
     val gcTotal0 = gcMillis
     Telemetry.drain() // discard warmup-era recordings
@@ -160,10 +179,23 @@ object Bench {
       spark.catalog.clearCache()
       // broadcast blocks are only reclaimed by the ContextCleaner on GC —
       // nudge it so broadcast-heavy fixpoints don't accumulate residency
-      // across a 90-query suite (VERDICT r4 "what's wrong" #3)
-      val gcSweep0 = gcMillis
-      System.gc()
-      gcSweepMs += gcMillis - gcSweep0
+      // across the suite (VERDICT r4 "what's wrong" #3), but amortized:
+      // every K queries, or sooner when residual storage (pinned blocks
+      // whose unpersist hasn't landed, broadcasts awaiting the cleaner)
+      // stays above the budget after the cache clear
+      sinceSweep += 1
+      val residentMb =
+        try spark.sparkContext.statusTracker.getExecutorInfos
+          .map(i => i.usedOnHeapStorageMemory + i.usedOffHeapStorageMemory)
+          .sum / (1024 * 1024)
+        catch { case _: Throwable => 0L }
+      if (sinceSweep >= gcSweepEvery || residentMb >= gcSweepMb) {
+        val gcSweep0 = gcMillis
+        System.gc()
+        gcSweepMs += gcMillis - gcSweep0
+        gcSweeps += 1
+        sinceSweep = 0
+      }
     }
     // a failed query reports NEGATIVE elapsed — visibly broken, never a
     // plausible "fast" measurement — using the FAILING attempt's own
@@ -201,7 +233,7 @@ object Bench {
     val tiers = jmap(tierBuilds.toSeq.sortBy(_._1).map { case (k, (q, sec)) =>
       k -> s"""{"q":"$q","sec":${f3(sec)}}"""
     })
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"runs":$runs,"blas":"$blasBackend","gc_ms_total":${gcMillis - gcTotal0},"gc_ms_sweep":$gcSweepMs,"tier_build":$tiers,"index_split":$split,"gc_ms":$topGc,"queries":$topQs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"runs":$runs,"blas":"$blasBackend","gc_ms_total":${gcMillis - gcTotal0},"gc_ms_sweep":$gcSweepMs,"gc_sweeps":$gcSweeps,"gc_sweep_every":$gcSweepEvery,"tier_build":$tiers,"index_split":$split,"gc_ms":$topGc,"queries":$topQs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -137,7 +137,12 @@ object SparkEntry {
     // the 100 TB form of the same report, promise-gated: sketch quantile
     // VALUES are engine-specific, so the gate emits the branch's portable
     // contract per group (counts oracle-recomputed, quantiles within
-    // AggregationsSpec's tolerance of exact) with the booleans oracle-pinned
+    // AggregationsSpec's tolerance of exact) with the booleans oracle-pinned.
+    // Graduation refusal (r11 audit): Spark's approx_percentile sketch has
+    // no DuckDB counterpart — replicating it would mean reimplementing the
+    // quantile sketch in SQL and pinning ITS internals instead; the
+    // approximation is the operator, and its exact twin (q_winsorize) is
+    // already a full recompute.
     "q_winsorize_approx" -> ((s, d) => Aggregations.winsorizeApproxAudit(
       Tables.orders(s, d))),
     "q_quality_deciles" -> ((s, d) => Aggregations.qualityDeciles(Tables.documents(s, d))),
@@ -158,7 +163,11 @@ object SparkEntry {
       Aggregations.distinctPartsPerFlag(Tables.lineitem(s, d)).drop("n_parts_approx")),
     // mergeable-distinct promise gate: per-group HLL sketches, global row
     // from the sketch UNION; oracle recomputes the exact counts and pins
-    // ok=true (estimates themselves are engine-specific, never compared)
+    // ok=true (estimates themselves are engine-specific, never compared).
+    // Graduation refusal (r11 audit): the HLL register layout and hash
+    // seeds are Spark-private (DataSketches vs DuckDB's own HLL disagree
+    // by design); the MERGEABILITY of the sketch union is the contract
+    // under test, and the exact side is already oracle-recomputed here.
     "q_distinct_hll" -> ((s, d) => Aggregations.distinctSketchAudit(Tables.lineitem(s, d))),
     // ---- filters / projections (SURVEY §2.2) ----
     "q_filter_eq_range" -> ((s, d) => Filters.equalityAndRange(Tables.lineitem(s, d), "R", 10, 20)),
@@ -469,7 +478,12 @@ object SparkEntry {
     // promise-gated: ALS factor values are solver/BLAS-specific, so the
     // gate emits the pipeline's portable contract (subset size, 5 resolved
     // recs per user, train RMSE beats the mean predictor) with the
-    // booleans oracle-pinned; raw recs stay pinned in RecommendSpec
+    // booleans oracle-pinned; raw recs stay pinned in RecommendSpec.
+    // Graduation refusal (r11 audit): ALS factors depend on the blocked
+    // normal-equation solve's iteration order and BLAS rounding — no SQL
+    // engine can re-derive them, and an "oracle" that re-ran Spark's own
+    // solver would prove nothing. The RMSE-beats-baseline bound is the
+    // strongest engine-independent claim the model output admits.
     // Telemetry split (VERDICT r7 #3): ALS training + the localCheckpoint
     // run eagerly inside alsAudit, i.e. inside this timed block; the audit
     // aggregations over the checkpointed recs run lazily at the sink. The
@@ -552,12 +566,23 @@ object SparkEntry {
     // sketch twin, promise-gated: CMS estimates are seeded-hash-specific,
     // so the gate emits the sketch's portable contract (exact distinct-term
     // count oracle-recomputed; never-undercount + heavy-hitter recovery
-    // booleans oracle-pinned; raw estimates stay pinned in TextAnalysisSpec)
+    // booleans oracle-pinned; raw estimates stay pinned in TextAnalysisSpec).
+    // Graduation refusal (r11 audit): the CMS rows hash with seeded
+    // xxhash64 — the exact case poly_hash solved for MinHash does NOT
+    // transfer, because the sketch's error bound depends on pairwise-
+    // independent seeds, and downgrading them to one affine family to
+    // please the oracle would weaken the production sketch. Exact twin
+    // (q_vocab) is a full recompute.
     "q_vocab_approx" -> ((s, d) => TextAnalysis.vocabularyApproxAudit(
       Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextAnalysis.topTermsTfIdf(Tables.documents(s, d))),
     // first BPE merge table: vocab-weighted adjacent symbol-pair counts
     "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeFirstMerges(Tables.documents(s, d))),
+    // the FULL BPE training loop: 8 fixed merge rounds (merge -> re-pair
+    // -> recount over the vocabulary), each round's argmax re-derived by
+    // the oracle's unrolled CTEs — the pagerank/kcore fixed-round
+    // precedent applied to tokenizer training
+    "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d))),
     // chi-square most-indicative vocabulary per source
     "q_source_terms" -> ((s, d) => TextAnalysis.sourceIndicativeTerms(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
@@ -762,6 +787,14 @@ object SparkEntry {
     // the booleans oracle-pinned; raw top-k stays pinned in
     // SimilaritySpec/IvfIndexSpec. Single-table LSH's contract is bucket
     // collision (planted-clone retrieval), not global top-k recall.
+    // Graduation refusal (r11 audit, covers the five q_ann_* gates): the
+    // IVF paths' candidate sets follow the k-means quantizer — seeded
+    // centroid initialization plus float-sum assignment ties that no SQL
+    // recompute reproduces bit-for-bit — and the LSH path's hyperplanes
+    // come from seeded Gaussian draws; honest quantizer-specificity is
+    // the documented boundary. The parts an oracle CAN check are already
+    // full recomputes: probe sizes, exact re-rank cosines (q_ann_brute
+    // shares the arithmetic), and the recall-audit's exact side.
     "q_ann_lsh" -> ((s, d) => Similarity.annContractAudit(
       Tables.embeddings(s, d), "ann_lsh", 1.0,
       Similarity.lshTopK(Tables.embeddings(s, d), 0L to 9L, k = 10),
@@ -840,7 +873,10 @@ object SparkEntry {
     // recall audit for the approx paths above plus the sq8 round trip:
     // overlap vs the exact baselines as a driver-gated row per method
     // (oracle recomputes the exact side and pins the contractual recall
-    // bound — see Similarity.recallAudit)
+    // bound — see Similarity.recallAudit). Graduation refusal (r11
+    // audit): the approximate side inherits the q_ann_* quantizer
+    // specificity — the audit EXISTS to compare it against the exact
+    // side, and that exact side is the oracle-recomputed half already.
     "q_recall_audit" -> ((s, d) => Similarity.recallAudit(
       s, Tables.embeddings(s, d))),
     // 8-bit scalar quantization codes (1 byte/dim vs float32's 4): pure
@@ -869,7 +905,12 @@ object SparkEntry {
       Tables.embeddings(s, d))),
     // PCA promise gate: component values are solver-specific, so the gate
     // pins the solver-independent contract (orthonormal basis, ordered
-    // explained variance, corpus-wide projection-norm isometry bound)
+    // explained variance, corpus-wide projection-norm isometry bound).
+    // Graduation refusal (r11 audit): eigenvectors carry sign/rotation
+    // freedom (degenerate eigenvalues make whole subspaces arbitrary), so
+    // even a bit-perfect SQL eigensolver could legitimately disagree —
+    // the basis-independent invariants pinned here ARE the checkable
+    // surface of PCA.
     "q_pca_audit" -> ((s, d) => Similarity.pcaAudit(
       s, Tables.embeddings(s, d))),
     // deterministic hash split audit: per (source, split) counts + shares
@@ -1003,7 +1044,12 @@ object SparkEntry {
     // payloads), so the gate pins the portable per-row contract instead:
     // id/type/byte-count are oracle-recomputed from the fixture mix, and
     // features_ok pins the decode contract (featureDim floats, all in
-    // [-1, 1]) for every row; raw values stay pinned in MultimodalSpec
+    // [-1, 1]) for every row; raw values stay pinned in MultimodalSpec.
+    // Graduation refusal (r11 audit): the image leg's pixels come out of
+    // the JVM's ImageIO codecs — no SQL engine decodes JPEG/PNG, and the
+    // H.264 leg is the documented container-constraint stub — so feature
+    // floats are unreachable by any oracle; the structural contract
+    // (dimensions, bounds, byte counts) is the whole checkable surface.
     "q_media_features" -> ((s, d) => Multimodal.extractFeatures(
       s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
       .toDF().select(col("media_id"), col("media_type"), col("n_bytes"),
@@ -1012,6 +1058,43 @@ object SparkEntry {
           .as("features_ok"))
       .orderBy(col("media_id"))),
   )
+
+  /** The BPE training unroll (q_bpe_train): per round — pair counts over
+    * the separator-wrapped symbol strings, the (n DESC, s1, s2) argmax,
+    * then the non-overlapping `replace` merge; `chr(31)`-wrapped symbols
+    * make DuckDB's replace byte-identical to the engine's (see
+    * [[graft.text.TextAnalysis.bpeTrain]]). */
+  private def bpeTrainSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pr[1] AS s1, pr[2] AS s2, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_transform(range(1, len(syms)),
+         |             k -> [syms[k], syms[k+1]])) AS pr, freq
+         |    FROM (SELECT list_filter(string_split(ws, chr(31)), x -> x <> '') AS syms,
+         |                 freq FROM v${i - 1})
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (
+         |  SELECT $i AS rank, s1, s2, s1 || s2 AS merged, n
+         |  FROM p$i ORDER BY n DESC, s1, s2 LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT replace(ws, chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31),
+         |                     chr(31) || b.s1 || b.s2 || chr(31)) AS ws, v.freq
+         |  FROM v${i - 1} v, b$i b),""".stripMargin
+    }.mkString("\n")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT chr(31) || array_to_string(list_transform(
+       |           range(1, length(word) + 1), i -> substr(word, i, 1)),
+       |           chr(31) || chr(31)) || chr(31) AS ws, freq
+       |  FROM (SELECT w AS word, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+       |    FROM documents) GROUP BY 1)),
+       |$rounds
+       |merges AS (${(1 to nMerges).map(i => s"SELECT * FROM b$i")
+          .mkString(" UNION ALL ")})
+       |SELECT rank, s1, s2, merged, n FROM merges ORDER BY rank""".stripMargin
+  }
 
   /** Shared SCD2 oracle (q_scd2 / q_scd2_table — byte-identical SQL is
     * the documented shared-oracle class). */
@@ -2148,6 +2231,9 @@ object SparkEntry {
         |  FROM vocab WHERE length(word) >= 2)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
         |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // full BPE training loop: every round's pair table, argmax and merge
+    // re-derived by the unrolled CTEs (fixed N = 8, a hyperparameter)
+    "q_bpe_train" -> bpeTrainSql(8),
     // chi-square indicative terms: identical contingency arithmetic with
     // the denominator in DOUBLE from the first factor on; ranked by the
     // rounded statistic in both engines

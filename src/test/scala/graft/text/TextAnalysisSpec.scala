@@ -93,6 +93,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq("ab" -> 4L, "cd" -> 3L, "ba" -> 2L), s"got $got")
   }
 
+  test("bpeTrain: N-round merge loop — greedy non-overlap, merged symbols re-pair, early exhaustion") {
+    // vocab: abab:2, aaab:1. Hand trace:
+    //  r1 pairs: ab:4+1=5, ba:2, aa:2  -> merge (a,b)=ab n=5
+    //     abab -> [ab,ab]; aaab -> [a,a,ab] (greedy left-to-right)
+    //  r2 pairs: (ab,ab):2, (a,a):1, (a,ab):1 -> merge (ab,ab)=abab n=2
+    //  r3 tie at n=1 -> (s1,s2) order picks (a,a)=aa n=1
+    //  r4 pairs: (aa,ab):1 -> merge =aaab n=1; r5: no pairs -> stop early
+    val d = Seq((1L, "abab abab aaab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(d, nMerges = 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", "b", "ab", 5L),
+      (2, "ab", "ab", "abab", 2L),
+      (3, "a", "a", "aa", 1L),
+      (4, "aa", "ab", "aaab", 1L)), s"got $got")
+  }
+
   test("sourceIndicativeTerms: planted source-exclusive term tops its source") {
     // "zebra" appears in every srcA doc and no srcB doc; "common" everywhere
     val d = (1L to 10L).map(i => (i, "common zebra filler", "srcA")) ++
