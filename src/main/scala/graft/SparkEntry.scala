@@ -583,6 +583,11 @@ object SparkEntry {
     // the oracle's unrolled CTEs — the pagerank/kcore fixed-round
     // precedent applied to tokenizer training
     "q_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d))),
+    // tokenizer application: encode the corpus with the freshly learned
+    // merge table — per-doc word/char/BPE-token counts via a map-side
+    // chain of N codegen'd replaces (zero joins; the oracle re-derives
+    // the merges AND reads each word's final state off the last v CTE)
+    "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
     // chi-square most-indicative vocabulary per source
     "q_source_terms" -> ((s, d) => TextAnalysis.sourceIndicativeTerms(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
@@ -754,6 +759,13 @@ object SparkEntry {
     // ACTUAL per-vector verdicts and DuckDB recomputes cells, within-cell
     // cosines and drops. 0.35 matches the exact/LSH cosine gates: the
     // fixture's near-dup mass sits there, so the drop path is exercised.
+    // scale boundary (r11 x32 row): this FIXED-nlist configuration is the
+    // static-oracle form — within-cell pairs are n²/nlist by contract, so
+    // it super-linears once the corpus outgrows its 16 cells (39.9x at
+    // x32). The corpus path is Similarity.semanticDedupScaled (nlist ≈
+    // 4√n, stress-rowed as semantic_dedup_scaled); it cannot share this
+    // oracle because a static SQL cannot know n — the
+    // q_cosine_near_dups_lsh refusal, same shape.
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(
       Tables.embeddings(s, d), nlist = 16, threshold = 0.35)),
     // GRADUATED r10 (VERDICT r9 "next" #8): the MinHash pipeline now runs
@@ -1006,6 +1018,19 @@ object SparkEntry {
         // (r10 verdict: no total-order shuffle inside the merge)
         .orderBy(col("cust_key"), col("version_from"))
     }),
+    // the as-of read — the question type-2 history EXISTS to answer:
+    // slice the merged dimension at version 1 (the instant before the
+    // batch landed). Expired-at-2 rows come back, opened/inserted rows
+    // drop out, pre-v1 history stays out — the oracle re-derives the
+    // same slice with two comparisons over the shared CTEs
+    "q_scd2_asof" -> ((s, d) => {
+      val (dim, batch) = scdFixture(s, d)
+      graft.lake.Scd.asOf(
+        graft.lake.Scd.scd2Merge(dim, batch, "cust_key",
+          Seq("segment", "nation"), batchVersion = 2L),
+        version = 1L)
+        .orderBy(col("cust_key"))
+    }),
     // the MAINTAINED dimension twin (lake/ScdTable): build the standing
     // table at v1 (append-only history log + key-bucketed copy-on-write
     // current slice), ADMIT the same batch — touched-bucket-only merge,
@@ -1064,7 +1089,7 @@ object SparkEntry {
     * then the non-overlapping `replace` merge; `chr(31)`-wrapped symbols
     * make DuckDB's replace byte-identical to the engine's (see
     * [[graft.text.TextAnalysis.bpeTrain]]). */
-  private def bpeTrainSql(nMerges: Int): String = {
+  private def bpeCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT pr[1] AS s1, pr[2] AS s2, CAST(sum(freq) AS BIGINT) AS n FROM (
@@ -1078,27 +1103,50 @@ object SparkEntry {
          |  SELECT $i AS rank, s1, s2, s1 || s2 AS merged, n
          |  FROM p$i ORDER BY n DESC, s1, s2 LIMIT 1),
          |v$i AS MATERIALIZED (
-         |  SELECT replace(ws, chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31),
+         |  SELECT v.word, replace(ws, chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31),
          |                     chr(31) || b.s1 || b.s2 || chr(31)) AS ws, v.freq
          |  FROM v${i - 1} v, b$i b),""".stripMargin
     }.mkString("\n")
     s"""WITH v0 AS MATERIALIZED (
-       |  SELECT chr(31) || array_to_string(list_transform(
+       |  SELECT word, chr(31) || array_to_string(list_transform(
        |           range(1, length(word) + 1), i -> substr(word, i, 1)),
        |           chr(31) || chr(31)) || chr(31) AS ws, freq
        |  FROM (SELECT w AS word, count(*) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(lower(text),
        |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
        |    FROM documents) GROUP BY 1)),
-       |$rounds
-       |merges AS (${(1 to nMerges).map(i => s"SELECT * FROM b$i")
-          .mkString(" UNION ALL ")})
-       |SELECT rank, s1, s2, merged, n FROM merges ORDER BY rank""".stripMargin
+       |$rounds""".stripMargin
   }
 
-  /** Shared SCD2 oracle (q_scd2 / q_scd2_table — byte-identical SQL is
-    * the documented shared-oracle class). */
-  private val scdOracleSql: String =
+  private def bpeTrainSql(nMerges: Int): String =
+    s"""${bpeCtes(nMerges)}
+       |merges AS (${(1 to nMerges).map(i => s"SELECT * FROM b$i")
+        .mkString(" UNION ALL ")})
+       |SELECT rank, s1, s2, merged, n FROM merges ORDER BY rank""".stripMargin
+
+  /** Tokenizer APPLICATION: the final vocabulary state (the last v CTE)
+    * already holds every word's post-merge symbol string, so the per-doc
+    * encode is a word join against it — symbol counts fall out of the
+    * separator arithmetic (each symbol is wrapped by two chr(31)s). */
+  private def bpeEncodeSql(nMerges: Int): String =
+    s"""${bpeCtes(nMerges)}
+       |wordlen AS (
+       |  SELECT word,
+       |    (length(ws) - length(replace(ws, chr(31), ''))) // 2 AS n_bpe
+       |  FROM v$nMerges),
+       |docwords AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word
+       |  FROM documents)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(length(word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+       |FROM docwords JOIN wordlen USING (word)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** Shared SCD2 oracle CTEs (q_scd2 / q_scd2_table / q_scd2_asof):
+    * the dim/batch fixture derivation and the three merge legs. */
+  private val scdOracleCtes: String =
     """WITH cur AS (
         |  SELECT c_custkey AS cust_key, c_mktsegment AS segment,
         |    CAST(c_nationkey AS BIGINT) AS nation,
@@ -1144,8 +1192,19 @@ object SparkEntry {
         |    CAST(999999999 AS BIGINT), true
         |  FROM j WHERE cust_key IS NULL)
         |SELECT cust_key, segment, nation, version_from, version_to, is_current
-        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM emitted)
-        |ORDER BY cust_key, version_from""".stripMargin
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM emitted)""".stripMargin
+
+  /** Byte-identical SQL for the merge gate and its maintained-table twin
+    * (the documented shared-oracle class). */
+  private val scdOracleSql: String =
+    scdOracleCtes + "\nORDER BY cust_key, version_from"
+
+  /** The as-of slice of the merged dimension at version 1 — exactly the
+    * rows current the instant before the batch landed (expired rows
+    * included, opened/inserted/pre-v1-history excluded). */
+  private val scdAsOfOracleSql: String =
+    scdOracleCtes +
+      "\nWHERE version_from <= 1 AND version_to > 1 ORDER BY cust_key"
 
   /** The weighted-PageRank unroll: identical to [[pageRankIterSql]] except
     * contributions follow the precomputed per-edge transition weight
@@ -2234,6 +2293,9 @@ object SparkEntry {
     // full BPE training loop: every round's pair table, argmax and merge
     // re-derived by the unrolled CTEs (fixed N = 8, a hyperparameter)
     "q_bpe_train" -> bpeTrainSql(8),
+    // encode: same unrolled training CTEs + the word join against the
+    // final vocabulary state
+    "q_bpe_encode" -> bpeEncodeSql(8),
     // chi-square indicative terms: identical contingency arithmetic with
     // the denominator in DOUBLE from the first factor on; ranked by the
     // rounded statistic in both engines
@@ -3455,6 +3517,8 @@ object SparkEntry {
     // the maintained-table twin shares the merge oracle byte-for-byte:
     // bucketed copy-on-write persistence must not change one output row
     "q_scd2_table" -> scdOracleSql,
+    // as-of slice: same CTEs, the two-comparison time-travel predicate
+    "q_scd2_asof" -> scdAsOfOracleSql,
     "q_top_event_types" ->
       """SELECT window_start, event_type, n_events, rnk FROM (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type,

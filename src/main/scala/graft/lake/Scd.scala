@@ -101,4 +101,15 @@ object Scd {
         col("version_to") :+ col("is_current"): _*)
       .unionByName(emitted)
   }
+
+  /** The dimension AS OF `version` — the rows that were current the
+    * instant version `version` was the latest commit: `version_from <=
+    * version < version_to`. This is the whole point of keeping type-2
+    * history ("which source config produced this shard?"); with the
+    * high-date sentinel both bounds are plain sargable comparisons — no
+    * null semantics, and at 100 TB the `version_from` predicate pushes
+    * into the parquet scan. */
+  def asOf(dim: DataFrame, version: Long): DataFrame =
+    dim.filter(col("version_from") <= lit(version) &&
+      col("version_to") > lit(version))
 }

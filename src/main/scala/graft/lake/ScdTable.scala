@@ -178,6 +178,12 @@ object ScdTable {
   def dim(spark: SparkSession, path: String): DataFrame =
     history(spark, path).unionByName(current(spark, path))
 
+  /** Time travel: the dimension AS OF commit `version` ([[Scd.asOf]] over
+    * the standing table — rows opened by later commits drop out, rows
+    * they expired come back). */
+  def dimAsOf(spark: SparkSession, path: String, version: Long): DataFrame =
+    Scd.asOf(dim(spark, path), version)
+
   final case class AdmitReport(version: Long, touchedBuckets: Seq[Int],
                                expired: Long, opened: Long)
 

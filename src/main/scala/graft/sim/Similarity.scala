@@ -698,6 +698,14 @@ object Similarity {
         .select(col("vec_id"), col("cluster").as("cell")), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("cell"))
       .pinTier
+    cellConfinedDedup(assigned, threshold)
+  }
+
+  /** The cell-confined compare + verdict shared by the oracle-gated and
+    * corpus-scale SemDeDup forms (input: pinned (vec_id, embedding,
+    * cell)). */
+  private def cellConfinedDedup(assigned: DataFrame,
+                                threshold: Double): DataFrame = {
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
@@ -713,6 +721,38 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
         when(col("dropped").isNull, 1).otherwise(0).cast("int").as("keep"))
       .orderBy(col("vec_id"))
+  }
+
+  /** The CORPUS-SCALE SemDeDup configuration — the r11 x32 stress row
+    * exposed the boundary: the oracle-gated form's FIXED `nlist` turns
+    * the within-cell compare quadratic the moment the corpus outgrows
+    * its cells (measured 39.9x at x32 — Σ|cell|² ≈ n²/nlist). This form
+    * scales the cell count by the FAISS occupancy rule `nlist ≈ 4·√n`
+    * (one column-pruned count, the requireExactScale precedent), putting
+    * both cost legs in the n^1.5 class — assignment n·nlist map-side
+    * flops against broadcast centroids, within-cell pairs n²/nlist —
+    * with shuffle volume linear in n throughout. The quantizer is
+    * spark.ml KMeans (the IVF path; BLAS-backed), not the decimal-exact
+    * fixed-round recurrence — which is exactly why this form cannot
+    * graduate: seeded init + float assignment ties are
+    * quantizer-specific (the documented q_ann_* refusal), while the
+    * gate's fixed-nlist twin keeps the full DuckDB oracle. Same output
+    * contract: (vec_id, cell, keep). */
+  def semanticDedupScaled(embeddings: DataFrame,
+                          threshold: Double = 0.8,
+                          seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = embeddings.select(col("vec_id")).count()
+    val nlist = math.max(16, math.ceil(4.0 * math.sqrt(n.toDouble)).toInt)
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("v", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("v").setPredictionCol("cell")
+    val assigned = km.fit(vecs).transform(vecs)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .pinTier
+    cellConfinedDedup(assigned, threshold)
   }
 
   /** Row cap for the exact quadratic baselines ([[cosineNearDups]], an

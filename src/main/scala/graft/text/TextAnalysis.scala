@@ -1010,6 +1010,44 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Tokenizer APPLICATION — encode the corpus with the merge table
+    * [[bpeTrain]] just learned: per document, word count, pre-merge
+    * symbol count (characters) and post-merge BPE token count — the
+    * compression-ratio stat a tokenizer-training pipeline reports, and
+    * the shape token-budget planning needs per document.
+    *
+    * Scale shape: the learned merges are N driver-side rows, applied as a
+    * chain of N codegen'd `replace` calls over each word occurrence — a
+    * pure map-side scan, zero joins; the only exchange is the per-doc
+    * aggregate. (A vocab-join variant would shuffle the corpus on `word`
+    * for no benefit — the replace chain is cheaper than the join it
+    * avoids.) Symbol counts derive from separator arithmetic: each symbol
+    * carries exactly two U+001F wrappers. */
+  def bpeEncode(documents: DataFrame, nMerges: Int = 8): DataFrame = {
+    val Sep = "\u001f"
+    def esc(s: String): String = s.replace("'", "''")
+    val merges = bpeTrain(documents, nMerges)
+      .select(col("s1"), col("s2")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    var chain = s"concat('$Sep', array_join(" +
+      s"filter(split(word, ''), x -> x <> ''), '$Sep$Sep'), '$Sep')"
+    merges.foreach { case (s1, s2) =>
+      chain = s"replace($chain, '$Sep${esc(s1)}$Sep$Sep${esc(s2)}$Sep'," +
+        s" '$Sep${esc(s1)}${esc(s2)}$Sep')"
+    }
+    documents
+      .select(col("doc_id"), explode(bpeTokens(col("text"))).as("word"))
+      .select(col("doc_id"), length(col("word")).as("n_chars_w"),
+        (((length(expr(chain)) -
+          length(translate(expr(chain), Sep, ""))) / 2)
+          .cast("bigint")).as("n_bpe_w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars_w")).cast("bigint").as("n_chars"),
+        sum(col("n_bpe_w")).cast("bigint").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document bigram log-loss under the corpus's own Kneser–Ney model
     * — the KenLM/CCNet-style perplexity filter: documents whose token
     * sequences the corpus LM finds surprising (high mean negative

@@ -85,6 +85,20 @@ class ScdSpec extends SparkSpec {
     assert(expired1 == 1L, "current row for key 1 expired more than once")
   }
 
+  test("asOf: slicing the merged dimension at v1 reproduces the pre-batch current slice") {
+    val merged = Scd.scd2Merge(dim, batch, "k", Seq("seg", "nat"), 2L)
+    val got = Scd.asOf(merged, 1L).orderBy(col("k"))
+      .as[(Long, String, Long, Long, Long, Boolean)].collect().toSeq
+    // expired-at-2 key 1 comes BACK (it was current at v1); the opened
+    // replacement and the v2 insert drop out; the v0 history row stays out
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq((1L, "A"), (2L, "B"), (3L, "C")), s"got $got")
+    // as-of v0 sees only the pre-v1 history row's world
+    val v0 = Scd.asOf(merged, 0L).as[(Long, String, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(v0.map(r => (r._1, r._2)) == Seq((2L, "B0")), s"got $v0")
+  }
+
   test("scd2Merge plan: one join, explode-emitted legs, no operator-level global sort") {
     val p = Scd.scd2Merge(dim, batch, "k", Seq("seg", "nat"), 2L)
       .queryExecution.explainString(

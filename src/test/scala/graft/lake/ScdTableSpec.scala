@@ -146,6 +146,21 @@ class ScdTableSpec extends SparkSpec {
     } finally drop(stage)
   }
 
+  test("ScdTable: dimAsOf time-travels the standing table identically to the operator") {
+    val stage = freshStage("asof")
+    try {
+      ScdTable.build(dim, s"$stage/t", "k", Seq("seg", "nat"), nBuckets = 8)
+      ScdTable.admit(spark, batch, s"$stage/t")
+      val expected = Scd.asOf(
+        Scd.scd2Merge(dim, batch, "k", Seq("seg", "nat"), 2L), 1L)
+        .orderBy(col("k"))
+        .as[(Long, String, Long, Long, Long, Boolean)].collect().toSeq
+      val got = ScdTable.dimAsOf(spark, s"$stage/t", 1L).orderBy(col("k"))
+        .as[(Long, String, Long, Long, Long, Boolean)].collect().toSeq
+      assert(got == expected, s"table as-of diverged:\n$got\nvs\n$expected")
+    } finally drop(stage)
+  }
+
   test("ScdTable: an all-new-keys batch inserts without touching standing buckets' content") {
     val stage = freshStage("insert")
     try {

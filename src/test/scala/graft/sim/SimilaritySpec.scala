@@ -198,6 +198,24 @@ class SimilaritySpec extends SparkSpec {
     assert(strict >= keeps.values.count(_ == 1))
   }
 
+  test("semanticDedupScaled: auto-scaled cells keep the clone-drop contract and exact precision") {
+    val base = Tables.embeddings(spark, sf)
+    val clone = base.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = base.unionByName(clone)
+    val got = Similarity.semanticDedupScaled(corpus, threshold = 0.35)
+    val keeps = got.select("vec_id", "keep").as[(Long, Int)].collect().toMap
+    // identical vectors always share a centroid whatever the quantizer:
+    // the clone must drop, the original must survive
+    assert(keeps(10007L) == 0 && keeps(7L) == 1)
+    // precision 1 by construction — every drop has an exact lower-id
+    // partner at >= threshold (recall is quantizer-dependent, not pinned)
+    val exact = Similarity.cosineNearDups(corpus, 0.35)
+      .select("id_b").as[Long].collect().toSet
+    keeps.filter(_._2 == 0).keys.foreach(v =>
+      assert(exact.contains(v), s"vec $v dropped without an exact partner"))
+  }
+
   test("hyperplane-table buckets are bit-identical to lshSignature, any table offset") {
     val planes = 8
     for (offset <- Seq(0, 24)) { // table 0 and table 3 of the multi-table scheme

@@ -110,6 +110,20 @@ class TextAnalysisSpec extends SparkSpec {
       (4, "aa", "ab", "aaab", 1L)), s"got $got")
   }
 
+  test("bpeEncode: learned merges compress the corpus; counts are exact") {
+    // after the 4 learnable merges (see bpeTrain test) both words encode
+    // to a single token: 3 words, 12 chars, 3 BPE tokens
+    val d = Seq((1L, "abab abab aaab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(d, nMerges = 6)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 12L, 3L)), s"got $got")
+    // fewer merges -> partial compression: with only merge (a,b)=ab,
+    // abab -> [ab,ab] (2), aaab -> [a,a,ab] (3) => 7 tokens
+    val one = TextAnalysis.bpeEncode(d, nMerges = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 3L, 12L, 7L)), s"got $one")
+  }
+
   test("sourceIndicativeTerms: planted source-exclusive term tops its source") {
     // "zebra" appears in every srcA doc and no srcB doc; "common" everywhere
     val d = (1L to 10L).map(i => (i, "common zebra filler", "srcA")) ++
