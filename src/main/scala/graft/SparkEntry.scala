@@ -588,6 +588,12 @@ object SparkEntry {
     // chain of N codegen'd replaces (zero joins; the oracle re-derives
     // the merges AND reads each word's final state off the last v CTE)
     "q_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
+    // DSIR importance resampling (Xie et al. 2023): score every document
+    // by the hashed-bigram log-likelihood ratio between the src0/src1
+    // target slice's model and the rest-of-corpus model — poly_hash
+    // buckets make the whole pipeline a full DuckDB recompute
+    "q_dsir" -> ((s, d) => TextAnalysis.dsirWeights(
+      Tables.documents(s, d), targetSources = Seq("src0", "src1"))),
     // chi-square most-indicative vocabulary per source
     "q_source_terms" -> ((s, d) => TextAnalysis.sourceIndicativeTerms(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
@@ -2296,6 +2302,38 @@ object SparkEntry {
     // encode: same unrolled training CTEs + the word join against the
     // final vocabulary state
     "q_bpe_encode" -> bpeEncodeSql(8),
+    // DSIR: identical hashed-feature models (poly_hash buckets, add-one
+    // smoothing), identical lr term order; per-doc sum rounded at 4 dp
+    // and the keep verdict derived from the ROUNDED value (q_doc_nll
+    // float discipline)
+    "q_dsir" ->
+      s"""WITH feats AS MATERIALIZED (
+        |  SELECT doc_id, source, ${polyHashSql("feat")} % 1024 AS bucket
+        |  FROM (
+        |    SELECT doc_id, source, unnest(toks || CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)),
+        |             i -> toks[i] || ' ' || toks[i + 1])
+        |      ELSE [] END) AS feat
+        |    FROM (SELECT doc_id, source, list_filter(
+        |      string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        |      FROM documents))),
+        |t AS (SELECT bucket, count(*) AS c_t FROM feats
+        |      WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |r AS (SELECT bucket, count(*) AS c_r FROM feats
+        |      WHERE source NOT IN ('src0', 'src1') GROUP BY 1),
+        |tot AS (SELECT
+        |  sum(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS n_t,
+        |  sum(CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END) AS n_r
+        |  FROM feats),
+        |ratio AS (
+        |  SELECT bucket,
+        |    ln(coalesce(c_t, 0) + 1.0) - ln(n_t + 1024.0)
+        |      - ln(coalesce(c_r, 0) + 1.0) + ln(n_r + 1024.0) AS lr
+        |  FROM t FULL OUTER JOIN r USING (bucket) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_feats, round(sum(lr), 4) AS llr,
+        |  round(sum(lr), 4) > 0 AS keep
+        |FROM feats JOIN ratio USING (bucket)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // chi-square indicative terms: identical contingency arithmetic with
     // the denominator in DOUBLE from the first factor on; ranked by the
     // rounded statistic in both engines

@@ -306,7 +306,18 @@ class GoldenPlanSpec extends SparkSpec {
     // the operator itself sort-free)
     "q_scd2" -> Golden(
       required = Seq("FullOuter", "Generate"),
-      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // as-of slice: the same one-join merge with the time-travel filter —
+    // still no second pass, no cartesian
+    "q_scd2_asof" -> Golden(
+      required = Seq("FullOuter", "Generate"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // BPE encode: the replace chain is a pure map-side scan — any join
+    // here means the encode regressed to the vocab-shuffle form; the
+    // per-doc aggregate must map-combine
+    "q_bpe_encode" -> Golden(
+      required = Seq("partial_count", "Generate"),
+      forbidden = Seq("Join", "CartesianProduct")))
 
   golden.foreach { case (name, g) =>
     test(s"golden plan: $name") {

@@ -124,6 +124,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == Seq((1L, 3L, 12L, 7L)), s"got $one")
   }
 
+  test("dsirWeights: target-resembling docs score positive, alien docs negative, counts exact") {
+    // target slice (srcT) speaks "zebra quagga"; raw speaks "rock mineral".
+    // doc 30 is raw-labelled but target-flavored -> must score keep=true;
+    // doc 31 is pure raw vocabulary -> keep=false
+    val docs = ((1L to 10L).map(i => (i, "zebra quagga stripe zebra", "srcT")) ++
+      (11L to 20L).map(i => (i, "rock mineral quartz rock", "srcR")) ++
+      Seq((30L, "zebra quagga stripe", "srcR"), (31L, "rock quartz mineral", "srcR")))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dsirWeights(docs, Seq("srcT"), nBuckets = 64)
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(30L)._4, s"target-flavored doc must keep: ${got(30L)}")
+    assert(!got(31L)._4, s"alien doc must drop: ${got(31L)}")
+    assert(got(1L)._4 && !got(11L)._4)
+    // unigrams + adjacent bigrams: 3 tokens -> 5 features
+    assert(got(30L)._2 == 5L, s"got ${got(30L)}")
+    // scores are symmetric evidence: target docs strictly above alien ones
+    assert(got(1L)._3 > got(11L)._3)
+  }
+
   test("sourceIndicativeTerms: planted source-exclusive term tops its source") {
     // "zebra" appears in every srcA doc and no srcB doc; "common" everywhere
     val d = (1L to 10L).map(i => (i, "common zebra filler", "srcA")) ++
