@@ -540,6 +540,11 @@ object SparkEntry {
     // KenLM-style per-doc perplexity filter: mean bigram NLL under the
     // corpus's own KN model
     "q_doc_nll" -> ((s, d) => TextAnalysis.docBigramLogLoss(Tables.documents(s, d))),
+    // CCNet head/middle/tail: per-source perplexity tertiles over the KN
+    // log-loss — ntile over the deterministic (mean_nll, doc_id) order,
+    // so the cut is rank-based and engine-portable
+    "q_perplexity_buckets" -> ((s, d) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
     "q_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     // winnow fingerprint VALUES are xxhash64-specific; the gate pins the
     // portable coverage contract instead (every tokenized document emits a
@@ -1089,6 +1094,33 @@ object SparkEntry {
           .as("features_ok"))
       .orderBy(col("media_id"))),
   )
+
+  /** The Kneser-Ney per-doc bigram log-loss recompute — shared by
+    * q_doc_nll and the perplexity-tertile gate built on it. */
+  private val docNllSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w1,
+        |    generate_subscripts(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> ''), 1) AS pos
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, w1,
+        |    lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks QUALIFY w2 IS NOT NULL),
+        |bi AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+        |fwd AS (SELECT w1, sum(c) AS c_w1, count(*) AS n1_fwd FROM bi GROUP BY 1),
+        |bwd AS (SELECT w2, count(*) AS n1_bwd FROM bi GROUP BY 1),
+        |types AS (SELECT CAST(count(*) AS DOUBLE) AS n1_all FROM bi),
+        |model AS (
+        |  SELECT w1, w2,
+        |    greatest(c - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE)) / c_w1
+        |      + CAST(0.75 AS DOUBLE) * n1_fwd / c_w1 * (n1_bwd / n1_all) AS p
+        |  FROM bi JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN types)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln(p)), 4) AS mean_nll
+        |FROM pairs JOIN model USING (w1, w2)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** The BPE training unroll (q_bpe_train): per round — pair counts over
     * the separator-wrapped symbol strings, the (n DESC, s1, s2) argmax,
@@ -2258,30 +2290,17 @@ object SparkEntry {
         |ORDER BY c DESC, w1, w2 LIMIT 100""".stripMargin,
     // per-doc NLL under the same KN model: identical probability
     // expression at full precision, only the per-doc mean rounded
-    "q_doc_nll" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w1,
-        |    generate_subscripts(list_filter(
-        |      string_split_regex(lower(text), '\s+'), x -> x <> ''), 1) AS pos
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT doc_id, w1,
-        |    lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-        |  FROM toks QUALIFY w2 IS NOT NULL),
-        |bi AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
-        |fwd AS (SELECT w1, sum(c) AS c_w1, count(*) AS n1_fwd FROM bi GROUP BY 1),
-        |bwd AS (SELECT w2, count(*) AS n1_bwd FROM bi GROUP BY 1),
-        |types AS (SELECT CAST(count(*) AS DOUBLE) AS n1_all FROM bi),
-        |model AS (
-        |  SELECT w1, w2,
-        |    greatest(c - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE)) / c_w1
-        |      + CAST(0.75 AS DOUBLE) * n1_fwd / c_w1 * (n1_bwd / n1_all) AS p
-        |  FROM bi JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN types)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(avg(-ln(p)), 4) AS mean_nll
-        |FROM pairs JOIN model USING (w1, w2)
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_doc_nll" -> docNllSql,
+    // CCNet tertiles: the same NLL recompute wrapped in a per-source
+    // ntile over the deterministic (mean_nll, doc_id) order
+    "q_perplexity_buckets" ->
+      s"""SELECT b.doc_id, d.source, b.mean_nll,
+        |  CASE ntile(3) OVER (PARTITION BY d.source
+        |                      ORDER BY b.mean_nll, b.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+        |  END AS bucket
+        |FROM ($docNllSql) b JOIN documents d USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // BPE first merges: same vocab-weighted pair counting, substring
     // semantics identical across engines
     "q_bpe_merges" ->

@@ -134,6 +134,7 @@ object Stress {
     // aggregate/window text + event shapes
     "q_triangles", "q_hits_parts", "q_kcore", "q_ppr", "q_link_pred",
     "q_communities", "q_edit_neardups", "q_kn_bigrams", "q_doc_nll",
+    "q_perplexity_buckets",
     "q_split_leakage", "q_emb_outliers",
     "q_bpe_merges", "q_bpe_train", "q_bpe_encode", "q_dsir", "q_gopher_rules", "q_c4_filters", "q_char_stats", "q_source_terms", "q_transitions",
     "q_decayed_popularity", "q_hourly_anomalies",

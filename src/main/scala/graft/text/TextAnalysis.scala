@@ -1160,6 +1160,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet's perplexity-tertile split (Wenzek et al. 2020 §3.3): score
+    * every document under the corpus LM ([[docBigramLogLoss]]) and cut
+    * each SOURCE into head/middle/tail thirds by ascending perplexity —
+    * the bucketing the CCNet pipeline publishes and downstream mixing
+    * recipes consume ("train on head+middle of each language"). Tertile
+    * assignment is `ntile(3)` over the deterministic (mean_nll, doc_id)
+    * order, so the boundary is engine-portable with no float-threshold
+    * risk.
+    *
+    * Scale shape: the log-loss pass (linear, see [[docBigramLogLoss]]),
+    * one doc-keyed join to recover the source, ONE source-partitioned
+    * window. A source whose per-shard cardinality breaks the window at
+    * extreme scale would switch to approx-percentile thresholds (the
+    * q_winsorize_approx class) — documented, not needed at any tested
+    * multiple. */
+  def perplexityBuckets(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("mean_nll"), col("doc_id"))
+    docBigramLogLoss(documents)
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("mean_nll"),
+        when(ntile(3).over(w) === 1, "head")
+          .when(ntile(3).over(w) === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** χ²-most-indicative terms per source — the classic feature-selection
     * statistic (Manning/Schütze IR ch.13) behind "what vocabulary makes
     * this crawl source different", and the features a domain classifier

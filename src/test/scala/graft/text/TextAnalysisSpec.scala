@@ -124,6 +124,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == Seq((1L, 3L, 12L, 7L)), s"got $one")
   }
 
+  test("perplexityBuckets: per-source tertiles are balanced and NLL-ordered") {
+    // 6 docs per source: repetitive (low NLL under the corpus's own LM)
+    // through mixed vocab (high); buckets must be 2/2/2 per source and
+    // respect the NLL order within each source
+    val docs = (0L to 5L).flatMap { i =>
+      Seq((i, s"alpha beta alpha beta gamma w$i x$i", "sA"),
+        (i + 100L, s"delta epsilon delta epsilon zeta y$i z$i", "sB"))
+    }.toDF("doc_id", "text", "source")
+    val got = TextAnalysis.perplexityBuckets(docs)
+      .as[(Long, String, Double, String)].collect().toSeq
+    for (src <- Seq("sA", "sB")) {
+      val s = got.filter(_._2 == src)
+      assert(s.groupBy(_._4).view.mapValues(_.size).toMap ==
+        Map("head" -> 2, "middle" -> 2, "tail" -> 2), s"unbalanced for $src: $s")
+      val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+      val sorted = s.sortBy(r => (r._3, r._1)).map(r => rank(r._4))
+      assert(sorted == sorted.sorted, s"buckets out of NLL order for $src: $s")
+    }
+  }
+
   test("dsirWeights: target-resembling docs score positive, alien docs negative, counts exact") {
     // target slice (srcT) speaks "zebra quagga"; raw speaks "rock mineral".
     // doc 30 is raw-labelled but target-flavored -> must score keep=true;
