@@ -599,6 +599,10 @@ object SparkEntry {
     // buckets make the whole pipeline a full DuckDB recompute
     "q_dsir" -> ((s, d) => TextAnalysis.dsirWeights(
       Tables.documents(s, d), targetSources = Seq("src0", "src1"))),
+    // the selection step: Gumbel-top-k resampling over the same weights,
+    // noise derived from poly_hash so the draw replays in the oracle
+    "q_dsir_resample" -> ((s, d) => TextAnalysis.dsirResample(
+      Tables.documents(s, d), targetSources = Seq("src0", "src1"), k = 50)),
     // chi-square most-indicative vocabulary per source
     "q_source_terms" -> ((s, d) => TextAnalysis.sourceIndicativeTerms(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
@@ -1094,6 +1098,56 @@ object SparkEntry {
           .as("features_ok"))
       .orderBy(col("media_id"))),
   )
+
+  /** DSIR hashed-feature model CTEs (q_dsir / q_dsir_resample): the
+    * poly_hash bucket stream, both smoothed models and the log-ratio
+    * table. */
+  private val dsirCtes: String =
+    s"""WITH feats AS MATERIALIZED (
+        |  SELECT doc_id, source, ${polyHashSql("feat")} % 1024 AS bucket
+        |  FROM (
+        |    SELECT doc_id, source, unnest(toks || CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)),
+        |             i -> toks[i] || ' ' || toks[i + 1])
+        |      ELSE [] END) AS feat
+        |    FROM (SELECT doc_id, source, list_filter(
+        |      string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        |      FROM documents))),
+        |t AS (SELECT bucket, count(*) AS c_t FROM feats
+        |      WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |r AS (SELECT bucket, count(*) AS c_r FROM feats
+        |      WHERE source NOT IN ('src0', 'src1') GROUP BY 1),
+        |tot AS (SELECT
+        |  sum(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS n_t,
+        |  sum(CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END) AS n_r
+        |  FROM feats),
+        |ratio AS (
+        |  SELECT bucket,
+        |    ln(coalesce(c_t, 0) + 1.0) - ln(n_t + 1024.0)
+        |      - ln(coalesce(c_r, 0) + 1.0) + ln(n_r + 1024.0) AS lr
+        |  FROM t FULL OUTER JOIN r USING (bucket) CROSS JOIN tot)""".stripMargin
+
+  private val dsirSql: String = dsirCtes + """
+    |SELECT doc_id, count(*) AS n_feats, round(sum(lr), 4) AS llr,
+    |  round(sum(lr), 4) > 0 AS keep
+    |FROM feats JOIN ratio USING (bucket)
+    |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** The resample leg: Gumbel keys from the replayable poly_hash draw,
+    * ranked on the rounded key with a doc_id tiebreak, k-cut inside. */
+  private val dsirResampleSql: String = dsirCtes + s""",
+    |scored AS (
+    |  SELECT doc_id, round(sum(lr), 4) AS llr
+    |  FROM feats JOIN ratio USING (bucket) GROUP BY 1),
+    |keyed AS (
+    |  SELECT doc_id, llr,
+    |    round(llr - ln(-ln((${polyHashSql("'gumbel1:' || CAST(doc_id AS VARCHAR)")} + 0.5)
+    |      / 2147483647.0)), 4) AS g_key
+    |  FROM scored)
+    |SELECT * FROM (
+    |  SELECT doc_id, llr, g_key FROM keyed
+    |  ORDER BY g_key DESC, doc_id LIMIT 50)
+    |ORDER BY doc_id""".stripMargin
 
   /** The Kneser-Ney per-doc bigram log-loss recompute — shared by
     * q_doc_nll and the perplexity-tertile gate built on it. */
@@ -2325,34 +2379,9 @@ object SparkEntry {
     // smoothing), identical lr term order; per-doc sum rounded at 4 dp
     // and the keep verdict derived from the ROUNDED value (q_doc_nll
     // float discipline)
-    "q_dsir" ->
-      s"""WITH feats AS MATERIALIZED (
-        |  SELECT doc_id, source, ${polyHashSql("feat")} % 1024 AS bucket
-        |  FROM (
-        |    SELECT doc_id, source, unnest(toks || CASE WHEN len(toks) >= 2
-        |      THEN list_transform(range(1, len(toks)),
-        |             i -> toks[i] || ' ' || toks[i + 1])
-        |      ELSE [] END) AS feat
-        |    FROM (SELECT doc_id, source, list_filter(
-        |      string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-        |      FROM documents))),
-        |t AS (SELECT bucket, count(*) AS c_t FROM feats
-        |      WHERE source IN ('src0', 'src1') GROUP BY 1),
-        |r AS (SELECT bucket, count(*) AS c_r FROM feats
-        |      WHERE source NOT IN ('src0', 'src1') GROUP BY 1),
-        |tot AS (SELECT
-        |  sum(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS n_t,
-        |  sum(CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END) AS n_r
-        |  FROM feats),
-        |ratio AS (
-        |  SELECT bucket,
-        |    ln(coalesce(c_t, 0) + 1.0) - ln(n_t + 1024.0)
-        |      - ln(coalesce(c_r, 0) + 1.0) + ln(n_r + 1024.0) AS lr
-        |  FROM t FULL OUTER JOIN r USING (bucket) CROSS JOIN tot)
-        |SELECT doc_id, count(*) AS n_feats, round(sum(lr), 4) AS llr,
-        |  round(sum(lr), 4) > 0 AS keep
-        |FROM feats JOIN ratio USING (bucket)
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_dsir" -> dsirSql,
+    // the Gumbel-top-k selection: same model CTEs, replayable hash draw
+    "q_dsir_resample" -> dsirResampleSql,
     // chi-square indicative terms: identical contingency arithmetic with
     // the denominator in DOUBLE from the first factor on; ranked by the
     // rounded statistic in both engines

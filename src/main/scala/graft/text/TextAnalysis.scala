@@ -1109,6 +1109,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR's SELECTION step — importance RESAMPLING via the Gumbel-top-k
+    * trick (sampling ∝ exp(llr) without replacement ≡ top-k of
+    * llr + Gumbel noise). The noise is derived, not drawn:
+    * u = (poly_hash("seed:" + doc_id) + 0.5) / 2³¹−1 ∈ (0,1), g =
+    * −ln(−ln u) — so the draw is reproducible cross-engine and the gate
+    * stays a full recompute (a `rand()` here would be engine-private).
+    * The k-boundary ranks on the ROUNDED key with a doc_id tiebreak (the
+    * q_source_terms rule: rank on the published value, keep the cut
+    * engine-portable).
+    *
+    * Scale shape: [[dsirWeights]]' linear pipeline plus a TakeOrdered
+    * top-k — no global sort; the selection adds zero shuffles. */
+  def dsirResample(documents: DataFrame, targetSources: Seq[String],
+                   k: Int = 100, nBuckets: Int = 1024,
+                   seed: String = "gumbel1"): DataFrame = {
+    import graft.functions.PolyHash.poly_hash
+    val u = (poly_hash(concat(lit(seed + ":"), col("doc_id").cast("string")))
+      + lit(0.5)) / lit(graft.functions.PolyHash.Mod.toDouble)
+    dsirWeights(documents, targetSources, nBuckets)
+      .select(col("doc_id"), col("llr"),
+        round(col("llr") - log(-log(u)), 4).as("g_key"))
+      .orderBy(col("g_key").desc, col("doc_id"))
+      .limit(k)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document bigram log-loss under the corpus's own Kneser–Ney model
     * — the KenLM/CCNet-style perplexity filter: documents whose token
     * sequences the corpus LM finds surprising (high mean negative

@@ -124,6 +124,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == Seq((1L, 3L, 12L, 7L)), s"got $one")
   }
 
+  test("dsirResample: Gumbel-top-k is deterministic, k-sized, and follows the weights") {
+    val docs = ((1L to 10L).map(i => (i, "zebra quagga stripe zebra", "srcT")) ++
+      (11L to 22L).map(i => (i, "rock mineral quartz rock", "srcR")))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dsirResample(docs, Seq("srcT"), k = 6, nBuckets = 64)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got.size == 6)
+    // the llr separation (~±5) dwarfs the O(1) Gumbel noise: every
+    // selected doc is target-flavored
+    assert(got.forall(_._2 > 0), s"resample leaked alien docs: $got")
+    // replayable draw -> identical selection on a second run
+    val again = TextAnalysis.dsirResample(docs, Seq("srcT"), k = 6, nBuckets = 64)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(again == got)
+    // a different seed is a genuinely different draw (keys change even
+    // when the winning set happens to coincide)
+    val other = TextAnalysis.dsirResample(docs, Seq("srcT"), k = 6,
+      nBuckets = 64, seed = "gumbel2")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(other.map(_._3) != got.map(_._3), "seed change left the draw identical")
+  }
+
   test("perplexityBuckets: per-source tertiles are balanced and NLL-ordered") {
     // 6 docs per source: repetitive (low NLL under the corpus's own LM)
     // through mixed vocab (high); buckets must be 2/2/2 per source and
