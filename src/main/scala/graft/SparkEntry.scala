@@ -603,6 +603,10 @@ object SparkEntry {
     // noise derived from poly_hash so the draw replays in the oracle
     "q_dsir_resample" -> ((s, d) => TextAnalysis.dsirResample(
       Tables.documents(s, d), targetSources = Seq("src0", "src1"), k = 50)),
+    // BM25 retrieval (the lexical serving twin of the ANN family): top-20
+    // for a 3-term query, Lucene idf, rounded-score k-boundary
+    "q_bm25" -> ((s, d) => TextAnalysis.bm25TopK(
+      Tables.documents(s, d), queryTerms = Seq("join", "merge", "window"))),
     // chi-square most-indicative vocabulary per source
     "q_source_terms" -> ((s, d) => TextAnalysis.sourceIndicativeTerms(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
@@ -2382,6 +2386,31 @@ object SparkEntry {
     "q_dsir" -> dsirSql,
     // the Gumbel-top-k selection: same model CTEs, replayable hash draw
     "q_dsir_resample" -> dsirResampleSql,
+    // BM25: identical idf/tf-saturation arithmetic (integer counts in,
+    // one rounded score out), k-boundary on the rounded score
+    "q_bm25" ->
+      """WITH lens AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |    FROM documents)
+        |  WHERE term IN ('join', 'merge', 'window') GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf FROM (
+        |    SELECT term, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN stats),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    idf.idf * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS s
+        |  FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms, round(sum(s), 4) AS score
+        |FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // chi-square indicative terms: identical contingency arithmetic with
     // the denominator in DOUBLE from the first factor on; ranked by the
     // rounded statistic in both engines

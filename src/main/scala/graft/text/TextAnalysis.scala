@@ -1109,6 +1109,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 ad-hoc retrieval over the corpus (Robertson/Spärck Jones; the
+    * Lucene `ln(1 + (N − df + ½)/(df + ½))` idf form) — the lexical
+    * serving surface next to the ANN family: score every document
+    * against a term query and return the top-k. Entirely integer/
+    * rational inputs, so the gate is a full cross-engine recompute; the
+    * k-boundary ranks on the ROUNDED score with a doc_id tiebreak.
+    *
+    * Scale shape, 100 TB: the `isin(query)` filter lands BEFORE the
+    * explode's aggregate, so the per-(doc, term) tf tier is bounded by
+    * matching docs × |query|, never the token stream; df and idf are
+    * |query|-row broadcasts; document lengths are one map-side pass
+    * joined doc-keyed; corpus stats ride a one-row broadcast. One
+    * TakeOrdered top-k, no global sort. */
+  def bm25TopK(documents: DataFrame, queryTerms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val lens = documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("dl"))
+      .pinTier
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .pinTier
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))).as("idf"))
+    tf
+      .join(broadcast(idf), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .select(col("doc_id"), col("term"),
+        (col("idf") * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(col("s")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** DSIR's SELECTION step — importance RESAMPLING via the Gumbel-top-k
     * trick (sampling ∝ exp(llr) without replacement ≡ top-k of
     * llr + Gumbel noise). The noise is derived, not drawn:

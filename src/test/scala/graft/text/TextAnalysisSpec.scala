@@ -124,6 +124,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == Seq((1L, 3L, 12L, 7L)), s"got $one")
   }
 
+  test("bm25TopK: only matching docs return, multi-term and short-doc boosts order correctly") {
+    val docs = Seq(
+      (1L, "join join merge x y"), // both terms, tf(join)=2
+      (2L, "join z z z z"),        // one term, long
+      (3L, "other words only"),    // no terms -> absent
+      (4L, "merge"))               // one term, shortest doc
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq("join", "merge"), k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L), s"got $got")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 2L && byId(2L)._2 == 1L && byId(4L)._2 == 1L)
+    // two matched terms beat one; equal idf + equal tf -> shorter doc wins
+    assert(got.head._1 == 1L, s"got $got")
+    assert(byId(4L)._3 > byId(2L)._3, s"length normalization failed: $got")
+  }
+
   test("dsirResample: Gumbel-top-k is deterministic, k-sized, and follows the weights") {
     val docs = ((1L to 10L).map(i => (i, "zebra quagga stripe zebra", "srcT")) ++
       (11L to 22L).map(i => (i, "rock mineral quartz rock", "srcR")))
