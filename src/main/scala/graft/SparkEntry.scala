@@ -607,6 +607,12 @@ object SparkEntry {
     // for a 3-term query, Lucene idf, rounded-score k-boundary
     "q_bm25" -> ((s, d) => TextAnalysis.bm25TopK(
       Tables.documents(s, d), queryTerms = Seq("join", "merge", "window"))),
+    // hybrid serving: the BM25 pool fused with the exact-cosine pool for
+    // one query vector via reciprocal-rank fusion — rank-based, so the
+    // fused ordering is engine-portable by construction
+    "q_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(
+      Tables.documents(s, d), Tables.embeddings(s, d),
+      queryTerms = Seq("join", "merge", "window"), queryVecId = 0L)),
     // chi-square most-indicative vocabulary per source
     "q_source_terms" -> ((s, d) => TextAnalysis.sourceIndicativeTerms(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
@@ -1102,6 +1108,63 @@ object SparkEntry {
           .as("features_ok"))
       .orderBy(col("media_id"))),
   )
+
+  /** BM25 CTE chain ending in `bm25(doc_id, n_terms, score)` — shared by
+    * the retrieval gate and the hybrid-RRF fusion built on it. */
+  private val bm25Ctes: String =
+    """lens AS (
+      |  SELECT doc_id, CAST(len(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      |    FROM documents)
+      |  WHERE term IN ('join', 'merge', 'window') GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf FROM (
+      |    SELECT term, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN stats),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    idf.idf * tf.tf * 2.2
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS s
+      |  FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)
+      |  CROSS JOIN stats),
+      |bm25 AS (
+      |  SELECT doc_id, count(*) AS n_terms, round(sum(s), 4) AS score
+      |  FROM scored GROUP BY 1)""".stripMargin
+
+  private val bm25Sql: String =
+    s"WITH $bm25Ctes\nSELECT doc_id, n_terms, score FROM bm25 " +
+      "ORDER BY score DESC, doc_id LIMIT 20"
+
+  /** The fusion: both candidate pools ranked on their ROUNDED scores
+    * (id tiebreaks), rrf = exact IEEE divisions — rank-based, so the
+    * fused cut is engine-portable by construction. */
+  private val hybridRrfSql: String =
+    s"""WITH $bm25Ctes,
+      |lex AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      |  FROM (SELECT doc_id, score FROM bm25
+      |        ORDER BY score DESC, doc_id LIMIT 50)),
+      |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |sem0 AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                 CAST(q.q_emb AS DOUBLE[])), 4) AS cs
+      |  FROM embeddings e CROSS JOIN qv q),
+      |sem AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY cs DESC, doc_id) AS sem_rank
+      |  FROM (SELECT doc_id, cs FROM sem0 ORDER BY cs DESC, doc_id LIMIT 50))
+      |SELECT doc_id, lex_rank, sem_rank,
+      |  round(coalesce(1.0 / (lex_rank + 60), 0.0)
+      |    + coalesce(1.0 / (sem_rank + 60), 0.0), 6) AS rrf
+      |FROM lex FULL OUTER JOIN sem USING (doc_id)
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   /** DSIR hashed-feature model CTEs (q_dsir / q_dsir_resample): the
     * poly_hash bucket stream, both smoothed models and the log-ratio
@@ -2388,29 +2451,10 @@ object SparkEntry {
     "q_dsir_resample" -> dsirResampleSql,
     // BM25: identical idf/tf-saturation arithmetic (integer counts in,
     // one rounded score out), k-boundary on the rounded score
-    "q_bm25" ->
-      """WITH lens AS (
-        |  SELECT doc_id, CAST(len(list_filter(
-        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS dl
-        |  FROM documents),
-        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(list_filter(
-        |      string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
-        |    FROM documents)
-        |  WHERE term IN ('join', 'merge', 'window') GROUP BY 1, 2),
-        |idf AS (
-        |  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf FROM (
-        |    SELECT term, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN stats),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |    idf.idf * tf.tf * 2.2
-        |      / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS s
-        |  FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)
-        |  CROSS JOIN stats)
-        |SELECT doc_id, count(*) AS n_terms, round(sum(s), 4) AS score
-        |FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25" -> bm25Sql,
+    // hybrid RRF: BM25 CTEs + one broadcast query vector against the
+    // corpus, both legs ranked on rounded scores, exact-division fusion
+    "q_hybrid_rrf" -> hybridRrfSql,
     // chi-square indicative terms: identical contingency arithmetic with
     // the denominator in DOUBLE from the first factor on; ranked by the
     // rounded statistic in both engines

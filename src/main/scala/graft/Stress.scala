@@ -136,7 +136,7 @@ object Stress {
     "q_communities", "q_edit_neardups", "q_kn_bigrams", "q_doc_nll",
     "q_perplexity_buckets",
     "q_split_leakage", "q_emb_outliers",
-    "q_bpe_merges", "q_bpe_train", "q_bpe_encode", "q_dsir", "q_dsir_resample", "q_bm25", "q_gopher_rules", "q_c4_filters", "q_char_stats", "q_source_terms", "q_transitions",
+    "q_bpe_merges", "q_bpe_train", "q_bpe_encode", "q_dsir", "q_dsir_resample", "q_bm25", "q_hybrid_rrf", "q_gopher_rules", "q_c4_filters", "q_char_stats", "q_source_terms", "q_transitions",
     "q_decayed_popularity", "q_hourly_anomalies",
     // round 9 continuation: the session window pass, the BFS frontier
     // iteration (disjoint copy subgraphs -> ~linear), the k-round centroid

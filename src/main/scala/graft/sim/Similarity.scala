@@ -755,6 +755,41 @@ object Similarity {
     cellConfinedDedup(assigned, threshold)
   }
 
+  /** Hybrid retrieval — BM25 ∪ exact-cosine candidate pools fused with
+    * reciprocal-rank fusion (Cormack et al. 2009: rrf = Σ 1/(60+rank)),
+    * the standard lexical+semantic serving pattern. Fusion is RANK-based,
+    * so the fused ordering carries zero float-comparison risk across
+    * engines: both legs rank on already-ROUNDED scores with id
+    * tiebreaks, and the rrf arithmetic is exact IEEE division.
+    *
+    * Scale shape: the BM25 leg's bounded pipeline (see
+    * [[graft.text.TextAnalysis.bm25TopK]]); the semantic leg is ONE
+    * broadcast query vector against a map-side corpus scan + TakeOrdered
+    * (the guarded-brute class confined to a single query — k·|corpus|
+    * flops, no pair join); the fuse is a poolK-row full-outer join. */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+                queryTerms: Seq[String], queryVecId: Long, k: Int = 20,
+                poolK: Int = 50, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.text.TextAnalysis.bm25TopK(documents, queryTerms, poolK)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).as("lex_rank"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val sem = embeddings.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cs"))
+      .orderBy(col("cs").desc, col("doc_id")).limit(poolK)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("cs").desc, col("doc_id"))).as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round(coalesce(lit(1.0) / (col("lex_rank") + lit(kRrf)), lit(0.0))
+          + coalesce(lit(1.0) / (col("sem_rank") + lit(kRrf)), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+  }
+
   /** Row cap for the exact quadratic baselines ([[cosineNearDups]], an
     * unfiltered [[bruteForceTopK]]): at this size the theta self-join is
     * ~2×10⁸ pairs — seconds on one box, and the largest probe any audit

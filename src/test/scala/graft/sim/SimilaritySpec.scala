@@ -216,6 +216,37 @@ class SimilaritySpec extends SparkSpec {
       assert(exact.contains(v), s"vec $v dropped without an exact partner"))
   }
 
+  test("hybridRrf: both-leg docs outrank single-leg docs; ranks and fusion are deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val got = graft.sim.Similarity.hybridRrf(docs, emb,
+      Seq("join", "merge", "window"), queryVecId = 0L, k = 20)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        r.getDouble(3))).toSeq
+    assert(got.size == 20)
+    // rrf strictly follows the published formula for every returned row
+    got.foreach { case (_, lr, sr, rrf) =>
+      val expect = lr.map(r => 1.0 / (r + 60)).getOrElse(0.0) +
+        sr.map(r => 1.0 / (r + 60)).getOrElse(0.0)
+      // the published rrf is rounded to 6 dp — compare within that grid
+      assert(math.abs(rrf - expect) <= 5e-7, s"rrf drifted: $got")
+    }
+    // the output is rrf-descending
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse)
+    // the query vector itself is rank 1 on the semantic leg (cos=1)
+    assert(got.exists(r => r._1 == 0L && r._3.contains(1)))
+    // deterministic replay
+    val again = graft.sim.Similarity.hybridRrf(docs, emb,
+      Seq("join", "merge", "window"), queryVecId = 0L, k = 20)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        r.getDouble(3))).toSeq
+    assert(again == got)
+  }
+
   test("hyperplane-table buckets are bit-identical to lshSignature, any table offset") {
     val planes = 8
     for (offset <- Seq(0, 24)) { // table 0 and table 3 of the multi-table scheme
