@@ -38,6 +38,12 @@ object SparkEntry {
   private def csv(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat_ws(",", transform(c, x => x.cast("string")))
 
+  /** q_mixture_plan gate params: raw priorities (sum 5.0 — deliberately
+    * not 1, exercising the normalization) over three of the twenty
+    * fixture sources; every other source plans to zero. */
+  private val MixtureWeights: Seq[(String, Double)] =
+    Seq("src0" -> 3.0, "src3" -> 1.5, "src7" -> 0.5)
+
   /** Raw all-strings user rows derived from customer — shared by the typed
     * and count gates so both face the exact same source shape. */
   private def rawUsers(s: SparkSession, d: String): DataFrame =
@@ -475,6 +481,12 @@ object SparkEntry {
     "q_communities" -> ((s, d) => graft.graph.Communities.labelPropagation(
       EdgeTier.coOccurrence(s, d)
         .filter(col("weight") >= 2), rounds = 5)),
+    // Newman modularity of the same LPA partition — integer-exact
+    // accumulation (intra-edge count + degree-square sum), one final
+    // IEEE expression, so the global Q carries no float-sum-order caveat
+    "q_modularity" -> ((s, d) => graft.graph.Communities.modularityReport(
+      EdgeTier.coOccurrence(s, d)
+        .filter(col("weight") >= 2), rounds = 5)),
     // promise-gated: ALS factor values are solver/BLAS-specific, so the
     // gate emits the pipeline's portable contract (subset size, 5 resolved
     // recs per user, train RMSE beats the mean predictor) with the
@@ -613,6 +625,18 @@ object SparkEntry {
     "q_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(
       Tables.documents(s, d), Tables.embeddings(s, d),
       queryTerms = Seq("join", "merge", "window"), queryVecId = 0L)),
+    // MMR diversified rerank over the exact-cosine pool: greedy
+    // λ·rel − (1−λ)·max-sim-to-selected with all inputs rounded
+    // in-cluster, so the oracle unrolls the identical 10 greedy rounds
+    "q_mmr" -> ((s, d) => Similarity.mmrTopK(
+      Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
+    // Heaps'-law vocabulary-growth fit at 64 doc-id-range checkpoints;
+    // the regression itself is the portable regr_* aggregate family
+    "q_heaps" -> ((s, d) => TextAnalysis.heapsLaw(Tables.documents(s, d))),
+    // token-budget mixture planner: per-source available tokens vs target
+    // shares — planned tokens are exact integer floors, epochs rounded
+    "q_mixture_plan" -> ((s, d) => TextAnalysis.mixturePlan(
+      Tables.documents(s, d), MixtureWeights, tokenBudget = 1000000L)),
     // chi-square most-indicative vocabulary per source
     "q_source_terms" -> ((s, d) => TextAnalysis.sourceIndicativeTerms(Tables.documents(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
@@ -1166,6 +1190,110 @@ object SparkEntry {
       |FROM lex FULL OUTER JOIN sem USING (doc_id)
       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** MMR greedy unroll (rounds 2..k): each round scores the not-yet-
+    * selected pool rows as λ·rel − (1−λ)·max-sim-to-selected (all inputs
+    * pre-rounded in the pool/sims CTEs) and admits the (mmr DESC, vec_id)
+    * argmax — the exact greedy of [[graft.sim.Similarity.mmrTopK]]. The
+    * λ/(1−λ) literals are the Scala doubles' shortest round-trip strings,
+    * so both engines multiply the same IEEE values. */
+  private def mmrSelSql(k: Int, lambda: Double): String = {
+    val lam = s"CAST($lambda AS DOUBLE)"
+    val om = s"CAST(${1.0 - lambda} AS DOUBLE)"
+    (2 to k).map { i =>
+      s"""sel$i AS MATERIALIZED (
+         |  SELECT * FROM sel${i - 1}
+         |  UNION ALL
+         |  SELECT CAST($i AS BIGINT) AS rnk, vec_id, rel, mmr FROM (
+         |    SELECT p.vec_id, p.rel,
+         |      $lam * p.rel - $om * (
+         |        SELECT max(s.sim) FROM sims s
+         |        WHERE s.i = p.vec_id
+         |          AND s.j IN (SELECT vec_id FROM sel${i - 1})) AS mmr
+         |    FROM pool p
+         |    WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |    ORDER BY mmr DESC, p.vec_id LIMIT 1)),""".stripMargin
+    }.mkString("\n").stripSuffix(",")
+  }
+
+  private val mmrSql: String =
+    s"""WITH qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |pool AS MATERIALIZED (
+      |  SELECT e.vec_id,
+      |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                 CAST(q.q_emb AS DOUBLE[])), 4) AS rel
+      |  FROM embeddings e CROSS JOIN qv q
+      |  WHERE e.vec_id <> 0
+      |  ORDER BY rel DESC, vec_id LIMIT 50),
+      |sims AS MATERIALIZED (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+      |                                 CAST(eb.embedding AS DOUBLE[])), 4) AS sim
+      |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+      |sel1 AS MATERIALIZED (
+      |  SELECT CAST(1 AS BIGINT) AS rnk, vec_id, rel,
+      |    CAST(0.7 AS DOUBLE) * rel - CAST(0.30000000000000004 AS DOUBLE) * 0.0 AS mmr
+      |  FROM pool ORDER BY CAST(0.7 AS DOUBLE) * rel DESC, vec_id LIMIT 1),
+      |${mmrSelSql(10, 0.7)}
+      |SELECT rnk, vec_id, rel AS relevance, round(mmr, 6) AS mmr
+      |FROM sel10 ORDER BY rnk""".stripMargin
+
+  /** Heaps'-law oracle: the same integer bucket cuts (`//` = Spark's
+    * `div`), the same running sums, and the fit re-derived via the
+    * portable regr_* aggregates (the zipfFit precedent). */
+  private val heapsSql: String =
+    """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+      |toks AS MATERIALIZED (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |tc AS (
+      |  SELECT (t.doc_id * 64) // (max_id + 1) AS b, count(*) AS toks
+      |  FROM toks t CROSS JOIN mx GROUP BY 1),
+      |nt AS (
+      |  SELECT (first_doc * 64) // (max_id + 1) AS b, count(*) AS new_terms
+      |  FROM (SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY 1)
+      |  CROSS JOIN mx GROUP BY 1),
+      |pts AS (
+      |  SELECT tc.b,
+      |    sum(tc.toks) OVER (ORDER BY tc.b) AS n,
+      |    sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY tc.b) AS v
+      |  FROM tc LEFT JOIN nt ON tc.b = nt.b)
+      |SELECT count(*) AS n_buckets,
+      |  CAST(max(n) AS BIGINT) AS total_tokens,
+      |  CAST(max(v) AS BIGINT) AS n_vocab,
+      |  round(regr_slope(ln(v), ln(n)), 4) AS beta,
+      |  round(exp(regr_intercept(ln(v), ln(n))), 4) AS k,
+      |  round(regr_r2(ln(v), ln(n)), 4) AS r2
+      |FROM pts WHERE n > 0 AND v > 0""".stripMargin
+
+  /** Mixture-plan oracle: the gate's weight literals (sum 5.0), the same
+    * floor-of-one-IEEE-division-chain planned tokens, epochs rounded
+    * from the already-floored integer. */
+  private val mixturePlanSql: String =
+    """WITH w(source, w) AS (VALUES
+      |  ('src0', CAST(3.0 AS DOUBLE)),
+      |  ('src3', CAST(1.5 AS DOUBLE)),
+      |  ('src7', CAST(0.5 AS DOUBLE))),
+      |avail AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(
+      |      string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS BIGINT)
+      |      AS avail_tokens
+      |  FROM documents GROUP BY 1)
+      |SELECT source, n_docs, avail_tokens, target_share, planned_tokens,
+      |  epochs, epochs > 1.0 AS oversampled
+      |FROM (
+      |  SELECT a.source, a.n_docs, a.avail_tokens,
+      |    round(coalesce(w.w, 0.0) / CAST(5.0 AS DOUBLE), 6) AS target_share,
+      |    CAST(floor(1000000 * coalesce(w.w, 0.0) / CAST(5.0 AS DOUBLE))
+      |      AS BIGINT) AS planned_tokens,
+      |    round(CAST(floor(1000000 * coalesce(w.w, 0.0) / CAST(5.0 AS DOUBLE))
+      |      AS DOUBLE) / a.avail_tokens, 4) AS epochs
+      |  FROM avail a LEFT JOIN w ON a.source = w.source)
+      |ORDER BY source""".stripMargin
+
   /** DSIR hashed-feature model CTEs (q_dsir / q_dsir_resample): the
     * poly_hash bucket stream, both smoothed models and the log-ratio
     * table. */
@@ -1481,6 +1609,53 @@ object SparkEntry {
          |  QUALIFY row_number() OVER (PARTITION BY id
          |    ORDER BY cnt DESC, label) = 1),""".stripMargin
     }.mkString("\n")
+
+  /** Shared graph CTEs for the LPA family (q_communities /
+    * q_modularity): the weight≥2 co-occurrence tier, its undirected
+    * simple form, the two-directional adjacency, and 5 unrolled sweeps
+    * ending in `l5`. */
+  private val lpaGraphCtes: String =
+    s"""e AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+      |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      |    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |    GROUP BY 1, 2)
+      |  WHERE w >= 2),
+      |und AS MATERIALIZED (
+      |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e WHERE src <> dst GROUP BY 1, 2),
+      |adj AS MATERIALIZED (
+      |  SELECT a AS id, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+      |l0 AS (SELECT DISTINCT id, id AS label FROM adj),
+      |${lpaIterSql(5)}""".stripMargin
+
+  /** Modularity oracle: labels re-derived via the same unrolled sweeps,
+    * then the two INTEGER sums (intra edges, degree-square) and ONE final
+    * IEEE expression — no float-sum-order exposure anywhere. */
+  private val modularitySql: String =
+    s"""WITH $lpaGraphCtes
+      |deg AS (SELECT id, count(*) AS degree FROM adj GROUP BY 1),
+      |comm AS (
+      |  SELECT l.label, count(*) AS n_v, CAST(sum(d.degree) AS BIGINT) AS d_c
+      |  FROM l5 l JOIN deg d ON l.id = d.id GROUP BY 1),
+      |intra AS (
+      |  SELECT la.label, count(*) AS m_c
+      |  FROM und u JOIN l5 la ON u.a = la.id JOIN l5 lb ON u.b = lb.id
+      |  WHERE la.label = lb.label GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(c.n_v) AS BIGINT) AS n_vertices,
+      |    count(*) AS n_communities,
+      |    CAST(sum(coalesce(i.m_c, 0)) AS BIGINT) AS intra_edges,
+      |    CAST(sum(c.d_c * c.d_c) AS BIGINT) AS degree_sq_sum
+      |  FROM comm c LEFT JOIN intra i ON c.label = i.label),
+      |m AS (SELECT count(*) AS n_edges FROM und)
+      |SELECT n_vertices, n_edges, n_communities, intra_edges, degree_sq_sum,
+      |  round(CAST(intra_edges AS DOUBLE) / n_edges
+      |    - CAST(degree_sq_sum AS DOUBLE)
+      |      / (CAST(4 AS DOUBLE) * n_edges * n_edges), 6) AS modularity
+      |FROM tot CROSS JOIN m""".stripMargin
 
   /** The k-core unroll (PageRank precedent): round i keeps the edges whose
     * BOTH endpoints survived round i−1, then the vertices with ≥ k
@@ -2455,6 +2630,9 @@ object SparkEntry {
     // hybrid RRF: BM25 CTEs + one broadcast query vector against the
     // corpus, both legs ranked on rounded scores, exact-division fusion
     "q_hybrid_rrf" -> hybridRrfSql,
+    "q_mmr" -> mmrSql,
+    "q_heaps" -> heapsSql,
+    "q_mixture_plan" -> mixturePlanSql,
     // chi-square indicative terms: identical contingency arithmetic with
     // the denominator in DOUBLE from the first factor on; ranked by the
     // rounded statistic in both engines
@@ -3587,24 +3765,11 @@ object SparkEntry {
         |JOIN deg dv ON u.v = dv.id JOIN deg dw ON u.w = dw.id
         |ORDER BY jaccard DESC, u.v, u.w LIMIT 100""".stripMargin,
     "q_communities" ->
-      s"""WITH e AS MATERIALIZED (
-        |  SELECT src, dst FROM (
-        |    SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
-        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
-        |    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
-        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-        |    GROUP BY 1, 2)
-        |  WHERE w >= 2),
-        |und AS MATERIALIZED (
-        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM e WHERE src <> dst GROUP BY 1, 2),
-        |adj AS MATERIALIZED (
-        |  SELECT a AS id, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
-        |l0 AS (SELECT DISTINCT id, id AS label FROM adj),
-        |${lpaIterSql(5)}
+      s"""WITH $lpaGraphCtes
         |sizes AS (SELECT label, count(*) AS community_size FROM l5 GROUP BY 1)
         |SELECT l.id, l.label AS community, s.community_size
         |FROM l5 l JOIN sizes s USING (label) ORDER BY l.id""".stripMargin,
+    "q_modularity" -> modularitySql,
     "q_in_degrees" ->
       """SELECT l_partkey AS id, count(*) AS inDegree
         |FROM lineitem GROUP BY 1 ORDER BY id""".stripMargin,

@@ -1073,4 +1073,71 @@ object Similarity {
         (col("n_hits").cast("double") / col("n_exact") >= lit(minRecall))
           .as("recall_ok"))
   }
+
+  /** Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998):
+    * greedy top-k that trades relevance against redundancy —
+    * `mmr(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` over the already
+    * selected set S — the standard diversified-retrieval pass a serving
+    * stack runs after the ANN/hybrid candidate stage (near-duplicate
+    * hits crowd a plain top-k; MMR spreads the slate).
+    *
+    * Determinism contract (the hybridRrf discipline): relevance and every
+    * pairwise sim are ROUNDED to 4 places in-cluster before the greedy
+    * reads them; λ and (1−λ) are fixed IEEE doubles, so each `mmr` value
+    * is an exact arithmetic image of rounded inputs and the argmax
+    * (mmr DESC, vec_id) is engine-portable — the DuckDB oracle re-derives
+    * all k greedy rounds as unrolled CTEs (the pagerank/kcore precedent).
+    *
+    * Scale shape: the corpus-scale work is the candidate pool — ONE
+    * broadcast query vector against a map-side scan + TakeOrdered
+    * (the single-query brute class, no pair join). The greedy itself is
+    * inherently sequential and confined to the pool: pairwise sims are a
+    * poolK×poolK broadcast join (≤ poolK² rounded rows), and selection
+    * runs on the driver over that bounded pool — the documented
+    * O(k)-bounded round-trip class ([[IvfIndex]]'s ≤nlist cell lists) —
+    * guarded by `poolK ≤ 200` so nobody points the O(poolK²) rerank at a
+    * corpus. */
+  def mmrTopK(embeddings: DataFrame, queryVecId: Long, k: Int = 10,
+              poolK: Int = 50, lambda: Double = 0.7): DataFrame = {
+    require(poolK <= 200,
+      s"mmrTopK: poolK=$poolK exceeds 200 — the rerank is O(poolK²) on a " +
+        "bounded driver pool; widen recall via the candidate stage " +
+        "(ivfTopK/hybridRrf), not the rerank pool")
+    require(k <= poolK, s"mmrTopK: k=$k exceeds poolK=$poolK")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val pool = embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(poolK)
+      .pinTier
+    val a = pool.select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = pool.select(col("vec_id").as("j"), col("embedding").as("eb"))
+    val simMap: Map[(Long, Long), Double] =
+      a.join(broadcast(b), col("i") =!= col("j"))
+        .select(col("i"), col("j"), round(cosine(col("ea"), col("eb")), 4).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cand = pool.select(col("vec_id"), col("rel")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    pool.unpersist(blocking = false)
+    val oneMinus = 1.0 - lambda
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(cand: _*)
+    for (r <- 1 to math.min(k, cand.length)) {
+      val best = remaining.toSeq.map { case (id, rel) =>
+        val penalty =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => simMap((id, s._2))).max
+        (id, rel, lambda * rel - oneMinus * penalty)
+      }.minBy { case (id, _, mmr) => (-mmr, id) }
+      selected += ((r.toLong, best._1, best._2, best._3))
+      remaining.remove(best._1)
+    }
+    selected.toSeq.toDF("rnk", "vec_id", "relevance", "mmr")
+      .withColumn("mmr", round(col("mmr"), 6))
+      .orderBy(col("rnk"))
+  }
 }

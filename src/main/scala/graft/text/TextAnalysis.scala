@@ -1306,4 +1306,101 @@ object TextAnalysis {
         col("term"), col("n11"), col("chi2"))
       .orderBy(col("source"), col("rnk"))
   }
+
+  /** Heaps'-law fit of vocabulary growth — `V(N) ≈ K·N^β` over cumulative
+    * token count N and cumulative distinct-term count V (β ≈ 0.4–0.6 for
+    * natural language; β near 1 flags ID-soup/generated corpora whose
+    * vocabulary never saturates, β near 0 flags template spam — the
+    * growth-curve complement to [[zipfFit]]'s static rank curve).
+    *
+    * The curve is sampled at `nBuckets` doc-id-range checkpoints, NOT per
+    * doc: cumulative-per-doc needs a corpus-wide ordered window, while the
+    * bucketed form is two hash aggregates (per-bucket token counts; each
+    * term attributed to the bucket of its FIRST doc — min(doc_id), the
+    * first-occurrence idiom) plus an nBuckets-row running sum and the
+    * portable `regr_slope`/`regr_intercept`/`regr_r2` aggregates (the
+    * zipfFit precedent — DuckDB recomputes the fit itself, not just the
+    * inputs). Bucket assignment is integer arithmetic
+    * (`doc_id·nBuckets / (max_id+1)`) so the cut points are exact in any
+    * engine. Output: one row (n_buckets, total_tokens, n_vocab, beta, k,
+    * r2).
+    *
+    * Scale shape: one token scan feeding two map-combined aggregates (doc-
+    * then bucket-keyed; term-then-bucket-keyed), a broadcast one-row max,
+    * an nBuckets-row window, a one-row regression — no corpus-wide sort at
+    * any point. */
+  def heapsLaw(documents: DataFrame, nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = documents.agg(max(col("doc_id")).as("max_id"))
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // integer floor division (`div`, `//` in DuckDB) — exact cut points,
+    // no float rounding at bucket boundaries in either engine
+    val tokCounts = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"))
+      .crossJoin(broadcast(maxId))
+      .withColumn("b", expr(s"(doc_id * $nBuckets) div (max_id + 1)"))
+      .groupBy(col("b")).agg(sum(col("n_toks")).as("toks"))
+    val newTerms = toks.groupBy(col("term"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(maxId))
+      .withColumn("b", expr(s"(first_doc * $nBuckets) div (max_id + 1)"))
+      .groupBy(col("b")).agg(count(lit(1)).as("new_terms"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = tokCounts.join(newTerms, Seq("b"), "left")
+      .select(col("b"), col("toks"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .select(col("b"),
+        sum(col("toks")).over(w).as("n"),
+        sum(col("new_terms")).over(w).as("v"))
+      .filter(col("n") > 0 && col("v") > 0)
+    pts.agg(
+      count(lit(1)).as("n_buckets"),
+      max(col("n")).as("total_tokens"),
+      max(col("v")).as("n_vocab"),
+      round(expr("regr_slope(ln(v), ln(n))"), 4).as("beta"),
+      round(expr("exp(regr_intercept(ln(v), ln(n)))"), 4).as("k"),
+      round(expr("regr_r2(ln(v), ln(n))"), 4).as("r2"))
+  }
+
+  /** Training-mixture planner — the token-budget allocation table every
+    * pretraining run starts from (the LLaMA/Pile "epochs over each
+    * source" table): given target mixture weights and a total token
+    * budget, how many tokens each source must contribute and how many
+    * passes over the available data that implies (epochs > 1 ⇒
+    * oversampling — the repetition-risk flag from Muennighoff et al.
+    * 2023). Sources without a target weight plan to zero; weights need
+    * not sum to 1 (they are normalized by their sum, so callers can pass
+    * raw priorities).
+    *
+    * Determinism: available tokens are integer counts; planned tokens are
+    * `floor(budget·w/Σw)` — exact integer images of one IEEE division
+    * chain; epochs is rounded at the gate. Scale shape: one token scan to
+    * a source-keyed map-combined aggregate (sources are few), a broadcast
+    * literal weights table, zero windows. */
+  def mixturePlan(documents: DataFrame, targetWeights: Seq[(String, Double)],
+                  tokenBudget: Long): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.forall(_._2 >= 0.0),
+      "mixturePlan: weights must be non-negative and non-empty")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val wSum = targetWeights.map(_._2).sum
+    val weights = targetWeights.toDF("source", "w")
+    val avail = documents
+      .select(col("source"), size(tokens(col("text"))).cast("bigint").as("n_toks"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"), sum(col("n_toks")).as("avail_tokens"))
+    avail.join(broadcast(weights), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        coalesce(col("w"), lit(0.0)).as("w"))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        round(col("w") / lit(wSum), 6).as("target_share"),
+        floor(lit(tokenBudget) * col("w") / lit(wSum)).cast("bigint")
+          .as("planned_tokens"))
+      .withColumn("epochs",
+        round(col("planned_tokens").cast("double") / col("avail_tokens"), 4))
+      .withColumn("oversampled", col("epochs") > lit(1.0))
+      .orderBy(col("source"))
+  }
 }

@@ -247,6 +247,47 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("mmrTopK: low λ demotes the near-dup below the diverse doc; high λ keeps relevance order") {
+    // q=[1,0,0,0]; a≈q; b a near-clone of a; c diverse but less relevant
+    val emb = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0.9f, 0.1f, 0f, 0f),    // a: rel ≈ .9939
+      2L -> Array(0.9f, 0.11f, 0f, 0f),   // b: rel ≈ .9925, sim(a,b) ≈ 1
+      3L -> Array(0.7f, 0f, 0.7f, 0f))    // c: rel ≈ .7071, sim(a,c) ≈ .70
+      .toDF("vec_id", "embedding")
+    // λ=0.3: redundancy dominates — the clone b falls below diverse c
+    val lo = Similarity.mmrTopK(emb, 0L, k = 3, poolK = 3, lambda = 0.3)
+      .select("rnk", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(lo == Seq((1L, 1L), (2L, 3L), (3L, 2L)), s"got $lo")
+    // λ=0.7: relevance dominates — plain top-3 order survives
+    val hi = Similarity.mmrTopK(emb, 0L, k = 3, poolK = 3, lambda = 0.7)
+      .select("rnk", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(hi == Seq((1L, 1L), (2L, 2L), (3L, 3L)), s"got $hi")
+    // rank-1 mmr is exactly λ·rel of the most relevant candidate
+    val r1 = Similarity.mmrTopK(emb, 0L, k = 1, poolK = 3, lambda = 0.7)
+      .select("relevance", "mmr").as[(Double, Double)].head()
+    assert(math.abs(r1._2 - BigDecimal(0.7 * r1._1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) == 0.0, s"got $r1")
+  }
+
+  test("mmrTopK: deterministic replay on the fixture corpus; guards refuse unbounded pools") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.mmrTopK(emb, 0L, k = 10)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.size == 10 && got.map(_._1) == (1L to 10L))
+    // selected ids are distinct and never the query itself
+    assert(got.map(_._2).distinct.size == 10 && !got.exists(_._2 == 0L))
+    val again = Similarity.mmrTopK(emb, 0L, k = 10)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(emb, 0L, k = 10, poolK = 201)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(emb, 0L, k = 60, poolK = 50)
+    }
+  }
+
   test("hyperplane-table buckets are bit-identical to lshSignature, any table offset") {
     val planes = 8
     for (offset <- Seq(0, 24)) { // table 0 and table 3 of the multi-table scheme

@@ -485,4 +485,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L)._2 == 0L && got(4L)._3.isEmpty && !got(4L)._5)
   }
 
+  test("heapsLaw: counts exact at hand-built checkpoints; growth exponent in the sublinear band") {
+    // 8 docs × 4 tokens; doc 0 introduces 4 terms, every later doc repeats
+    // t0 t1 and introduces 2 fresh terms → with 4 buckets over ids 0..7
+    // (cut = id div 2): N = 8,16,24,32; V = 6,10,14,18
+    val docs = (0L to 7L).map { i =>
+      val fresh = if (i == 0) "c0 d0" else s"a$i b$i"
+      (i, s"t0 t1 $fresh")
+    }.toDF("doc_id", "text")
+    val r = TextAnalysis.heapsLaw(docs, nBuckets = 4).head
+    assert(r.getLong(r.fieldIndex("n_buckets")) == 4L)
+    assert(r.getLong(r.fieldIndex("total_tokens")) == 32L)
+    assert(r.getLong(r.fieldIndex("n_vocab")) == 18L)
+    val beta = r.getDouble(r.fieldIndex("beta"))
+    val r2 = r.getDouble(r.fieldIndex("r2"))
+    // V grows near-linearly here (every doc adds terms): β high but < 1,
+    // and the log-log fit is tight
+    assert(beta > 0.5 && beta < 1.0, s"beta $beta")
+    assert(r2 > 0.95, s"r2 $r2")
+  }
+
+  test("heapsLaw: saturating vocabulary drives β toward 0") {
+    // same 3 terms forever — vocabulary saturates in bucket 0
+    val docs = (0L to 7L).map(i => (i, "x y z x y z")).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsLaw(docs, nBuckets = 4).head
+    assert(r.getLong(r.fieldIndex("n_vocab")) == 3L)
+    assert(r.getDouble(r.fieldIndex("beta")) < 0.1,
+      s"saturated corpus must fit a near-flat growth curve: $r")
+  }
+
+  test("mixturePlan: floors, epochs and oversampling flags are exact; weights normalize") {
+    val docs = Seq(
+      (1L, "w w w w w w w w w w", "srcA"),  // 10 tokens
+      (2L, "w w w w w", "srcB"),            // 5 tokens
+      (3L, "w w w w w", "srcC"))            // 5 tokens, no target weight
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.mixturePlan(docs,
+        Seq("srcA" -> 1.0, "srcB" -> 3.0), tokenBudget = 40L)
+      .select("source", "avail_tokens", "target_share", "planned_tokens",
+        "epochs", "oversampled")
+      .as[(String, Long, Double, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("srcA", 10L, 0.25, 10L, 1.0, false),
+      ("srcB", 5L, 0.75, 30L, 6.0, true),
+      ("srcC", 5L, 0.0, 0L, 0.0, false)), s"got $got")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.mixturePlan(docs, Seq("srcA" -> -1.0), 40L)
+    }
+  }
+
 }
