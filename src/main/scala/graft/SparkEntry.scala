@@ -619,6 +619,28 @@ object SparkEntry {
     // for a 3-term query, Lucene idf, rounded-score k-boundary
     "q_bm25" -> ((s, d) => TextAnalysis.bm25TopK(
       Tables.documents(s, d), queryTerms = Seq("join", "merge", "window"))),
+    // the same BM25 against the STANDING inverted index (term-bucketed
+    // postings + versioned integer stats): probe cost ∝ the query terms'
+    // posting lists, plan-asserted bucket pruning — shares q_bm25's
+    // oracle verbatim (persistence must not change one score)
+    "q_bm25_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-inverted-index").toFile.getAbsolutePath
+      val table = "graft_gate_inverted_index"
+      try {
+        Telemetry.timed("q_bm25_indexed") {
+          graft.text.InvertedIndex.build(docs, table, stage)
+        }
+        graft.text.InvertedIndex.probe(
+            s, table, stage, Seq("join", "merge", "window"))
+          .pinTier // materialize before table+files are dropped
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
+    }),
     // hybrid serving: the BM25 pool fused with the exact-cosine pool for
     // one query vector via reciprocal-rank fusion — rank-based, so the
     // fused ordering is engine-portable by construction
@@ -2627,6 +2649,11 @@ object SparkEntry {
     // BM25: identical idf/tf-saturation arithmetic (integer counts in,
     // one rounded score out), k-boundary on the rounded score
     "q_bm25" -> bm25Sql,
+    // shared verbatim: the standing-index probe must reproduce the
+    // recompute form's scores bit-for-bit (integer stats, same IEEE
+    // scoring expression) — the q_scd2_table/q_incremental_dedup_bucketed
+    // shared-oracle class
+    "q_bm25_indexed" -> bm25Sql,
     // hybrid RRF: BM25 CTEs + one broadcast query vector against the
     // corpus, both legs ranked on rounded scores, exact-division fusion
     "q_hybrid_rrf" -> hybridRrfSql,

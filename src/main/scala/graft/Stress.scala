@@ -178,7 +178,15 @@ object Stress {
     "q_scd2_table",
     // r10-graduated winnow fingerprint tier (linear window-min pass),
     // stress-rowed alongside its near-dup consumer
-    "q_winnow_fps")
+    "q_winnow_fps",
+    // round 11 continuation: the MMR pool selection (map-side scan +
+    // TakeOrdered — the rerank itself is poolK-bounded by construction,
+    // so the trend measures the candidate stage), the LPA-derived
+    // modularity fold (same fixpoint class as q_communities plus two
+    // label joins), the bucketed Heaps growth fit (two token aggregates,
+    // window stays 64 rows at every multiple), and the mixture-plan
+    // token scan (one aggregate + literal broadcast)
+    "q_mmr", "q_modularity", "q_heaps", "q_mixture_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

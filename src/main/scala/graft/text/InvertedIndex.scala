@@ -1,0 +1,148 @@
+package graft.text
+
+import graft.Tier.PinOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The standing inverted index — [[TextAnalysis.bm25TopK]] turned from a
+  * per-query corpus recompute into a MAINTAINED structure (the sixth
+  * standing tier, the ShingleIndex rule applied to lexical serving): the
+  * postings `(term, doc_id, tf, dl)` are persisted once as a
+  * term-bucketed catalog table, and a query probes ONLY its own terms'
+  * postings — the corpus text is never re-tokenized at serve time.
+  *
+  * Scale shape of a probe: the bucketed scan prunes to the ≤|terms|
+  * buckets holding the query terms (`SelectedBucketsCount` on the plan,
+  * row-group skipping via the in-bucket term sort), df re-derives from
+  * the PRUNED postings alone (a term filter keeps whole terms, so the
+  * pruned count IS the corpus df), global stats come from a one-row
+  * versioned sidecar — so probe cost is ∝ the query terms' posting
+  * lists, not the corpus, with zero joins beyond two one-row/vocab-k
+  * broadcasts and a TakeOrdered top-k. The df aggregate itself plans no
+  * exchange: the scan is bucket-partitioned on `term`.
+  *
+  * Determinism: tf/dl/df/n_docs are integers; `avgdl = sum_dl / n_docs`
+  * divides two stored integers (exact IEEE, identical to the avg the
+  * recompute form takes); the scoring expression is byte-identical to
+  * [[TextAnalysis.bm25TopK]] — so a probe equals the recompute form
+  * row-for-row and the `q_bm25_indexed` gate shares `q_bm25`'s oracle
+  * verbatim (the persistence-must-not-change-the-verdict class).
+  *
+  * Admission ([[admit]]): append the postings of genuinely-new docs
+  * (anti-join on the index's doc set — idempotent per doc_id, the
+  * dedupAppend exactly-once contract) and roll the stats sidecar one
+  * version forward with the batch's exact integer deltas. Cost ∝ batch.
+  * Stats versions follow the ComponentsIndex crash rule: each admission
+  * WRITES `v=N+1` and deletes nothing, readers take the highest
+  * `_SUCCESS`-complete version, so a crashed admission leaves either no
+  * new version (invisible) or a complete one (adopted) — never a torn
+  * read. Postings appended before the stats flip may be visible to a
+  * concurrent probe one stats-version early: BM25 with slightly-stale
+  * GLOBAL stats is the standard serving tradeoff (df is always
+  * probe-fresh; only n_docs/avgdl lag one admission).
+  */
+object InvertedIndex {
+
+  /** Posting rows `(term, doc_id, tf, dl)` — dl rides along on every
+    * posting (the ShingleIndex `n`-denormalization trick) so a probe
+    * needs no doc-length join. dl = Σ tf over the doc's terms = its
+    * token count. */
+  def postings(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+    documents
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(w))
+  }
+
+  /** One-row exact-integer global stats `(n_docs, sum_dl)` — counted over
+    * ALL docs (a zero-token doc has no postings but still belongs in
+    * n_docs/avgdl, exactly as the recompute form's `lens` counts it). */
+  private def statsOf(documents: DataFrame): DataFrame =
+    documents
+      .select(size(TextAnalysis.tokens(col("text"))).cast("bigint").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  private def versionOf(f: java.io.File): Option[Int] =
+    "^v=(\\d+)$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt)
+
+  /** Highest `_SUCCESS`-complete stats version (0 when none). */
+  private def currentStatsVersion(statsPath: String): Int = {
+    val dirs = Option(new java.io.File(statsPath).listFiles()).getOrElse(Array.empty)
+    dirs.filter(d => new java.io.File(d, "_SUCCESS").isFile)
+      .flatMap(versionOf).sorted.lastOption.getOrElse(0)
+  }
+
+  private def writeStats(stats: DataFrame, statsPath: String): Unit = {
+    val next = currentStatsVersion(statsPath) + 1
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$statsPath/v=$next")
+  }
+
+  private def readStats(spark: SparkSession, statsPath: String): DataFrame =
+    spark.read.parquet(s"$statsPath/v=${currentStatsVersion(statsPath)}")
+
+  /** Build (overwrite) the standing index: term-bucketed sorted postings
+    * as an external catalog table at `path/postings`, stats v=1 at
+    * `path/stats`. */
+  def build(documents: DataFrame, table: String, path: String,
+            buckets: Int = 32): Unit = {
+    documents.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    postings(documents).write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "term").sortBy("term")
+      .option("path", s"$path/postings").saveAsTable(table)
+    writeStats(statsOf(documents), s"$path/stats")
+  }
+
+  /** BM25 top-k against the standing index — the serving path. Scoring is
+    * the recompute form's expression verbatim over the pruned postings. */
+  def probe(spark: SparkSession, table: String, path: String,
+            queryTerms: Seq[String], k: Int = 20,
+            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "InvertedIndex.probe needs at least one query term")
+    val stats = readStats(spark, s"$path/stats")
+      .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"))
+    val pruned = spark.table(table).filter(col("term").isin(queryTerms: _*))
+    val idf = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))).as("idf"))
+    pruned
+      .join(broadcast(idf), Seq("term"))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .select(col("doc_id"), col("term"),
+        (col("idf") * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(col("s")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Admit a batch: append postings of docs NOT already indexed (replay-
+    * safe), roll stats one version forward with the batch's exact
+    * integer deltas. Returns the number of docs admitted. Cost ∝ batch:
+    * the index is touched only as a doc_id-column scan (the anti-join
+    * probe side) plus the appended bucket files. */
+  def admit(spark: SparkSession, batch: DataFrame, table: String,
+            path: String, buckets: Int = 32): Long = {
+    val existing = spark.table(table).select(col("doc_id")).distinct()
+    val fresh = batch.join(existing, Seq("doc_id"), "left_anti").pinTier
+    val n = fresh.select(col("doc_id")).distinct().count()
+    if (n > 0) {
+      postings(fresh).write.mode("append").format("parquet")
+        .bucketBy(buckets, "term").sortBy("term").saveAsTable(table)
+      val old = readStats(spark, s"$path/stats")
+      val delta = statsOf(fresh)
+        .select(col("n_docs").as("d_docs"), col("sum_dl").as("d_dl"))
+      writeStats(
+        old.crossJoin(delta).select(
+          (col("n_docs") + col("d_docs")).as("n_docs"),
+          (col("sum_dl") + coalesce(col("d_dl"), lit(0L))).as("sum_dl")),
+        s"$path/stats")
+    }
+    n
+  }
+}

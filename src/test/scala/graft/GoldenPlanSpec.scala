@@ -317,7 +317,46 @@ class GoldenPlanSpec extends SparkSpec {
     // per-doc aggregate must map-combine
     "q_bpe_encode" -> Golden(
       required = Seq("partial_count", "Generate"),
-      forbidden = Seq("Join", "CartesianProduct")))
+      forbidden = Seq("Join", "CartesianProduct")),
+    // DSIR: hashed-bigram models are map-side partial sums; the model
+    // joins may legitimately flip strategy with corpus size — only the
+    // cartesian is forbidden
+    "q_dsir" -> Golden(
+      required = Seq("partial_count", "partial_sum"),
+      forbidden = Seq("CartesianProduct")),
+    // the Gumbel top-k selection must stay a TakeOrdered, never a global
+    // sort of the scored corpus
+    "q_dsir_resample" -> Golden(
+      required = Seq("partial_count", "TakeOrderedAndProject"),
+      forbidden = Seq("CartesianProduct")),
+    // CCNet tertiles: the ntile window over (source, nll) with every
+    // model-side join broadcast (vocab-bounded) — no corpus-vs-corpus SMJ
+    "q_perplexity_buckets" -> Golden(
+      required = Seq("ntile", "partial_count"),
+      forbidden = Seq("CartesianProduct", "SortMergeJoin")),
+    // BM25: df/tf aggregates map-side combined, idf/lens joins broadcast
+    // (vocab- and one-row-bounded), the top-k a TakeOrdered
+    "q_bm25" -> Golden(
+      required = Seq("partial_count", "TakeOrderedAndProject"),
+      forbidden = Seq("CartesianProduct", "SortMergeJoin")),
+    // hybrid RRF: both candidate legs end in TakeOrdered pools; the
+    // full-outer fuse of two ≤poolK-row pools may be an SMJ (full outer
+    // cannot broadcast) — only the cartesian is forbidden
+    "q_hybrid_rrf" -> Golden(
+      required = Seq("TakeOrderedAndProject"),
+      forbidden = Seq("CartesianProduct")),
+    // Heaps: two map-combined aggregates + one-row max broadcasts + the
+    // 64-row bucket window — never a corpus-vs-corpus join
+    "q_heaps" -> Golden(
+      required = Seq("partial_count", "Window"),
+      forbidden = Seq("CartesianProduct", "SortMergeJoin")),
+    // mixture plan: one map-combined token aggregate joined to the
+    // literal weights broadcast — nothing else may appear
+    "q_mixture_plan" -> Golden(
+      required = Seq("partial_count", "BroadcastHashJoin"),
+      forbidden = Seq("CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin"),
+      maxExchanges = Some(2)))
 
   golden.foreach { case (name, g) =>
     test(s"golden plan: $name") {

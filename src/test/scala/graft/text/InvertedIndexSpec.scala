@@ -1,0 +1,84 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions.{col, lit, pmod}
+
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val terms = Seq("join", "merge", "window")
+
+  private def staged[A](f: (String, String) => A): A = {
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-invidx-spec").toFile.getAbsolutePath
+    val table = "graft_spec_inverted_index"
+    try f(table, stage)
+    finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+      ()
+    }
+  }
+
+  test("probe equals the recompute form row-for-row; plan prunes buckets and never scans text") {
+    val docs = Tables.documents(spark, sf)
+    staged { (table, stage) =>
+      InvertedIndex.build(docs, table, stage)
+      val probe = InvertedIndex.probe(spark, table, stage, terms)
+      val got = probe.as[(Long, Long, Double)].collect().toSeq
+      val want = TextAnalysis.bm25TopK(docs, terms)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got == want, s"index probe diverged:\n$got\nvs\n$want")
+      val plan = InvertedIndex.probe(spark, table, stage, terms)
+        .queryExecution.executedPlan.toString
+      // the postings scan is bucket-pruned to the query terms' buckets...
+      assert(plan.contains("SelectedBucketsCount"),
+        s"probe scan is not bucket-pruned:\n$plan")
+      // ...and the corpus parquet is never touched at serve time
+      assert(!plan.contains("documents.parquet"),
+        s"probe re-read the corpus:\n$plan")
+    }
+  }
+
+  test("admit appends only genuinely-new docs, rolls exact stats, and equals a full rebuild") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    staged { (table, stage) =>
+      InvertedIndex.build(corpus, table, stage)
+      assert(InvertedIndex.admit(spark, batch, table, stage) ==
+        batch.count())
+      // replay: zero admitted, no double postings
+      assert(InvertedIndex.admit(spark, batch, table, stage) == 0L)
+      val probe = InvertedIndex.probe(spark, table, stage, terms)
+        .as[(Long, Long, Double)].collect().toSeq
+      // the admitted index answers exactly like an index built from
+      // everything at once (stats are exact integers, so no drift)
+      staged { (table2, stage2) =>
+        InvertedIndex.build(docs, table2, stage2)
+        val full = InvertedIndex.probe(spark, table2, stage2, terms)
+          .as[(Long, Long, Double)].collect().toSeq
+        assert(probe == full, s"admitted diverged from rebuilt:\n$probe\nvs\n$full")
+      }
+    }
+  }
+
+  test("stats readers ignore versions without a _SUCCESS marker (crashed admission is invisible)") {
+    val docs = Tables.documents(spark, sf)
+    staged { (table, stage) =>
+      InvertedIndex.build(docs, table, stage)
+      val before = InvertedIndex.probe(spark, table, stage, terms)
+        .as[(Long, Long, Double)].collect().toSeq
+      // simulate a torn admission: a higher stats version with data files
+      // but no _SUCCESS commit marker
+      val torn = new java.io.File(s"$stage/stats/v=99")
+      assert(torn.mkdirs())
+      java.nio.file.Files.write(torn.toPath.resolve("part-00000.parquet"),
+        Array[Byte](1, 2, 3))
+      val after = InvertedIndex.probe(spark, table, stage, terms)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(after == before, "probe read a torn stats version")
+    }
+  }
+}
