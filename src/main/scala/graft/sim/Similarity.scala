@@ -543,7 +543,18 @@ object Similarity {
     * aggregate) and the guarantee the update runs once, not once per
     * downstream consumer. */
   def kMeansSpherical(embeddings: DataFrame, k: Int = 8,
-                      rounds: Int = 3): DataFrame = {
+                      rounds: Int = 3): DataFrame =
+    kMeansSphericalModel(embeddings, k, rounds)._1.orderBy(col("vec_id"))
+
+  /** The same recurrence with its FINAL codebook exposed alongside the
+    * assignment — `(assign(vec_id, cluster, cos_sim), centroids(cid,
+    * centroid))`. [[graft.sim.Pq.ivfPqTopK]] needs the centroids to form
+    * residuals; q_kmeans keeps consuming the assignment-only wrapper, so
+    * its oracle recurrence is untouched. Unordered: callers order at
+    * their own gate. */
+  private[graft] def kMeansSphericalModel(
+      embeddings: DataFrame, k: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
     // fail fast like TopKAggregator/kAnonymity: rounds = 0 would return
     // the null pre-loop assignment and k <= 0 an empty frame — both
     // silent wrong answers, not configurations
@@ -557,14 +568,7 @@ object Similarity {
         transform(col("emb"), v => round(v, 6)).as("centroid"))
     var assign: DataFrame = null
     for (r <- 1 to rounds) {
-      assign = emb.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("cid"),
-          round(cosine(col("emb"), col("centroid")), 4).as("cos_sim"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("cos_sim"), (-col("cid")).as("ncid"))).as("best"))
-        .select(col("vec_id"),
-          (-col("best.ncid")).cast("long").as("cluster"),
-          col("best.cos_sim").as("cos_sim"))
+      assign = assignSpherical(emb, centroids)
       if (r < rounds) {
         centroids = assign.join(emb, Seq("vec_id"))
           .select(col("cluster"), posexplode(col("emb")))
@@ -581,8 +585,25 @@ object Similarity {
           .pinTier
       }
     }
-    assign.orderBy(col("vec_id"))
+    (assign, centroids)
   }
+
+  /** One spherical-assignment pass — the recurrence's inner step, shared
+    * with consumers that assign against a FROZEN codebook (the standing
+    * [[IvfPqIndex]] admits batches with the build-time centroids — the
+    * standard no-retrain IVF admission): per vec_id the (round-4 cosine,
+    * lowest-cid) argmax via the negated-struct max, one shuffle, no
+    * window. `emb` must carry (vec_id, emb: array<double>). */
+  private[sim] def assignSpherical(emb: DataFrame,
+                                   centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cid"),
+        round(cosine(col("emb"), col("centroid")), 4).as("cos_sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_sim"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"),
+        (-col("best.ncid")).cast("long").as("cluster"),
+        col("best.cos_sim").as("cos_sim"))
 
   /** Per-dimension scalar-quantization stats: ONE row holding the corpus
     * min and max per dimension as position-ordered arrays — the codebook

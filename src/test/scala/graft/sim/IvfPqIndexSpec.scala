@@ -1,0 +1,94 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+class IvfPqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def staged[A](f: String => A): A = {
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-spec").toFile.getAbsolutePath
+    try f(stage)
+    finally {
+      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+      ()
+    }
+  }
+
+  test("probe equals the recompute form row-for-row and prunes cell partitions") {
+    val emb = Tables.embeddings(spark, sf)
+    staged { path =>
+      IvfPqIndex.build(emb, path)
+      val probe = IvfPqIndex.probe(spark, path, emb, queryVecId = 0L)
+      val got = probe.as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+      val want = Pq.ivfPqTopK(emb, queryVecId = 0L)
+        .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+      assert(got == want, s"index probe diverged from recompute:\n$got\nvs\n$want")
+      // the codes scan must be pruned to the probed cells' directories —
+      // probe IO ∝ probed cells, not the corpus
+      val plan = IvfPqIndex.probe(spark, path, emb, queryVecId = 0L)
+        .queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan)
+      assert(pf.isDefined, s"codes scan is not partition-pruned on cell:\n$plan")
+    }
+  }
+
+  test("admit: frozen quantizers, idempotent replay, admitted vectors findable") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+    staged { path =>
+      IvfPqIndex.build(corpus, path)
+      val cbBefore = spark.read.parquet(s"$path/codebooks/v=1")
+        .orderBy(col("sub"), col("cid")).collect().toSeq
+      val n = IvfPqIndex.admit(spark, batch, path)
+      assert(n == batch.count(), s"admitted $n of ${batch.count()}")
+      // replay admits nothing (exactly-once per vec_id)
+      assert(IvfPqIndex.admit(spark, batch, path) == 0L, "replay re-admitted")
+      // quantizers are frozen: the codebook sidecar is untouched
+      val cbAfter = spark.read.parquet(s"$path/codebooks/v=1")
+        .orderBy(col("sub"), col("cid")).collect().toSeq
+      assert(cbBefore == cbAfter, "admission retrained the codebooks")
+      // an admitted vector is served: vec 7 now exists in the index, and
+      // probing with vec 7 itself as the query must surface its planted
+      // stress-free nearest neighbours without error, k rows total
+      val res = IvfPqIndex.probe(spark, path, emb, queryVecId = 7L)
+      assert(res.count() == 10)
+      // the admitted codes equal a frozen-codebook encode of the batch
+      val centroids = spark.read.parquet(s"$path/centroids/v=1")
+      val codebooks = spark.read.parquet(s"$path/codebooks/v=1")
+      val assign = Similarity.assignSpherical(
+        batch.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb")), centroids)
+      val wantCodes = Pq.encode(
+          Pq.residuals(batch, assign, centroids), codebooks)
+        .as[(Long, Seq[Int])].collect().toMap
+      val gotCodes = spark.read.parquet(s"$path/codes")
+        .join(batch.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("codes"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(gotCodes == wantCodes, "admitted codes diverge from frozen-codebook encode")
+    }
+  }
+
+  test("sidecar readers ignore versions without a _SUCCESS marker") {
+    val emb = Tables.embeddings(spark, sf)
+    staged { path =>
+      IvfPqIndex.build(emb, path)
+      val before = IvfPqIndex.probe(spark, path, emb, queryVecId = 0L)
+        .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+      // simulate a crashed quantizer rewrite: a v=2 directory with data
+      // but no _SUCCESS — readers must keep serving v=1
+      val crashed = new java.io.File(s"$path/centroids/v=2")
+      assert(crashed.mkdirs())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$path/centroids/v=2/part-junk.parquet"),
+        Array[Byte](1, 2, 3))
+      val after = IvfPqIndex.probe(spark, path, emb, queryVecId = 0L)
+        .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+      assert(after == before, "a torn sidecar version changed probe results")
+    }
+  }
+}
