@@ -1154,6 +1154,75 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Pseudo-relevance-feedback query expansion (the RM3 shape, Lavrenko &
+    * Croft 2001 / Abdul-Jaleel et al. 2004) — the second standard IR leg
+    * after [[bm25TopK]]: run the query, mine the top `fbDocs` results for
+    * the terms that characterize them, re-run with the expanded term set.
+    * Uniform-weight expansion (the interpolation λ is omitted: this
+    * engine's serving layer fuses by RANK — q_hybrid_rrf — so calibrated
+    * per-term weights would be discarded downstream anyway; documented
+    * simplification, not an accident).
+    *
+    * Expansion selection is deterministic end-to-end: candidate terms are
+    * the feedback pool's tokens minus the original query terms, weighted
+    * by round(Σ_pool tf/dl · idf, 6) — the relevance-model Σ P(t|d)
+    * estimate with the corpus idf as the P(t|C) discount — and the top
+    * `fbTerms` cut ranks on the ROUNDED weight with a term tiebreak (the
+    * q_source_terms k-boundary rule). Final scoring is [[bm25TopK]]'s
+    * expression verbatim over the expanded set.
+    *
+    * Scale shape: pass 1 is bm25TopK (term-pruned corpus scan); the pool
+    * is fbDocs rows → its token analysis is pool-bounded and the
+    * candidate set broadcasts (both the corpus-df semi-join and the final
+    * term filter are broadcast-side, never a corpus shuffle); pass 2 is
+    * one more term-pruned scan. Both passes become posting-list probes
+    * against the standing [[InvertedIndex]] at serve time — the
+    * recompute form here is the oracle shape. */
+  def bm25Rm3(documents: DataFrame, queryTerms: Seq[String], k: Int = 20,
+              fbDocs: Int = 10, fbTerms: Int = 5,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rm3 needs at least one query term")
+    require(fbDocs >= 1 && fbTerms >= 0,
+      s"bm25Rm3: need fbDocs >= 1 and fbTerms >= 0, got fbDocs=$fbDocs fbTerms=$fbTerms")
+    val pool = bm25TopK(documents, queryTerms, fbDocs, k1, b)
+      .select(col("doc_id"))
+    val lens = documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("dl"))
+      .pinTier
+    val stats = lens.agg(count(lit(1)).as("n_docs"))
+    // candidate terms: the pool's tokens minus the query's own terms,
+    // with their within-pool Σ tf/dl mass (pool-bounded rows)
+    // per-doc tf/dl rounds to 6 ONCE and accumulates as decimal — the
+    // pool mass is a published-selection input, so a float sum's
+    // accumulation order must not be able to flip the round-6 boundary
+    val poolTf = documents.join(broadcast(pool), Seq("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(not(col("term").isin(queryTerms: _*)))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .join(lens, Seq("doc_id"))
+      .groupBy(col("term"))
+      .agg(sum(round(col("tf").cast("double") / col("dl"), 6)
+        .cast("decimal(18,6)")).cast("double").as("mass"))
+    // corpus df for the candidates only (broadcast semi-join prune)
+    val df = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .join(broadcast(poolTf.select(col("term"))), Seq("term"), "left_semi")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val expansion = poolTf.join(df, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(col("mass") * log(lit(1.0)
+          + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))), 6).as("w"))
+      .orderBy(col("w").desc, col("term"))
+      .limit(fbTerms)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    // the expansion is ≤ fbTerms strings pulled to the driver — the
+    // O(k)-bounded collect class (a term LIST is the query object)
+    bm25TopK(documents, (queryTerms ++ expansion).distinct, k, k1, b)
+  }
+
   /** DSIR's SELECTION step — importance RESAMPLING via the Gumbel-top-k
     * trick (sampling ∝ exp(llr) without replacement ≡ top-k of
     * llr + Gumbel noise). The noise is derived, not drawn:

@@ -1,0 +1,152 @@
+package graft.text
+
+import graft.ops.Sampling
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes source classifier — the quality/domain
+  * classifier leg of a training-data pipeline (the fastText-classifier
+  * role in CCNet/RefinedWeb curation: route documents to mixture buckets
+  * by predicted domain, audit a crawl slice against its claimed source).
+  * The reference's only "classification" is its per-category aggregate
+  * report (SURVEY §2.3); this is the §2-beyond mandate, built as pure
+  * DataFrame arithmetic — no spark.ml, no RNG — so the whole
+  * train-then-score pipeline replays in the DuckDB oracle exactly.
+  *
+  * Determinism contract (the decimal-ledger trick from
+  * q_label_centroids): every per-term log-likelihood is rounded to 6
+  * decimals ONCE, then accumulated as exact DECIMAL — integer-exact
+  * summation, so per-document scores compare exactly across engines and
+  * the argmax needs no epsilon. Laplace(+1) smoothing over a top-V
+  * closed vocabulary; out-of-vocabulary tokens are dropped on BOTH
+  * train-count and score sides (standard closed-vocab NB).
+  *
+  * Scale shape: train = one (term, class) count shuffle over the train
+  * split + a V-bounded TakeOrdered vocabulary; the DENSE model (every
+  * vocab term × every class, zero counts smoothed) is V·C rows — bounded
+  * by the vocabulary cap, NOT the corpus — and broadcasts to the scoring
+  * join. Scoring = one map-side broadcast join + one groupBy(doc) decimal
+  * sum: linear in the test split, one shuffle. At 100 TB the vocabulary
+  * cap is the guard: V·C stays a few-MB broadcast no matter the corpus.
+  */
+object TextClassifier {
+
+  /** The planted-signal expression the GATE corpus appends (the
+    * q_edit_neardups augmentation rule: the fixture's text is label-free
+    * noise, so the gate plants a recoverable signal and the oracle
+    * recomputes the identical augmentation): five copies of a per-source
+    * marker token. Shared between the SparkEntry registration and the
+    * spec so the two corpora never drift. */
+  def marker(source: Column): Column =
+    repeat(concat(lit(" srcmark_"), source), 5)
+
+  /** Train on the [[Sampling.hashSplit]] train+val slice, score the
+    * held-out `test` slice (membership a pure function of (seed, doc_id)
+    * — reproducible, growth-stable, and NOT correlated with any fixture
+    * id-arithmetic the way a doc_id-mod split would be). Returns
+    * per-test-document verdicts `(doc_id, label, predicted, score,
+    * correct)` — score is the winning class's exact decimal posterior
+    * (prior + Σ tf·loglik), cast back to double at the boundary. */
+  def naiveBayes(documents: DataFrame, vocabSize: Int = 2000,
+                 seed: Long = 42L): DataFrame = {
+    require(vocabSize >= 1,
+      s"naiveBayes: need vocabSize >= 1, got vocabSize=$vocabSize")
+    val split = Sampling.hashSplit(
+      documents.select(col("doc_id"), col("source"), col("text")),
+      "doc_id", seed)
+    val toks = split.select(
+      col("doc_id"), col("source"), col("split"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val train = toks.filter(col("split") =!= "test")
+
+    // closed vocabulary: top-V train terms by (freq desc, term) — the
+    // TextAnalysis.vocabulary ordering, V-bounded TakeOrdered
+    val vocab = train.groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"))
+
+    val trainV = train.join(broadcast(vocab), Seq("term"))
+    // per-class in-vocab token totals and document priors (one row/class)
+    val classTotals = trainV.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val priors = split.filter(col("split") =!= "test")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val classes = priors
+      .crossJoin(priors.agg(sum(col("n_docs")).as("total_docs")))
+      .join(classTotals, Seq("source"))
+      .select(col("source"),
+        round(log(col("n_docs").cast("double") / col("total_docs")), 6)
+          .cast("decimal(18,6)").as("log_prior"),
+        col("n_tokens"))
+
+    // DENSE smoothed model: every (vocab term × class), tf >= 0 — V·C
+    // rows by construction, broadcast to the scorer
+    val counts = trainV.groupBy(col("term"), col("source"))
+      .agg(count(lit(1)).as("tf"))
+    val model = vocab.crossJoin(classes)
+      .join(counts, Seq("term", "source"), "left")
+      .select(col("term"), col("source"), col("log_prior"),
+        round(log((coalesce(col("tf"), lit(0L)) + lit(1)).cast("double")
+            / (col("n_tokens") + lit(vocabSize)).cast("double")), 6)
+          .cast("decimal(18,6)").as("log_lik"))
+
+    // score the held-out split: per (doc, class) exact decimal posterior.
+    // tf widens to decimal(10,0) so the product stays in-precision
+    // ((18,6)·(10,0) → (29,6); the sum’s (38,6) never overflows)
+    val test = toks.filter(col("split") === "test")
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).cast("decimal(10,0)").as("tf"))
+    val scored = test
+      .join(broadcast(model.withColumnRenamed("source", "cls")), Seq("term"))
+      .groupBy(col("doc_id"), col("source"), col("cls"))
+      .agg((max(col("log_prior"))
+        + sum(col("log_lik") * col("tf"))).as("posterior"))
+    // argmax with lexicographic class tiebreak, no window: negate the
+    // posterior so min(struct) picks (highest score, smallest class)
+    val viaTokens = scored
+      .groupBy(col("doc_id"), col("source"))
+      .agg(min(struct((-col("posterior")).as("neg"), col("cls"))).as("best"))
+      .select(col("doc_id"), col("source"),
+        col("best.cls").as("predicted"),
+        (-col("best.neg")).cast("double").as("score"))
+    // totality: a test doc whose every token is OOV has no scored rows —
+    // it classifies by prior alone (one constant winner, broadcast)
+    val priorWinner = classes
+      .agg(min(struct((-col("log_prior")).as("neg"), col("source"))).as("b"))
+      .select(col("b.source").as("prior_cls"),
+        (-col("b.neg")).cast("double").as("prior_score"))
+    split.filter(col("split") === "test")
+      .select(col("doc_id"), col("source"))
+      .join(viaTokens, Seq("doc_id", "source"), "left")
+      .crossJoin(broadcast(priorWinner))
+      .select(col("doc_id"), col("source").as("label"),
+        coalesce(col("predicted"), col("prior_cls")).as("predicted"),
+        coalesce(col("score"), col("prior_score")).as("score"))
+      .withColumn("correct", col("predicted") === col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The aggregate view: per-class precision/recall/support over the same
+    * verdicts — the report a curation dashboard reads. Counts are exact
+    * integers; rates round at 4 (the house report constant). */
+  def naiveBayesReport(documents: DataFrame, vocabSize: Int = 2000,
+                       seed: Long = 42L): DataFrame = {
+    val v = naiveBayes(documents, vocabSize, seed)
+    val byLabel = v.groupBy(col("label").as("source"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("tp"))
+    val byPred = v.groupBy(col("predicted").as("source"))
+      .agg(count(lit(1)).as("n_predicted"))
+    byLabel.join(byPred, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        round(coalesce(col("tp"), lit(0L))
+          / col("support").cast("double"), 4).as("recall"),
+        round(coalesce(col("tp"), lit(0L))
+          / col("n_predicted").cast("double"), 4).as("precision"))
+      .orderBy(col("source"))
+  }
+}
