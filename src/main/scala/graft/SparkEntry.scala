@@ -11,9 +11,9 @@ import graft.ml.Recommend
 import graft.model.Tables
 import graft.multimodal.Multimodal
 import graft.ops.{Aggregations, Filters, Joins, TopK}
-import graft.sim.Similarity
+import graft.sim.{Pq, Similarity}
 import graft.streaming.Streams
-import graft.text.TextAnalysis
+import graft.text.{TextAnalysis, TextClassifier}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,18 @@ object SparkEntry {
     * heavy compute upstream stays codegen'd. */
   private def csv(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat_ws(",", transform(c, x => x.cast("string")))
+
+  /** The q_nb_* gate corpus: 70% of docs (doc_id % 10 < 7) carry five
+    * copies of their source's marker token — the q_edit_neardups rule
+    * (the raw fixture's text is label-free noise: every token appears in
+    * every source at near-uniform rates, NB measures at 5% chance on it,
+    * so an unaugmented gate would assert nothing). The oracle applies
+    * the same CASE expression; expected accuracy ≈ 0.7·1 + 0.3·chance. */
+  private def nbCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(10)) < 7,
+        concat(col("text"), TextClassifier.marker(col("source"))))
+        .otherwise(col("text")))
 
   /** q_mixture_plan gate params: raw priorities (sum 5.0 — deliberately
     * not 1, exercising the normalization) over three of the twenty
@@ -641,6 +653,12 @@ object SparkEntry {
         ()
       }
     }),
+    // RM3 pseudo-relevance feedback: BM25 pool → deterministic expansion
+    // terms (round-6 Σ tf/dl·idf, term tiebreak) → expanded BM25. The
+    // oracle re-derives the EXPANSION itself from the corpus — nothing
+    // about the feedback loop is pinned
+    "q_bm25_rm3" -> ((s, d) => TextAnalysis.bm25Rm3(
+      Tables.documents(s, d), queryTerms = Seq("join", "merge", "window"))),
     // hybrid serving: the BM25 pool fused with the exact-cosine pool for
     // one query vector via reciprocal-rank fusion — rank-based, so the
     // fused ordering is engine-portable by construction
@@ -661,6 +679,12 @@ object SparkEntry {
       Tables.documents(s, d), MixtureWeights, tokenBudget = 1000000L)),
     // chi-square most-indicative vocabulary per source
     "q_source_terms" -> ((s, d) => TextAnalysis.sourceIndicativeTerms(Tables.documents(s, d))),
+    // multinomial NB source classifier over the marker-planted corpus
+    // (the q_edit_neardups augmentation rule — the raw fixture's text is
+    // label-free noise, measured at chance; the oracle recomputes the
+    // identical plant, split, model and argmax)
+    "q_nb_classify" -> ((s, d) => TextClassifier.naiveBayes(nbCorpus(s, d))),
+    "q_nb_report" -> ((s, d) => TextClassifier.naiveBayesReport(nbCorpus(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "q_chunks" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "q_pack_index" -> ((s, d) => TextAnalysis.packDocuments(Tables.documents(s, d))),
@@ -969,6 +993,45 @@ object SparkEntry {
     "q_sq_codes" -> ((s, d) => Similarity.sqQuantize(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"), col("n_dims"),
         csv(col("codes")).as("codes"))),
+    // product quantization (Jégou et al. 2011): per-subspace fixed-round
+    // Lloyd's codebooks (deterministic — the q_kmeans recurrence per
+    // subspace, round-4 L2), m=4 one-byte codes per 64-dim vector (64×
+    // compression vs SQ8's 4×); the oracle re-derives codebooks AND codes
+    "q_pq_codes" -> ((s, d) => Pq.pqCodes(Tables.embeddings(s, d))
+      .select(col("vec_id"), csv(col("codes")).as("codes"))),
+    // the ADC probe: decimal-exact per-subspace LUT scores select a
+    // candidate pool map-side (zero joins over the encoded tier), exact
+    // round-4 cosine re-ranks — full recompute, codebooks included
+    "q_ann_pq" -> ((s, d) => Pq.adcTopK(
+      Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
+    // IVF-PQ — the composition a billion-vector corpus deploys: coarse
+    // cells bound WHICH candidates are scanned, residual PQ codes bound
+    // the BYTES per candidate. Unlike the spark.ml IVF promise gates,
+    // every stage is the deterministic house recurrence, so this is a
+    // FULL recompute: cells (q_kmeans unroll at nlist=16), residual
+    // codebooks, codes, per-cell LUTs, pool cut, exact re-rank
+    "q_ann_ivf_pq" -> ((s, d) => Pq.ivfPqTopK(
+      Tables.embeddings(s, d), queryVecId = 0L, k = 10)),
+    // the same probe against the STANDING cell-partitioned index
+    // (sim/IvfPqIndex): codes partition-pruned to the nprobe cells,
+    // versioned quantizer sidecars, frozen-codebook admission — shares
+    // q_ann_ivf_pq's oracle verbatim (persistence must not change one
+    // score; the q_bm25_indexed rule)
+    "q_ann_ivf_pq_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-gate-ivfpq").toFile.getAbsolutePath
+      try {
+        Telemetry.timed("q_ann_ivf_pq_indexed") {
+          graft.sim.IvfPqIndex.build(emb, stage)
+        }
+        graft.sim.IvfPqIndex.probe(s, stage, emb, queryVecId = 0L, k = 10)
+          .pinTier // materialize before the staging files are dropped
+      } finally {
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
+    }),
     // per-class centroid table (cluster-balanced sampling / drift monitor)
     // fixed-round spherical k-means: 8 seed clusters (lowest vec_ids),
     // 3 assignment rounds, decimal-exact centroid updates — oracle unrolls
@@ -1002,6 +1065,17 @@ object SparkEntry {
     // eval-integrity audit: near-dup pairs straddling the split boundary
     "q_split_leakage" -> ((s, d) => graft.ops.Sampling.splitLeakageReport(
       Tables.documents(s, d), seed = 42L)),
+    // the FIX for what q_split_leakage measures: split by near-dup
+    // CLUSTER label (GroupShuffleSplit semantics) — no near-dup pair can
+    // straddle a boundary; oracle = the closure prefix + md5 on the label
+    "q_cluster_split" -> ((s, d) => graft.ops.Sampling.clusterSafeSplit(
+      Tables.documents(s, d), seed = 42L)),
+    // the audit twin: same pair tier × cluster-derived splits — the
+    // cross_split rows are zero BY CONSTRUCTION, published next to
+    // q_split_leakage's nonzero doc-level counts
+    "q_cluster_split_leakage" -> ((s, d) =>
+      graft.ops.Sampling.clusterSafeLeakageReport(
+        Tables.documents(s, d), seed = 42L)),
     // ---- events / sessionization (north-star; streaming twin in
     // graft.streaming.Streams runs the same expressions incrementally) ----
     "q_hourly_events" -> ((s, d) => Streams.hourlyCountsBatch(Tables.events(s, d))),
@@ -1185,6 +1259,287 @@ object SparkEntry {
   private val bm25Sql: String =
     s"WITH $bm25Ctes\nSELECT doc_id, n_terms, score FROM bm25 " +
       "ORDER BY score DESC, doc_id LIMIT 20"
+
+  /** RM3 oracle: the expansion itself is re-DERIVED (pool → round-6
+    * decimal-ledger mass × idf → top-5 cut on the rounded weight), then
+    * the expanded term set re-scores — nothing about the feedback loop is
+    * pinned. The toks/lens split mirrors bm25Ctes' zero-token-doc rule. */
+  private val bm25Rm3Sql: String =
+    """WITH lens AS (
+      |  SELECT doc_id, CAST(len(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+      |toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf1 AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE term IN ('join', 'merge', 'window') GROUP BY 1, 2),
+      |idf1 AS (
+      |  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf FROM (
+      |    SELECT term, count(*) AS df FROM tf1 GROUP BY 1) CROSS JOIN stats),
+      |pool AS (
+      |  SELECT doc_id FROM (
+      |    SELECT tf1.doc_id, round(sum(idf1.idf * tf1.tf * 2.2
+      |      / (tf1.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl))), 4) AS score
+      |    FROM tf1 JOIN idf1 USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+      |    GROUP BY 1)
+      |  ORDER BY score DESC, doc_id LIMIT 10),
+      |mass AS (
+      |  SELECT term, CAST(sum(CAST(round(tf * 1.0 / dl, 6) AS DECIMAL(18,6))) AS DOUBLE) AS mass
+      |  FROM (SELECT t.doc_id, t.term, count(*) AS tf
+      |        FROM toks t JOIN pool USING (doc_id)
+      |        WHERE t.term NOT IN ('join', 'merge', 'window') GROUP BY 1, 2)
+      |  JOIN lens USING (doc_id) GROUP BY 1),
+      |cdf AS (
+      |  SELECT term, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, term FROM toks)
+      |  WHERE term IN (SELECT term FROM mass) GROUP BY 1),
+      |expn AS (
+      |  SELECT term FROM (
+      |    SELECT m.term, round(m.mass * ln(1.0 + (s.n_docs - c.df + 0.5)
+      |      / (c.df + 0.5)), 6) AS w
+      |    FROM mass m JOIN cdf c USING (term) CROSS JOIN stats s)
+      |  ORDER BY w DESC, term LIMIT 5),
+      |qt AS (SELECT unnest(['join', 'merge', 'window']) AS term
+      |       UNION SELECT term FROM expn),
+      |tf2 AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+      |idf2 AS (
+      |  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf FROM (
+      |    SELECT term, count(*) AS df FROM tf2 GROUP BY 1) CROSS JOIN stats)
+      |SELECT tf2.doc_id, count(*) AS n_terms,
+      |  round(sum(idf2.idf * tf2.tf * 2.2
+      |    / (tf2.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl))), 4) AS score
+      |FROM tf2 JOIN idf2 USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+      |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** The per-subspace PQ recurrence (the kmeansIterSql shape with `sub`
+    * in every group key and round-4 L2 in place of cosine): `${p}c0`
+    * seeds from the lowest vec_ids per subspace, one decimal-exact
+    * centroid update, final assignment `${p}a2` against `${p}c1`, codes =
+    * rank within the surviving subspace centroids. `sv` names the
+    * (vec_id, sub, svec) source CTE — raw subvectors for flat PQ,
+    * RESIDUAL subvectors for IVF-PQ; `p` prefixes the emitted CTE names
+    * so the chain can coexist with the coarse k-means unroll (whose
+    * a1/c1/a2 names it would otherwise shadow). */
+  private def pqIterSql(sv: String, p: String): String =
+    s"""${p}c0 AS MATERIALIZED (
+      |  SELECT sub, vec_id AS cid, list_transform(svec, x -> round(x, 6)) AS centroid
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn FROM $sv)
+      |  WHERE rn <= 8),
+      |${p}a1 AS MATERIALIZED (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT s.vec_id, s.sub, c.cid,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+      |        ORDER BY round(list_distance(s.svec, c.centroid), 4), c.cid) AS rn
+      |    FROM $sv s JOIN ${p}c0 c USING (sub)) WHERE rn = 1),
+      |${p}c1 AS MATERIALIZED (
+      |  SELECT sub, cid, list(mv ORDER BY dimn) AS centroid FROM (
+      |    SELECT a.sub, a.cid, u.dimn,
+      |      round(CAST(sum(CAST(round(u.v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |        / count(*), 6) AS mv
+      |    FROM ${p}a1 a
+      |    JOIN (SELECT vec_id, sub, unnest(range(1, len(svec)+1)) AS dimn,
+      |            unnest(svec) AS v FROM $sv) u USING (vec_id, sub)
+      |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+      |${p}a2 AS MATERIALIZED (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT s.vec_id, s.sub, c.cid,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+      |        ORDER BY round(list_distance(s.svec, c.centroid), 4), c.cid) AS rn
+      |    FROM $sv s JOIN ${p}c1 c USING (sub)) WHERE rn = 1),
+      |${p}codebook AS MATERIALIZED (
+      |  SELECT sub, cid, centroid,
+      |    CAST(row_number() OVER (PARTITION BY sub ORDER BY cid) - 1 AS INT) AS code
+      |  FROM ${p}c1)""".stripMargin
+
+  /** Flat-PQ CTE chain over the raw subvectors — q_pq_codes / q_ann_pq. */
+  private val pqCtes: String =
+    s"""emb AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |sv AS MATERIALIZED (
+      |  SELECT vec_id, sub, emb[(sub*16+1):(sub*16+16)] AS svec
+      |  FROM emb CROSS JOIN (SELECT unnest(range(0, 4)) AS sub)),
+      |${pqIterSql("sv", "")}""".stripMargin
+
+  private val pqCodesSql: String =
+    s"""WITH $pqCtes
+      |SELECT a.vec_id,
+      |  array_to_string(list(cb.code ORDER BY a.sub), ',') AS codes
+      |FROM a2 a JOIN codebook cb USING (sub, cid)
+      |GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  /** ADC probe oracle: decimal-exact LUT sums select the 50-candidate
+    * pool, exact round-4 cosine decides the published top-10. */
+  private val annPqSql: String =
+    s"""WITH $pqCtes,
+      |lut AS (
+      |  SELECT cb.sub, cb.code,
+      |    CAST(round(list_inner_product(q.svec, cb.centroid), 6) AS DECIMAL(18,6)) AS v
+      |  FROM codebook cb JOIN (SELECT sub, svec FROM sv WHERE vec_id = 0) q USING (sub)),
+      |adc AS (
+      |  SELECT a.vec_id AS neighbor_id, CAST(sum(l.v) AS DOUBLE) AS adc_score
+      |  FROM a2 a JOIN codebook cb USING (sub, cid) JOIN lut l
+      |    ON l.sub = a.sub AND l.code = cb.code
+      |  WHERE a.vec_id <> 0 GROUP BY 1),
+      |pool AS (
+      |  SELECT neighbor_id, adc_score FROM adc
+      |  ORDER BY adc_score DESC, neighbor_id LIMIT 50)
+      |SELECT CAST(0 AS BIGINT) AS query_id,
+      |  CAST(row_number() OVER (ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk,
+      |  neighbor_id, adc_score, cos_sim
+      |FROM (
+      |  SELECT p.neighbor_id, p.adc_score,
+      |    round(list_cosine_similarity(e.emb,
+      |      (SELECT emb FROM emb WHERE vec_id = 0)), 4) AS cos_sim
+      |  FROM pool p JOIN emb e ON e.vec_id = p.neighbor_id)
+      |QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin
+
+  /** IVF-PQ oracle — every stage re-derived: the coarse-cell k-means is
+    * the q_kmeans unroll at nlist=16 (kmeansIterSql verbatim, a3/c2 the
+    * final assignment/codebook), PQ re-trains on the RESIDUALS (the
+    * prefixed p_* recurrence over rsv), the probe picks nprobe=4 cells on
+    * round-4 cosine, per-cell decimal LUTs score only those cells'
+    * candidates, and exact round-4 cosine decides the published top-10. */
+  private val annIvfPqSql: String =
+    s"""WITH emb AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |c0 AS MATERIALIZED (
+      |  SELECT vec_id AS cid, list_transform(emb, x -> round(x, 6)) AS centroid
+      |  FROM emb ORDER BY vec_id LIMIT 16),
+      |${kmeansIterSql(3)},
+      |resid AS MATERIALIZED (
+      |  SELECT e.vec_id, a.cluster,
+      |    list_transform(range(1, len(e.emb)+1),
+      |      i -> e.emb[i] - c.centroid[i]) AS emb
+      |  FROM emb e JOIN a3 a USING (vec_id) JOIN c2 c ON c.cid = a.cluster),
+      |rsv AS MATERIALIZED (
+      |  SELECT vec_id, sub, emb[(sub*16+1):(sub*16+16)] AS svec
+      |  FROM resid CROSS JOIN (SELECT unnest(range(0, 4)) AS sub)),
+      |${pqIterSql("rsv", "p_")},
+      |qv AS (SELECT emb AS q_emb FROM emb WHERE vec_id = 0),
+      |probed AS (
+      |  SELECT cid, centroid FROM c2 CROSS JOIN qv
+      |  ORDER BY round(list_cosine_similarity(centroid, q_emb), 4) DESC, cid
+      |  LIMIT 4),
+      |qres AS (
+      |  SELECT p.cid AS cell, sub,
+      |    (list_transform(range(1, len(q.q_emb)+1),
+      |      i -> q.q_emb[i] - p.centroid[i]))[(sub*16+1):(sub*16+16)] AS svec
+      |  FROM probed p CROSS JOIN qv q
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS sub)),
+      |lut AS (
+      |  SELECT qr.cell, cb.sub, cb.code,
+      |    CAST(round(list_inner_product(qr.svec, cb.centroid), 6) AS DECIMAL(18,6)) AS v
+      |  FROM qres qr JOIN p_codebook cb USING (sub)),
+      |adc AS (
+      |  SELECT a.vec_id, a3.cluster AS cell, CAST(sum(l.v) AS DOUBLE) AS adc_score
+      |  FROM p_a2 a
+      |  JOIN a3 USING (vec_id)
+      |  JOIN p_codebook cb ON cb.sub = a.sub AND cb.cid = a.cid
+      |  JOIN lut l ON l.cell = a3.cluster AND l.sub = a.sub AND l.code = cb.code
+      |  WHERE a.vec_id <> 0
+      |  GROUP BY 1, 2),
+      |pool AS (
+      |  SELECT vec_id AS neighbor_id, cell, adc_score FROM adc
+      |  ORDER BY adc_score DESC, vec_id LIMIT 50)
+      |SELECT CAST(0 AS BIGINT) AS query_id,
+      |  CAST(row_number() OVER (ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk,
+      |  neighbor_id, cell, adc_score, cos_sim
+      |FROM (
+      |  SELECT p.neighbor_id, p.cell, p.adc_score,
+      |    round(list_cosine_similarity(e.emb, (SELECT q_emb FROM qv)), 4) AS cos_sim
+      |  FROM pool p JOIN emb e ON e.vec_id = p.neighbor_id)
+      |QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin
+
+  /** NB oracle: plant → md5 split → top-V vocabulary → dense Laplace
+    * model with round-6 decimal log-likelihoods → exact decimal argmax,
+    * with the prior-only fallback for all-OOV docs. Shared by
+    * q_nb_classify (per-doc verdicts) and q_nb_report (per-class rates). */
+  private val nbCtes: String =
+    """aug AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 < 7
+      |         THEN text || repeat(' srcmark_' || source, 5)
+      |         ELSE text END AS text
+      |  FROM documents),
+      |spl AS (
+      |  SELECT doc_id, source, text,
+      |    CASE WHEN substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+      |         THEN 'test' ELSE 'train' END AS split
+      |  FROM aug),
+      |toks AS (
+      |  SELECT doc_id, source, split, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      |  FROM spl),
+      |trn AS (SELECT * FROM toks WHERE split <> 'test'),
+      |vocab AS (
+      |  SELECT term FROM (SELECT term, count(*) AS freq FROM trn GROUP BY 1)
+      |  ORDER BY freq DESC, term LIMIT 2000),
+      |trainv AS (SELECT * FROM trn WHERE term IN (SELECT term FROM vocab)),
+      |ctot AS (SELECT source, count(*) AS n_tokens FROM trainv GROUP BY 1),
+      |pri AS (SELECT source, count(*) AS n_docs FROM spl
+      |        WHERE split <> 'test' GROUP BY 1),
+      |classes AS (
+      |  SELECT p.source,
+      |    CAST(round(ln(p.n_docs * 1.0 / (SELECT sum(n_docs) FROM pri)), 6)
+      |      AS DECIMAL(18,6)) AS log_prior,
+      |    c.n_tokens
+      |  FROM pri p JOIN ctot c USING (source)),
+      |counts AS (SELECT term, source, count(*) AS tf FROM trainv GROUP BY 1, 2),
+      |model AS (
+      |  SELECT v.term, c.source, c.log_prior,
+      |    CAST(round(ln((coalesce(ct.tf, 0) + 1) * 1.0
+      |      / (c.n_tokens + 2000)), 6) AS DECIMAL(18,6)) AS log_lik
+      |  FROM vocab v CROSS JOIN classes c
+      |  LEFT JOIN counts ct ON ct.term = v.term AND ct.source = c.source),
+      |tst AS (
+      |  SELECT doc_id, source, term, CAST(count(*) AS DECIMAL(10,0)) AS tf
+      |  FROM toks WHERE split = 'test' GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT t.doc_id, t.source, m.source AS cls,
+      |    max(m.log_prior) + sum(m.log_lik * t.tf) AS posterior
+      |  FROM tst t JOIN model m USING (term) GROUP BY 1, 2, 3),
+      |via AS (
+      |  SELECT doc_id, cls, CAST(posterior AS DOUBLE) AS score FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY posterior DESC, cls) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |pw AS (
+      |  SELECT source AS prior_cls, CAST(log_prior AS DOUBLE) AS prior_score
+      |  FROM classes ORDER BY log_prior DESC, source LIMIT 1),
+      |verdict AS (
+      |  SELECT s.doc_id, s.source AS label,
+      |    coalesce(v.cls, pw.prior_cls) AS predicted,
+      |    coalesce(v.score, pw.prior_score) AS score,
+      |    coalesce(v.cls, pw.prior_cls) = s.source AS correct
+      |  FROM (SELECT doc_id, source FROM spl WHERE split = 'test') s
+      |  LEFT JOIN via v USING (doc_id) CROSS JOIN pw)""".stripMargin
+
+  private val nbClassifySql: String =
+    s"WITH $nbCtes\nSELECT doc_id, label, predicted, score, correct " +
+      "FROM verdict ORDER BY doc_id"
+
+  private val nbReportSql: String =
+    s"""WITH $nbCtes,
+      |byl AS (
+      |  SELECT label AS source, count(*) AS support,
+      |    sum(CASE WHEN correct THEN 1 ELSE 0 END) AS tp
+      |  FROM verdict GROUP BY 1),
+      |byp AS (
+      |  SELECT predicted AS source, count(*) AS n_predicted
+      |  FROM verdict GROUP BY 1)
+      |SELECT source,
+      |  coalesce(support, 0) AS support,
+      |  coalesce(n_predicted, 0) AS n_predicted,
+      |  round(coalesce(tp, 0) / CAST(support AS DOUBLE), 4) AS recall,
+      |  round(coalesce(tp, 0) / CAST(n_predicted AS DOUBLE), 4) AS precision
+      |FROM byl FULL OUTER JOIN byp USING (source)
+      |ORDER BY source""".stripMargin
 
   /** The fusion: both candidate pools ranked on their ROUNDED scores
     * (id tiebreaks), rrf = exact IEEE divisions — rank-based, so the
@@ -2654,6 +3009,13 @@ object SparkEntry {
     // scoring expression) — the q_scd2_table/q_incremental_dedup_bucketed
     // shared-oracle class
     "q_bm25_indexed" -> bm25Sql,
+    "q_bm25_rm3" -> bm25Rm3Sql,
+    "q_nb_classify" -> nbClassifySql,
+    "q_nb_report" -> nbReportSql,
+    "q_pq_codes" -> pqCodesSql,
+    "q_ann_pq" -> annPqSql,
+    "q_ann_ivf_pq" -> annIvfPqSql,
+    "q_ann_ivf_pq_indexed" -> annIvfPqSql,
     // hybrid RRF: BM25 CTEs + one broadcast query vector against the
     // corpus, both legs ranked on rounded scores, exact-division fusion
     "q_hybrid_rrf" -> hybridRrfSql,
@@ -2932,6 +3294,42 @@ object SparkEntry {
         |SELECT split_a, split_b, count(*) AS n_pairs,
         |  (split_a <> split_b) AS cross_split
         |FROM att GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
+    // cluster-safe split: the dup-closure prefix + md5 on the CLUSTER
+    // label (singletons label as their own doc_id, the dupClusters rule)
+    "q_cluster_split" -> (dupClosurePrefix +
+      """
+        |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        |  CASE WHEN substring(md5('42:' ||
+        |         CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) < '1a'
+        |         THEN 'test'
+        |       WHEN substring(md5('42:' ||
+        |         CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) < '34'
+        |         THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+    // its audit: the same pair tier crossed with the cluster-derived
+    // assignment — cross_split true rows are zero by construction
+    "q_cluster_split_leakage" -> (dupClosurePrefix +
+      """,
+        |csp AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN substring(md5('42:' ||
+        |           CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) < '1a'
+        |           THEN 'test'
+        |         WHEN substring(md5('42:' ||
+        |           CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) < '34'
+        |           THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |att AS (
+        |  SELECT least(pa.split, pb.split) AS split_a,
+        |    greatest(pa.split, pb.split) AS split_b
+        |  FROM pairs JOIN csp pa ON doc_a = pa.doc_id
+        |  JOIN csp pb ON doc_b = pb.doc_id)
+        |SELECT split_a, split_b, count(*) AS n_pairs,
+        |  (split_a <> split_b) AS cross_split
+        |FROM att GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin),
     // the cap's visibility report: shingle df distribution vs the cap
     "q_hot_shingles" ->
       s"""WITH sh AS (

@@ -186,7 +186,20 @@ object Stress {
     // label joins), the bucketed Heaps growth fit (two token aggregates,
     // window stays 64 rows at every multiple), and the mixture-plan
     // token scan (one aggregate + literal broadcast)
-    "q_mmr", "q_modularity", "q_heaps", "q_mixture_plan")
+    "q_mmr", "q_modularity", "q_heaps", "q_mixture_plan",
+    // round 11 session 2: the NB classifier (one token-count shuffle +
+    // a vocab-capped broadcast model — the V·C bound is the claim), the
+    // PQ codebook/encode passes (kMeans cost class: per-round broadcast +
+    // two shuffles, linear in vectors), the ADC probe (map-side LUT scan
+    // + TakeOrdered), and the two-pass RM3 expansion (each pass a
+    // term-pruned scan; the pool analysis is fbDocs-bounded)
+    "q_nb_classify", "q_pq_codes", "q_ann_pq", "q_bm25_rm3",
+    // IVF-PQ end-to-end (coarse k-means + residual PQ train + probe):
+    // the kMeans cost class twice over, linear in vectors per round
+    "q_ann_ivf_pq",
+    // cluster-safe split: the q_dup_clusters closure + one map-side md5 —
+    // must track the q_dup_clusters trend
+    "q_cluster_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -338,6 +351,20 @@ object Stress {
               timed("ivf_index_admit_fixed_batch") {
                 graft.sim.IvfIndex.admit(spark, embBatch, s"$stage/ivf"); ()
               }) else Nil) ++
+            // same economics for the standing IVF-PQ index: build ∝
+            // corpus (two quantizer trainings + the coded tier), probe ∝
+            // the nprobe cells' partitions (pruned scan), admission of a
+            // FIXED 1× batch with frozen quantizers ∝ batch
+            (if (want("ivfpq_index_build")) Seq(
+              timed("ivfpq_index_build")(
+                graft.sim.IvfPqIndex.build(embCorpus, s"$stage/ivfpq")),
+              timed("ivfpq_index_probe")(
+                graft.sim.IvfPqIndex.probe(spark, s"$stage/ivfpq",
+                    embCorpus, queryVecId = 1L)
+                  .write.format("noop").mode("overwrite").save()),
+              timed("ivfpq_index_admit_fixed_batch") {
+                graft.sim.IvfPqIndex.admit(spark, embBatch, s"$stage/ivfpq"); ()
+              }) else Nil) ++
             // same economics for the components index: labels solved over
             // the x$m corpus's pair tier, a FIXED 1× batch's pairs admitted
             // via the affected-components-only re-solve (pruned scans of
@@ -351,6 +378,24 @@ object Stress {
                 graft.graph.ComponentsIndex.admit(spark,
                   graft.dedup.Dedup.ngramJaccardPairs(fixedBatch)
                     .select(col("doc_a"), col("doc_b")), s"$stage/cc"); ()
+              }) else Nil) ++
+            // same economics for the standing inverted index: postings
+            // built over the x$m corpus, then (a) a FIXED 3-term probe —
+            // cost ∝ the query terms' posting lists (grows with corpus
+            // df, must stay far under the build's ratio) — and (b) a
+            // FIXED 1× batch admitted (anti-join on the index's doc set
+            // + appended bucket files, ∝ batch)
+            (if (want("inverted_index_build")) Seq(
+              timed("inverted_index_build")(
+                graft.text.InvertedIndex.build(
+                  corpus, "graft_stress_invidx", s"$stage/invidx")),
+              timed("inverted_index_probe")(
+                graft.text.InvertedIndex.probe(spark, "graft_stress_invidx",
+                    s"$stage/invidx", Seq("join", "merge", "window"))
+                  .write.format("noop").mode("overwrite").save()),
+              timed("inverted_index_admit_fixed_batch") {
+                graft.text.InvertedIndex.admit(spark, fixedBatch,
+                  "graft_stress_invidx", s"$stage/invidx"); ()
               }) else Nil) ++
             // same economics for the maintained SCD2 dimension: the table
             // built over the x$m customer dim (nBuckets ∝ data — the

@@ -209,6 +209,13 @@ object Sampling {
       .select(col("doc_a"), col("doc_b"))
     val splits = hashSplit(documents.select(col("doc_id")), "doc_id", seed)
       .select(col("doc_id"), col("split"))
+    pairLeakage(pairs, splits)
+  }
+
+  /** Cross-split attribution of a near-dup pair tier against a per-doc
+    * split assignment — the shared tail of [[splitLeakageReport]] and
+    * [[clusterSafeLeakageReport]]. */
+  private def pairLeakage(pairs: DataFrame, splits: DataFrame): DataFrame =
     pairs
       .join(splits.withColumnsRenamed(Map("doc_id" -> "doc_a", "split" -> "sa")),
         Seq("doc_a"))
@@ -220,6 +227,45 @@ object Sampling {
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("cross_split", col("split_a") =!= col("split_b"))
       .orderBy(col("split_a"), col("split_b"))
+
+  /** Group-aware (leakage-FREE) split — the fix for what
+    * [[splitLeakageReport]] measures: split membership is a pure function
+    * of (seed, near-dup CLUSTER label) instead of (seed, doc_id), so the
+    * members of a near-dup cluster land in the SAME split and a near-dup
+    * pair can never straddle a boundary (GroupShuffleSplit semantics; the
+    * eval-integrity requirement behind e.g. GPT-3's fuzzy-dedup'd
+    * validation set). Singleton documents are their own cluster (label =
+    * doc_id — the dupClusters convention), so the achieved rates stay
+    * within quantization of the slot targets unless duplication is
+    * extreme, and [[splitReport]]-style auditing still applies.
+    *
+    * Scale shape: the pair tier + O(log n) star contraction (exactly the
+    * q_dup_clusters cost class — nothing new past the closure) plus one
+    * map-side md5 on the cluster label. */
+  def clusterSafeSplit(documents: DataFrame, seed: Long = 42L,
+                       k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(documents, k, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = graft.graph.Components.dupClusters(documents, pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    hashSplit(clusters, "cluster_id", seed)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The audit twin of [[clusterSafeSplit]]: the same pair tier crossed
+    * with the cluster-derived assignment — cross-split rows are ZERO BY
+    * CONSTRUCTION (both endpoints of a pair share a cluster by closure,
+    * hence a split), and the gate publishes that zero next to
+    * q_split_leakage's nonzero doc-level counts. */
+  def clusterSafeLeakageReport(documents: DataFrame, seed: Long = 42L,
+                               k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(documents, k, threshold)
+      .select(col("doc_a"), col("doc_b")).pinTier
+    val splits = graft.graph.Components.dupClusters(documents, pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    pairLeakage(pairs,
+      hashSplit(splits, "cluster_id", seed).select(col("doc_id"), col("split")))
   }
 
   /** Deterministic k-per-group reservoir sample: rank rows within each

@@ -356,7 +356,35 @@ class GoldenPlanSpec extends SparkSpec {
       required = Seq("partial_count", "BroadcastHashJoin"),
       forbidden = Seq("CartesianProduct", "SortMergeJoin",
         "BroadcastNestedLoopJoin"),
-      maxExchanges = Some(2)))
+      maxExchanges = Some(2)),
+    // NB classifier: token counts map-combine; the V·C model reaches the
+    // test-split scorer as a BROADCAST hash join (the model is vocabulary-
+    // bounded — a corpus-vs-corpus SMJ here means the cap stopped working).
+    // The model build's own vocab×classes expansion is a bounded nested-
+    // loop by construction, so only the cartesian is globally forbidden.
+    "q_nb_classify" -> Golden(
+      required = Seq("partial_count", "BroadcastHashJoin"),
+      forbidden = Seq("CartesianProduct")),
+    "q_nb_report" -> Golden(
+      required = Seq("partial_count", "BroadcastHashJoin"),
+      forbidden = Seq("CartesianProduct")),
+    // PQ encode: per-(vec,sub) argmin is a map-combined min(struct); the
+    // codebook joins broadcast (m·ksub rows) — never corpus-vs-corpus
+    "q_pq_codes" -> Golden(
+      required = Seq("partial_min"),
+      forbidden = Seq("CartesianProduct", "SortMergeJoin")),
+    // ADC probe: the candidate pool must be a TakeOrdered over the
+    // map-side LUT scores, never a global sort of the scored corpus
+    "q_ann_pq" -> Golden(
+      required = Seq("partial_min", "TakeOrderedAndProject"),
+      forbidden = Seq("CartesianProduct", "SortMergeJoin")))
+    // q_bm25_rm3, q_bm25_indexed and q_ann_ivf_pq are deliberately
+    // absent: their CONSTRUCTION runs driver work (the feedback pool
+    // collect / the index build / the nprobe cell pick), the header's
+    // exclusion rule. The final RM3 pass IS the pinned q_bm25 shape; the
+    // index probe plan is asserted in InvertedIndexSpec (bucket pruning,
+    // no corpus scan); IVF-PQ's candidate confinement is asserted in
+    // PqSpec (results only from probed cells).
 
   golden.foreach { case (name, g) =>
     test(s"golden plan: $name") {

@@ -510,6 +510,21 @@ class Round3OpsSpec extends SparkSpec {
     assert(got == Seq(
       ("test", "train", 2L, true),
       ("train", "train", 1L, false)), s"got $got")
+
+    // the FIX on the identical fixture: the cluster split keeps every
+    // near-dup cluster intact, so the same twin pair that leaked above
+    // cannot leak here — zero cross-split rows by construction
+    val safe = Sampling.clusterSafeSplit(d)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(safe.map(_._1).sorted ==
+      (Seq(testId) ++ trainIds).sorted, "a doc lost its assignment")
+    val byCluster = safe.groupBy(_._2).values
+    byCluster.foreach(c => assert(c.map(_._3).distinct.size == 1,
+      s"cluster straddles splits: $c"))
+    val audit = Sampling.clusterSafeLeakageReport(d)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(audit.forall(!_._4), s"cluster split leaked: $audit")
+    assert(audit.map(_._3).sum == 3L, s"pair count changed: $audit")
   }
 
   test("decayedPopularity: exact half-life weights, anchored at corpus max ts") {
