@@ -253,6 +253,59 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** BPR-style negative sampling (Rendle et al. 2009) over the purchase
+    * matrix — the training-triple miner a recommender/embedding trainer
+    * runs next to [[graft.ml.Recommend]]: for every customer, k parts
+    * they did NOT buy, drawn uniformly from the part dimension by a
+    * DERIVED hash (poly_hash(seed:cust:i) mod |P| — reproducible
+    * cross-engine, the dsirResample noise rule; a rand() here would be
+    * engine-private). Draw-by-index + reject-positives + keep-first-k:
+    * the standard oversampled rejection scheme, deterministic end to end.
+    *
+    * Scale shape: candidates are |C|·k·oversample rows (linear in
+    * customers — NEVER the |C|·|P| cross space), the part dimension joins
+    * twice as a broadcast (the rank lookup needs one dim-sized total
+    * order — the dim-table window class), the positive rejection is one
+    * anti-join on the interaction key, and the keep-k window sees
+    * ≤ k·oversample rows per customer. A customer whose draws collide
+    * with positives more than k·(oversample−1) times emits fewer than k
+    * rows (vanishing for |positives| ≪ |P|; emitted honestly rather than
+    * resampled — the df-cap rule). */
+  def bprNegatives(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+                   k: Int = 4, oversample: Int = 3,
+                   seed: String = "bpr1"): DataFrame = {
+    require(k >= 1 && oversample >= 1,
+      s"bprNegatives: need k >= 1 and oversample >= 1, got k=$k oversample=$oversample")
+    import graft.functions.PolyHash.poly_hash
+    val inter = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        Seq("l_orderkey"))
+      .select(col("o_custkey").as("cust_key"), col("l_partkey").as("part_key"))
+      .distinct().pinTier
+    val nParts = part.agg(count(lit(1)).as("n_parts"))
+    val ranked = part.select(col("p_partkey").as("part_key"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("p_partkey"))) - 1).cast("long").as("idx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cust_key")).orderBy(col("draw"), col("part_key"))
+    inter.select(col("cust_key")).distinct()
+      .select(col("cust_key"),
+        explode(sequence(lit(0), lit(k * oversample - 1))).as("i"))
+      .crossJoin(broadcast(nParts))
+      .select(col("cust_key"), col("i"),
+        pmod(poly_hash(concat_ws(":", lit(seed), col("cust_key"), col("i"))),
+          col("n_parts")).as("idx"))
+      .join(broadcast(ranked), Seq("idx"))
+      .join(inter, Seq("cust_key", "part_key"), "left_anti")
+      .groupBy(col("cust_key"), col("part_key"))
+      .agg(min(col("i")).cast("bigint").as("draw"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select(col("cust_key"), col("part_key").as("neg_part"),
+        col("draw"), col("rn"))
+      .orderBy(col("cust_key"), col("rn"))
+  }
+
   /** The audit twin of [[clusterSafeSplit]]: the same pair tier crossed
     * with the cluster-derived assignment — cross-split rows are ZERO BY
     * CONSTRUCTION (both endpoints of a pair share a cluster by closure,

@@ -605,6 +605,90 @@ object Similarity {
         (-col("best.ncid")).cast("long").as("cluster"),
         col("best.cos_sim").as("cos_sim"))
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022, MRL): recall@k of
+    * PREFIX-dim cosine retrieval against the exact full-dim top-k — the
+    * measurement behind the hot/cold serving ladder (a 100 TB vector tier
+    * keeps a short-prefix copy hot and full vectors cold; this row says
+    * what each prefix width costs in retrieval quality, the same role
+    * [[recallAudit]] plays for the quantized methods). One output row per
+    * audited width: `(dim, n_probes, recall)`.
+    *
+    * Probe economics: the probe set is `vec_id % probeMod == 0` — the
+    * [[knnLabelAudit]] fixed-sample contract (|probes|·|corpus| work, so
+    * at scale the probe is a fixed SAMPLE, not a fixed fraction; excluded
+    * from Stress for the same documented reason). Every comparison is
+    * round-4 cosine with the neighbor-id tiebreak; recall is a ratio of
+    * exact integer counts, rounded once at the report boundary. */
+  def mrlAudit(embeddings: DataFrame, dims: Seq[Int] = Seq(8, 16, 32, 64),
+               k: Int = 10, probeMod: Int = 50): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1) && k >= 1 && probeMod >= 1,
+      s"mrlAudit: need non-empty positive dims, k >= 1, probeMod >= 1")
+    val probes = embeddings
+      .filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corpus = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    def topK(dim: Option[Int]): DataFrame = {
+      val (qe, ce) = dim match {
+        case Some(d) => (slice(col("q_emb"), 1, d), slice(col("c_emb"), 1, d))
+        case None    => (col("q_emb"), col("c_emb"))
+      }
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cs").desc, col("neighbor_id"))
+      probes.hint("broadcast")
+        .join(corpus, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(qe, ce), 4).as("cs"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val full = topK(None).pinTier
+    val nProbes = probes.agg(count(lit(1)).as("n_probes"))
+    dims.map { d =>
+      topK(Some(d))
+        .join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nProbes))
+        .select(lit(d).as("dim"), col("n_probes"),
+          round(col("n_hits") / (col("n_probes") * lit(k)).cast("double"), 4)
+            .as("recall"))
+    }.reduce(_ unionByName _).orderBy(col("dim"))
+  }
+
+  /** Embedding isotropy audit (Ethayarajh 2019 / Mu & Viswanath 2018's
+    * common-mean diagnostic): the norm of the MEAN NORMALIZED vector —
+    * ~0 for an isotropic (directionally balanced) embedding space, →1 as
+    * the space collapses onto a common direction, the condition that
+    * silently degrades every cosine-based stage upstream of this repo's
+    * ANN/dedup family. One row: `(n_vecs, mean_norm, anisotropy)`.
+    *
+    * Exactness: per-vector normalized components round to 6 ONCE, the
+    * per-dimension means are the decimal-exact q_label_centroids
+    * formula, and only the two published magnitudes round (4) at the
+    * boundary. One posexplode shuffle into a dim-sized aggregate —
+    * linear, map-combined. */
+  def isotropyAudit(embeddings: DataFrame): DataFrame = {
+    val parts = embeddings
+      .select(col("vec_id"),
+        norm(col("embedding").cast("array<double>")).as("nrm"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("nrm"), col("pos"),
+        round(col("col") / col("nrm"), 6).cast("decimal(18,6)").as("u"))
+    val meanDims = parts
+      .groupBy(col("pos"))
+      .agg(round(sum(col("u")).cast("double") / count(lit(1)), 6).as("m"))
+      .agg(sum(col("m") * col("m")).as("ss"))
+    val norms = embeddings
+      .select(round(norm(col("embedding").cast("array<double>")), 6)
+        .cast("decimal(18,6)").as("n6"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("n6")).cast("double") / count(lit(1))).as("mean_nrm"))
+    norms.crossJoin(broadcast(meanDims))
+      .select(col("n_vecs"), round(col("mean_nrm"), 4).as("mean_norm"),
+        round(sqrt(col("ss")), 4).as("anisotropy"))
+  }
+
   /** Per-dimension scalar-quantization stats: ONE row holding the corpus
     * min and max per dimension as position-ordered arrays — the codebook
     * of [[sqQuantize]]. One shuffle over (dim, value) pairs into a
@@ -809,6 +893,39 @@ object Similarity {
           + coalesce(lit(1.0) / (col("sem_rank") + lit(kRrf)), lit(0.0)), 6)
           .as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+  }
+
+  /** Hard-negative mining for embedding-model training (the DPR/ANCE
+    * "BM25 negatives" recipe, Karpukhin et al. 2020): documents the
+    * LEXICAL ranker retrieves for a query that the CURRENT embedding does
+    * NOT place in its semantic pool — plausible-but-unranked candidates,
+    * the highest-gradient negatives for contrastive training (random
+    * negatives are trivially separable; these are not). The set shape is
+    * [[hybridRrf]]'s two pools with the join flipped to ANTI: lexical
+    * top-`poolK` minus semantic top-`poolK`, ranked by BM25 strength.
+    * Emits `(doc_id, lex_rank, score)` — at most poolK rows per query by
+    * construction, so the downstream triple writer is bounded.
+    *
+    * Scale shape: both pools are TakeOrdered over term-pruned/map-side
+    * scans (the q_bm25/q_hybrid_rrf plans); the anti join is between two
+    * ≤poolK-row pools — nothing corpus-sized moves. */
+  def hardNegatives(documents: DataFrame, embeddings: DataFrame,
+                    queryTerms: Seq[String], queryVecId: Long,
+                    poolK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.text.TextAnalysis.bm25TopK(documents, queryTerms, poolK)
+      .select(col("doc_id"), col("score"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).as("lex_rank"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val sem = embeddings.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cs"))
+      .orderBy(col("cs").desc, col("doc_id")).limit(poolK)
+      .select(col("doc_id"))
+    lex.join(sem, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lex_rank"), col("score"))
+      .orderBy(col("lex_rank"))
   }
 
   /** Row cap for the exact quadratic baselines ([[cosineNearDups]], an

@@ -1048,6 +1048,75 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility audit: per-source BPE tokens-per-word and
+    * chars-per-token under the freshly trained merge table — the
+    * tokenizer-efficiency report a mixture owner reads before committing
+    * a vocabulary (a source with fertility ≫ corpus mean pays its token
+    * budget on fragmentation, not content; Rust/Ács fertility in the
+    * multilingual-tokenizer literature). Rides [[bpeEncode]]'s per-doc
+    * counts — one extra broadcast-joinable source lookup and one
+    * source-sized aggregate; ratios are exact-integer quotients rounded
+    * once at the report boundary. */
+  def bpeFertility(documents: DataFrame, nMerges: Int = 8): DataFrame =
+    bpeEncode(documents, nMerges)
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        round(col("n_bpe_tokens") / col("n_words").cast("double"), 4)
+          .as("fertility"),
+        round(col("n_chars") / col("n_bpe_tokens").cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy(col("source"))
+
+  /** Duplication-aware mixture planning — [[mixturePlan]] with the
+    * available-token ledger counted over exact-dedup SURVIVORS only
+    * (first-occurrence-wins on the [[fingerprint]], the q_exact_dedup
+    * policy): a source that pads its mass with verbatim copies plans
+    * epochs against tokens that deduplication will delete, so the naive
+    * plan silently over-epochs exactly the worst sources. Emits both
+    * ledgers (raw and unique) so the report shows what dedup cost each
+    * source; planned tokens divide the budget by TARGET share as in
+    * [[mixturePlan]], but epochs divide by the UNIQUE mass. Cost: the
+    * one-shuffle exact-dedup fingerprint pass + the mixture aggregate. */
+  def mixturePlanDedupAware(documents: DataFrame,
+                            targetWeights: Seq[(String, Double)],
+                            tokenBudget: Long): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.forall(_._2 >= 0.0),
+      "mixturePlanDedupAware: weights must be non-negative and non-empty")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val wSum = targetWeights.map(_._2).sum
+    val weights = targetWeights.toDF("source", "w")
+    val survivors = documents.join(
+      graft.dedup.Dedup.exactDedup(documents)
+        .select(col("keep_doc_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    def ledger(df: DataFrame, docsCol: String, toksCol: String): DataFrame =
+      df.select(col("source"), size(tokens(col("text"))).cast("bigint").as("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as(docsCol), sum(col("t")).as(toksCol))
+    ledger(documents, "n_docs", "avail_tokens")
+      .join(ledger(survivors, "n_unique_docs", "unique_tokens"), Seq("source"))
+      .join(broadcast(weights), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_unique_docs"),
+        col("avail_tokens"), col("unique_tokens"),
+        coalesce(col("w"), lit(0.0)).as("w"))
+      .select(col("source"), col("n_docs"), col("n_unique_docs"),
+        col("avail_tokens"), col("unique_tokens"),
+        round(col("w") / lit(wSum), 6).as("target_share"),
+        floor(lit(tokenBudget) * col("w") / lit(wSum)).cast("bigint")
+          .as("planned_tokens"))
+      .withColumn("epochs",
+        round(col("planned_tokens").cast("double") / col("unique_tokens"), 4))
+      .withColumn("oversampled", col("epochs") > 1.0)
+      .orderBy(col("source"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling") — the standard modern
     * answer to "which raw-crawl documents resemble my target domain":
