@@ -309,6 +309,11 @@ object SparkEntry {
     "q_temperature_sample" -> ((s, d) => graft.ops.Sampling.temperatureSample(
       Tables.documents(s, d), "lang", "n_chars", "doc_id", alpha = 0.3)),
     // systematic PPS draw ∝ n_chars, integer-exact selection
+    // BPR negative triples: k derived-hash non-purchased parts per
+    // customer (poly_hash draws, reject positives, keep first k) — the
+    // training-triple miner next to the ALS leg
+    "q_bpr_negatives" -> ((s, d) => graft.ops.Sampling.bprNegatives(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.part(s, d))),
     "q_pps_sample" -> ((s, d) => graft.ops.Sampling.systematicWeightedSample(
       Tables.documents(s, d), "n_chars", "doc_id", step = 10000L)),
     // ---- temporal joins (north-star; ops/Temporal.scala) ----
@@ -360,6 +365,9 @@ object SparkEntry {
     "q_decontaminate_bloom" -> ((s, d) => Dedup.contaminationReportBloom(Tables.documents(s, d))),
     // ---- embedding hygiene (north-star; sim/Similarity.embeddingNorms) ----
     "q_embedding_norms" -> ((s, d) => Similarity.embeddingNorms(Tables.embeddings(s, d))),
+    // isotropy audit: the norm of the mean normalized vector — the
+    // space-collapse diagnostic every cosine stage upstream depends on
+    "q_isotropy" -> ((s, d) => Similarity.isotropyAudit(Tables.embeddings(s, d))),
     // ---- array / graph derivation (SURVEY §2.6 / §2.8) ----
     "q_related_arrays" -> ((s, d) =>
       Edges.relatedArrays(Tables.lineitem(s, d))
@@ -665,6 +673,12 @@ object SparkEntry {
     "q_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(
       Tables.documents(s, d), Tables.embeddings(s, d),
       queryTerms = Seq("join", "merge", "window"), queryVecId = 0L)),
+    // hard-negative mining (the DPR "BM25 negatives" recipe): lexical
+    // pool MINUS semantic pool — the contrastive-training negatives a
+    // retriever trainer exports; both pools are the q_hybrid_rrf legs
+    "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(
+      Tables.documents(s, d), Tables.embeddings(s, d),
+      queryTerms = Seq("join", "merge", "window"), queryVecId = 0L)),
     // MMR diversified rerank over the exact-cosine pool: greedy
     // λ·rel − (1−λ)·max-sim-to-selected with all inputs rounded
     // in-cluster, so the oracle unrolls the identical 10 greedy rounds
@@ -677,6 +691,14 @@ object SparkEntry {
     // shares — planned tokens are exact integer floors, epochs rounded
     "q_mixture_plan" -> ((s, d) => TextAnalysis.mixturePlan(
       Tables.documents(s, d), MixtureWeights, tokenBudget = 1000000L)),
+    // the duplication-aware twin: the epoch ledger counts exact-dedup
+    // SURVIVOR tokens only, so copy-padded sources stop under-reporting
+    // their true epoch counts; both ledgers published side by side
+    "q_mixture_dedup" -> ((s, d) => TextAnalysis.mixturePlanDedupAware(
+      Tables.documents(s, d), MixtureWeights, tokenBudget = 1000000L)),
+    // per-source tokenizer fertility under the freshly trained BPE table
+    "q_bpe_fertility" -> ((s, d) => TextAnalysis.bpeFertility(
+      Tables.documents(s, d))),
     // chi-square most-indicative vocabulary per source
     "q_source_terms" -> ((s, d) => TextAnalysis.sourceIndicativeTerms(Tables.documents(s, d))),
     // multinomial NB source classifier over the marker-planted corpus
@@ -1032,6 +1054,10 @@ object SparkEntry {
         ()
       }
     }),
+    // Matryoshka truncation audit: recall@10 of prefix-dim cosine vs the
+    // exact full-dim top-k over the %50 probe set (the knnLabelAudit
+    // fixed-sample contract) — the hot/cold prefix-tier quality ladder
+    "q_mrl_audit" -> ((s, d) => Similarity.mrlAudit(Tables.embeddings(s, d))),
     // per-class centroid table (cluster-balanced sampling / drift monitor)
     // fixed-round spherical k-means: 8 seed clusters (lowest vec_ids),
     // 3 assignment rounds, decimal-exact centroid updates — oracle unrolls
@@ -1567,6 +1593,27 @@ object SparkEntry {
       |FROM lex FULL OUTER JOIN sem USING (doc_id)
       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Hard-negative oracle: the two q_hybrid_rrf pools with the join
+    * flipped to ANTI, ranked by the lexical score. */
+  private val hardNegativesSql: String =
+    s"""WITH $bm25Ctes,
+      |lex AS (
+      |  SELECT doc_id, score,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      |  FROM (SELECT doc_id, score FROM bm25
+      |        ORDER BY score DESC, doc_id LIMIT 50)),
+      |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |sem AS (
+      |  SELECT e.vec_id AS doc_id
+      |  FROM embeddings e CROSS JOIN qv q
+      |  ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                        CAST(q.q_emb AS DOUBLE[])), 4)
+      |    DESC, e.vec_id
+      |  LIMIT 50)
+      |SELECT doc_id, lex_rank, score FROM lex
+      |WHERE doc_id NOT IN (SELECT doc_id FROM sem)
+      |ORDER BY lex_rank""".stripMargin
+
   /** MMR greedy unroll (rounds 2..k): each round scores the not-yet-
     * selected pool rows as λ·rel − (1−λ)·max-sim-to-selected (all inputs
     * pre-rounded in the pool/sims CTEs) and admits the (mmr DESC, vec_id)
@@ -1670,6 +1717,155 @@ object SparkEntry {
       |      AS DOUBLE) / a.avail_tokens, 4) AS epochs
       |  FROM avail a LEFT JOIN w ON a.source = w.source)
       |ORDER BY source""".stripMargin
+
+  /** Duplication-aware mixture oracle: the raw ledger, the exact-dedup
+    * survivor ledger (first-occurrence-wins on the q_exact_dedup
+    * fingerprint), and the plan arithmetic with epochs over UNIQUE mass. */
+  private val mixtureDedupSql: String =
+    """WITH w(source, w) AS (VALUES
+      |  ('src0', CAST(3.0 AS DOUBLE)),
+      |  ('src3', CAST(1.5 AS DOUBLE)),
+      |  ('src7', CAST(0.5 AS DOUBLE))),
+      |toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(
+      |      string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT)
+      |      AS t,
+      |    substr(md5(array_to_string(list_filter(
+      |      string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')), 1, 16)
+      |      AS fp
+      |  FROM documents),
+      |keepers AS (SELECT min(doc_id) AS doc_id FROM toks GROUP BY fp),
+      |raw AS (SELECT source, count(*) AS n_docs,
+      |          CAST(sum(t) AS BIGINT) AS avail_tokens
+      |        FROM toks GROUP BY 1),
+      |uniq AS (SELECT source, count(*) AS n_unique_docs,
+      |           CAST(sum(t) AS BIGINT) AS unique_tokens
+      |         FROM toks WHERE doc_id IN (SELECT doc_id FROM keepers)
+      |         GROUP BY 1)
+      |SELECT source, n_docs, n_unique_docs, avail_tokens, unique_tokens,
+      |  target_share, planned_tokens, epochs, epochs > 1.0 AS oversampled
+      |FROM (
+      |  SELECT r.source, r.n_docs, u.n_unique_docs, r.avail_tokens,
+      |    u.unique_tokens,
+      |    round(coalesce(w.w, 0.0) / CAST(5.0 AS DOUBLE), 6) AS target_share,
+      |    CAST(floor(1000000 * coalesce(w.w, 0.0) / CAST(5.0 AS DOUBLE))
+      |      AS BIGINT) AS planned_tokens,
+      |    round(CAST(floor(1000000 * coalesce(w.w, 0.0) / CAST(5.0 AS DOUBLE))
+      |      AS DOUBLE) / u.unique_tokens, 4) AS epochs
+      |  FROM raw r JOIN uniq u USING (source) LEFT JOIN w ON r.source = w.source)
+      |ORDER BY source""".stripMargin
+
+  /** Fertility oracle: the bpeEncode derivation chain (merges re-derived)
+    * aggregated per source, ratios rounded once at the boundary. */
+  private def bpeFertilitySql(nMerges: Int): String =
+    s"""${bpeCtes(nMerges)}
+       |wordlen AS (
+       |  SELECT word,
+       |    (length(ws) - length(replace(ws, chr(31), ''))) // 2 AS n_bpe
+       |  FROM v$nMerges),
+       |docwords AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(length(word)) AS BIGINT) AS n_chars,
+       |    CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+       |  FROM docwords JOIN wordlen USING (word)
+       |  GROUP BY 1)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(p.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(p.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  round(sum(p.n_bpe_tokens) * 1.0 / sum(p.n_words), 4) AS fertility,
+       |  round(sum(p.n_chars) * 1.0 / sum(p.n_bpe_tokens), 4) AS chars_per_token
+       |FROM perdoc p JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY d.source""".stripMargin
+
+  /** MRL audit oracle: full-dim exact top-k once, prefix-dim top-k per
+    * audited width via DuckDB's dynamic list slice, recall by exact
+    * count join. */
+  private val mrlAuditSql: String =
+    """WITH probes AS MATERIALIZED (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS MATERIALIZED (
+      |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS c
+      |  FROM embeddings),
+      |dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+      |full_k AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT p.query_id, c.neighbor_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY round(list_cosine_similarity(p.q, c.c), 4) DESC,
+      |          c.neighbor_id) AS rnk
+      |    FROM probes p JOIN corpus c ON c.neighbor_id <> p.query_id)
+      |  WHERE rnk <= 10),
+      |trunc_k AS (
+      |  SELECT dim, query_id, neighbor_id FROM (
+      |    SELECT d.dim, p.query_id, c.neighbor_id,
+      |      row_number() OVER (PARTITION BY d.dim, p.query_id
+      |        ORDER BY round(list_cosine_similarity(
+      |            p.q[1:d.dim], c.c[1:d.dim]), 4) DESC,
+      |          c.neighbor_id) AS rnk
+      |    FROM dims d CROSS JOIN probes p
+      |    JOIN corpus c ON c.neighbor_id <> p.query_id)
+      |  WHERE rnk <= 10),
+      |np AS (SELECT count(*) AS n_probes FROM probes)
+      |SELECT t.dim, np.n_probes,
+      |  round(count(*) * 1.0 / (np.n_probes * 10), 4) AS recall
+      |FROM trunc_k t JOIN full_k f USING (query_id, neighbor_id)
+      |CROSS JOIN np
+      |GROUP BY 1, 2 ORDER BY dim""".stripMargin
+
+  /** BPR negative-sampling oracle: the poly_hash draw recurrence, the
+    * ranked part-dim lookup, positive rejection, first-k keep. */
+  private def bprNegativesSql(k: Int, oversample: Int): String =
+    s"""WITH inter AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey AS cust_key, l.l_partkey AS part_key
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |np AS (SELECT count(*) AS n_parts FROM part),
+      |ranked AS (SELECT p_partkey AS part_key,
+      |             CAST(row_number() OVER (ORDER BY p_partkey) - 1 AS BIGINT) AS idx
+      |           FROM part),
+      |cand AS (
+      |  SELECT c.cust_key, i.i,
+      |    ${polyHashSql("'bpr1:' || CAST(c.cust_key AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)")}
+      |      % np.n_parts AS idx
+      |  FROM (SELECT DISTINCT cust_key FROM inter) c
+      |  CROSS JOIN (SELECT unnest(range(0, ${k * oversample})) AS i) i
+      |  CROSS JOIN np),
+      |neg AS (
+      |  SELECT cand.cust_key, r.part_key, CAST(min(cand.i) AS BIGINT) AS draw
+      |  FROM cand JOIN ranked r USING (idx)
+      |  WHERE NOT EXISTS (SELECT 1 FROM inter x
+      |    WHERE x.cust_key = cand.cust_key AND x.part_key = r.part_key)
+      |  GROUP BY 1, 2)
+      |SELECT cust_key, part_key AS neg_part, draw, rn FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY cust_key
+      |    ORDER BY draw, part_key) AS BIGINT) AS rn FROM neg)
+      |WHERE rn <= $k ORDER BY cust_key, rn""".stripMargin
+
+  /** Isotropy oracle: decimal-exact normalized-component means, the two
+    * published magnitudes rounded once. */
+  private val isotropySql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(list_inner_product(emb, emb)) AS nrm, emb FROM e),
+      |parts AS (
+      |  SELECT vec_id, dim, CAST(round(v / nrm, 6) AS DECIMAL(18,6)) AS u
+      |  FROM (SELECT vec_id, nrm, unnest(range(1, len(emb)+1)) AS dim,
+      |          unnest(emb) AS v FROM n)),
+      |md AS (SELECT dim, round(CAST(sum(u) AS DOUBLE) / count(*), 6) AS m
+      |       FROM parts GROUP BY 1),
+      |ssq AS (SELECT sum(m * m) AS ss FROM md),
+      |nn AS (SELECT count(*) AS n_vecs,
+      |         CAST(sum(CAST(round(nrm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |           / count(*) AS mean_nrm
+      |       FROM n)
+      |SELECT n_vecs, round(mean_nrm, 4) AS mean_norm,
+      |  round(sqrt(ssq.ss), 4) AS anisotropy
+      |FROM nn CROSS JOIN ssq""".stripMargin
 
   /** DSIR hashed-feature model CTEs (q_dsir / q_dsir_resample): the
     * poly_hash bucket stream, both smoothed models and the log-ratio
@@ -2556,6 +2752,7 @@ object SparkEntry {
         |ORDER BY c.event_type, c.next_type""".stripMargin,
     // systematic PPS: identical doc_id-ordered prefix sum, BIGINT floor
     // division on both sides (// in DuckDB, div in Spark)
+    "q_bpr_negatives" -> bprNegativesSql(4, 3),
     "q_pps_sample" ->
       """WITH c AS (
         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
@@ -2994,6 +3191,7 @@ object SparkEntry {
     // encode: same unrolled training CTEs + the word join against the
     // final vocabulary state
     "q_bpe_encode" -> bpeEncodeSql(8),
+    "q_bpe_fertility" -> bpeFertilitySql(8),
     // DSIR: identical hashed-feature models (poly_hash buckets, add-one
     // smoothing), identical lr term order; per-doc sum rounded at 4 dp
     // and the keep verdict derived from the ROUNDED value (q_doc_nll
@@ -3016,12 +3214,16 @@ object SparkEntry {
     "q_ann_pq" -> annPqSql,
     "q_ann_ivf_pq" -> annIvfPqSql,
     "q_ann_ivf_pq_indexed" -> annIvfPqSql,
+    "q_mrl_audit" -> mrlAuditSql,
+    "q_isotropy" -> isotropySql,
     // hybrid RRF: BM25 CTEs + one broadcast query vector against the
     // corpus, both legs ranked on rounded scores, exact-division fusion
     "q_hybrid_rrf" -> hybridRrfSql,
+    "q_hard_negatives" -> hardNegativesSql,
     "q_mmr" -> mmrSql,
     "q_heaps" -> heapsSql,
     "q_mixture_plan" -> mixturePlanSql,
+    "q_mixture_dedup" -> mixtureDedupSql,
     // chi-square indicative terms: identical contingency arithmetic with
     // the denominator in DOUBLE from the first factor on; ranked by the
     // rounded statistic in both engines

@@ -199,7 +199,20 @@ object Stress {
     "q_ann_ivf_pq",
     // cluster-safe split: the q_dup_clusters closure + one map-side md5 —
     // must track the q_dup_clusters trend
-    "q_cluster_split")
+    "q_cluster_split",
+    // dedup-aware mixture (one fingerprint shuffle + two ledgers) and the
+    // per-source fertility fold over the bpe encode chain. q_mrl_audit is
+    // deliberately absent: its probe set is a fixed FRACTION of the
+    // corpus, so |probes|·|corpus| is quadratic BY CONTRACT — the
+    // documented q_knn_labels exclusion class (at scale the probe is a
+    // fixed sample)
+    "q_mixture_dedup", "q_bpe_fertility",
+    // BPR negatives (|C|·k·oversample candidates — linear in customers,
+    // never |C|·|P|) and the one-pass isotropy aggregate
+    "q_bpr_negatives", "q_isotropy",
+    // both pools TakeOrdered over pruned/map-side scans; anti join of
+    // two <=poolK pools
+    "q_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

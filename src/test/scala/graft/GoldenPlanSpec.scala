@@ -345,6 +345,11 @@ class GoldenPlanSpec extends SparkSpec {
     "q_hybrid_rrf" -> Golden(
       required = Seq("TakeOrderedAndProject"),
       forbidden = Seq("CartesianProduct")),
+    // hard negatives: the same two pools, anti-joined — nothing
+    // corpus-sized may move past the TakeOrdered pool cuts
+    "q_hard_negatives" -> Golden(
+      required = Seq("TakeOrderedAndProject"),
+      forbidden = Seq("CartesianProduct", "SortMergeJoin")),
     // Heaps: two map-combined aggregates + one-row max broadcasts + the
     // 64-row bucket window — never a corpus-vs-corpus join
     "q_heaps" -> Golden(
