@@ -661,6 +661,10 @@ object SparkEntry {
         ()
       }
     }),
+    // exact phrase search (quoted-query semantics): positional-posting
+    // intersection, one equi join per phrase term — the third IR leg
+    "q_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(
+      Tables.documents(s, d), phrase = Seq("merge", "window"))),
     // RM3 pseudo-relevance feedback: BM25 pool → deterministic expansion
     // terms (round-6 Σ tf/dl·idf, term tiebreak) → expanded BM25. The
     // oracle re-derives the EXPANSION itself from the corpus — nothing
@@ -1342,6 +1346,23 @@ object SparkEntry {
       |    / (tf2.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl))), 4) AS score
       |FROM tf2 JOIN idf2 USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
       |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Phrase oracle: parallel unnests zip token/position (the winnow
+    * rule), anchor on the first term, demand the second at +1. */
+  private val phraseSearchSql: String =
+    """WITH pos AS (
+      |  SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos, unnest(toks) AS term
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) > 0)
+      |SELECT doc_id, n_matches FROM (
+      |  SELECT a.doc_id AS doc_id, count(*) AS n_matches
+      |  FROM (SELECT doc_id, pos FROM pos WHERE term = 'merge') a
+      |  JOIN (SELECT doc_id, pos FROM pos WHERE term = 'window') b
+      |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  GROUP BY 1)
+      |ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
 
   /** The per-subspace PQ recurrence (the kmeansIterSql shape with `sub`
     * in every group key and round-4 L2 in place of cosine): `${p}c0`
@@ -3208,6 +3229,7 @@ object SparkEntry {
     // shared-oracle class
     "q_bm25_indexed" -> bm25Sql,
     "q_bm25_rm3" -> bm25Rm3Sql,
+    "q_phrase_search" -> phraseSearchSql,
     "q_nb_classify" -> nbClassifySql,
     "q_nb_report" -> nbReportSql,
     "q_pq_codes" -> pqCodesSql,

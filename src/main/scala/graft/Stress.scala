@@ -212,7 +212,10 @@ object Stress {
     "q_bpr_negatives", "q_isotropy",
     // both pools TakeOrdered over pruned/map-side scans; anti join of
     // two <=poolK pools
-    "q_hard_negatives")
+    "q_hard_negatives",
+    // positional-posting intersection: term-pruned scan + one equi join
+    // per phrase term + TakeOrdered
+    "q_phrase_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

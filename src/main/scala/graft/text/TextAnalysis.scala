@@ -1223,6 +1223,45 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Exact phrase search over positional postings — the third standard IR
+    * leg after [[bm25TopK]]/[[bm25Rm3]] (term queries find documents that
+    * MENTION the words; phrase queries find the words in SEQUENCE — the
+    * quoted-query semantics every search box promises). Matches are
+    * counted by anchoring on the first term's positions and demanding
+    * each later term at the exact offset: one positional-posting
+    * self-equi-join per phrase term, keyed on (doc_id, position) — the
+    * classic positional-index intersection, never a text re-scan per
+    * term pair. Emits `(doc_id, n_matches)` for matching docs, ranked by
+    * (count desc, doc_id), top `k`.
+    *
+    * Scale shape: the positional postings for the PHRASE'S OWN terms only
+    * (term-pruned scan, same as bm25TopK's tf stage), then |phrase|−1
+    * equi joins on (doc_id, pos+offset) — each join's build side is one
+    * term's postings. At serve time the same intersection runs against a
+    * positional [[InvertedIndex]] tier; this is the oracle/recompute
+    * form. */
+  def phraseSearch(documents: DataFrame, phrase: Seq[String],
+                   k: Int = 20): DataFrame = {
+    require(phrase.size >= 2, "phraseSearch needs at least a 2-term phrase")
+    val pos = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+      .pinTier
+    val anchor = pos.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        acc.join(
+          pos.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Pseudo-relevance-feedback query expansion (the RM3 shape, Lavrenko &
     * Croft 2001 / Abdul-Jaleel et al. 2004) — the second standard IR leg
     * after [[bm25TopK]]: run the query, mine the top `fbDocs` results for

@@ -350,6 +350,13 @@ class GoldenPlanSpec extends SparkSpec {
     "q_hard_negatives" -> Golden(
       required = Seq("TakeOrderedAndProject"),
       forbidden = Seq("CartesianProduct", "SortMergeJoin")),
+    // phrase search: positional equi joins on (doc, pos) + a TakeOrdered
+    // — never a nested-loop position compare or a cartesian (the
+    // posexplode Generate sits under the pinned postings tier, so it is
+    // not visible in this plan — the q_simhash_neardups precedent)
+    "q_phrase_search" -> Golden(
+      required = Seq("TakeOrderedAndProject"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // Heaps: two map-combined aggregates + one-row max broadcasts + the
     // 64-row bucket window — never a corpus-vs-corpus join
     "q_heaps" -> Golden(
