@@ -665,6 +665,27 @@ object SparkEntry {
     // intersection, one equi join per phrase term — the third IR leg
     "q_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(
       Tables.documents(s, d), phrase = Seq("merge", "window"))),
+    // the same phrase against the STANDING positional tier (bucket-
+    // pruned posting lists; the anchored intersection verbatim) — shares
+    // q_phrase_search's oracle: persistence must not change one count
+    "q_phrase_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-gate-posidx").toFile.getAbsolutePath
+      val table = "graft_gate_positional_index"
+      try {
+        Telemetry.timed("q_phrase_indexed") {
+          graft.text.InvertedIndex.buildPositional(docs, table, stage)
+        }
+        graft.text.InvertedIndex.probePhrase(
+            s, table, Seq("merge", "window"))
+          .pinTier // materialize before table+files are dropped
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
+    }),
     // RM3 pseudo-relevance feedback: BM25 pool → deterministic expansion
     // terms (round-6 Σ tf/dl·idf, term tiebreak) → expanded BM25. The
     // oracle re-derives the EXPANSION itself from the corpus — nothing
@@ -3230,6 +3251,7 @@ object SparkEntry {
     "q_bm25_indexed" -> bm25Sql,
     "q_bm25_rm3" -> bm25Rm3Sql,
     "q_phrase_search" -> phraseSearchSql,
+    "q_phrase_indexed" -> phraseSearchSql,
     "q_nb_classify" -> nbClassifySql,
     "q_nb_report" -> nbReportSql,
     "q_pq_codes" -> pqCodesSql,

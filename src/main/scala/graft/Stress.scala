@@ -412,7 +412,16 @@ object Stress {
               timed("inverted_index_admit_fixed_batch") {
                 graft.text.InvertedIndex.admit(spark, fixedBatch,
                   "graft_stress_invidx", s"$stage/invidx"); ()
-              }) else Nil) ++
+              },
+              // the positional tier: build ∝ corpus, a FIXED 2-term
+              // phrase probe ∝ its terms' posting lists
+              timed("positional_index_build")(
+                graft.text.InvertedIndex.buildPositional(
+                  corpus, "graft_stress_posidx", s"$stage/posidx")),
+              timed("positional_index_phrase_probe")(
+                graft.text.InvertedIndex.probePhrase(spark,
+                    "graft_stress_posidx", Seq("merge", "window"))
+                  .write.format("noop").mode("overwrite").save())) else Nil) ++
             // same economics for the maintained SCD2 dimension: the table
             // built over the x$m customer dim (nBuckets ∝ data — the
             // bounded-bucket-size operator), then a FIXED 1× change batch

@@ -121,6 +121,54 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** Positional postings `(term, doc_id, positions)` — the phrase-query
+    * tier: positions is the sorted 0-based occurrence list, so one row
+    * per (doc, term) carries everything the anchored intersection needs
+    * ([[TextAnalysis.phraseSearch]]'s join, but against pruned buckets
+    * instead of a corpus re-tokenization). */
+  def positionalPostings(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Build the positional tier as a term-bucketed catalog table at
+    * `path/positions` — same layout discipline as [[build]]'s tf tier
+    * (bucket pruning on the phrase's own terms, in-bucket term sort). */
+  def buildPositional(documents: DataFrame, table: String, path: String,
+                      buckets: Int = 32): Unit = {
+    documents.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    positionalPostings(documents).write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "term").sortBy("term")
+      .option("path", s"$path/positions").saveAsTable(table)
+  }
+
+  /** Exact phrase search against the standing positional tier — the
+    * [[TextAnalysis.phraseSearch]] anchored intersection verbatim over
+    * the bucket-pruned postings (persistence must not change one count:
+    * the gate shares the recompute form's oracle). Probe cost ∝ the
+    * phrase terms' posting lists. */
+  def probePhrase(spark: SparkSession, table: String,
+                  phrase: Seq[String], k: Int = 20): DataFrame = {
+    require(phrase.size >= 2, "probePhrase needs at least a 2-term phrase")
+    val pruned = spark.table(table)
+      .filter(col("term").isin(phrase.distinct: _*))
+    def positionsOf(t: String): DataFrame = pruned
+      .filter(col("term") === t)
+      .select(col("doc_id"), explode(col("positions")).as("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(positionsOf(phrase.head)) {
+      case (acc, (t, i)) =>
+        acc.join(positionsOf(t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Admit a batch: append postings of docs NOT already indexed (replay-
     * safe), roll stats one version forward with the batch's exact
     * integer deltas. Returns the number of docs admitted. Cost ∝ batch:

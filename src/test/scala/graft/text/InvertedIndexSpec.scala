@@ -81,4 +81,23 @@ class InvertedIndexSpec extends SparkSpec {
       assert(after == before, "probe read a torn stats version")
     }
   }
+
+  test("positional tier: phrase probe equals the recompute form and prunes buckets") {
+    val docs = Tables.documents(spark, sf)
+    val phrase = Seq("merge", "window")
+    staged { (table, stage) =>
+      InvertedIndex.buildPositional(docs, table, stage)
+      val got = InvertedIndex.probePhrase(spark, table, phrase)
+        .as[(Long, Long)].collect().toSeq
+      val want = TextAnalysis.phraseSearch(docs, phrase)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == want, s"indexed phrase diverged:\n$got\nvs\n$want")
+      val plan = InvertedIndex.probePhrase(spark, table, phrase)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"phrase probe is not bucket-pruned:\n$plan")
+      assert(!plan.contains("documents.parquet"),
+        s"phrase probe re-read the corpus:\n$plan")
+    }
+  }
 }
