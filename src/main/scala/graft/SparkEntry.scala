@@ -732,6 +732,10 @@ object SparkEntry {
     // identical plant, split, model and argmax)
     "q_nb_classify" -> ((s, d) => TextClassifier.naiveBayes(nbCorpus(s, d))),
     "q_nb_report" -> ((s, d) => TextClassifier.naiveBayesReport(nbCorpus(s, d))),
+    // one-vs-rest AUC per class (exact Mann-Whitney rank-sum over the
+    // decimal posteriors, id-tiebroken ranks) — the threshold-free
+    // router-quality number next to the argmax rates
+    "q_nb_auc" -> ((s, d) => TextClassifier.naiveBayesAuc(nbCorpus(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "q_chunks" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "q_pack_index" -> ((s, d) => TextAnalysis.packDocuments(Tables.documents(s, d))),
@@ -1587,6 +1591,52 @@ object SparkEntry {
       |    coalesce(v.cls, pw.prior_cls) = s.source AS correct
       |  FROM (SELECT doc_id, source FROM spl WHERE split = 'test') s
       |  LEFT JOIN via v USING (doc_id) CROSS JOIN pw)""".stripMargin
+
+  /** AUC oracle: the scored posteriors completed with prior-only rows
+    * for all-OOV docs, margins vs the best OTHER class (the argmax's own
+    * comparison — length-invariant where the raw posterior is not),
+    * ranked ascending per class, the rank-sum identity. */
+  private val nbAucSql: String =
+    s"""WITH $nbCtes,
+      |posts AS (
+      |  SELECT t.doc_id, t.source AS label, t.cls,
+      |    CAST(t.posterior AS DECIMAL(38,6)) AS posterior
+      |  FROM scored t
+      |  UNION ALL
+      |  SELECT s.doc_id, s.source, c.source,
+      |    CAST(c.log_prior AS DECIMAL(38,6))
+      |  FROM (SELECT doc_id, source FROM spl WHERE split = 'test'
+      |          AND doc_id NOT IN (SELECT DISTINCT doc_id FROM scored)) s
+      |  CROSS JOIN classes c),
+      |tops AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN rk = 1 THEN posterior END) AS p1,
+      |    max(CASE WHEN rk = 2 THEN posterior END) AS p2,
+      |    max(CASE WHEN rk = 1 THEN cls END) AS c1
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY posterior DESC, cls) AS rk FROM posts)
+      |  WHERE rk <= 2 GROUP BY 1),
+      |margins AS (
+      |  SELECT p.doc_id, p.label, p.cls,
+      |    CASE WHEN p.cls = t.c1 THEN p.posterior - coalesce(t.p2, t.p1)
+      |         ELSE p.posterior - t.p1 END AS margin
+      |  FROM posts p JOIN tops t USING (doc_id)),
+      |ranked AS (
+      |  SELECT cls, label,
+      |    CAST(row_number() OVER (PARTITION BY cls
+      |      ORDER BY margin, doc_id) AS BIGINT) AS rn
+      |  FROM margins)
+      |SELECT source, n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0
+      |       THEN round((rank_sum - n_pos * (n_pos + 1) / 2) * 1.0
+      |         / (n_pos * n_neg), 4) END AS auc
+      |FROM (
+      |  SELECT cls AS source,
+      |    sum(CASE WHEN label = cls THEN rn END) AS rank_sum,
+      |    CAST(count(*) FILTER (label = cls) AS BIGINT) AS n_pos,
+      |    CAST(count(*) FILTER (label <> cls) AS BIGINT) AS n_neg
+      |  FROM ranked GROUP BY 1)
+      |ORDER BY source""".stripMargin
 
   private val nbClassifySql: String =
     s"WITH $nbCtes\nSELECT doc_id, label, predicted, score, correct " +
@@ -3254,6 +3304,7 @@ object SparkEntry {
     "q_phrase_indexed" -> phraseSearchSql,
     "q_nb_classify" -> nbClassifySql,
     "q_nb_report" -> nbReportSql,
+    "q_nb_auc" -> nbAucSql,
     "q_pq_codes" -> pqCodesSql,
     "q_ann_pq" -> annPqSql,
     "q_ann_ivf_pq" -> annIvfPqSql,

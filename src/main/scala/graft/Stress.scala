@@ -215,7 +215,10 @@ object Stress {
     "q_hard_negatives",
     // positional-posting intersection: term-pruned scan + one equi join
     // per phrase term + TakeOrdered
-    "q_phrase_search")
+    "q_phrase_search",
+    // the classifier scoring pass + a doc-partitioned top-2 window + a
+    // C-partitioned rank window — linear in the test split
+    "q_nb_auc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

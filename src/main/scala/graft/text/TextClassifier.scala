@@ -49,6 +49,39 @@ object TextClassifier {
     * (prior + Σ tf·loglik), cast back to double at the boundary. */
   def naiveBayes(documents: DataFrame, vocabSize: Int = 2000,
                  seed: Long = 42L): DataFrame = {
+    val parts = modelParts(documents, vocabSize, seed)
+    // argmax with lexicographic class tiebreak, no window: negate the
+    // posterior so min(struct) picks (highest score, smallest class)
+    val viaTokens = parts.scored
+      .groupBy(col("doc_id"), col("source"))
+      .agg(min(struct((-col("posterior")).as("neg"), col("cls"))).as("best"))
+      .select(col("doc_id"), col("source"),
+        col("best.cls").as("predicted"),
+        (-col("best.neg")).cast("double").as("score"))
+    // totality: a test doc whose every token is OOV has no scored rows —
+    // it classifies by prior alone (one constant winner, broadcast)
+    val priorWinner = parts.classes
+      .agg(min(struct((-col("log_prior")).as("neg"), col("source"))).as("b"))
+      .select(col("b.source").as("prior_cls"),
+        (-col("b.neg")).cast("double").as("prior_score"))
+    parts.testDocs
+      .join(viaTokens, Seq("doc_id", "source"), "left")
+      .crossJoin(broadcast(priorWinner))
+      .select(col("doc_id"), col("source").as("label"),
+        coalesce(col("predicted"), col("prior_cls")).as("predicted"),
+        coalesce(col("score"), col("prior_score")).as("score"))
+      .withColumn("correct", col("predicted") === col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  private case class NbParts(classes: DataFrame, scored: DataFrame,
+                             testDocs: DataFrame)
+
+  /** The shared train-and-score pipeline up to the per-(doc, class)
+    * posterior table — [[naiveBayes]] takes its argmax, [[naiveBayesAuc]]
+    * ranks its columns. */
+  private def modelParts(documents: DataFrame, vocabSize: Int,
+                         seed: Long): NbParts = {
     require(vocabSize >= 1,
       s"naiveBayes: need vocabSize >= 1, got vocabSize=$vocabSize")
     val split = Sampling.hashSplit(
@@ -103,29 +136,76 @@ object TextClassifier {
       .groupBy(col("doc_id"), col("source"), col("cls"))
       .agg((max(col("log_prior"))
         + sum(col("log_lik") * col("tf"))).as("posterior"))
-    // argmax with lexicographic class tiebreak, no window: negate the
-    // posterior so min(struct) picks (highest score, smallest class)
-    val viaTokens = scored
-      .groupBy(col("doc_id"), col("source"))
-      .agg(min(struct((-col("posterior")).as("neg"), col("cls"))).as("best"))
-      .select(col("doc_id"), col("source"),
-        col("best.cls").as("predicted"),
-        (-col("best.neg")).cast("double").as("score"))
-    // totality: a test doc whose every token is OOV has no scored rows —
-    // it classifies by prior alone (one constant winner, broadcast)
-    val priorWinner = classes
-      .agg(min(struct((-col("log_prior")).as("neg"), col("source"))).as("b"))
-      .select(col("b.source").as("prior_cls"),
-        (-col("b.neg")).cast("double").as("prior_score"))
-    split.filter(col("split") === "test")
-      .select(col("doc_id"), col("source"))
-      .join(viaTokens, Seq("doc_id", "source"), "left")
-      .crossJoin(broadcast(priorWinner))
-      .select(col("doc_id"), col("source").as("label"),
-        coalesce(col("predicted"), col("prior_cls")).as("predicted"),
-        coalesce(col("score"), col("prior_score")).as("score"))
-      .withColumn("correct", col("predicted") === col("label"))
-      .orderBy(col("doc_id"))
+    NbParts(classes, scored,
+      split.filter(col("split") === "test")
+        .select(col("doc_id"), col("source")))
+  }
+
+  /** One-vs-rest AUC per class — the threshold-free quality number next
+    * to [[naiveBayesReport]]'s argmax rates (a router is tuned on AUC,
+    * not accuracy, when the mixture shares are imbalanced). The ranking
+    * score is the MARGIN — posterior_c minus the best OTHER class's
+    * posterior, i.e. exactly what the argmax compares — NOT the raw
+    * posterior: a raw log-likelihood sum scales with document LENGTH, so
+    * ranking it across documents measures length, not class affinity
+    * (observed: raw-posterior "AUC" ≈ 0.2–0.3 on a 75%-accurate model;
+    * the margin is length-invariant by construction). Then the exact
+    * Mann–Whitney rank-sum identity: AUC_c = (Σ ranks of positives −
+    * n⁺(n⁺+1)/2) / (n⁺·n⁻), ranks ascending by (margin, doc_id) —
+    * margins are exact decimal differences, so the id tiebreak only ever
+    * resolves true byte-ties (documented deviation from midrank AUC;
+    * engine-portable where midranks on float ties are not). All-OOV docs
+    * enter at their prior-only posteriors. Cost: the classifier's own
+    * scoring pass + one doc-partitioned top-2 window + one
+    * C-partitioned rank window over the test split. */
+  def naiveBayesAuc(documents: DataFrame, vocabSize: Int = 2000,
+                    seed: Long = 42L): DataFrame = {
+    val p = testPosteriors(documents, vocabSize, seed)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("posterior").desc, col("cls"))
+    val tops = p.withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= 2)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("rk") === 1, col("posterior"))).as("p1"),
+        max(when(col("rk") === 2, col("posterior"))).as("p2"),
+        max(when(col("rk") === 1, col("cls"))).as("c1"))
+    val margins = p.join(tops, Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("cls"),
+        when(col("cls") === col("c1"),
+          col("posterior") - coalesce(col("p2"), col("p1")))
+          .otherwise(col("posterior") - col("p1")).as("margin"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cls")).orderBy(col("margin"), col("doc_id"))
+    margins.withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("cls"))
+      .agg(sum(when(col("label") === col("cls"), col("rn"))).as("rank_sum"),
+        sum(when(col("label") === col("cls"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("label") === col("cls"), 0L).otherwise(1L)).as("n_neg"))
+      .select(col("cls").as("source"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("rank_sum") - col("n_pos") * (col("n_pos") + 1) / 2)
+            / (col("n_pos") * col("n_neg")).cast("double"), 4))
+          .as("auc"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-(test doc, class) posterior table — the dense score matrix both
+    * [[naiveBayesAuc]] and any calibration consumer read. Docs whose
+    * every token is OOV carry the prior-only posterior in every class. */
+  private def testPosteriors(documents: DataFrame, vocabSize: Int,
+                             seed: Long): DataFrame = {
+    val parts = modelParts(documents, vocabSize, seed)
+    val scoredDocs = parts.scored.select(col("doc_id")).distinct()
+    val oov = parts.testDocs
+      .join(scoredDocs, Seq("doc_id"), "left_anti")
+      .crossJoin(broadcast(parts.classes
+        .select(col("source").as("cls"), col("log_prior"))))
+      .select(col("doc_id"), col("source").as("label"), col("cls"),
+        col("log_prior").cast("decimal(38,6)").as("posterior"))
+    parts.scored
+      .select(col("doc_id"), col("source").as("label"), col("cls"),
+        col("posterior").cast("decimal(38,6)"))
+      .unionByName(oov)
   }
 
   /** The aggregate view: per-class precision/recall/support over the same

@@ -40,6 +40,23 @@ class TextClassifierSpec extends SparkSpec {
     assert(acc >= 0.5, s"NB accuracy $acc lost the planted signal")
   }
 
+  test("margin AUC recovers the planted signal for every class") {
+    val r = TextClassifier.naiveBayesAuc(planted(Tables.documents(spark, sf)))
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(r.size == 20)
+    val nTest = r.map(_._2).sum // each test doc is positive in ONE class
+    r.foreach { case (src, np, nn, auc) =>
+      assert(np + nn == nTest, s"$src ledger broken: $np + $nn != $nTest")
+      // a class with no test docs carries a null AUC honestly; for the
+      // rest, the margin ranks true-class docs above the others — a
+      // raw-posterior ranking reads ~0.2-0.3 here (length dominates)
+      assert(np == 0 || auc.exists(_ > 0.5), s"$src margin AUC $auc at/below chance")
+    }
+    val defined = r.flatMap(_._4)
+    assert(defined.sum / defined.size >= 0.8,
+      s"mean margin AUC ${defined.sum / defined.size} too low for the planted corpus")
+  }
+
   test("report counts reconcile with the per-doc verdicts") {
     val docs = planted(Tables.documents(spark, sf))
     val v = TextClassifier.naiveBayes(docs)
