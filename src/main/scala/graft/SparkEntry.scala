@@ -736,6 +736,11 @@ object SparkEntry {
     // decimal posteriors, id-tiebroken ranks) — the threshold-free
     // router-quality number next to the argmax rates
     "q_nb_auc" -> ((s, d) => TextClassifier.naiveBayesAuc(nbCorpus(s, d))),
+    // reliability by winner-margin decile: does accuracy actually rise
+    // with the argmax's own confidence — the calibration curve a router
+    // reads before trusting high-margin routes
+    "q_nb_calibration" -> ((s, d) =>
+      TextClassifier.naiveBayesCalibration(nbCorpus(s, d))),
     "q_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "q_chunks" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
     "q_pack_index" -> ((s, d) => TextAnalysis.packDocuments(Tables.documents(s, d))),
@@ -1637,6 +1642,38 @@ object SparkEntry {
       |    CAST(count(*) FILTER (label <> cls) AS BIGINT) AS n_neg
       |  FROM ranked GROUP BY 1)
       |ORDER BY source""".stripMargin
+
+  /** Calibration oracle: winner margins from the completed posterior
+    * table, deterministic ntile, per-bin accuracy. */
+  private val nbCalibrationSql: String =
+    s"""WITH $nbCtes,
+      |posts AS (
+      |  SELECT t.doc_id, t.source AS label, t.cls,
+      |    CAST(t.posterior AS DECIMAL(38,6)) AS posterior
+      |  FROM scored t
+      |  UNION ALL
+      |  SELECT s.doc_id, s.source, c.source,
+      |    CAST(c.log_prior AS DECIMAL(38,6))
+      |  FROM (SELECT doc_id, source FROM spl WHERE split = 'test'
+      |          AND doc_id NOT IN (SELECT DISTINCT doc_id FROM scored)) s
+      |  CROSS JOIN classes c),
+      |verdicts AS (
+      |  SELECT doc_id, max(label) AS label,
+      |    max(CASE WHEN rk = 1 THEN cls END) AS predicted,
+      |    max(CASE WHEN rk = 1 THEN posterior END)
+      |      - coalesce(max(CASE WHEN rk = 2 THEN posterior END),
+      |                 max(CASE WHEN rk = 1 THEN posterior END)) AS margin
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY posterior DESC, cls) AS rk FROM posts)
+      |  WHERE rk <= 2 GROUP BY 1),
+      |binned AS (
+      |  SELECT *, ntile(10) OVER (ORDER BY margin, doc_id) AS bin
+      |  FROM verdicts)
+      |SELECT bin, count(*) AS n_docs,
+      |  round(CAST(sum(margin) AS DOUBLE) / count(*), 4) AS mean_margin,
+      |  round(avg(CASE WHEN predicted = label THEN 1.0 ELSE 0.0 END), 4)
+      |    AS accuracy
+      |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin
 
   private val nbClassifySql: String =
     s"WITH $nbCtes\nSELECT doc_id, label, predicted, score, correct " +
@@ -3305,6 +3342,7 @@ object SparkEntry {
     "q_nb_classify" -> nbClassifySql,
     "q_nb_report" -> nbReportSql,
     "q_nb_auc" -> nbAucSql,
+    "q_nb_calibration" -> nbCalibrationSql,
     "q_pq_codes" -> pqCodesSql,
     "q_ann_pq" -> annPqSql,
     "q_ann_ivf_pq" -> annIvfPqSql,

@@ -217,8 +217,9 @@ object Stress {
     // per phrase term + TakeOrdered
     "q_phrase_search",
     // the classifier scoring pass + a doc-partitioned top-2 window + a
-    // C-partitioned rank window — linear in the test split
-    "q_nb_auc")
+    // C-partitioned rank window — linear in the test split (calibration
+    // adds the test-split-sized ntile, the q_quality_deciles class)
+    "q_nb_auc", "q_nb_calibration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

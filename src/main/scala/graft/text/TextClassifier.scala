@@ -189,6 +189,42 @@ object TextClassifier {
       .orderBy(col("source"))
   }
 
+  /** Reliability-by-margin report — the calibration view next to
+    * [[naiveBayesAuc]]: test docs binned into `bins` quantiles of the
+    * WINNER'S margin (p1 − p2, the argmax's own confidence), each bin
+    * reporting its accuracy — a router trusts high-margin routes only if
+    * this curve actually rises. Deterministic: margins are exact decimal
+    * differences, the ntile orders by (margin, doc_id) — the
+    * q_quality_deciles global-quantile precedent (the window is
+    * test-split-sized, not corpus-sized) — and only the published mean
+    * and rate round (4). */
+  def naiveBayesCalibration(documents: DataFrame, vocabSize: Int = 2000,
+                            seed: Long = 42L, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"naiveBayesCalibration: need bins >= 2, got $bins")
+    val p = testPosteriors(documents, vocabSize, seed)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("posterior").desc, col("cls"))
+    val verdicts = p.withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= 2)
+      .groupBy(col("doc_id"))
+      .agg(max(col("label")).as("label"),
+        max(when(col("rk") === 1, col("posterior"))).as("p1"),
+        max(when(col("rk") === 2, col("posterior"))).as("p2"),
+        max(when(col("rk") === 1, col("cls"))).as("predicted"))
+      .select(col("doc_id"), col("label"), col("predicted"),
+        (col("p1") - coalesce(col("p2"), col("p1"))).as("margin"))
+    val wBin = org.apache.spark.sql.expressions.Window
+      .orderBy(col("margin"), col("doc_id"))
+    verdicts.withColumn("bin", ntile(bins).over(wBin))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("margin")).cast("double") / count(lit(1)), 4)
+          .as("mean_margin"),
+        round(avg(when(col("predicted") === col("label"), 1.0)
+          .otherwise(0.0)), 4).as("accuracy"))
+      .orderBy(col("bin"))
+  }
+
   /** Per-(test doc, class) posterior table — the dense score matrix both
     * [[naiveBayesAuc]] and any calibration consumer read. Docs whose
     * every token is OOV carry the prior-only posterior in every class. */

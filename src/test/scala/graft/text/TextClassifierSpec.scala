@@ -57,6 +57,22 @@ class TextClassifierSpec extends SparkSpec {
       s"mean margin AUC ${defined.sum / defined.size} too low for the planted corpus")
   }
 
+  test("calibration: bins partition the test split and accuracy rises with margin") {
+    val r = TextClassifier.naiveBayesCalibration(planted(Tables.documents(spark, sf)))
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(r.map(_._1) == (1 to 10), s"bins not dense: ${r.map(_._1)}")
+    val nTest = Sampling.hashSplit(
+        Tables.documents(spark, sf).select(col("doc_id")), "doc_id", 42L)
+      .filter(col("split") === "test").count()
+    assert(r.map(_._2).sum == nTest, "bins lost or duplicated docs")
+    // margins are the ntile key, so their bin means must be monotone
+    assert(r.map(_._3) == r.map(_._3).sorted, s"margin means not monotone: $r")
+    // the planted signal makes high-margin routes trustworthy: the top
+    // bin must beat the bottom bin decisively
+    assert(r.last._4 >= r.head._4 + 0.3,
+      s"calibration curve flat: bottom ${r.head._4} vs top ${r.last._4}")
+  }
+
   test("report counts reconcile with the per-doc verdicts") {
     val docs = planted(Tables.documents(spark, sf))
     val v = TextClassifier.naiveBayes(docs)
