@@ -686,6 +686,13 @@ object SparkEntry {
         ()
       }
     }),
+    // STREAMING maintenance of the standing inverted index: foreachBatch
+    // admissions (at-least-once delivery → exactly-once state via the
+    // doc-id anti-join), then a probe that must equal the all-at-once
+    // build — shares q_bm25's oracle verbatim
+    "q_bm25_stream_indexed" -> ((s, d) =>
+      Streams.indexMaintenanceStreamGate(s, d,
+        queryTerms = Seq("join", "merge", "window"))),
     // RM3 pseudo-relevance feedback: BM25 pool → deterministic expansion
     // terms (round-6 Σ tf/dl·idf, term tiebreak) → expanded BM25. The
     // oracle re-derives the EXPANSION itself from the corpus — nothing
@@ -3336,6 +3343,7 @@ object SparkEntry {
     // scoring expression) — the q_scd2_table/q_incremental_dedup_bucketed
     // shared-oracle class
     "q_bm25_indexed" -> bm25Sql,
+    "q_bm25_stream_indexed" -> bm25Sql,
     "q_bm25_rm3" -> bm25Rm3Sql,
     "q_phrase_search" -> phraseSearchSql,
     "q_phrase_indexed" -> phraseSearchSql,

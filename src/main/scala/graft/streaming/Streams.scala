@@ -423,6 +423,52 @@ object Streams {
       .select(col("w.start").as("day") +: types.map(c => col(s"n_$c")): _*)
       .orderBy(col("day")))
 
+  /** STREAMING MAINTENANCE of the standing inverted index — the
+    * composition the other streaming gates build toward: documents
+    * arrive as a file stream, `foreachBatch` ADMITS each micro-batch
+    * into [[graft.text.InvertedIndex]] (the [[exactlyOnceSink]] story
+    * applied to a standing STRUCTURE: foreachBatch delivers at least
+    * once, `admit`'s doc-id anti-join makes the index state exactly
+    * once), and after the drain a probe must answer EXACTLY like an
+    * index built from the whole corpus at once — so this gate shares
+    * q_bm25's oracle verbatim: neither streaming arrival order, batch
+    * boundaries, redelivery, nor persistence may change one score.
+    * Bootstrap: the index is seeded EMPTY (build on limit(0)) and grows
+    * admission by admission — the stats ledger rolls (0, NULL) forward
+    * with each batch's exact integer deltas. */
+  def indexMaintenanceStreamGate(spark: SparkSession, sfDir: String,
+                                 queryTerms: Seq[String]): DataFrame = {
+    import graft.text.InvertedIndex
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-stream-invidx").toFile.getAbsolutePath
+    val table = "graft_gate_stream_invidx"
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    (0 until 3).foreach(i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .write.mode("overwrite").parquet(s"$stage/chunk=$i"))
+    try {
+      InvertedIndex.build(docs.limit(0), table, s"$stage/idx")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stage/chunk=*")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          InvertedIndex.admit(spark, batch, table, s"$stage/idx"); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      // foreachBatch runs in a CLONED SparkSession: its appends invalidate
+      // the clone's cached table relation, not this session's — without
+      // the refresh the probe reads the pre-stream (empty) file listing
+      spark.catalog.refreshTable(table)
+      InvertedIndex.probe(spark, table, s"$stage/idx", queryTerms)
+        .pinTier // materialize before table+files drop
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+      ()
+    }
+  }
+
   /** Batch session windows (session_window works in batch mode too). */
   def userSessionsBatch(events: DataFrame, gap: String = "5 minutes"): DataFrame =
     events

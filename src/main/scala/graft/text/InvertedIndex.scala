@@ -185,10 +185,15 @@ object InvertedIndex {
       val old = readStats(spark, s"$path/stats")
       val delta = statsOf(fresh)
         .select(col("n_docs").as("d_docs"), col("sum_dl").as("d_dl"))
+      // both sides coalesce: a zero-doc side carries a NULL sum (sum over
+      // an empty aggregate), and an EMPTY-SEEDED index (the streaming-
+      // maintenance bootstrap: build(limit(0)) then admit every batch)
+      // must roll forward from (0, NULL) without poisoning the ledger
       writeStats(
         old.crossJoin(delta).select(
           (col("n_docs") + col("d_docs")).as("n_docs"),
-          (col("sum_dl") + coalesce(col("d_dl"), lit(0L))).as("sum_dl")),
+          (coalesce(col("sum_dl"), lit(0L))
+            + coalesce(col("d_dl"), lit(0L))).as("sum_dl")),
         s"$path/stats")
     }
     n

@@ -259,6 +259,21 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index maintenance: drained admissions answer like the all-at-once build") {
+    // documents arrive in three micro-batches; foreachBatch admissions
+    // (at-least-once delivery, exactly-once state via the doc-id
+    // anti-join) must leave an index whose probe equals both the
+    // recompute form and a single-shot build — arrival order, batch
+    // boundaries and the empty-seed bootstrap are all score-invariant
+    val terms = Seq("join", "merge", "window")
+    val got = Streams.indexMaintenanceStreamGate(spark, sf, terms)
+      .as[(Long, Long, Double)].collect().toSeq
+    val want = graft.text.TextAnalysis.bm25TopK(
+        graft.model.Tables.documents(spark, sf), terms)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == want, s"streamed index diverged from recompute:\n$got\nvs\n$want")
+  }
+
   test("batch session windows split on the 5-minute gap") {
     val events = Seq(
       ev(1, "2024-01-01 00:00:00", 1, "click", 1.0),
