@@ -350,6 +350,16 @@ class GoldenPlanSpec extends SparkSpec {
     "q_hard_negatives" -> Golden(
       required = Seq("TakeOrderedAndProject"),
       forbidden = Seq("CartesianProduct", "SortMergeJoin")),
+    // isotropy: two one-pass aggregates + a one-row broadcast — a Join
+    // here means the audit picked up an accidental self-join
+    "q_isotropy" -> Golden(
+      required = Seq("partial_sum"),
+      forbidden = Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // dedup-aware mixture: the fingerprint semi-join and two ledgers —
+    // never a corpus-vs-corpus cartesian; token counts map-combine
+    "q_mixture_dedup" -> Golden(
+      required = Seq("partial_sum", "partial_count"),
+      forbidden = Seq("CartesianProduct")),
     // phrase search: positional equi joins on (doc, pos) + a TakeOrdered
     // — never a nested-loop position compare or a cartesian (the
     // posexplode Generate sits under the pinned postings tier, so it is
