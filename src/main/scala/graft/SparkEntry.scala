@@ -1730,7 +1730,9 @@ object SparkEntry {
       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   /** Hard-negative oracle: the two q_hybrid_rrf pools with the join
-    * flipped to ANTI, ranked by the lexical score. */
+    * flipped to ANTI, ranked by the lexical score. The query vector is
+    * excluded from its own semantic pool (self-cosine 1.0 must not burn
+    * a pool slot) — mirrored in [[graft.sim.Similarity.hardNegatives]]. */
   private val hardNegativesSql: String =
     s"""WITH $bm25Ctes,
       |lex AS (
@@ -1742,6 +1744,7 @@ object SparkEntry {
       |sem AS (
       |  SELECT e.vec_id AS doc_id
       |  FROM embeddings e CROSS JOIN qv q
+      |  WHERE e.vec_id <> 0
       |  ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
       |                                        CAST(q.q_emb AS DOUBLE[])), 4)
       |    DESC, e.vec_id
@@ -1921,7 +1924,11 @@ object SparkEntry {
 
   /** MRL audit oracle: full-dim exact top-k once, prefix-dim top-k per
     * audited width via DuckDB's dynamic list slice, recall by exact
-    * count join. */
+    * count join. The per-dim hit counts LEFT-join back onto the dims
+    * list (coalesced to 0) because the Spark side's ungrouped aggregate
+    * emits one row per audited width even at zero hits — an inner join
+    * would drop a zero-recall width and break the row-count gate at
+    * exactly the boundary the audit exists to expose. */
   private val mrlAuditSql: String =
     """WITH probes AS MATERIALIZED (
       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
@@ -1948,12 +1955,15 @@ object SparkEntry {
       |    FROM dims d CROSS JOIN probes p
       |    JOIN corpus c ON c.neighbor_id <> p.query_id)
       |  WHERE rnk <= 10),
-      |np AS (SELECT count(*) AS n_probes FROM probes)
-      |SELECT t.dim, np.n_probes,
-      |  round(count(*) * 1.0 / (np.n_probes * 10), 4) AS recall
-      |FROM trunc_k t JOIN full_k f USING (query_id, neighbor_id)
-      |CROSS JOIN np
-      |GROUP BY 1, 2 ORDER BY dim""".stripMargin
+      |np AS (SELECT count(*) AS n_probes FROM probes),
+      |hits AS (
+      |  SELECT t.dim, count(*) AS n_hits
+      |  FROM trunc_k t JOIN full_k f USING (query_id, neighbor_id)
+      |  GROUP BY 1)
+      |SELECT d.dim, np.n_probes,
+      |  round(coalesce(h.n_hits, 0) * 1.0 / (np.n_probes * 10), 4) AS recall
+      |FROM dims d LEFT JOIN hits h USING (dim) CROSS JOIN np
+      |ORDER BY d.dim""".stripMargin
 
   /** BPR negative-sampling oracle: the poly_hash draw recurrence, the
     * ranked part-dim lookup, positive rejection, first-k keep. */

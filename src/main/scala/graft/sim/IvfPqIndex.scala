@@ -1,6 +1,7 @@
 package graft.sim
 
 import graft.Tier.PinOps
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,16 +10,28 @@ import org.apache.spark.sql.functions._
   * InvertedIndex rule applied to compressed ANN). This is the layout a
   * billion-vector corpus actually serves from:
   *
-  *  - `path/codes/cell=<id>/` — the m-byte PQ codes, parquet-PARTITIONED
-  *    by coarse cell: a probe reads ONLY its nprobe cells' directories
-  *    (`PartitionFilters` on the scan — asserted in IvfPqIndexSpec), so
-  *    probe IO is ∝ the probed cells' share of the corpus, not the
-  *    corpus.
-  *  - `path/centroids/v=N/`, `path/codebooks/v=N/` — the coarse and
-  *    subspace quantizers as versioned sidecars (the ComponentsIndex
-  *    crash rule: writers only ADD `v=N+1`, readers take the highest
-  *    `_SUCCESS`-complete version, so a crashed build/admission is
-  *    invisible or complete — never torn).
+  * ```
+  * path/v=N/codes/cell=<id>/   ← m-byte PQ codes, parquet-PARTITIONED by
+  *                               coarse cell: a probe reads ONLY its nprobe
+  *                               cells' directories (`PartitionFilters` on
+  *                               the scan — asserted in IvfPqIndexSpec), so
+  *                               probe IO ∝ the probed cells' share of the
+  *                               corpus, not the corpus
+  * path/v=N/centroids/         ← the coarse quantizer
+  * path/v=N/codebooks/         ← the m per-subspace residual codebooks
+  * path/_current               ← one line: committed version N
+  * ```
+  *
+  * ONE version directory holds all three parts and ONE atomic pointer
+  * flip (write-temp + rename, the ComponentsIndex commit rule) publishes
+  * them together, so codes, centroids and codebooks can never tear apart:
+  * a crashed rebuild leaves an orphaned un-pointed `v=N+1` (invisible;
+  * deleted by the next build), and a concurrent probe keeps serving the
+  * old version end-to-end — it can never decode new codes against old
+  * codebooks. Version resolution goes through the path's Hadoop
+  * FileSystem (never `java.io.File` — the index lives on HDFS/S3 at
+  * deployment scale, where a local-file listing would silently resolve
+  * to version 0).
   *
   * Determinism: build trains the same [[Similarity.kMeansSphericalModel]]
   * cells and [[Pq.train]] residual codebooks the recompute gate trains,
@@ -32,32 +45,54 @@ import org.apache.spark.sql.functions._
   * documented tradeoff, monitored by re-running the recall audit), new
   * vectors are assigned to existing cells with the build's exact
   * assignment expression, encoded with the build's codebooks, and
-  * APPENDED to their cell partitions. Idempotent per vec_id: the
-  * duplicate probe anti-joins the index pruned to the BATCH's OWN cells
-  * (never a full-index scan — cost ∝ batch-touched partitions). */
+  * APPENDED to their cell partitions inside the CURRENT committed
+  * version. Idempotent per vec_id: the duplicate probe anti-joins the
+  * index pruned to the BATCH's OWN cells (never a full-index scan — cost
+  * ∝ batch-touched partitions).
+  *
+  * Writer contract: SINGLE WRITER. `admit`'s replay guard anti-joins a
+  * snapshot taken before its own append, so two CONCURRENT admits of
+  * overlapping batches could both pass the guard and double-insert;
+  * `build` republishes the whole index and must not race an in-flight
+  * append into the version it is superseding. Serialize all writers (the
+  * streaming-maintenance pattern does: one foreachBatch driver); probes
+  * need no coordination — they only ever see committed versions.
+  */
 object IvfPqIndex {
 
-  private def versionOf(f: java.io.File): Option[Int] =
-    "^v=(\\d+)$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt)
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def currentVersion(path: String): Int = {
-    val dirs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-    dirs.filter(d => new java.io.File(d, "_SUCCESS").isFile)
-      .flatMap(versionOf).sorted.lastOption.getOrElse(0)
+  /** The committed version, or 0 when nothing has committed yet. Version
+    * directories become visible only through the atomic pointer flip. */
+  def currentVersion(spark: SparkSession, path: String): Long = {
+    val cur = new Path(path, "_current")
+    val f = fs(spark, cur)
+    if (!f.exists(cur)) 0L
+    else {
+      val in = f.open(cur)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
   }
 
-  private def writeVersioned(df: DataFrame, path: String): Unit = {
-    val next = currentVersion(path) + 1
-    df.coalesce(1).write.mode("overwrite").parquet(s"$path/v=$next")
-  }
+  private def partDir(path: String, v: Long, part: String): String =
+    new Path(path, s"v=$v/$part").toString
 
-  private def readVersioned(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/v=${currentVersion(path)}")
-
-  /** Build (overwrite) the standing index at `path`. */
+  /** Build (republish) the standing index at `path`: write all three
+    * parts under the next version directory, then flip the pointer —
+    * one commit, never torn. */
   def build(embeddings: DataFrame, path: String,
             nlist: Int = 16, m: Int = 4, ksub: Int = 8,
             rounds: Int = 2, kmRounds: Int = 3, dim: Int = 64): Unit = {
+    val spark = embeddings.sparkSession
+    val next = currentVersion(spark, path) + 1
+    val root = new Path(path)
+    val f = fs(spark, root)
+    f.mkdirs(root)
+    // clear the orphan of any crashed prior attempt at this version
+    // (invisible to readers, but the writes below must not merge with it)
+    f.delete(new Path(path, s"v=$next"), true)
     val (assign, centroids) =
       Similarity.kMeansSphericalModel(embeddings, nlist, kmRounds)
     val resid = Pq.residuals(embeddings, assign, centroids).pinTier
@@ -65,43 +100,58 @@ object IvfPqIndex {
     Pq.encode(resid, codebooks, m, dim)
       .join(resid.select(col("vec_id"), col("cluster")), Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("cluster").as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    writeVersioned(centroids, s"$path/centroids")
-    writeVersioned(codebooks, s"$path/codebooks")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(partDir(path, next, "codes"))
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(partDir(path, next, "centroids"))
+    codebooks.coalesce(1).write.mode("overwrite")
+      .parquet(partDir(path, next, "codebooks"))
+    val tmp = new Path(path, "_current.tmp")
+    val out = f.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    f.delete(new Path(path, "_current"), false)
+    require(f.rename(tmp, new Path(path, "_current")),
+      s"ivf-pq index pointer flip failed for v$next")
+    // retire the superseded version: readers that resolved the pointer
+    // just before the flip may still be scanning N−1, so keep one back
+    if (next >= 3) f.delete(new Path(path, s"v=${next - 2}"), true)
   }
 
   /** ANN top-k against the standing index — [[Pq.ivfPqProbe]] over the
-    * persisted parts. `embeddings` is the raw tier the exact re-rank
-    * (and the query lookup) reads; the codes scan is partition-pruned to
-    * the nprobe probed cells. */
+    * persisted parts of ONE committed version. `embeddings` is the raw
+    * tier the exact re-rank (and the query lookup) reads; the codes scan
+    * is partition-pruned to the nprobe probed cells. */
   def probe(spark: SparkSession, path: String, embeddings: DataFrame,
             queryVecId: Long, k: Int = 10, nprobe: Int = 4,
             rerank: Int = 50, m: Int = 4, dim: Int = 64): DataFrame = {
-    val centroids = readVersioned(spark, s"$path/centroids")
-    val codebooks = readVersioned(spark, s"$path/codebooks")
+    val v = currentVersion(spark, path)
+    val centroids = spark.read.parquet(partDir(path, v, "centroids"))
+    val codebooks = spark.read.parquet(partDir(path, v, "codebooks"))
     // the partition column surfaces under the probe's name; the cell
     // filter inside ivfPqProbe then prunes whole cell=<id> directories
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(partDir(path, v, "codes"))
       .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cluster"))
     Pq.ivfPqProbe(codes, codebooks, centroids, embeddings, queryVecId,
       k, nprobe, rerank, m, dim)
   }
 
   /** Admit a batch with FROZEN quantizers: assign → encode → append to
-    * the touched cell partitions. Replay-safe: already-indexed vec_ids
-    * are dropped by an anti-join against the index PRUNED to the batch's
-    * own cells. Returns the number of vectors admitted. */
+    * the touched cell partitions of the current committed version.
+    * Replay-safe: already-indexed vec_ids are dropped by an anti-join
+    * against the index PRUNED to the batch's own cells. Single writer
+    * (see the class doc). Returns the number of vectors admitted. */
   def admit(spark: SparkSession, batch: DataFrame, path: String,
             m: Int = 4, dim: Int = 64): Long = {
-    val centroids = readVersioned(spark, s"$path/centroids")
-    val codebooks = readVersioned(spark, s"$path/codebooks")
+    val v = currentVersion(spark, path)
+    val centroids = spark.read.parquet(partDir(path, v, "centroids"))
+    val codebooks = spark.read.parquet(partDir(path, v, "codebooks"))
     val emb = batch
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val assign = Similarity.assignSpherical(emb, centroids)
     val resid = Pq.residuals(batch, assign, centroids).pinTier
     val cells = resid.select(col("cluster")).distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ nlist — the bounded class
-    val existing = spark.read.parquet(s"$path/codes")
+    val existing = spark.read.parquet(partDir(path, v, "codes"))
       .filter(col("cell").isin(cells: _*)) // partition-pruned probe side
       .select(col("vec_id"))
     val fresh = resid.join(existing, Seq("vec_id"), "left_anti").pinTier
@@ -110,7 +160,8 @@ object IvfPqIndex {
       Pq.encode(fresh, codebooks, m, dim)
         .join(fresh.select(col("vec_id"), col("cluster")), Seq("vec_id"))
         .select(col("vec_id"), col("codes"), col("cluster").as("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+        .write.mode("append").partitionBy("cell")
+        .parquet(partDir(path, v, "codes"))
     }
     n
   }

@@ -918,7 +918,12 @@ object Similarity {
         Window.orderBy(col("score").desc, col("doc_id"))).as("lex_rank"))
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_emb"))
-    val sem = embeddings.crossJoin(broadcast(q))
+    // the query vector is excluded from its own semantic pool: its
+    // self-cosine of 1.0 would otherwise burn one of the poolK slots and
+    // displace a genuine semantic candidate across the pool boundary —
+    // mislabeling it a "hard negative" when the embedding DID rank it
+    val sem = embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(cosine(col("embedding"), col("q_emb")), 4).as("cs"))
       .orderBy(col("cs").desc, col("doc_id")).limit(poolK)

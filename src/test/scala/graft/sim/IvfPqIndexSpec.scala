@@ -41,14 +41,14 @@ class IvfPqIndexSpec extends SparkSpec {
     val batch = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
     staged { path =>
       IvfPqIndex.build(corpus, path)
-      val cbBefore = spark.read.parquet(s"$path/codebooks/v=1")
+      val cbBefore = spark.read.parquet(s"$path/v=1/codebooks")
         .orderBy(col("sub"), col("cid")).collect().toSeq
       val n = IvfPqIndex.admit(spark, batch, path)
       assert(n == batch.count(), s"admitted $n of ${batch.count()}")
       // replay admits nothing (exactly-once per vec_id)
       assert(IvfPqIndex.admit(spark, batch, path) == 0L, "replay re-admitted")
       // quantizers are frozen: the codebook sidecar is untouched
-      val cbAfter = spark.read.parquet(s"$path/codebooks/v=1")
+      val cbAfter = spark.read.parquet(s"$path/v=1/codebooks")
         .orderBy(col("sub"), col("cid")).collect().toSeq
       assert(cbBefore == cbAfter, "admission retrained the codebooks")
       // an admitted vector is served: vec 7 now exists in the index, and
@@ -57,15 +57,15 @@ class IvfPqIndexSpec extends SparkSpec {
       val res = IvfPqIndex.probe(spark, path, emb, queryVecId = 7L)
       assert(res.count() == 10)
       // the admitted codes equal a frozen-codebook encode of the batch
-      val centroids = spark.read.parquet(s"$path/centroids/v=1")
-      val codebooks = spark.read.parquet(s"$path/codebooks/v=1")
+      val centroids = spark.read.parquet(s"$path/v=1/centroids")
+      val codebooks = spark.read.parquet(s"$path/v=1/codebooks")
       val assign = Similarity.assignSpherical(
         batch.select(col("vec_id"),
           col("embedding").cast("array<double>").as("emb")), centroids)
       val wantCodes = Pq.encode(
           Pq.residuals(batch, assign, centroids), codebooks)
         .as[(Long, Seq[Int])].collect().toMap
-      val gotCodes = spark.read.parquet(s"$path/codes")
+      val gotCodes = spark.read.parquet(s"$path/v=1/codes")
         .join(batch.select(col("vec_id")), Seq("vec_id"), "left_semi")
         .select(col("vec_id"), col("codes"))
         .as[(Long, Seq[Int])].collect().toMap
@@ -73,22 +73,32 @@ class IvfPqIndexSpec extends SparkSpec {
     }
   }
 
-  test("sidecar readers ignore versions without a _SUCCESS marker") {
+  test("readers ignore a crashed (un-pointed) rebuild; a committed one flips atomically") {
     val emb = Tables.embeddings(spark, sf)
     staged { path =>
       IvfPqIndex.build(emb, path)
+      assert(IvfPqIndex.currentVersion(spark, path) == 1L)
       val before = IvfPqIndex.probe(spark, path, emb, queryVecId = 0L)
         .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
-      // simulate a crashed quantizer rewrite: a v=2 directory with data
-      // but no _SUCCESS — readers must keep serving v=1
-      val crashed = new java.io.File(s"$path/centroids/v=2")
+      // simulate a crashed rebuild: a half-written v=2 directory that
+      // never flipped the pointer — readers must keep serving v=1 for
+      // ALL THREE parts (codes can never pair with foreign quantizers)
+      val crashed = new java.io.File(s"$path/v=2/centroids")
       assert(crashed.mkdirs())
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$path/centroids/v=2/part-junk.parquet"),
+        java.nio.file.Paths.get(s"$path/v=2/centroids/part-junk.parquet"),
         Array[Byte](1, 2, 3))
+      assert(IvfPqIndex.currentVersion(spark, path) == 1L,
+        "an un-pointed version directory became visible")
       val after = IvfPqIndex.probe(spark, path, emb, queryVecId = 0L)
         .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
-      assert(after == before, "a torn sidecar version changed probe results")
+      assert(after == before, "a torn rebuild changed probe results")
+      // a real rebuild supersedes the orphan and commits v=2 whole
+      IvfPqIndex.build(emb, path)
+      assert(IvfPqIndex.currentVersion(spark, path) == 2L)
+      val rebuilt = IvfPqIndex.probe(spark, path, emb, queryVecId = 0L)
+        .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+      assert(rebuilt == before, "an identical rebuild changed probe results")
     }
   }
 }
