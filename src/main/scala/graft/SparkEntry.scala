@@ -693,6 +693,33 @@ object SparkEntry {
     "q_bm25_stream_indexed" -> ((s, d) =>
       Streams.indexMaintenanceStreamGate(s, d,
         queryTerms = Seq("join", "merge", "window"))),
+    // COMPACTION of the admission-accreted inverted index: an empty seed
+    // plus per-chunk admits leaves ~one file per admission per bucket
+    // (the streaming small-file problem); compact() rewrites each bucket
+    // to one sorted run behind a catalog flip + vacuum, and the probe
+    // after N cycles must still answer exactly like the all-at-once
+    // build — shares q_bm25's oracle verbatim
+    "q_bm25_compacted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-gate-compactidx").toFile.getAbsolutePath
+      val table = "graft_gate_compacted_index"
+      try {
+        graft.text.InvertedIndex.build(docs.limit(0), table, stage)
+        (0 until 3).foreach(i => graft.text.InvertedIndex.admit(
+          s, docs.filter(pmod(col("doc_id"), lit(3)) === i), table, stage))
+        Telemetry.timed("q_bm25_compacted") {
+          graft.text.InvertedIndex.compact(s, table, stage); ()
+        }
+        graft.text.InvertedIndex.probe(
+            s, table, stage, Seq("join", "merge", "window"))
+          .pinTier // materialize before table+files are dropped
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
+    }),
     // RM3 pseudo-relevance feedback: BM25 pool → deterministic expansion
     // terms (round-6 Σ tf/dl·idf, term tiebreak) → expanded BM25. The
     // oracle re-derives the EXPANSION itself from the corpus — nothing
@@ -3354,6 +3381,7 @@ object SparkEntry {
     // shared-oracle class
     "q_bm25_indexed" -> bm25Sql,
     "q_bm25_stream_indexed" -> bm25Sql,
+    "q_bm25_compacted" -> bm25Sql,
     "q_bm25_rm3" -> bm25Rm3Sql,
     "q_phrase_search" -> phraseSearchSql,
     "q_phrase_indexed" -> phraseSearchSql,

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.Tier.PinOps
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -64,23 +65,33 @@ object InvertedIndex {
       .select(size(TextAnalysis.tokens(col("text"))).cast("bigint").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
-  private def versionOf(f: java.io.File): Option[Int] =
-    "^v=(\\d+)$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt)
+  private def hfs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Highest `_SUCCESS`-complete stats version (0 when none). */
-  private def currentStatsVersion(statsPath: String): Int = {
-    val dirs = Option(new java.io.File(statsPath).listFiles()).getOrElse(Array.empty)
-    dirs.filter(d => new java.io.File(d, "_SUCCESS").isFile)
-      .flatMap(versionOf).sorted.lastOption.getOrElse(0)
+  private def versionOf(name: String): Option[Int] =
+    "^v=(\\d+)$".r.findFirstMatchIn(name).map(_.group(1).toInt)
+
+  /** Highest `_SUCCESS`-complete stats version (0 when none) — listed
+    * through the path's Hadoop FileSystem (never `java.io.File`: the
+    * index lives on HDFS/S3 at deployment scale, where a local-file
+    * listing would silently resolve to version 0). */
+  private def currentStatsVersion(spark: SparkSession, statsPath: String): Int = {
+    val p = new Path(statsPath)
+    val f = hfs(spark, p)
+    if (!f.exists(p)) 0
+    else f.listStatus(p)
+      .filter(s => s.isDirectory && f.exists(new Path(s.getPath, "_SUCCESS")))
+      .flatMap(s => versionOf(s.getPath.getName))
+      .sorted.lastOption.getOrElse(0)
   }
 
   private def writeStats(stats: DataFrame, statsPath: String): Unit = {
-    val next = currentStatsVersion(statsPath) + 1
+    val next = currentStatsVersion(stats.sparkSession, statsPath) + 1
     stats.coalesce(1).write.mode("overwrite").parquet(s"$statsPath/v=$next")
   }
 
   private def readStats(spark: SparkSession, statsPath: String): DataFrame =
-    spark.read.parquet(s"$statsPath/v=${currentStatsVersion(statsPath)}")
+    spark.read.parquet(s"$statsPath/v=${currentStatsVersion(spark, statsPath)}")
 
   /** Build (overwrite) the standing index: term-bucketed sorted postings
     * as an external catalog table at `path/postings`, stats v=1 at
@@ -197,5 +208,94 @@ object InvertedIndex {
         s"$path/stats")
     }
     n
+  }
+
+  /** Count of postings data files currently under the table's location —
+    * the small-file metric [[compact]] shrinks (spec-asserted). */
+  def postingsFileCount(spark: SparkSession, table: String): Long = {
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val f = hfs(spark, loc)
+    if (!f.exists(loc)) 0L
+    else {
+      val it = f.listFiles(loc, true)
+      var n = 0L
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        if (s.isFile && !name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  /** Compact the postings tier. Every streaming admission appends a
+    * fresh set of per-bucket files ([[admit]] via foreachBatch —
+    * `streaming/Streams.indexMaintenanceStreamGate`), so N admissions
+    * leave ~N files per term bucket: the classic small-file problem — at
+    * continuous 100 TB admission the probe's bucket-pruned scan degrades
+    * from "read one sorted run" to "read and merge N tiny runs", and the
+    * file-listing itself starts to dominate. Compaction rewrites the
+    * postings ONCE into one sorted file per bucket and flips the catalog
+    * to the rewritten copy:
+    *
+    *  1. read the current table as a FORCED bucketed scan (the planner's
+    *     auto-disable is turned off for the rewrite: a bucketed scan
+    *     groups every file of bucket B into one task, which is exactly
+    *     the merge unit compaction wants) — SHUFFLE-FREE, the
+    *     [[graft.lake.Layout.compact]] rule: at scale the rewrite is
+    *     IO-bound and a shuffle would double it;
+    *  2. write it as a staging catalog table at `<path>/postings_v=K+1`
+    *     with the same bucketBy/sortBy DDL: input partitions already
+    *     coincide with output buckets, so each task emits ONE sorted
+    *     file per bucket — bucket pruning and the in-bucket term sort
+    *     survive compaction by construction;
+    *  3. flip: drop the serving table name, rename the staging table
+    *     onto it (metadata-only — the rewritten files never move);
+    *  4. vacuum the superseded postings directory.
+    *
+    * The merge unit is a whole bucket (one task per bucket), so size
+    * `buckets` to hold a bucket's postings in one task's working set —
+    * the standard bucketed-table sizing rule, same as probe-side
+    * parallelism.
+    *
+    * Probe equality pre/post is spec-asserted (compaction must not
+    * change one score — the persistence rule). Same single-writer
+    * contract as [[admit]]: the flip is two catalog operations, so a
+    * crash between them leaves the staging table fully written and the
+    * serving name absent — recovery is re-running the rename; the data
+    * directories themselves are never torn (old postings survive until
+    * the vacuum in step 4). Returns (files before, files after). */
+  def compact(spark: SparkSession, table: String, path: String,
+              buckets: Int = 32): (Long, Long) = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val oldLoc = new Path(meta.location)
+    val before = postingsFileCount(spark, table)
+    val next = versionOf(oldLoc.getName.replace("postings_", ""))
+      .getOrElse(1) + 1
+    val stagedPath = s"$path/postings_v=$next"
+    val stagedTable = s"${table}__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $stagedTable")
+    // force the bucketed scan: the auto-disable heuristic sees no
+    // join/aggregate and hands the writer raw file splits, which would
+    // re-fragment every bucket across tasks (observed: ~one file per
+    // admission per bucket SURVIVING compaction)
+    val autoBucketKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.getOption(autoBucketKey)
+    spark.conf.set(autoBucketKey, "false")
+    try
+      spark.table(table)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "term").sortBy("term")
+        .option("path", stagedPath).saveAsTable(stagedTable)
+    finally prevAuto match {
+      case Some(v) => spark.conf.set(autoBucketKey, v)
+      case None    => spark.conf.unset(autoBucketKey)
+    }
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $stagedTable RENAME TO $table")
+    hfs(spark, oldLoc).delete(oldLoc, true)
+    (before, postingsFileCount(spark, table))
   }
 }

@@ -82,6 +82,45 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact: probe-identical, one file per bucket, pruning survives, admits stay flat") {
+    val docs = Tables.documents(spark, sf)
+    staged { (table, stage) =>
+      // accrete the index the way streaming maintenance does: an empty
+      // seed plus one admission per chunk — each admission appends its
+      // own set of per-bucket files (the small-file accumulation)
+      InvertedIndex.build(docs.limit(0), table, stage)
+      (0 until 4).foreach(i =>
+        InvertedIndex.admit(spark,
+          docs.filter(pmod(col("doc_id"), lit(4)) === i), table, stage))
+      val before = InvertedIndex.probe(spark, table, stage, terms)
+        .as[(Long, Long, Double)].collect().toSeq
+      val (nBefore, nAfter) = InvertedIndex.compact(spark, table, stage)
+      // the rewrite shrank the file count to exactly one sorted run per
+      // non-empty bucket (≤ the bucket count)
+      assert(nAfter < nBefore, s"compact did not shrink: $nBefore -> $nAfter")
+      assert(nAfter <= 32, s"more than one file per bucket after compact: $nAfter")
+      // compaction must not change one score
+      val after = InvertedIndex.probe(spark, table, stage, terms)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(after == before, s"compact changed probe results:\n$after\nvs\n$before")
+      // bucket pruning survives the catalog flip
+      val plan = InvertedIndex.probe(spark, table, stage, terms)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"compacted probe is not bucket-pruned:\n$plan")
+      // admit keeps working against the compacted table (cost stays
+      // ∝ batch across compaction cycles: replay admits nothing, a
+      // second compact cycle converges to the same bounded file count)
+      assert(InvertedIndex.admit(spark, docs, table, stage) == 0L,
+        "replay after compact re-admitted")
+      val (_, nAfter2) = InvertedIndex.compact(spark, table, stage)
+      assert(nAfter2 <= nAfter, s"second compact cycle grew files: $nAfter2")
+      val cycled = InvertedIndex.probe(spark, table, stage, terms)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(cycled == before, "admit+compact cycle changed probe results")
+    }
+  }
+
   test("positional tier: phrase probe equals the recompute form and prunes buckets") {
     val docs = Tables.documents(spark, sf)
     val phrase = Seq("merge", "window")
