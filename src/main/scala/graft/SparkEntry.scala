@@ -1304,6 +1304,17 @@ object SparkEntry {
       .select(col("media_id"), col("media_type"), col("width"), col("height"),
         length(col("content")).as("n_bytes"))
       .orderBy(col("media_id"))),
+    // REAL resize end-to-end: a decodable per-document PNG fixture runs
+    // the true decode → bilinear scale → PNG re-encode path, and the
+    // gate reports the dimensions DECODED BACK from the output payload —
+    // the arithmetic oracle matches only if the re-encoded images really
+    // have the expected size (this is the gate that retired the resize
+    // stub for decodable payloads; the stub survives only for payloads
+    // no JDK codec understands)
+    "q_media_resize_real" -> ((s, d) => Multimodal.decodedDims(
+        Multimodal.resizeImages(
+          Multimodal.syntheticImages(Tables.documents(s, d)), maxWidth = 48))
+      .orderBy(col("media_id"))),
     // feature VALUES are decoder-specific (FNV stub for non-image
     // payloads), so the gate pins the portable per-row contract instead:
     // id/type/byte-count are oracle-recomputed from the fixture mix, and
@@ -5038,6 +5049,19 @@ object SparkEntry {
         |      n0 * ((640.0 * new_h) / (width * 1.0 * height))) AS INT), 1)
         |    ELSE n0 END AS INT) AS n_bytes
         |FROM resized ORDER BY media_id""".stripMargin,
+    // the REAL-resize twin: expected output dimensions by pure integer
+    // arithmetic — the Spark side reports dims decoded back from the
+    // re-encoded PNG bytes, so a match proves the real codec path
+    "q_media_resize_real" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(((doc_id % 2147483648) * 2654435761 + 40503) % 4294967296 % 128 + 8 AS INT) AS w0,
+        |    CAST(((doc_id % 2147483648) * 2654435761 + 81006) % 4294967296 % 96 + 8 AS INT) AS h0
+        |  FROM documents)
+        |SELECT media_id,
+        |  CASE WHEN w0 > 48 THEN 48 ELSE w0 END AS width_px,
+        |  CASE WHEN w0 > 48 THEN greatest((h0 * 48) // w0, 1) ELSE h0 END AS height_px
+        |FROM meta ORDER BY media_id""".stripMargin,
     "q_embedding_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,

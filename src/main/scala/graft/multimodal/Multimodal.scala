@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL for every format the JDK's `javax.imageio` ships
   * codecs for (PNG, JPEG, BMP, GIF, WBMP) — [[decodeImage]],
-  * [[imageFeatures]], [[resizeImagesReal]]; no external libraries needed,
+  * [[imageFeatures]], [[resizeImages]]; no external libraries needed,
   * so the same jar decodes on any executor. Payloads ImageIO cannot parse
   * (audio, video, proprietary formats — this container ships no codecs for
   * those) fall back to [[decodeStub]], a clearly-marked deterministic fake
@@ -126,32 +126,23 @@ object Multimodal {
     (head ++ lumaBuckets.map(_ / n)).padTo(featureDim, 0.0f).take(featureDim)
   }
 
-  /** Real resize: decode, scale preserving aspect ratio (bilinear), re-encode
-    * PNG, update metadata in lockstep. Non-decodable or already-narrow rows
-    * pass through untouched. Partition-wise like [[extractFeatures]]. */
-  def resizeImagesReal(spark: SparkSession, media: DataFrame, maxWidth: Int): Dataset[MediaRecord] = {
-    import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
-      it.map { m =>
-        decodeImage(m.content) match {
-          case Some(img) if img.getWidth > maxWidth =>
-            val newW = maxWidth
-            val newH = math.max(1, (img.getHeight.toLong * maxWidth / img.getWidth).toInt)
-            val scaled = new java.awt.image.BufferedImage(
-              newW, newH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = scaled.createGraphics()
-            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, newW, newH, null)
-            g.dispose()
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(scaled, "png", out)
-            m.copy(content = out.toByteArray, width = newW, height = newH)
-          case _ => m
-        }
-      }
-    }
+  /** Real single-image resize: scale preserving aspect ratio (bilinear),
+    * re-encode PNG. Pure pixel work — shared by [[resizeImages]]'s real
+    * path and callers holding an already-decoded frame. */
+  def scaleToWidth(img: java.awt.image.BufferedImage,
+                   maxWidth: Int): (Array[Byte], Int, Int) = {
+    val newW = maxWidth
+    val newH = math.max(1, (img.getHeight.toLong * maxWidth / img.getWidth).toInt)
+    val scaled = new java.awt.image.BufferedImage(
+      newW, newH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, newW, newH, null)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(scaled, "png", out)
+    (out.toByteArray, newW, newH)
   }
 
   // ---------------------------------------------------------------- real
@@ -207,23 +198,93 @@ object Multimodal {
       .select(col("media_id"), col("width"), col("height"))
       .orderBy(col("media_id"))
 
-  /** Resize stub: a real implementation decodes, scales, re-encodes; the
-    * deterministic fake truncates the payload proportionally to the pixel
-    * ratio. The Spark-side contract is the real part — metadata updated in
-    * lockstep with content, aspect ratio preserved via integer math,
-    * non-images pass through untouched. */
+  /** Image resize, REAL-decoder-first: rows whose payload the JDK's
+    * ImageIO can decode get a true decode → bilinear scale → PNG
+    * re-encode with metadata updated from the ACTUAL output pixels; only
+    * payloads no installed codec understands fall back to the marked
+    * deterministic STUB (proportional byte truncation — the fixture
+    * path: its "image" payloads are UTF-8 text). Already-narrow rows and
+    * non-image types pass through untouched. Partition-wise like
+    * [[extractFeatures]] (one codec-registry scan per partition, not per
+    * row) — map-side, no shuffle, so it composes with any upstream
+    * partitioning at scale. */
   def resizeImages(media: DataFrame, maxWidth: Int): DataFrame = {
-    val isWide = col("media_type") === "image" && col("width") > maxWidth
-    val newH = (col("height").cast("long") * maxWidth / col("width")).cast("int")
-    val scale = (lit(maxWidth.toDouble) * newH.cast("double")) /
-      (col("width").cast("double") * col("height").cast("double"))
-    val newLen = greatest((length(col("content")).cast("double") * scale).cast("int"), lit(1))
-    media // content first, then height, then width — each reads the originals
-      .withColumn("content",
-        when(isWide, call_function("substring", col("content"), lit(1), newLen))
-          .otherwise(col("content")))
-      .withColumn("height", when(isWide, newH).otherwise(col("height")))
-      .withColumn("width", when(isWide, lit(maxWidth)).otherwise(col("width")))
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        if (m.media_type != "image" || m.width <= maxWidth) m
+        else decodeImage(m.content) match {
+          case Some(img) if img.getWidth > maxWidth =>
+            val (bytes, w, h) = scaleToWidth(img, maxWidth)
+            m.copy(content = bytes, width = w, height = h)
+          case Some(img) =>
+            // decodable but already narrow in PIXELS: trust the pixels
+            // over stale metadata and bring the latter in lockstep
+            m.copy(width = img.getWidth, height = img.getHeight)
+          case None =>
+            // STUB fallback (undecodable payload): shrink the metadata by
+            // the exact integer math of the former column-only stub and
+            // truncate the payload proportionally to the pixel ratio
+            val newH = (m.height.toLong * maxWidth / m.width).toInt
+            val scale = (maxWidth.toDouble * newH) /
+              (m.width.toDouble * m.height.toDouble)
+            val newLen = math.max((m.content.length.toDouble * scale).toInt, 1)
+            m.copy(content = m.content.take(newLen),
+              width = maxWidth, height = newH)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Deterministic REAL-image fixture: one solid-color PNG per document,
+    * dimensions from the same integer mixing as [[mediaFromDocuments]]
+    * but bounded small (width 8–135, height 8–103) so synthesis stays
+    * trivial at gate scale. This is the decodable twin of the text-
+    * payload fixture — it lets the resize gate pin REAL decode → scale →
+    * re-encode output dimensions against a pure-arithmetic oracle. */
+  def syntheticImages(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(
+        col("doc_id").as("media_id"),
+        (pmod(mix(col("doc_id"), 1), lit(128)) + 8).cast("int").as("width"),
+        (pmod(mix(col("doc_id"), 2), lit(96)) + 8).cast("int").as("height"))
+      .as[(Long, Int, Int)].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          g.setColor(new java.awt.Color(((id * 2654435761L) & 0xFFFFFFL).toInt))
+          g.fillRect(0, 0, w, h)
+          g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          MediaRecord(id, "image", out.toByteArray, w, h, 0L)
+        }
+      }.toDF()
+  }
+
+  /** Decode-back report: the dimensions read from the payload's ACTUAL
+    * pixels, not its metadata — what the resize gate pins (an arithmetic
+    * oracle can only be matched if the re-encoded image really has the
+    * expected size). Undecodable rows report (−1, −1) rather than
+    * dropping out (the S2 sentinel rule — totality keeps row counts
+    * comparable). */
+  def decodedDims(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        decodeImage(m.content) match {
+          case Some(img) => (m.media_id, img.getWidth, img.getHeight)
+          case None      => (m.media_id, -1, -1)
+        }
+      }
+    }.toDF("media_id", "width_px", "height_px")
   }
 
   // ---------------------------------------------------------------- real

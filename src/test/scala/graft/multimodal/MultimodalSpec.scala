@@ -143,14 +143,22 @@ class MultimodalSpec extends SparkSpec {
     import spark.implicits._
     val rows = Seq(
       Multimodal.MediaRecord(1L, "image", pngBytes(100, 60), 100, 60, 0L),
+      // a real JPEG payload takes the same real decode -> scale -> PNG
+      // re-encode path as PNG (ImageIO dispatches on content, not name)
+      Multimodal.MediaRecord(3L, "image", frameBytes(80, 40, 0x336699, "jpg"), 80, 40, 0L),
       Multimodal.MediaRecord(2L, "image", "junk".getBytes, 0, 0, 0L))
-    val resized = Multimodal.resizeImagesReal(spark, rows.toDF(), maxWidth = 50)
+    val resized = Multimodal.resizeImages(rows.toDF(), maxWidth = 50)
+      .as[Multimodal.MediaRecord]
       .collect().map(r => r.media_id -> r).toMap
     val r1 = resized(1L)
     assert(r1.width == 50 && r1.height == 30)
     // the re-encoded payload really is a 50x30 image
     val back = Multimodal.decodeImage(r1.content).get
     assert(back.getWidth == 50 && back.getHeight == 30)
+    val r3 = resized(3L)
+    assert(r3.width == 50 && r3.height == 25)
+    val back3 = Multimodal.decodeImage(r3.content).get
+    assert(back3.getWidth == 50 && back3.getHeight == 25)
     assert(resized(2L).content.toSeq == "junk".getBytes.toSeq) // untouched
   }
 
