@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.domain.YouTube
 import graft.graph.{Degrees, Edges, EdgeTier, PageRankOp}
 import graft.ingest.Ingest
 import graft.ml.Recommend
@@ -55,6 +56,30 @@ object SparkEntry {
     * fixture sources; every other source plans to zero. */
   private val MixtureWeights: Seq[(String, Double)] =
     Seq("src0" -> 3.0, "src3" -> 1.5, "src7" -> 0.5)
+
+  /** Videos-shaped fixture (the reference's actual schema — SURVEY §1.2)
+    * derived from customer by pure integer arithmetic, so every
+    * YouTube-domain gate gets a full DuckDB oracle: ids are string
+    * custkeys, length spans all three reference length buckets, views
+    * span all five view buckets, rate steps in exact halves (avg is
+    * order-independent IEEE), and `related` is a 0–8 entry array whose
+    * targets hash into the fixed id range [1, 1500] — dst ids outside
+    * the corpus at small SF are legitimate (the reference graph links to
+    * uncrawled videos; the unfiltered constructor keeps them). */
+  private def ytVideos(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey").cast("string").as("id"),
+      col("c_name").as("uploader"),
+      col("c_mktsegment").as("category"),
+      (col("c_custkey") * 37 % 2400).cast("int").as("length"),
+      (col("c_custkey") * 7919 % 2000000).cast("long").as("views"),
+      ((col("c_custkey") % 11) / lit(2.0)).as("rate"),
+      // sequence(1, 0) would auto-step DOWN — guard the empty case
+      when(col("c_custkey") % 9 === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), (col("c_custkey") % 9).cast("int")),
+          i => ((col("c_custkey") * 31 + i * 17) % 1500 + 1).cast("string")))
+        .as("related"))
 
   /** Raw all-strings user rows derived from customer — shared by the typed
     * and count gates so both face the exact same source shape. */
@@ -546,6 +571,24 @@ object SparkEntry {
           col("comments"), csv(col("related")).as("related"))
         .orderBy(col("id"))
     }),
+    // ---- YouTube-domain suite (VERDICT r11 "missing" #2): the
+    // reference's actual report queries (`run_netagg_job.py:82-173`,
+    // `run_pagerank_job.py:107-144`) run end-to-end on a videos-shaped
+    // fixture in the reference schema, each under a full DuckDB oracle
+    // re-deriving the fixture arithmetic ----
+    "q_yt_category_stats" -> ((s, d) => YouTube.categoryStats(ytVideos(s, d))),
+    "q_yt_length_buckets" -> ((s, d) => YouTube.lengthBuckets(ytVideos(s, d))),
+    "q_yt_view_buckets" -> ((s, d) => YouTube.viewBuckets(ytVideos(s, d))),
+    "q_yt_top_out_degree" -> ((s, d) =>
+      YouTube.degreeReport(ytVideos(s, d))("top_by_out_degree")),
+    "q_yt_in_degree_hist" -> ((s, d) =>
+      YouTube.degreeReport(ytVideos(s, d))("in_degree_hist")),
+    // the reference's filtered-PageRank influencer report over STRING ids
+    // (≥5-related vertex filter, drop-unknown-endpoint edges, 0.15 / 10
+    // iterations, uploader enrichment) — oracle-unrolled like the other
+    // pagerank gates
+    "q_yt_influencers" -> ((s, d) => Telemetry.timed("q_yt_influencers")(
+      YouTube.influencers(s, ytVideos(s, d), k = 500))),
     // jsonl corpus source: schema'd one-pass read + corrupt routing; the
     // clean side must reproduce the parquet original byte-for-byte
     "q_docs_jsonl" -> ((s, d) => Ingest.jsonlClean(
@@ -2285,6 +2328,26 @@ object SparkEntry {
          |  ) c ON v.id = c.id
          |),""".stripMargin
     }.mkString("\n")
+
+  /** The YouTube-domain gates' shared fixture CTE: the videos-shaped
+    * table + its related-edge list, re-derived by the exact integer
+    * arithmetic of [[ytVideos]]/[[graft.domain.YouTube.relatedEdges]]
+    * (unnest skips empty arrays exactly as explode_outer + null-drop). */
+  private val ytVideosCte: String =
+    """videos AS MATERIALIZED (
+      |  SELECT CAST(c_custkey AS VARCHAR) AS id,
+      |    c_name AS uploader,
+      |    c_mktsegment AS category,
+      |    CAST(c_custkey * 37 % 2400 AS INT) AS length,
+      |    CAST(c_custkey * 7919 % 2000000 AS BIGINT) AS views,
+      |    (c_custkey % 11) / 2.0 AS rate,
+      |    list_transform(range(1, CAST(c_custkey % 9 AS INT) + 1),
+      |      i -> CAST((c_custkey * 31 + i * 17) % 1500 + 1 AS VARCHAR)) AS related
+      |  FROM customer),
+      |yedges AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT id AS src, unnest(related) AS dst FROM videos)
+      |  WHERE src <> dst)""".stripMargin
 
   /** The HITS unroll (same MATERIALIZED rationale as [[pageRankIterSql]]):
     * each round is one auth half-step (hub mass flows src→dst) and one hub
@@ -4616,6 +4679,69 @@ object SparkEntry {
         |  CAST(c_custkey % 100 AS BIGINT) AS comments,
         |  CAST(c_custkey + 1 AS VARCHAR) || ',' || CAST(c_custkey + 2 AS VARCHAR) AS related
         |FROM customer ORDER BY id""".stripMargin,
+    // ---- YouTube-domain suite: fixture arithmetic re-derived, the
+    // reference's exact bucket boundaries and report shapes ----
+    "q_yt_category_stats" ->
+      s"""WITH $ytVideosCte
+        |SELECT category, count(*) AS num_videos,
+        |  round(avg(views), 4) AS avg_views,
+        |  max(views) AS max_views,
+        |  round(avg(length), 4) AS avg_length,
+        |  round(avg(rate), 4) AS avg_rating
+        |FROM videos GROUP BY 1
+        |ORDER BY num_videos DESC, category""".stripMargin,
+    "q_yt_length_buckets" ->
+      s"""WITH $ytVideosCte
+        |SELECT CASE WHEN length < 240 THEN 'short_lt_4min'
+        |    WHEN length < 1200 THEN 'medium_4_20min'
+        |    ELSE 'long_ge_20min' END AS length_bucket,
+        |  count(*) AS num_videos,
+        |  round(avg(views), 4) AS avg_views,
+        |  max(views) AS max_views
+        |FROM videos GROUP BY 1 ORDER BY length_bucket""".stripMargin,
+    "q_yt_view_buckets" ->
+      s"""WITH $ytVideosCte
+        |SELECT CASE WHEN views < 1000 THEN 'a_lt_1k'
+        |    WHEN views < 10000 THEN 'b_1k_10k'
+        |    WHEN views < 100000 THEN 'c_10k_100k'
+        |    WHEN views < 1000000 THEN 'd_100k_1m'
+        |    ELSE 'e_ge_1m' END AS views_bucket,
+        |  count(*) AS num_videos
+        |FROM videos GROUP BY 1 ORDER BY views_bucket""".stripMargin,
+    "q_yt_top_out_degree" ->
+      s"""WITH $ytVideosCte,
+        |od AS (SELECT src AS id, count(*) AS outDegree FROM yedges GROUP BY 1)
+        |SELECT v.id, v.category, v.views, coalesce(od.outDegree, 0) AS outDegree
+        |FROM videos v LEFT JOIN od USING (id)
+        |ORDER BY outDegree DESC, id LIMIT 20""".stripMargin,
+    "q_yt_in_degree_hist" ->
+      s"""WITH $ytVideosCte,
+        |ind AS (SELECT dst AS id, count(*) AS inDegree FROM yedges GROUP BY 1)
+        |SELECT inDegree, count(*) AS num_vertices
+        |FROM ind GROUP BY 1 ORDER BY inDegree LIMIT 20""".stripMargin,
+    // the reference's filtered influencer PageRank: ≥5-related vertex
+    // set, both-endpoint edge filter (GraphFrames drop-unknown
+    // semantics), 10 unrolled iterations, sum-to-N normalization,
+    // uploader enrichment in the cache-record schema
+    "q_yt_influencers" ->
+      s"""WITH $ytVideosCte,
+        |verts AS MATERIALIZED (SELECT id FROM videos WHERE len(related) >= 5),
+        |fedges AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM yedges e
+        |  JOIN verts a ON e.src = a.id JOIN verts b ON e.dst = b.id),
+        |outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM fedges GROUP BY 1),
+        |r0 AS (SELECT id, 1.0 AS rank FROM verts),
+        |${pageRankIterSql("fedges")}
+        |norm AS (SELECT count(*)::DOUBLE / sum(rank) AS s FROM r10),
+        |top AS (
+        |  -- cut and rank on the ROUNDED score (id tiebreak) — mirrors the
+        |  -- Spark side; full precision drifts a last ulp across engines
+        |  SELECT id, round(rank * (SELECT s FROM norm), 6) AS influence_score
+        |  FROM r10 ORDER BY influence_score DESC, id LIMIT 500)
+        |SELECT row_number() OVER (ORDER BY influence_score DESC, t.id) AS rank,
+        |  t.id AS ID, influence_score, v.uploader
+        |FROM top t JOIN videos v ON t.id = v.id
+        |ORDER BY rank""".stripMargin,
     "q_users_typed" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS user_id,
         |  coalesce(TRY_CAST(c_nationkey AS INTEGER), -1) AS uploads,

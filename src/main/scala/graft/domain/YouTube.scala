@@ -111,15 +111,20 @@ object YouTube {
   def influencers(spark: SparkSession, videos: DataFrame, k: Int = 500): DataFrame = {
     val vertices = videos.filter(size(col("related")) >= 5).select(col("id"))
     val ranks = PageRankOp.runStringIds(vertices, relatedEdges(videos))
-    val top = ranks.orderBy(col("pagerank").desc, col("id")).limit(k)
+    // the cut and the rank numbers order on the ROUNDED score (id
+    // tiebreak): full-precision pagerank carries last-ulp sum-order drift
+    // across engines, so two rounded-equal vertices could otherwise swap
+    // ranks between this and the oracle's unroll
+    val top = ranks
+      .withColumn("influence_score", round(col("pagerank"), 6))
+      .orderBy(col("influence_score").desc, col("id")).limit(k)
     // k keys semi-prune the videos scan, then the ≤k-row pruned dim is
     // broadcast — never the full videos table (7.7M rows at reference scale)
     graft.ops.Joins.enrichWithPrunedDim(top, videos.select(col("id"), col("uploader")), "id")
-      .withColumn("influence_score", round(col("pagerank"), 6))
       // k-row input by construction — single-task global rank window is intent
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("pagerank").desc, col("id"))).cast("bigint"))
+          .orderBy(col("influence_score").desc, col("id"))).cast("bigint"))
       .select(col("rank"), col("id").as("ID"), col("influence_score"), col("uploader"))
   }
 
