@@ -1005,6 +1005,13 @@ object SparkEntry {
     // boolean. The ≥0.95 recall property stays spec-gated in DedupSpec.
     "q_minhash_neardups" -> ((s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d))),
+    // the WIDE (61-bit Mersenne) family behind the flag: 128-bit
+    // intermediates on both engines (Math.multiplyHigh / HUGEINT), same
+    // band/verify pipeline — the large-corpus birthday-candidate fix,
+    // proven exactly oracle-replicable here; verified-pair equality with
+    // the 31-bit default is A/B-asserted in PolyHash61Spec
+    "q_minhash_neardups_wide" -> ((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), wide = true)),
     // GRADUATED r10: simhash bit-votes now come from the PolyHash
     // universal family (parity of (a_i·x+b_i) mod p, constants disjoint
     // from the MinHash range), so the gate emits the verified pair set
@@ -2662,12 +2669,21 @@ object SparkEntry {
     * it splices into larger oracles (the clean-corpus funnel). The final
     * CTE `<pfx>pairs` holds (doc_a, doc_b, jaccard ≥ threshold). */
   private def minhashCtes(src: String, pfx: String,
-                          threshold: Double = 0.5): String = {
-    val p = graft.functions.PolyHash.Mod
+                          threshold: Double = 0.5,
+                          wide: Boolean = false): String = {
+    // the wide (61-bit Mersenne) family needs 128-bit intermediates:
+    // DuckDB HUGEINT arithmetic replicates PolyHash61/AffineMod61 exactly
+    val p = if (wide) graft.functions.PolyHash61.Mod
+            else graft.functions.PolyHash.Mod
     val numPerm = 64; val bands = 16; val r = numPerm / bands
     val sigCols = (0 until numPerm).map { j =>
-      val (a, b) = graft.dedup.Dedup.minhashPerm(j)
-      s"min(($a * ph + $b) % $p) AS h$j"
+      if (wide) {
+        val (a, b) = graft.dedup.Dedup.minhashPerm61(j)
+        s"min(CAST((CAST($a AS HUGEINT) * ph + $b) % $p AS BIGINT)) AS h$j"
+      } else {
+        val (a, b) = graft.dedup.Dedup.minhashPerm(j)
+        s"min(($a * ph + $b) % $p) AS h$j"
+      }
     }.mkString(",\n    ")
     val bandSelects = (0 until bands).map { bnd =>
       val ks = (bnd * r until (bnd + 1) * r).map(j => s"h$j").mkString(", ")
@@ -2682,10 +2698,12 @@ object SparkEntry {
       |        FROM $src)
       |  WHERE len(toks) > 0),
       |${pfx}ph AS (
-      |  SELECT doc_id, list_reduce(
-      |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(shingle) + 1),
-      |      i -> CAST(ord(substr(shingle, CAST(i AS INT), 1)) AS BIGINT))),
-      |    (acc, c) -> (acc * 131 + c) % $p) AS ph
+      |  SELECT doc_id, CAST(list_reduce(
+      |    list_prepend(CAST(0 AS ${if (wide) "HUGEINT" else "BIGINT"}),
+      |      list_transform(range(1, length(shingle) + 1),
+      |      i -> CAST(ord(substr(shingle, CAST(i AS INT), 1))
+      |             AS ${if (wide) "HUGEINT" else "BIGINT"}))),
+      |    (acc, c) -> (acc * 131 + c) % $p) AS BIGINT) AS ph
       |  FROM ${pfx}sh),
       |${pfx}sig AS (
       |  SELECT doc_id,
@@ -2715,6 +2733,11 @@ object SparkEntry {
 
   private def minhashFullSql: String =
     s"""WITH ${minhashCtes("documents", "")}
+      |SELECT doc_a, doc_b, jaccard FROM pairs
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private def minhashWideFullSql: String =
+    s"""WITH ${minhashCtes("documents", "", wide = true)}
       |SELECT doc_a, doc_b, jaccard FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -3931,6 +3954,7 @@ object SparkEntry {
     // base hash, all 64 universal-family permutations, the 16 exact-
     // equality bands, the candidate pairs, and the verified Jaccard
     "q_minhash_neardups" -> minhashFullSql,
+    "q_minhash_neardups_wide" -> minhashWideFullSql,
     // full recompute (r10): 64 parity votes -> 4 16-bit bands -> df-capped
     // band candidates -> band-wise Hamming verify
     "q_simhash_neardups" -> simhashFullSql,

@@ -617,6 +617,15 @@ object Dedup {
     (a, b)
   }
 
+  /** The WIDE family's constants — same derivation formulas over the
+    * 61-bit Mersenne prime (the documented PolyHash widening). */
+  def minhashPerm61(j: Int): (Long, Long) = {
+    val p = graft.functions.PolyHash61.Mod
+    val a = (2654435761L * (j + 1) + 0x9E3779B9L) % (p - 1) + 1
+    val b = (2246822519L * (j + 1) + 0x85EBCA6BL) % p
+    (a, b)
+  }
+
   /** Tier 3a — MinHash signatures: numPerm universal-family permutations
     * over the shingle's polynomial base hash; signature[j] = min over
     * shingles. Computed as numPerm `min` aggregates over exploded shingle
@@ -626,21 +635,36 @@ object Dedup {
     * shingle row (the 64 permutations are pure integer arithmetic on it),
     * where the previous xxhash64-per-seed form re-read the string 64
     * times. One shuffle, 8·numPerm bytes per doc out. */
-  def minhashSignatures(documents: DataFrame, k: Int = 3, numPerm: Int = 64): DataFrame =
-    minhashSignaturesFromRows(shingleRows(documents, k), numPerm)
+  def minhashSignatures(documents: DataFrame, k: Int = 3, numPerm: Int = 64,
+                        wide: Boolean = false): DataFrame =
+    minhashSignaturesFromRows(shingleRows(documents, k), numPerm, wide)
 
   /** [[minhashSignatures]] over a pre-built (doc_id, shingle) tier — lets
     * [[minhashNearDups]] share one pinned shingle pass between the
-    * signature aggregation and the exact-Jaccard verify sets. */
-  def minhashSignaturesFromRows(rows: DataFrame, numPerm: Int = 64): DataFrame = {
-    val p = graft.functions.PolyHash.Mod
+    * signature aggregation and the exact-Jaccard verify sets. `wide`
+    * switches the base hash and the permutation family to the 61-bit
+    * Mersenne prime ([[graft.functions.PolyHash61]]): 2³⁰ fewer birthday
+    * collisions in the candidate tier at large corpus size, identical
+    * verified pair sets (A/B-asserted in PolyHash61Spec), still exactly
+    * oracle-replicable (DuckDB HUGEINT). Default stays 31-bit — the
+    * cheaper arithmetic, and collisions only cost verify work. */
+  def minhashSignaturesFromRows(rows: DataFrame, numPerm: Int = 64,
+                                wide: Boolean = false): DataFrame = {
     val aggs = (0 until numPerm).map { j =>
-      val (a, b) = minhashPerm(j)
-      min((lit(a) * col("__ph") + lit(b)) % lit(p)).as(s"h$j")
+      if (wide) {
+        val (a, b) = minhashPerm61(j)
+        min(graft.functions.PolyHash61.affine_mod61(col("__ph"), a, b)).as(s"h$j")
+      } else {
+        val (a, b) = minhashPerm(j)
+        min((lit(a) * col("__ph") + lit(b)) % lit(graft.functions.PolyHash.Mod))
+          .as(s"h$j")
+      }
     }
+    val baseHash =
+      if (wide) graft.functions.PolyHash61.poly_hash61(col("shingle"))
+      else graft.functions.PolyHash.poly_hash(col("shingle"))
     rows
-      .select(col("doc_id"),
-        graft.functions.PolyHash.poly_hash(col("shingle")).as("__ph"))
+      .select(col("doc_id"), baseHash.as("__ph"))
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until numPerm).map(j => col(s"h$j")): _*).as("signature"))
@@ -676,11 +700,12 @@ object Dedup {
     * (the candidate set is tiny, so the exact verify is cheap even at
     * corpus scale). */
   def minhashNearDups(documents: DataFrame, k: Int = 3, numPerm: Int = 64,
-                      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                      bands: Int = 16, threshold: Double = 0.5,
+                      wide: Boolean = false): DataFrame = {
     // one pinned shingle pass feeds BOTH the signatures and the verify sets
     // (see ngramJaccardPairs — unpinned, the tier would compute twice)
     val rows = shingleRows(documents, k).pinTier
-    val cands = lshCandidates(minhashSignaturesFromRows(rows, numPerm), bands, numPerm)
+    val cands = lshCandidates(minhashSignaturesFromRows(rows, numPerm, wide), bands, numPerm)
     // shingle sets re-collected from the codegen'd row form — the array-HOF
     // shingles() would re-tokenize per lambda element (see
     // TextAnalysis.winnowFingerprintRows on why staging can't fix that)
