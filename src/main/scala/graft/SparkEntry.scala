@@ -465,6 +465,23 @@ object SparkEntry {
         // tolerates sum-order FP drift (selection/order use the full value)
         .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
     }),
+    // INCREMENTAL PageRank (VERDICT r11 "next" #7): old-graph ranks
+    // (co-occurrence over ~90% of orders, the full 10-round fixpoint)
+    // warm-start 3 fixed rounds over the complete standing tier — admit
+    // cost ∝ extraIter/numIter of a recompute. Deterministic recurrence,
+    // so the oracle unrolls BOTH chains (10 old + 3 warm) — a full
+    // oracle, not a tolerance promise; the drift-vs-full-recompute bound
+    // is pinned in PageRankOpSpec.
+    "q_pagerank_incremental" -> ((s, d) =>
+      Telemetry.timed("q_pagerank_incremental") {
+        val oldEdges = Edges.partCoOccurrence(
+          Tables.lineitem(s, d).filter(col("l_orderkey") % 10 =!= 0))
+        val prev = PageRankOp.runLongIds(s, oldEdges)
+        PageRankOp.resumeLongIds(s, EdgeTier.coOccurrence(s, d), prev,
+            extraIter = 3)
+          .orderBy(col("pagerank").desc, col("id")).limit(100)
+          .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+      }),
     // HITS hubs/authorities over the same co-occurrence graph — full
     // oracle via the pagerank-style 10-iteration CTE unroll
     // Telemetry split (VERDICT r9 "missing" #2): the 20 half-steps run
@@ -2321,20 +2338,29 @@ object SparkEntry {
     * iterations read. Exactly [[graft.graph.PageRankOp.pageRank]]:
     * rank'(v) = 0.15 + 0.85·Σ rank(u)/outdeg(u), rank₀ = 1, final scores
     * normalized to sum to the vertex count. */
-  private def pageRankIterSql(edgesRel: String): String =
-    (1 to 10).map { i =>
+  /** The generalized PageRank round unroll: n rounds of
+    * `0.15 + 0.85·Σ rank/outdeg` over `edgesRel`, state CTEs named
+    * `$pfx0..$pfx$n` against the given vertex/out-degree relations —
+    * lets the incremental gate chain an old-graph unroll into a
+    * warm-started new-graph unroll. */
+  private def pageRankIterSqlG(edgesRel: String, pfx: String, n: Int,
+                               vertsRel: String, outdegRel: String): String =
+    (1 to n).map { i =>
       // MATERIALIZED: DuckDB inlines CTEs, which would re-evaluate the edge
       // self-join once per reference (~13x) and spill; pinning each stage
       // keeps the oracle linear in iterations
-      s"""r$i AS MATERIALIZED (
-         |  SELECT v.id, 0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank FROM verts v
+      s"""$pfx$i AS MATERIALIZED (
+         |  SELECT v.id, 0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank FROM $vertsRel v
          |  LEFT JOIN (
-         |    SELECT e.dst AS id, sum(r${i - 1}.rank / d.outdeg) AS contrib
-         |    FROM $edgesRel e JOIN r${i - 1} ON e.src = r${i - 1}.id
-         |    JOIN outdeg d ON e.src = d.id GROUP BY 1
+         |    SELECT e.dst AS id, sum($pfx${i - 1}.rank / d.outdeg) AS contrib
+         |    FROM $edgesRel e JOIN $pfx${i - 1} ON e.src = $pfx${i - 1}.id
+         |    JOIN $outdegRel d ON e.src = d.id GROUP BY 1
          |  ) c ON v.id = c.id
          |),""".stripMargin
     }.mkString("\n")
+
+  private def pageRankIterSql(edgesRel: String): String =
+    pageRankIterSqlG(edgesRel, "r", 10, "verts", "outdeg")
 
   /** The YouTube-domain gates' shared fixture CTE: the videos-shaped
     * table + its related-edge list, re-derived by the exact integer
@@ -4360,6 +4386,42 @@ object SparkEntry {
         |  t.id, p.p_brand, p.p_name, round(pagerank, 6) AS influence_score
         |FROM top t LEFT JOIN part p ON t.id = p.p_partkey
         |ORDER BY rank""".stripMargin,
+    // the warm-start chain: 10 unrolled rounds on the old (90%-of-orders)
+    // graph, sum-to-N normalize, seed the full graph's w0 from it (cold
+    // 1.0 for unseen vertices), 3 more unrolled rounds, re-normalize —
+    // the exact deterministic recurrence of PageRankOp.resumeLongIds
+    "q_pagerank_incremental" ->
+      s"""WITH oedges AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |        WHERE l_orderkey % 10 <> 0) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |        WHERE l_orderkey % 10 <> 0) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |overts AS MATERIALIZED (
+        |  SELECT DISTINCT src AS id FROM oedges UNION SELECT DISTINCT dst FROM oedges),
+        |ooutdeg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM oedges GROUP BY 1),
+        |o0 AS (SELECT id, 1.0 AS rank FROM overts),
+        |${pageRankIterSqlG("oedges", "o", 10, "overts", "ooutdeg")}
+        |onorm AS (SELECT count(*)::DOUBLE / sum(rank) AS s FROM o10),
+        |oranks AS MATERIALIZED (
+        |  SELECT id, rank * (SELECT s FROM onorm) AS pagerank FROM o10),
+        |edges AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |verts AS MATERIALIZED (
+        |  SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+        |outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),
+        |w0 AS (SELECT v.id, coalesce(o.pagerank, 1.0) AS rank
+        |       FROM verts v LEFT JOIN oranks o USING (id)),
+        |${pageRankIterSqlG("edges", "w", 3, "verts", "outdeg")}
+        |norm AS (SELECT count(*)::DOUBLE / sum(rank) AS s FROM w3)
+        |SELECT id, round(rank * (SELECT s FROM norm), 6) AS pagerank
+        |FROM w3 ORDER BY rank * (SELECT s FROM norm) DESC, id LIMIT 100""".stripMargin,
     "q_pagerank_filtered" ->
       s"""WITH edges AS MATERIALIZED (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst

@@ -43,16 +43,18 @@ object PageRankOp {
     * reusable. Works for any id type (long, string — no id mapping). */
   def pageRank(vertices: DataFrame, edges: DataFrame,
                numIter: Int = 10, resetProb: Double = 0.15,
-               degrees: Option[DataFrame] = None): DataFrame = {
+               degrees: Option[DataFrame] = None,
+               init: Option[DataFrame] = None): DataFrame = {
     // `degrees` (id, outDeg — covering at least every edge source) lets a
     // caller that already aggregated the edge list (runLongIds) skip a
-    // second full pass over it here.
+    // second full pass over it here. `init` (id, rank) warm-starts the
+    // fixpoint from prior rank state (see [[resumeLongIds]]).
     val outDeg = degrees.map(_.select(col("id").as("src"), col("outDeg")))
       .getOrElse(edges.groupBy(col("src")).agg(count(lit(1)).as("outDeg")))
     val ew = edges.join(outDeg, Seq("src"))
       .select(col("src"), col("dst"), (lit(1.0) / col("outDeg")).as("w"))
       .repartition(col("src")).cache()
-    fixpointSumToN(vertices, ew, numIter, resetProb, "pagerank")
+    fixpointSumToN(vertices, ew, numIter, resetProb, "pagerank", init)
   }
 
   /** Weighted PageRank: rank'(v) = resetProb + (1−resetProb) ·
@@ -89,13 +91,21 @@ object PageRankOp {
     * stats action), releasing `ew`'s cache before returning. */
   private def fixpointSumToN(vertices: DataFrame, ew: DataFrame,
                              numIter: Int, resetProb: Double,
-                             tag: String): DataFrame = {
+                             tag: String,
+                             init0: Option[DataFrame] = None): DataFrame = {
     // ONE eager materialization pins the vertex set AND initializes rank
     // state AND supplies the vertex count — the count() below reads pinned
     // partitions, so it is near-free instead of the extra full-lineage job
-    // a separate verts.cache()+count() used to pay.
-    val init = vertices.select(col("id")).distinct()
-      .select(col("id"), lit(1.0).as("rank")).pinTier
+    // a separate verts.cache()+count() used to pay. A warm start (`init0`)
+    // seeds known vertices from prior rank state; vertices the prior state
+    // never saw start at the cold 1.0.
+    val init = init0 match {
+      case Some(r0) => vertices.select(col("id")).distinct()
+        .join(r0.select(col("id"), col("rank").as("__r0")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__r0"), lit(1.0)).as("rank")).pinTier
+      case None => vertices.select(col("id")).distinct()
+        .select(col("id"), lit(1.0).as("rank")).pinTier
+    }
     // Size the per-round rank-state partitioning to the vertex count, not
     // the session shuffle fan-out: 10 rounds × several stages of 32 tasks
     // over a few thousand rows is pure scheduler overhead (measured 45%
@@ -175,6 +185,34 @@ object PageRankOp {
       .pinTier // two consumers: vertex set + degree table
     pageRank(vd.select(col("id")), e, numIter, resetProb,
       degrees = Some(vd.filter(col("outDeg") > 0).select(col("id"), col("outDeg"))))
+  }
+
+  /** INCREMENTAL PageRank — the admission path of the standing edge tier
+    * completed (VERDICT r11 "next" #7): instead of re-running the full
+    * 10-superstep fixpoint from uniform init after every edge admission,
+    * warm-start from the PREVIOUS committed ranks (`prevRanks` —
+    * (id, pagerank); vertices the old graph never saw start cold at 1.0)
+    * and run `extraIter` fixed rounds over the new edge list, then
+    * re-normalize sum-to-N. Cost ∝ extraIter/numIter of a full recompute
+    * while the rank state stays within a small drift of it (the fixpoint
+    * is a contraction with factor 1−resetProb per round; the spec pins
+    * the observed bound, and q_pagerank_incremental's oracle unrolls this
+    * exact recurrence — the warm start is deterministic, so it gets a
+    * FULL oracle, not a tolerance promise). */
+  def resumeLongIds(spark: SparkSession, edges: DataFrame,
+                    prevRanks: DataFrame, extraIter: Int = 3,
+                    resetProb: Double = 0.15): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .pinTier
+    val vd = e.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("c")),
+        struct(col("dst").as("id"), lit(0L).as("c")))).as("x"))
+      .select(col("x.id").as("id"), col("x.c").as("c"))
+      .groupBy(col("id")).agg(sum(col("c")).as("outDeg"))
+      .pinTier
+    pageRank(vd.select(col("id")), e, extraIter, resetProb,
+      degrees = Some(vd.filter(col("outDeg") > 0).select(col("id"), col("outDeg"))),
+      init = Some(prevRanks.select(col("id"), col("pagerank").as("rank"))))
   }
 
   /** Personalized PageRank: the teleport mass returns to a SEED SET
