@@ -919,6 +919,24 @@ object SparkEntry {
     // removes and the occurrence share they carried — the truncation is
     // never silent
     "q_hot_shingles" -> ((s, d) => Dedup.hotShingleReport(Tables.documents(s, d))),
+    // Count-Min heavy hitters: the MERGEABLE sketch form of hot-key
+    // tracking (q_hot_shingles' exact aggregate is itself corpus-sized
+    // state at 100 TB; the d×w sketch is bounded and shards add
+    // counterwise). PolyHash row hashes → both the sketch cells AND the
+    // min-estimates are pure integer arithmetic the oracle re-derives —
+    // estimates pinned exactly, not a recall boolean
+    "q_heavy_hitters_cms" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+      val sk = graft.functions.CountMin.sketch(toks, "term")
+      graft.functions.CountMin.estimate(sk, exact, "term")
+        .join(exact, Seq("term"))
+        .select(col("term"), col("exact_cnt"), col("cms_estimate"),
+          (col("cms_estimate") >= col("exact_cnt")).as("never_under"))
+        .orderBy(col("exact_cnt").desc, col("term"))
+    }),
     // per-doc n-gram novelty vs earlier doc_ids: the "is this snapshot
     // adding anything" admission score (linear — no pair join)
     "q_novelty" -> ((s, d) => Dedup.noveltyReport(Tables.documents(s, d))),
@@ -3861,6 +3879,39 @@ object SparkEntry {
         |    df > ${graft.dedup.Dedup.DefaultMaxShingleDocFreq}), 0) * 1.0
         |    / sum(df), 4) AS hot_share
         |FROM df""".stripMargin,
+    // Count-Min oracle: every sketch cell and every min-estimate
+    // re-derived as integer arithmetic over the poly-hash family
+    "q_heavy_hitters_cms" -> {
+      val cellRows = (0 until 4).map { j =>
+        val (a, b) = graft.functions.CountMin.perm(j)
+        s"SELECT $j AS row, (($a * h + $b) % ${graft.functions.PolyHash.Mod}) % 1024 AS col FROM ph"
+      }.mkString("\n  UNION ALL ")
+      val keyRows = (0 until 4).map { j =>
+        val (a, b) = graft.functions.CountMin.perm(j)
+        s"SELECT term, $j AS row, (($a * h + $b) % ${graft.functions.PolyHash.Mod}) % 1024 AS col FROM kh"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH toks AS MATERIALIZED (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |ph AS MATERIALIZED (SELECT ${polyHashSql("term")} AS h FROM toks),
+        |cells AS MATERIALIZED (
+        |  SELECT row, col, count(*) AS cnt FROM (
+        |  $cellRows
+        |  ) GROUP BY 1, 2),
+        |exact AS MATERIALIZED (
+        |  SELECT term, count(*) AS exact_cnt FROM toks GROUP BY 1
+        |  ORDER BY exact_cnt DESC, term LIMIT 20),
+        |kh AS (SELECT term, ${polyHashSql("term")} AS h FROM exact),
+        |est AS (
+        |  SELECT k.term, min(coalesce(c.cnt, 0)) AS cms_estimate FROM (
+        |  $keyRows
+        |  ) k LEFT JOIN cells c USING (row, col) GROUP BY 1)
+        |SELECT e.term, x.exact_cnt, e.cms_estimate,
+        |  e.cms_estimate >= x.exact_cnt AS never_under
+        |FROM est e JOIN exact x USING (term)
+        |ORDER BY exact_cnt DESC, term""".stripMargin
+    },
     // cross-source overlap: the jaccard pair tier (same CTE as
     // q_ngram_jaccard) attributed to lexically-ordered source pairs
     "q_source_overlap" ->

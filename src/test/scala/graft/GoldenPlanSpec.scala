@@ -59,6 +59,17 @@ class GoldenPlanSpec extends SparkSpec {
     "q_minhash_neardups" -> Golden(
       required = Seq("partial_min"),
       forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // the wide (61-bit) family shares the exact pipeline shape — only the
+    // hash expressions differ, so the same pins must hold
+    "q_minhash_neardups_wide" -> Golden(
+      required = Seq("partial_min"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // Count-Min heavy hitters: sketch cells map-side combine into a
+    // bounded d·w aggregate; the estimate side joins ≤20 keys — nothing
+    // corpus-sized may cross a nested loop
+    "q_heavy_hitters_cms" -> Golden(
+      required = Seq("partial_count", "partial_min"),
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // simhash (r10, graduated): the 64 parity-vote sums run at pin time
     // (the sketch tier is a lineage-truncating pinTier, so they cannot
     // appear in this plan); what must hold here is the post-pin shape —
