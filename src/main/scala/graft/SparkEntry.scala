@@ -937,6 +937,13 @@ object SparkEntry {
           (col("cms_estimate") >= col("exact_cnt")).as("never_under"))
         .orderBy(col("exact_cnt").desc, col("term"))
     }),
+    // the STREAMING-maintained standing sketch: per-micro-batch sketches
+    // merged into a versioned sidecar via foreachBatch (exactly-once by
+    // the version-number batch ledger — merging is not idempotent, so an
+    // anti-join can't carry this one) — shares q_heavy_hitters_cms's
+    // oracle verbatim
+    "q_heavy_hitters_stream" -> ((s, d) =>
+      Streams.cmsMaintenanceStreamGate(s, d)),
     // per-doc n-gram novelty vs earlier doc_ids: the "is this snapshot
     // adding anything" admission score (linear — no pair join)
     "q_novelty" -> ((s, d) => Dedup.noveltyReport(Tables.documents(s, d))),
@@ -2859,7 +2866,12 @@ object SparkEntry {
       // under test (same pattern as q_user_sessions_stream)
       ("q_hourly_events_stream" -> baseOracleSql("q_hourly_events")) +
       ("q_band_join_stream" -> baseOracleSql("q_band_join")) +
-      ("q_pivot_daily_stream" -> baseOracleSql("q_pivot_daily"))
+      ("q_pivot_daily_stream" -> baseOracleSql("q_pivot_daily")) +
+      // the streaming-maintained standing sketch: Count-Min is LINEAR, so
+      // micro-batch merging is provably invisible (and the version ledger
+      // makes at-least-once redelivery so) — estimates must equal the
+      // whole-corpus sketch's exactly
+      ("q_heavy_hitters_stream" -> baseOracleSql("q_heavy_hitters_cms"))
   }
 
   private lazy val baseOracleSql: Map[String, String] = Map(

@@ -75,4 +75,66 @@ object CountMin {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
+
+  // ------------------------------------------------- standing sketch
+  // The MAINTAINED form: the sketch persists as a versioned one-file
+  // sidecar (it is ≤ d·w rows however large the stream), and each
+  // micro-batch admission MERGES the batch's own sketch into it.
+  // Exactly-once under foreachBatch's at-least-once delivery comes from
+  // the version number ITSELF being the batch ledger: admission of
+  // batchId b writes version b+1, and a replay of b (current version
+  // already ≥ b+1) is skipped — merging is NOT idempotent (a re-merge
+  // double-counts), so the ledger, not an anti-join, carries the
+  // exactly-once contract here. Versions follow the ComponentsIndex
+  // crash rule (write v=N+1, readers take the highest _SUCCESS-complete
+  // version): a crashed admission is invisible and the replay that
+  // follows finds version b, admits, and commits b+1. Single writer,
+  // like every standing tier. Bootstrap: the standing sketch starts
+  // EMPTY (no version — reads as zero cells), the
+  // indexMaintenanceStreamGate rule.
+
+  private def hfs(spark: org.apache.spark.sql.SparkSession,
+                  p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest `_SUCCESS`-complete version (0 = empty sketch). */
+  def currentVersion(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = hfs(spark, p)
+    if (!f.exists(p)) 0L
+    else f.listStatus(p)
+      .filter(s => s.isDirectory &&
+        f.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .flatMap(s => "^v=(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toLong))
+      .sorted.lastOption.getOrElse(0L)
+  }
+
+  /** The standing sketch's current cells (empty frame at version 0). */
+  def readStanding(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    val v = currentVersion(spark, path)
+    if (v == 0L) {
+      import spark.implicits._
+      Seq.empty[(Int, Long, Long)].toDF("row", "col", "cnt")
+    } else spark.read.parquet(s"$path/v=$v")
+  }
+
+  /** Admit micro-batch `batchId` (0-based, monotonic — foreachBatch's
+    * contract): merge its sketch into the standing one and commit
+    * version batchId+1. A replayed batch (version already committed)
+    * is a no-op. Returns true when the batch was admitted. */
+  def admit(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+            keyCol: String, path: String, batchId: Long,
+            d: Int = 4, w: Int = 1024): Boolean = {
+    val cur = currentVersion(spark, path)
+    if (cur >= batchId + 1) false // replay — already counted exactly once
+    else {
+      merge(readStanding(spark, path), sketch(batch, keyCol, d, w))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/v=${batchId + 1}")
+      true
+    }
+  }
 }

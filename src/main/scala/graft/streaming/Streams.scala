@@ -469,6 +469,54 @@ object Streams {
     }
   }
 
+  /** STREAMING MAINTENANCE of the standing Count-Min sketch — the
+    * [[indexMaintenanceStreamGate]] story applied to a SKETCH: documents
+    * arrive as a file stream, `foreachBatch` merges each micro-batch's
+    * own d×w sketch into the versioned standing sidecar
+    * ([[graft.functions.CountMin.admit]] — exactly-once via the
+    * version-number-as-batch-ledger, since counter merging is NOT
+    * idempotent and an anti-join can't deduplicate counts), and after
+    * the drain the standing sketch's estimates must equal the
+    * whole-corpus sketch's estimates EXACTLY: Count-Min is linear, so
+    * batching is provably invisible — the gate shares
+    * q_heavy_hitters_cms's oracle verbatim. */
+  def cmsMaintenanceStreamGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CountMin
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-stream-cms").toFile.getAbsolutePath
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    (0 until 3).foreach(i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .write.mode("overwrite").parquet(s"$stage/chunk=$i"))
+    try {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stage/chunk=*")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          CountMin.admit(spark,
+            batch.select(explode(graft.text.TextAnalysis.tokens(col("text")))
+              .as("term")),
+            "term", s"$stage/cms", batchId)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val toks = docs
+        .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+      CountMin.estimate(CountMin.readStanding(spark, s"$stage/cms"), exact, "term")
+        .join(exact, Seq("term"))
+        .select(col("term"), col("exact_cnt"), col("cms_estimate"),
+          (col("cms_estimate") >= col("exact_cnt")).as("never_under"))
+        .orderBy(col("exact_cnt").desc, col("term"))
+        .pinTier // materialize before the staging files drop
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+      ()
+    }
+  }
+
   /** Batch session windows (session_window works in batch mode too). */
   def userSessionsBatch(events: DataFrame, gap: String = "5 minutes"): DataFrame =
     events
