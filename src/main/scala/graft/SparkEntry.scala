@@ -1030,6 +1030,32 @@ object SparkEntry {
         ()
       }
     }),
+    // the COMPACTED twin: same build, then BucketedTable.compact folds
+    // the build's per-task bucket files to one sorted run per bucket
+    // behind the catalog flip, then the same admission — shares the
+    // indexed twin's oracle verbatim (compaction must not change one
+    // verdict; the maintenance-loop semantics are ShingleIndexSpec's)
+    "q_incremental_dedup_compacted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-shingle-compacted").toFile.getAbsolutePath
+      val table = "graft_gate_shingle_compacted"
+      try {
+        graft.dedup.ShingleIndex.buildBucketed(
+          docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), table, s"$stage/index")
+        Telemetry.timed("q_incremental_dedup_compacted") {
+          graft.dedup.ShingleIndex.compactBucketed(s, table, stage); ()
+        }
+        graft.dedup.ShingleIndex.admitBucketed(
+            s, docs.filter(pmod(col("doc_id"), lit(7)) === 0), table)
+          .pinTier // materialize before table+files are dropped
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        s.sql(s"DROP TABLE IF EXISTS ${table}__compacting")
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
+    }),
     // SemDeDup — GRADUATED r10: cells now come from the fixed-round
     // spherical k-means (the q_kmeans recurrence), so the gate emits the
     // ACTUAL per-vector verdicts and DuckDB recomputes cells, within-cell
@@ -2860,6 +2886,8 @@ object SparkEntry {
     // index nor its physical layout may change one verdict
     baseOracleSql +
       ("q_incremental_dedup_bucketed" ->
+        baseOracleSql("q_incremental_dedup_indexed")) +
+      ("q_incremental_dedup_compacted" ->
         baseOracleSql("q_incremental_dedup_indexed")) +
       // the streaming twins share their batch oracles verbatim: identical
       // windowed-aggregation / join semantics is exactly the property

@@ -177,4 +177,36 @@ object ShingleIndex {
         .write.mode("append").parquet(path)
     n
   }
+
+  /** [[appendAdmitted]] for the bucketed catalog table — completes the
+    * 100 TB form's maintenance loop (classify → append admitted →
+    * classify the next batch against the grown index). Same idempotence
+    * contract; each append adds a fresh set of per-bucket files, which
+    * [[compactBucketed]] periodically folds back to one sorted run per
+    * bucket. Returns the number of docs added. */
+  def appendAdmittedBucketed(spark: SparkSession, batch: DataFrame,
+                             verdicts: DataFrame, table: String,
+                             k: Int = 3, buckets: Int = 32): Long = {
+    val admitted = verdicts.filter(col("verdict") === "new").select(col("doc_id"))
+    val existing = spark.table(table).select(col("doc_id")).distinct()
+    val freshDocs = admitted.join(existing, Seq("doc_id"), "left_anti")
+      .pinTier
+    val n = freshDocs.count()
+    if (n > 0)
+      tier(batch.join(freshDocs, Seq("doc_id"), "leftsemi"), k)
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "shingle").sortBy("shingle").saveAsTable(table)
+    n
+  }
+
+  /** Fold the admission-accreted bucket files back to one sorted run per
+    * bucket behind a catalog flip + vacuum (the
+    * [[graft.lake.BucketedTable.compact]] machinery — shuffle-free, the
+    * bucketed scan is the merge unit). Compaction must not change one
+    * verdict: the q_incremental_dedup_compacted gate shares the indexed
+    * twin's oracle verbatim. Returns (files before, files after). */
+  def compactBucketed(spark: SparkSession, table: String, path: String,
+                      buckets: Int = 32): (Long, Long) =
+    graft.lake.BucketedTable.compact(spark, table, path, "shingles",
+      "shingle", buckets)
 }

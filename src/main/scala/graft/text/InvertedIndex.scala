@@ -212,22 +212,8 @@ object InvertedIndex {
 
   /** Count of postings data files currently under the table's location —
     * the small-file metric [[compact]] shrinks (spec-asserted). */
-  def postingsFileCount(spark: SparkSession, table: String): Long = {
-    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
-    val f = hfs(spark, loc)
-    if (!f.exists(loc)) 0L
-    else {
-      val it = f.listFiles(loc, true)
-      var n = 0L
-      while (it.hasNext) {
-        val s = it.next()
-        val name = s.getPath.getName
-        if (s.isFile && !name.startsWith("_") && !name.startsWith(".")) n += 1
-      }
-      n
-    }
-  }
+  def postingsFileCount(spark: SparkSession, table: String): Long =
+    graft.lake.BucketedTable.fileCount(spark, table)
 
   /** Compact the postings tier. Every streaming admission appends a
     * fresh set of per-bucket files ([[admit]] via foreachBatch —
@@ -261,41 +247,11 @@ object InvertedIndex {
     *
     * Probe equality pre/post is spec-asserted (compaction must not
     * change one score — the persistence rule). Same single-writer
-    * contract as [[admit]]: the flip is two catalog operations, so a
-    * crash between them leaves the staging table fully written and the
-    * serving name absent — recovery is re-running the rename; the data
-    * directories themselves are never torn (old postings survive until
-    * the vacuum in step 4). Returns (files before, files after). */
+    * contract as [[admit]]; crash-window and recovery semantics live on
+    * [[graft.lake.BucketedTable.compact]], which this delegates to.
+    * Returns (files before, files after). */
   def compact(spark: SparkSession, table: String, path: String,
-              buckets: Int = 32): (Long, Long) = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table))
-    val oldLoc = new Path(meta.location)
-    val before = postingsFileCount(spark, table)
-    val next = versionOf(oldLoc.getName.replace("postings_", ""))
-      .getOrElse(1) + 1
-    val stagedPath = s"$path/postings_v=$next"
-    val stagedTable = s"${table}__compacting"
-    spark.sql(s"DROP TABLE IF EXISTS $stagedTable")
-    // force the bucketed scan: the auto-disable heuristic sees no
-    // join/aggregate and hands the writer raw file splits, which would
-    // re-fragment every bucket across tasks (observed: ~one file per
-    // admission per bucket SURVIVING compaction)
-    val autoBucketKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prevAuto = spark.conf.getOption(autoBucketKey)
-    spark.conf.set(autoBucketKey, "false")
-    try
-      spark.table(table)
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, "term").sortBy("term")
-        .option("path", stagedPath).saveAsTable(stagedTable)
-    finally prevAuto match {
-      case Some(v) => spark.conf.set(autoBucketKey, v)
-      case None    => spark.conf.unset(autoBucketKey)
-    }
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $stagedTable RENAME TO $table")
-    hfs(spark, oldLoc).delete(oldLoc, true)
-    (before, postingsFileCount(spark, table))
-  }
+              buckets: Int = 32): (Long, Long) =
+    graft.lake.BucketedTable.compact(spark, table, path, "postings",
+      "term", buckets)
 }

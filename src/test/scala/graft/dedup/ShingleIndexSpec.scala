@@ -130,6 +130,44 @@ class ShingleIndexSpec extends SparkSpec {
     }
   }
 
+  test("bucketed maintenance loop: append admitted, compact, verdicts invariant, files shrink") {
+    val table = "graft_spec_shingle_maint"
+    withIndex { path =>
+      val stagingBase = new java.io.File(path).getParent
+      try {
+        ShingleIndex.buildBucketed(df(corpusDocs), table, path, buckets = 4)
+        val v1 = ShingleIndex.admitBucketed(spark, df(batch1), table)
+        // append the one admitted doc into the bucketed table; replay no-op
+        assert(ShingleIndex.appendAdmittedBucketed(
+          spark, df(batch1), v1, table, buckets = 4) == 1L)
+        assert(ShingleIndex.appendAdmittedBucketed(
+          spark, df(batch1), v1, table, buckets = 4) == 0L, "replay re-appended")
+        // batch 2 against the GROWN bucketed index ≡ a fresh recompute of
+        // everything the index now contains (corpus + admitted doc 2)
+        val viaIndex = collectVerdicts(
+          ShingleIndex.admitBucketed(spark, df(batch2), table))
+        val recompute = collectVerdicts(ShingleIndex.classify(
+          ShingleIndex.tier(df(batch2)),
+          ShingleIndex.tier(df(corpusDocs ++ batch1.filter(_._1 == 2L)))))
+        assert(viaIndex == recompute, s"index=$viaIndex recompute=$recompute")
+        // compaction folds the append's extra bucket files to one run per
+        // bucket and must not change one verdict
+        val before = graft.lake.BucketedTable.fileCount(spark, table)
+        val (b, a) = ShingleIndex.compactBucketed(
+          spark, table, stagingBase, buckets = 4)
+        assert(b == before && a < b, s"compact did not shrink: $b -> $a")
+        assert(a <= 4, s"more than one file per bucket after compact: $a")
+        val after = collectVerdicts(
+          ShingleIndex.admitBucketed(spark, df(batch2), table))
+        assert(after == viaIndex, "compaction changed admission verdicts")
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        spark.sql(s"DROP TABLE IF EXISTS ${table}__compacting")
+        ()
+      }
+    }
+  }
+
   test("replayed batch: verdicts stay sane and appendAdmitted is a no-op") {
     withIndex { path =>
       ShingleIndex.build(df(corpusDocs), path)
