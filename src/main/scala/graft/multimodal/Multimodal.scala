@@ -76,19 +76,93 @@ object Multimodal {
 
   /** Partition-wise feature extraction: typed `mapPartitions`, one decoder
     * "session" per partition (the expensive-init amortization pattern of
-    * `mapInPandas`). Tries the REAL JDK image decoder first; undecodable
-    * payloads get the deterministic stub so the column is always total. */
+    * `mapInPandas`). REAL-decoder-first across all three modalities —
+    * still images via ImageIO, JDK-readable audio (WAV/AIFF/AU) via
+    * javax.sound, frame-sequence video (MJPEG / PNG sequence) via the
+    * per-frame ImageIO split — with the deterministic stub only for
+    * payloads no JDK codec parses, so the column is always total. The
+    * audio/video legs emit bounded [−1, 1] floats; the image leg leads
+    * with raw width/height (its established contract). The gate's
+    * features_ok bound is exercised by the text-payload fixture, whose
+    * rows all take the stub leg. */
   def extractFeatures(spark: SparkSession, media: DataFrame, featureDim: Int = 8): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       // ImageIO plugin scan once per partition, not once per row
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val feats = decodeImage(m.content)
-          .map(img => imageFeatures(img, featureDim))
+        // multi-frame FIRST: ImageIO happily decodes the first frame of a
+        // concatenated stream, so the still-image leg would otherwise
+        // shadow every frame-sequence payload
+        val feats = videoFeatureVector(m.content, featureDim)
+          .orElse(decodeImage(m.content).map(img => imageFeatures(img, featureDim)))
+          .orElse(audioFeatureVector(m.content, featureDim))
           .getOrElse(decodeStub(m.content, featureDim))
         MediaFeatures(m.media_id, m.media_type, m.content.length.toLong, feats)
       }
+    }
+  }
+
+  /** Real audio features as a bounded [−1, 1] vector: [rms, peak,
+    * channels/8, sample-rate/48k, log-scaled frame count, duration/10min,
+    * 0-pad] — the [[extractAudioFeatures]] signal stats normalized into
+    * the gate's feature contract. None when no JDK audio codec parses the
+    * payload. */
+  private[multimodal] def audioFeatureVector(content: Array[Byte],
+                                             featureDim: Int): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val durMs = (frames * 1000L / fmt.getSampleRate.toLong).max(0L)
+      var (sumSq, peak, n) = (0.0, 0.0f, 0L)
+      if (fmt.getSampleSizeInBits == 16) {
+        val bytes = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        while (bb.remaining() >= 2) {
+          val s = bb.getShort / 32768.0f
+          sumSq += s * s; if (math.abs(s) > peak) peak = math.abs(s); n += 1
+        }
+      }
+      val rms = if (n > 0) math.sqrt(sumSq / n).toFloat else 0.0f
+      def clip1(x: Double): Float = math.min(1.0, math.max(0.0, x)).toFloat
+      Some(Array(rms, peak,
+        clip1(fmt.getChannels / 8.0),
+        clip1(fmt.getSampleRate / 48000.0),
+        clip1(math.log1p(frames.max(0L).toDouble) / 20.0),
+        clip1(durMs / 600000.0)).padTo(featureDim, 0.0f).take(featureDim))
+    } catch { case _: Exception => None }
+
+  /** Real frame-sequence video features as a bounded [−1, 1] vector:
+    * [log-scaled frame count, then per-frame mean luma / 255 of the first
+    * frames, 0-pad]. None unless the payload splits into TWO OR MORE
+    * decodable frames — a single still image belongs to the image leg. */
+  private[multimodal] def videoFeatureVector(content: Array[Byte],
+                                             featureDim: Int): Option[Array[Float]] = {
+    val frames = splitFrames(content).flatMap(decodeImage(_))
+    if (frames.size < 2) None
+    else {
+      val lumas = frames.take(math.max(featureDim - 1, 1)).map { img =>
+        var (sum, n) = (0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xFF) * 299 +
+              ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        if (n > 0) sum.toFloat / n / 255.0f else 0.0f
+      }
+      Some((Array(math.min(1.0, math.log1p(frames.size.toDouble) / 10.0).toFloat)
+        ++ lumas).padTo(featureDim, 0.0f).take(featureDim))
     }
   }
 

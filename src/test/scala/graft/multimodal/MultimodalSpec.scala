@@ -139,6 +139,33 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).toSeq == Multimodal.decodeStub("not an image at all".getBytes, 8).toSeq)
   }
 
+  test("extractFeatures dispatches real decoders per modality; stub only for junk") {
+    import spark.implicits._
+    val mjpeg = frameBytes(8, 8, 0x000000, "jpg") ++ frameBytes(8, 8, 0xFFFFFF, "jpg")
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "image", pngBytes(40, 20), 40, 20, 0L),
+      Multimodal.MediaRecord(2L, "audio", wavBytes(8000f, 0.1, 0.5), 0, 0, 100L),
+      Multimodal.MediaRecord(3L, "video", mjpeg, 8, 8, 0L),
+      Multimodal.MediaRecord(4L, "video", "junk payload".getBytes, 0, 0, 0L))
+    val feats = Multimodal.extractFeatures(spark, rows.toDF(), featureDim = 8)
+      .collect().map(f => f.media_id -> f.features).toMap
+    // image leg: [w, h, ...] pixel-true
+    assert(feats(1L)(0) == 40.0f && feats(1L)(1) == 20.0f)
+    // audio leg: [rms, peak, ...] — a 0.5-amplitude sine has rms ≈ 0.35
+    assert(math.abs(feats(2L)(0) - 0.3535f) < 0.01f, s"rms=${feats(2L)(0)}")
+    assert(math.abs(feats(2L)(1) - 0.5f) < 0.02f, s"peak=${feats(2L)(1)}")
+    // video leg: [log-frames, luma_0/255, luma_1/255, ...] — the two
+    // solid frames read back ~black then ~white (JPEG-lossy tolerance)
+    assert(feats(3L)(1) < 0.1f && feats(3L)(2) > 0.9f,
+      s"frame lumas=${feats(3L).toSeq}")
+    // junk: the deterministic stub
+    assert(feats(4L).toSeq == Multimodal.decodeStub("junk payload".getBytes, 8).toSeq)
+    // dim contract holds on every leg; audio/video/stub legs are bounded
+    feats.values.foreach(f => assert(f.length == 8))
+    Seq(2L, 3L, 4L).foreach(id =>
+      assert(feats(id).forall(v => v >= -1.0f && v <= 1.0f), s"row $id unbounded"))
+  }
+
   test("real resize: decoded dimensions shrink with aspect kept; junk passes through") {
     import spark.implicits._
     val rows = Seq(
