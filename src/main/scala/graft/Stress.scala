@@ -222,6 +222,14 @@ object Stress {
     // single-aggregate privacy audit; the k-bounded typed-Aggregator top-k
     // (O(k) per-group shuffle — the claim under test)
     "q_kanonymity", "q_topk_agg",
+    // round 12: the 61-bit sketch family (same banded shape, wider
+    // arithmetic), the compacted index twins (compaction cost is ∝ index,
+    // once per cycle), the warm-start pagerank admission, and the
+    // bounded-state Count-Min heavy hitters (d·w cells whatever the
+    // corpus — must trend with the token scan alone)
+    "q_minhash_neardups_wide", "q_bm25_compacted",
+    "q_incremental_dedup_compacted", "q_pagerank_incremental",
+    "q_heavy_hitters_cms",
     // forensics/diversity one-pass aggregates
     "q_benford", "q_diversity", "q_vocab_gini",
     // round 11: the SCD2 full-outer merge (dimension and batch both scale
