@@ -74,5 +74,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_might_contain(bloom, xxhash64_key) takes exactly two arguments")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
       }))
+    // the cross-engine deterministic string hashes behind the sketch
+    // tiers (MinHash/SimHash/winnowing/Count-Min), exposed so pure-SQL
+    // pipelines can build ORACLE-REPLICABLE sketches of their own: the
+    // 31-bit default and the 61-bit wide family (see PolyHash61's doc
+    // for the tradeoff)
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[graft.functions.PolyHash].getName, "poly_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "poly_hash(str) takes exactly one argument")
+        graft.functions.PolyHash(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash61"),
+      new ExpressionInfo(classOf[graft.functions.PolyHash61].getName, "poly_hash61"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "poly_hash61(str) takes exactly one argument")
+        graft.functions.PolyHash61(args.head)
+      }))
   }
 }

@@ -40,6 +40,10 @@ class GraftExtensionsSpec extends SparkSpec {
           |  xxhash64(k))""".stripMargin).head.getLong(0)
       // all 500 members must hit; the other 500 may add a few false positives
       assert(hits >= 500L && hits < 560L, s"unexpected bloom hit count $hits")
+      // the sketch-tier hashes, SQL-side values equal to the Scala kernels
+      val ph = s2.sql("SELECT poly_hash('join merge') AS a, poly_hash61('join merge') AS b").head
+      assert(ph.getLong(0) == graft.functions.PolyHash.hash("join merge"))
+      assert(ph.getLong(1) == graft.functions.PolyHash61.hash("join merge"))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
