@@ -52,12 +52,20 @@ object GraftSession {
   /** Local harness/dev session: `cores` executor threads with the shuffle
     * fan-out sized to match — 32 tasks per exchange on a 32-thread local
     * box, not the 200-partition default that turns every tiny stage into
-    * scheduler overhead (SURVEY §7.0). */
+    * scheduler overhead (SURVEY §7.0). `SPARK_GRAFT_SHUFFLE_PARTITIONS`
+    * overrides the fan-out for scaled-corpus runs: partitions must grow
+    * ∝ data (the Stress harness rule — a 1000-executor cluster does this
+    * as a matter of course), or per-partition state grows with the
+    * corpus until a fixed heap OOMs (observed: the ×32 wedge join at 32
+    * partitions). AQE coalesces small stages back down, so a high
+    * fan-out does not tax small queries. */
   def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val partitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      cores.toString)
     val spark = configure(SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
