@@ -381,6 +381,12 @@ object SparkEntry {
     "q_temperature_mix" -> ((s, d) => graft.ops.Sampling.temperatureMixReport(
       Tables.documents(s, d), "lang", "n_chars", alpha = 0.3)),
     // deterministic pre-epoch shuffle: seeded md5 sort key, prefix shard
+    // rendezvous sharding: the resharding-STABLE assignment (argmax of
+    // per-(key, shard) poly-hash weights) — growing N -> N+1 moves only
+    // ~1/(N+1) of keys where mod-N moves ~N/(N+1); the gate pins both
+    // the 8-shard assignment and the exact grow-to-9 movement counts
+    "q_rendezvous_shards" -> ((s, d) => graft.ops.Sampling.rendezvousReport(
+      Tables.documents(s, d).select(col("doc_id")), "doc_id", nShards = 8)),
     "q_shuffle_shards" -> ((s, d) => graft.ops.Sampling.shuffleReport(
       Tables.documents(s, d), "doc_id", seed = 42L)),
     // ---- decontamination (north-star; dedup/Dedup.contaminationReport) ----
@@ -5084,6 +5090,38 @@ object SparkEntry {
         |SELECT substr(shuffle_key, 1, 2) AS shard, count(*) AS n_rows,
         |  min(shuffle_key) AS first_key
         |FROM t GROUP BY 1 ORDER BY shard""".stripMargin,
+    // rendezvous oracle: one poly-hash base per doc, every (doc, shard)
+    // affine weight re-derived from interpolated per-shard constants,
+    // both argmaxes by the same (weight DESC, shard DESC) rank, exact
+    // movement counts
+    "q_rendezvous_shards" -> {
+      val consts = (0 until 9).map { s =>
+        val (a, b) = graft.ops.Sampling.rendezvousPerm(s)
+        s"($s, $a, $b)"
+      }.mkString(", ")
+      s"""WITH ph AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ${polyHashSql("'rdv:' || CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents),
+        |w AS MATERIALIZED (
+        |  SELECT doc_id, CAST(c.s AS INT) AS s,
+        |    (c.a * h + c.b) % ${graft.functions.PolyHash.Mod} AS wt
+        |  FROM ph CROSS JOIN (VALUES $consts) AS c(s, a, b)),
+        |a8 AS (
+        |  SELECT doc_id, s AS shard FROM (
+        |    SELECT doc_id, s, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY wt DESC, s DESC) AS rn
+        |    FROM w WHERE s < 8) WHERE rn = 1),
+        |a9 AS (
+        |  SELECT doc_id, s AS shard_grown FROM (
+        |    SELECT doc_id, s, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY wt DESC, s DESC) AS rn
+        |    FROM w) WHERE rn = 1)
+        |SELECT shard, count(*) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN shard <> shard_grown THEN 1 END), 0) AS BIGINT) AS n_moved
+        |FROM a8 JOIN a9 USING (doc_id)
+        |GROUP BY 1 ORDER BY shard""".stripMargin
+    },
     "q_attribution" ->
       """WITH relevant AS (
         |  SELECT user_id, ts, event_type, value, event_id,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tier.PinOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Stratified sampling for training-data curation (north-star scope; the
@@ -146,6 +146,55 @@ object Sampling {
     deterministicShuffle(df, idCol, seed)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"), min(col("shuffle_key")).as("first_key"))
+      .orderBy(col("shard"))
+
+  /** Rendezvous (highest-random-weight) sharding (Thaler & Ravishankar
+    * 1996): shard(x) = argmax over shards s of hash(x, s) — the
+    * RESHARDING-STABLE assignment. Growing N → N+1 shards re-evaluates
+    * the same per-(key, shard) weights plus one new contender, so a key
+    * moves ONLY if the new shard wins its argmax: expected movement is
+    * 1/(N+1) of the corpus — where `hash(x) mod N → mod N+1` reassigns
+    * ~N/(N+1) of it, a near-total reshuffle of a 100 TB layout every
+    * time capacity changes. Weights: ONE [[graft.functions.PolyHash]]
+    * base value per key mapped through per-shard order-1 universal
+    * constants ([[rendezvousPerm]]) — hashing `"$s:$key"` directly would
+    * make the weight AFFINE in the shard's digit character and the
+    * argmax degenerate (observed: 2 of 8 shards populated); the affine
+    * family with pseudo-random per-shard (a, b) decorrelates shards
+    * while staying exactly DuckDB-replicable (ties break to the higher
+    * shard id via the struct max, mirrored by the oracle's rank order).
+    * Map-side, zero shuffle, codegen'd; one string hash per key however
+    * many shards. */
+  def rendezvousShard(idCol: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"rendezvousShard: need nShards >= 1, got $nShards")
+    val h = graft.functions.PolyHash.poly_hash(
+      concat(lit("rdv:"), idCol.cast("string")))
+    val p = graft.functions.PolyHash.Mod
+    val contenders = (0 until nShards).map { s =>
+      val (a, b) = rendezvousPerm(s)
+      struct(((lit(a) * h + lit(b)) % lit(p)).as("wt"), lit(s).as("shard"))
+    }
+    array_max(array(contenders: _*)).getField("shard")
+  }
+
+  /** Per-shard universal-family constants — the minhashPerm derivation at
+    * offset 192+ (disjoint from MinHash 0–63, SimHash 64–127, Count-Min
+    * 128–191). */
+  def rendezvousPerm(s: Int): (Long, Long) =
+    graft.dedup.Dedup.minhashPerm(192 + s)
+
+  /** Gate-facing resharding audit: assign every row under `nShards` AND
+    * `nShards + 1`, then report per-shard counts plus how many rows the
+    * grow-by-one resharding moved — the ≈ 1/(N+1) minimal-movement
+    * property, pinned as exact integers. */
+  def rendezvousReport(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    df
+      .withColumn("shard", rendezvousShard(col(idCol), nShards))
+      .withColumn("shard_grown", rendezvousShard(col(idCol), nShards + 1))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("shard") =!= col("shard_grown"), 1L).otherwise(0L))
+          .as("n_moved"))
       .orderBy(col("shard"))
 
   /** Deterministic train/val/test split — membership as a pure function of

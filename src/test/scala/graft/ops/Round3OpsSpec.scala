@@ -275,6 +275,31 @@ class Round3OpsSpec extends SparkSpec {
     assert(langs == Set("en", "fr"))
   }
 
+  test("rendezvousShard: balanced, stable under growth (~1/(N+1) movement), beats mod-N") {
+    val df = (0L until 9000L).map(i => (i, s"row$i")).toDF("doc_id", "payload")
+    val shards = df
+      .withColumn("s8", Sampling.rendezvousShard(col("doc_id"), 8))
+      .withColumn("s9", Sampling.rendezvousShard(col("doc_id"), 9))
+      .withColumn("m8", pmod(col("doc_id"), lit(8)).cast("int"))
+      .withColumn("m9", pmod(col("doc_id"), lit(9)).cast("int"))
+      .select("doc_id", "s8", "s9", "m8", "m9")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    // roughly balanced: every shard within 2x of the uniform share
+    val byShard = shards.groupBy(_._2).view.mapValues(_.length)
+    assert(byShard.size == 8 && byShard.values.forall(n => n > 9000 / 16 && n < 9000 / 4),
+      s"imbalanced: $byShard")
+    // minimal movement: growing 8 -> 9 moves ~1/9 of keys (and every
+    // moved key lands on the NEW shard — the rendezvous invariant: the
+    // old winners' weights are unchanged, only shard 8 can newly win)
+    val moved = shards.filter(r => r._2 != r._3)
+    assert(moved.forall(_._3 == 8), "a moved key landed on an old shard")
+    val frac = moved.length.toDouble / shards.length
+    assert(frac > 0.05 && frac < 0.18, s"movement fraction $frac not ~1/9")
+    // the mod-N counterfactual reshuffles nearly everything
+    val modMoved = shards.count(r => r._4 != r._5).toDouble / shards.length
+    assert(modMoved > 0.8, s"mod-N moved only $modMoved")
+  }
+
   test("deterministicShuffle: seeded, shard is the key prefix, partition-stable") {
     val df = (0L until 2000L).map(i => (i, s"row$i")).toDF("doc_id", "payload")
     val a = Sampling.deterministicShuffle(df, "doc_id", seed = 7L)
