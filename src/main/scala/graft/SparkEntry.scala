@@ -63,11 +63,17 @@ object SparkEntry {
     * custkeys, length spans all three reference length buckets, views
     * span all five view buckets, rate steps in exact halves (avg is
     * order-independent IEEE), and `related` is a 0–8 entry array whose
-    * targets hash into the fixed id range [1, 1500] — dst ids outside
-    * the corpus at small SF are legitimate (the reference graph links to
-    * uncrawled videos; the unfiltered constructor keeps them). */
-  private def ytVideos(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d).select(
+    * targets hash into [1, |corpus|] — the modulus SCALES with the
+    * corpus (a one-row count broadcast; = 1500 at the sf0.01 gate, so
+    * oracle values are unchanged there), because a fixed modulus made
+    * the graph DENSIFY at sf1 instead of growing — the reference graph's
+    * actual scale property is vertex growth (`PageRank_Spark_v5.py:61`;
+    * VERDICT r12 #3). Dst ids outside the crawled id set are legitimate
+    * (the reference graph links to uncrawled videos; the unfiltered
+    * constructor keeps them). */
+  private def ytVideos(s: SparkSession, d: String): DataFrame = {
+    val idMod = Tables.customer(s, d).agg(count(lit(1)).as("id_mod"))
+    Tables.customer(s, d).crossJoin(broadcast(idMod)).select(
       col("c_custkey").cast("string").as("id"),
       col("c_name").as("uploader"),
       col("c_mktsegment").as("category"),
@@ -78,8 +84,9 @@ object SparkEntry {
       when(col("c_custkey") % 9 === 0, array().cast("array<string>"))
         .otherwise(transform(
           sequence(lit(1), (col("c_custkey") % 9).cast("int")),
-          i => ((col("c_custkey") * 31 + i * 17) % 1500 + 1).cast("string")))
+          i => ((col("c_custkey") * 31 + i * 17) % col("id_mod") + 1).cast("string")))
         .as("related"))
+  }
 
   /** The incremental-PageRank gate's "previously committed ranks" — the
     * 10-round fixpoint over the 90%-of-orders co-occurrence graph,
@@ -89,8 +96,23 @@ object SparkEntry {
     * them per invocation would bill every admission for a full
     * recompute it never pays. */
   private def prevRanksFixture(s: SparkSession, d: String): DataFrame = {
+    // key = sfDir path + a CONTENT fingerprint of the lineitem parquet
+    // files (name/size/mtime) — regenerating the fixture data at a reused
+    // path invalidates the cache instead of silently serving stale ranks
+    // (ADVICE r12)
+    val fingerprint = {
+      val src = new java.io.File(d, "lineitem.parquet")
+      val parts = // single-file fixture or a directory of part files
+        if (src.isFile) Array(src)
+        else Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && !f.getName.startsWith("."))
+      val files = parts.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString(",")
+      Integer.toHexString((d + "|" + files).hashCode)
+    }
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_prev_ranks_" +
-      Integer.toHexString(d.hashCode)
+      fingerprint
     if (!new java.io.File(path, "_SUCCESS").isFile)
       Telemetry.timed("q_pagerank_incremental") {
         val oldEdges = Edges.partCoOccurrence(
@@ -400,13 +422,13 @@ object SparkEntry {
     // mass via p^α, α=0.3 — the low-resource-upweighting mix policy
     "q_temperature_mix" -> ((s, d) => graft.ops.Sampling.temperatureMixReport(
       Tables.documents(s, d), "lang", "n_chars", alpha = 0.3)),
-    // deterministic pre-epoch shuffle: seeded md5 sort key, prefix shard
     // rendezvous sharding: the resharding-STABLE assignment (argmax of
     // per-(key, shard) poly-hash weights) — growing N -> N+1 moves only
     // ~1/(N+1) of keys where mod-N moves ~N/(N+1); the gate pins both
     // the 8-shard assignment and the exact grow-to-9 movement counts
     "q_rendezvous_shards" -> ((s, d) => graft.ops.Sampling.rendezvousReport(
       Tables.documents(s, d).select(col("doc_id")), "doc_id", nShards = 8)),
+    // deterministic pre-epoch shuffle: seeded md5 sort key, prefix shard
     "q_shuffle_shards" -> ((s, d) => graft.ops.Sampling.shuffleReport(
       Tables.documents(s, d), "doc_id", seed = 42L)),
     // ---- decontamination (north-star; dedup/Dedup.contaminationReport) ----
@@ -2456,8 +2478,8 @@ object SparkEntry {
       |    CAST(c_custkey * 7919 % 2000000 AS BIGINT) AS views,
       |    (c_custkey % 11) / 2.0 AS rate,
       |    list_transform(range(1, CAST(c_custkey % 9 AS INT) + 1),
-      |      i -> CAST((c_custkey * 31 + i * 17) % 1500 + 1 AS VARCHAR)) AS related
-      |  FROM customer),
+      |      i -> CAST((c_custkey * 31 + i * 17) % id_mod + 1 AS VARCHAR)) AS related
+      |  FROM customer, (SELECT count(*) AS id_mod FROM customer) m),
       |yedges AS MATERIALIZED (
       |  SELECT src, dst FROM (
       |    SELECT id AS src, unnest(related) AS dst FROM videos)

@@ -92,12 +92,8 @@ object ComponentsIndex {
     f.delete(labelDir, true)
     newEdges.write.mode("overwrite").parquet(edgeDir.toString)
     labels.write.mode("overwrite").parquet(labelDir.toString)
-    val tmp = new Path(path, "_current.tmp")
-    val out = f.create(tmp, true)
-    try out.write(toV.toString.getBytes("UTF-8")) finally out.close()
-    f.delete(new Path(path, "_current"), false)
-    require(f.rename(tmp, new Path(path, "_current")),
-      s"components-index pointer flip failed for v$toV")
+    graft.lake.Commit.atomicWrite(spark, new Path(path, "_current"),
+      toV.toString)
     // retire the superseded label snapshot (edges are append-only; labels
     // keep only the committed version plus its predecessor for readers
     // that resolved the pointer just before the flip)

@@ -139,12 +139,8 @@ object EventLogMaintenance {
       require(f.rename(staging, versionDir),
         s"commit rename failed: $staging -> $versionDir")
     } else f.delete(staging, true)
-    val tmp = new Path(root, "_current.tmp")
-    val out = f.create(tmp, true)
-    try out.write(toV.toString.getBytes("UTF-8")) finally out.close()
-    f.delete(new Path(root, "_current"), false)
-    require(f.rename(tmp, new Path(root, "_current")),
-      s"commit pointer flip failed for v$toV")
+    graft.lake.Commit.atomicWrite(spark, new Path(root, "_current"),
+      toV.toString)
 
     // 5. report from the COMMITTED version (what readers will see)
     val committed = spark.read.parquet(versionDir.toString)

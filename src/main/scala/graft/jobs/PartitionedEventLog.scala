@@ -252,22 +252,12 @@ object PartitionedEventLog {
       .map { case (d, c) => s"$d\t$c" }.mkString("", "\n", "\n")
       .getBytes("UTF-8"))
     finally cOut.close()
-    f.delete(new Path(root, s"manifest/v=$toV.counts"), false)
-    require(f.rename(cTmp, new Path(root, s"manifest/v=$toV.counts")),
-      s"counts commit failed for v$toV")
-    val mTmp = new Path(root, s"manifest/v=$toV.tmp")
-    val out = f.create(mTmp, true)
-    try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    f.delete(new Path(root, s"manifest/v=$toV"), false)
-    require(f.rename(mTmp, new Path(root, s"manifest/v=$toV")),
-      s"manifest commit failed for v$toV")
-    val pTmp = new Path(root, "_current.tmp")
-    val pOut = f.create(pTmp, true)
-    try pOut.write(toV.toString.getBytes("UTF-8")) finally pOut.close()
-    f.delete(new Path(root, "_current"), false)
-    require(f.rename(pTmp, new Path(root, "_current")),
-      s"pointer flip failed for v$toV")
+    graft.lake.Commit.atomicSwap(spark, cTmp,
+      new Path(root, s"manifest/v=$toV.counts"))
+    graft.lake.Commit.atomicWrite(spark, new Path(root, s"manifest/v=$toV"),
+      entries.mkString("\n") + "\n")
+    graft.lake.Commit.atomicWrite(spark, new Path(root, "_current"),
+      toV.toString)
 
     // report from committed METADATA (r10 advisor #2): retained = the new
     // counts file; expired existing = dropped days' prior counts + the

@@ -24,7 +24,11 @@ import org.apache.spark.sql.SparkSession
   *     sort survive by construction;
   *  3. flip: drop the serving name, rename the staging table onto it
   *     (metadata-only — the rewritten files never move);
-  *  4. vacuum the superseded directory.
+  *  4. vacuum the directory the PREVIOUS compact superseded (one cycle
+  *     deferred — a probe that resolved the old location just before the
+  *     flip can finish its scan; same keep-one-back rule as
+  *     IvfPqIndex.build), and record this cycle's superseded location in
+  *     a `<prefix>__superseded` marker for the next cycle.
   *
   * Same single-writer contract as the tiers' admits; the flip is two
   * catalog operations, so a crash between them leaves the staging table
@@ -91,7 +95,22 @@ object BucketedTable {
     }
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $stagedTable RENAME TO $table")
-    hfs(spark, oldLoc).delete(oldLoc, true)
+    // Deferred vacuum (ADVICE r12): a probe that resolved the OLD
+    // location just before the flip may still be mid-scan — deleting it
+    // now would yank files out from under a reader the single-WRITER
+    // contract never covered. Keep the superseded copy one cycle: vacuum
+    // the copy the PREVIOUS compact left behind (recorded in a marker
+    // file), then record this cycle's superseded location for the next.
+    val f = hfs(spark, oldLoc)
+    val marker = new Path(stagingBase, s"${prefix}__superseded")
+    if (f.exists(marker)) {
+      val in = f.open(marker)
+      val prior =
+        try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      if (prior.nonEmpty && prior != oldLoc.toString &&
+          prior != stagedPath) f.delete(new Path(prior), true)
+    }
+    Commit.atomicWrite(spark, marker, oldLoc.toString)
     (before, fileCount(spark, table))
   }
 }

@@ -100,23 +100,11 @@ object ScdTable {
     val body =
       s"#key=${m.key}\n#attrs=${m.attrs.mkString(",")}\n#buckets=${m.nBuckets}\n" +
         m.buckets.toSeq.sorted.map { case (b, v) => s"$b\t$v" }.mkString("\n") + "\n"
-    val tmp = new Path(path, s"manifest/v=$toV.tmp")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    f.delete(new Path(path, s"manifest/v=$toV"), false)
-    require(f.rename(tmp, new Path(path, s"manifest/v=$toV")),
-      s"scd-table manifest commit failed for v$toV")
+    Commit.atomicWrite(spark, new Path(path, s"manifest/v=$toV"), body)
   }
 
-  private def flipPointer(spark: SparkSession, path: String, toV: Long): Unit = {
-    val f = fs(spark, new Path(path))
-    val tmp = new Path(path, "_current.tmp")
-    val out = f.create(tmp, true)
-    try out.write(toV.toString.getBytes("UTF-8")) finally out.close()
-    f.delete(new Path(path, "_current"), false)
-    require(f.rename(tmp, new Path(path, "_current")),
-      s"scd-table pointer flip failed for v$toV")
-  }
+  private def flipPointer(spark: SparkSession, path: String, toV: Long): Unit =
+    Commit.atomicWrite(spark, new Path(path, "_current"), toV.toString)
 
   /** Delete `> current` data/manifest leftovers from a crashed attempt —
     * shared by every writer path so the recovery rule lives in one place. */

@@ -64,15 +64,31 @@ object IvfPqIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** The committed version, or 0 when nothing has committed yet. Version
-    * directories become visible only through the atomic pointer flip. */
+    * directories become visible only through the atomic pointer flip.
+    *
+    * Recovery path (ADVICE r12): the pointer swap is a single
+    * overwrite-rename, but a legacy delete-then-rename crash (or an
+    * operator `rm`) could still leave `_current` absent while fully
+    * committed `v=N` directories exist. Rather than resolve to 0 and
+    * turn stale-pointer into an outage, fall back to the HIGHEST version
+    * whose last-written part (`codebooks/_SUCCESS` — build writes codes,
+    * centroids, codebooks in that order) is complete. */
   def currentVersion(spark: SparkSession, path: String): Long = {
     val cur = new Path(path, "_current")
     val f = fs(spark, cur)
-    if (!f.exists(cur)) 0L
-    else {
+    if (f.exists(cur)) {
       val in = f.open(cur)
       try new String(in.readAllBytes(), "UTF-8").trim.toLong
       finally in.close()
+    } else {
+      val root = new Path(path)
+      if (!f.exists(root)) 0L
+      else f.listStatus(root).iterator.collect {
+        case s if s.isDirectory && s.getPath.getName.startsWith("v=") =>
+          s.getPath.getName.stripPrefix("v=").toLong
+      }.filter(v => f.exists(
+        new Path(partDir(path, v, "codebooks"), "_SUCCESS")))
+        .foldLeft(0L)(math.max)
     }
   }
 
@@ -106,12 +122,11 @@ object IvfPqIndex {
       .parquet(partDir(path, next, "centroids"))
     codebooks.coalesce(1).write.mode("overwrite")
       .parquet(partDir(path, next, "codebooks"))
-    val tmp = new Path(path, "_current.tmp")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    f.delete(new Path(path, "_current"), false)
-    require(f.rename(tmp, new Path(path, "_current")),
-      s"ivf-pq index pointer flip failed for v$next")
+    // the swap is ONE overwrite-rename (graft.lake.Commit — atomic on
+    // HDFS and posix), never delete-then-rename: a crash can leave only
+    // the old pointer or the new one, not a missing pointer
+    graft.lake.Commit.atomicWrite(spark, new Path(path, "_current"),
+      next.toString)
     // retire the superseded version: readers that resolved the pointer
     // just before the flip may still be scanning N−1, so keep one back
     if (next >= 3) f.delete(new Path(path, s"v=${next - 2}"), true)

@@ -325,8 +325,13 @@ object Similarity {
     * for non-empty output) need L≈100+ tables and the candidate set
     * approaches all-pairs, because pairs that dissimilar genuinely hash
     * together — a property of the operator class, not this implementation.
-    * At 100 TB run this with a tight threshold; [[cosineNearDups]] is the
-    * small-sample oracle. */
+    * When the threshold×corpus regime demands more than the 1024-table
+    * broadcast budget at the occupancy-optimal plane count, the plane
+    * count is TIGHTENED to the largest feasible value (the table count is
+    * re-derived, so the recall contract is unchanged; candidates grow ×2
+    * per dropped plane — graceful throughput degradation instead of an
+    * error). At 100 TB run this with a tight threshold; [[cosineNearDups]]
+    * is the small-sample oracle. */
   def cosineNearDupsLSH(embeddings: DataFrame, threshold: Double,
                         planes: Int = 0, dim: Int = 64,
                         targetRecall: Double = 0.9): DataFrame = {
@@ -337,20 +342,32 @@ object Similarity {
         val n = embeddings.count().max(2L)
         math.max(8, math.ceil(math.log(n / 4.0) / math.log(2.0)).toInt)
       }
-    val tables = lshTablesFor(threshold, nPlanes, targetRecall)
-    // fail fast instead of OOMing on a multi-million-row hyperplane
-    // broadcast: a loose threshold at large n demands an absurd table count
-    // — that regime is all-pairs by nature, use the exact oracle or a
-    // tighter threshold (see scaladoc)
-    require(tables <= 1024,
-      s"cosineNearDupsLSH: threshold=$threshold at $nPlanes planes needs $tables LSH tables " +
-        "(> 1024) for the target recall — too loose to prune; raise the threshold " +
-        "or run the exact cosineNearDups on a sample")
-    val hp = hyperplanes(spark, tables * nPlanes, dim) // plane id = table·planes + bit
+    // Feasible-envelope degradation (VERDICT r12 #2): a loose threshold at
+    // large n can demand an absurd table count at the occupancy-optimal
+    // plane count (sf1 fired the old fail-fast here: 0.35 at 13 auto-planes
+    // ⇒ 1311 > 1024 tables). Rather than erroring, TIGHTEN the plane count
+    // to the largest value whose table budget fits: fewer planes → coarser
+    // buckets → each table recalls more, so the SAME ≥targetRecall contract
+    // holds with ≤ MaxTables tables (lshTablesFor is re-derived at the
+    // tightened count). The cost is candidate-set growth (×2 per dropped
+    // plane), i.e. graceful throughput degradation with recall and
+    // precision unchanged — LshFeasibilitySpec pins both. Only a
+    // degenerate threshold (→ −1, per-plane agreement → 0) stays an error.
+    val maxTables = 1024
+    val feasiblePlanes = Iterator.iterate(nPlanes)(_ - 1)
+      .find(p => p <= 1 || lshTablesFor(threshold, p, targetRecall) <= maxTables)
+      .get.max(1)
+    val tables = lshTablesFor(threshold, feasiblePlanes, targetRecall)
+    require(tables <= maxTables,
+      s"cosineNearDupsLSH: threshold=$threshold needs $tables LSH tables even at " +
+        "1 plane — per-plane agreement is ~0 at this threshold; the operator " +
+        "class cannot prune it (run the exact cosineNearDups on a sample)")
+    val nPl = feasiblePlanes
+    val hp = hyperplanes(spark, tables * nPl, dim) // plane id = table·planes + bit
     val banded = embeddings.join(broadcast(hp))
-      .select(col("vec_id"), (col("plane") / nPlanes).cast("int").as("table"),
+      .select(col("vec_id"), (col("plane") / nPl).cast("int").as("table"),
         when(dot(col("embedding"), col("plane_vec")) > 0,
-          call_function("shiftleft", lit(1L), pmod(col("plane"), lit(nPlanes))))
+          call_function("shiftleft", lit(1L), pmod(col("plane"), lit(nPl))))
           .otherwise(lit(0L)).as("bit"))
       .groupBy(col("vec_id"), col("table"))
       .agg(sum(col("bit")).as("bucket"))
