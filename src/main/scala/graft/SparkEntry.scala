@@ -1102,6 +1102,17 @@ object SparkEntry {
         ()
       }
     }),
+    // rendezvous-sharded tier reshard audit (VERDICT r12 #6): the shingle
+    // tier laid out shingle->bucket (PolyHash, fixed 32) -> shard
+    // (rendezvous, grows), built at 8 shards then PHYSICALLY grown to 9 —
+    // bucket dirs whose argmax changed are renamed, zero bytes rewritten —
+    // and reported from the moved files via partition discovery: per
+    // post-reshard shard, bucket/row counts and how many buckets ARRIVED.
+    // The oracle recomputes tier population, both argmaxes, every count;
+    // verdict invariance across the reshard is spec-pinned.
+    "q_rendezvous_tier" -> ((s, d) => Telemetry.timed("q_rendezvous_tier")(
+      graft.dedup.ShingleIndex.rendezvousReshardReport(
+        s, Tables.documents(s, d)))),
     // SemDeDup — GRADUATED r10: cells now come from the fixed-round
     // spherical k-means (the q_kmeans recurrence), so the gate emits the
     // ACTUAL per-vector verdicts and DuckDB recomputes cells, within-cell
@@ -5160,6 +5171,51 @@ object SparkEntry {
         |SELECT shard, count(*) AS n_rows,
         |  CAST(coalesce(sum(CASE WHEN shard <> shard_grown THEN 1 END), 0) AS BIGINT) AS n_moved
         |FROM a8 JOIN a9 USING (doc_id)
+        |GROUP BY 1 ORDER BY shard""".stripMargin
+    },
+    // sharded-tier oracle: the tier population (distinct doc-shingle rows
+    // per PolyHash bucket), both rendezvous argmaxes over the 32 bucket
+    // ids, and every per-shard count re-derived — the Spark side reports
+    // from the PHYSICALLY MOVED files, so a wrong/missed rename reds this
+    "q_rendezvous_tier" -> {
+      val consts = (0 until 9).map { s =>
+        val (a, b) = graft.ops.Sampling.rendezvousPerm(s)
+        s"($s, $a, $b)"
+      }.mkString(", ")
+      s"""WITH sh AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) > 0),
+        |rows_per_bucket AS MATERIALIZED (
+        |  SELECT CAST(${polyHashSql("'bkt:' || shingle")} % 32 AS INT) AS bucket,
+        |    count(*) AS n_rows
+        |  FROM sh GROUP BY 1),
+        |ph AS (
+        |  SELECT bucket, ${polyHashSql("'rdv:' || CAST(bucket AS VARCHAR)")} AS h
+        |  FROM rows_per_bucket),
+        |w AS (
+        |  SELECT bucket, CAST(c.s AS INT) AS s,
+        |    (c.a * h + c.b) % ${graft.functions.PolyHash.Mod} AS wt
+        |  FROM ph CROSS JOIN (VALUES $consts) AS c(s, a, b)),
+        |a8 AS (
+        |  SELECT bucket, s AS shard_was FROM (
+        |    SELECT bucket, s, row_number() OVER (
+        |      PARTITION BY bucket ORDER BY wt DESC, s DESC) AS rn
+        |    FROM w WHERE s < 8) WHERE rn = 1),
+        |a9 AS (
+        |  SELECT bucket, s AS shard FROM (
+        |    SELECT bucket, s, row_number() OVER (
+        |      PARTITION BY bucket ORDER BY wt DESC, s DESC) AS rn
+        |    FROM w) WHERE rn = 1)
+        |SELECT shard, count(*) AS n_buckets,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN shard_was <> shard THEN 1 END), 0) AS BIGINT)
+        |    AS n_buckets_arrived
+        |FROM rows_per_bucket JOIN a8 USING (bucket) JOIN a9 USING (bucket)
         |GROUP BY 1 ORDER BY shard""".stripMargin
     },
     "q_attribution" ->

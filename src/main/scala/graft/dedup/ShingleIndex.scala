@@ -209,4 +209,153 @@ object ShingleIndex {
                       buckets: Int = 32): (Long, Long) =
     graft.lake.BucketedTable.compact(spark, table, path, "shingles",
       "shingle", buckets)
+
+  // ---------------------------------------- rendezvous-sharded layout
+  //
+  // VERDICT r12 #6: rendezvous sharding graduated from a report gate to
+  // the OPERATIONAL property it exists for, on this tier. The layout
+  // splits placement into two levels, the consistent-hashing-over-
+  // partitions design every elastic store uses:
+  //
+  //   shingle --PolyHash--> bucket (0..B-1, FIXED)   [row -> file]
+  //   bucket  --rendezvous--> shard (0..N-1, GROWS)  [file -> node dir]
+  //
+  // Rows never migrate between buckets, so growing the shard count
+  // N -> N+1 relocates WHOLE bucket directories — and only those whose
+  // rendezvous argmax changed: expected B/(N+1) of the B files, each
+  // moved by a metadata rename, zero bytes rewritten. A mod-N layout
+  // would re-home ~N/(N+1) of the files AND re-bucket rows inside them —
+  // a near-total rewrite of a 100 TB tier on every capacity change.
+  // Verdicts are placement-blind by construction (classify never reads
+  // shard/bucket), pinned by the q_rendezvous_tier gate + spec.
+
+  import org.apache.hadoop.fs.Path
+
+  /** Physical buckets per tier — fixed at build; shard growth never
+    * changes it (that's the point). */
+  val DefaultBuckets = 32
+
+  private def bucketOf(buckets: Int) =
+    pmod(graft.functions.PolyHash.poly_hash(
+      concat(lit("bkt:"), col("shingle"))), lit(buckets.toLong))
+
+  /** bucket → shard under `nShards`, via the exact gate expression
+    * ([[graft.ops.Sampling.rendezvousShard]]) evaluated over the B
+    * bounded bucket ids — control-plane sized, like the IVF cell list. */
+  def bucketAssignments(spark: SparkSession, buckets: Int,
+                        nShards: Int): Map[Int, Int] =
+    spark.range(buckets)
+      .select(col("id").cast("int").as("bucket"),
+        graft.ops.Sampling.rendezvousShard(col("id"), nShards).as("shard"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+  /** Build (overwrite) the sharded tier: `base/shard=<s>/bucket=<b>/…`
+    * plus a `_shards` pointer holding the current shard count. */
+  def buildSharded(documents: DataFrame, base: String, nShards: Int,
+                   k: Int = 3, buckets: Int = DefaultBuckets): Unit = {
+    val spark = documents.sparkSession
+    tier(documents, k)
+      .withColumn("bucket", bucketOf(buckets))
+      .withColumn("shard",
+        graft.ops.Sampling.rendezvousShard(col("bucket"), nShards))
+      .write.mode("overwrite").partitionBy("shard", "bucket").parquet(base)
+    graft.lake.Commit.atomicWrite(spark, new Path(base, "_shards"),
+      nShards.toString)
+  }
+
+  /** The committed shard count of a sharded tier. */
+  def currentShards(spark: SparkSession, base: String): Int = {
+    val p = new Path(base, "_shards")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+  }
+
+  /** Grow (or shrink) the shard count: re-derive both assignments over
+    * the B bucket ids, RENAME only the bucket directories whose argmax
+    * changed, flip the `_shards` pointer. Returns (buckets moved,
+    * buckets present) — the movement economics the gate pins: expected
+    * moved/present ≈ 1/(toShards) on a grow-by-one, vs ~(N-1)/N for a
+    * mod-N re-home. No data file is opened, let alone rewritten. */
+  def reshard(spark: SparkSession, base: String, toShards: Int,
+              buckets: Int = DefaultBuckets): (Long, Long) = {
+    val fromShards = currentShards(spark, base)
+    val from = bucketAssignments(spark, buckets, fromShards)
+    val to = bucketAssignments(spark, buckets, toShards)
+    val f = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var moved = 0L
+    var present = 0L
+    (0 until buckets).foreach { b =>
+      val src = new Path(base, s"shard=${from(b)}/bucket=$b")
+      if (f.exists(src)) { // a bucket no shingle hashed into has no dir
+        present += 1
+        if (from(b) != to(b)) {
+          val dstShard = new Path(base, s"shard=${to(b)}")
+          f.mkdirs(dstShard)
+          require(f.rename(src, new Path(dstShard, s"bucket=$b")),
+            s"reshard: move failed for bucket=$b ${from(b)} -> ${to(b)}")
+          moved += 1
+        }
+      }
+    }
+    graft.lake.Commit.atomicWrite(spark, new Path(base, "_shards"),
+      toShards.toString)
+    (moved, present)
+  }
+
+  /** The sharded tier as a frame: partition discovery restores `shard`
+    * and `bucket` from the directory names, so the reported placement IS
+    * the physical one. */
+  def readSharded(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(base)
+
+  /** [[admit]] against the sharded layout — classify never reads the
+    * placement columns, so verdicts are reshard-invariant (spec-pinned). */
+  def admitSharded(spark: SparkSession, batch: DataFrame, base: String,
+                   k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val verdicts = classify(tier(batch, k),
+      readSharded(spark, base).select(col("doc_id"), col("n"), col("shingle")),
+      threshold)
+    batch.select(col("doc_id")).distinct()
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("verdict"), lit("new")).as("verdict"),
+        col("match_id"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate-facing reshard audit on the REAL tier: build sharded at
+    * `fromShards`, grow to `toShards` (physically renaming bucket dirs),
+    * then report per post-reshard shard from the MOVED files — bucket
+    * and row counts read back through partition discovery, plus how many
+    * of the shard's buckets ARRIVED in the reshard (prior argmax ≠
+    * current physical shard). The oracle recomputes the tier population,
+    * both argmaxes and every count from the parquet tables; a wrong or
+    * missed rename shows up as a placement mismatch. */
+  def rendezvousReshardReport(spark: SparkSession, documents: DataFrame,
+                              fromShards: Int = 8, toShards: Int = 9,
+                              k: Int = 3,
+                              buckets: Int = DefaultBuckets): DataFrame = {
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-sharded-tier").toFile.getAbsolutePath
+    try {
+      buildSharded(documents, s"$stage/tier", fromShards, k, buckets)
+      reshard(spark, s"$stage/tier", toShards, buckets)
+      readSharded(spark, s"$stage/tier")
+        .groupBy(col("shard").cast("int").as("shard"),
+          col("bucket").cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("arrived",
+          (graft.ops.Sampling.rendezvousShard(col("bucket"), fromShards)
+            =!= col("shard")).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n_rows")).as("n_rows"),
+          sum(col("arrived")).as("n_buckets_arrived"))
+        .orderBy(col("shard"))
+        .pinTier // materialize before the staged tier is dropped
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+      ()
+    }
+  }
 }
