@@ -1303,6 +1303,35 @@ object SparkEntry {
         ()
       }
     }),
+    // GROWN standing IVF-PQ: quantizers frozen on the seed third, the
+    // rest admitted batch-wise (assign -> frozen-codebook encode ->
+    // partition-pruned anti-join append), then probed — the full oracle
+    // re-trains on the seed and re-derives every vector's cell, codes,
+    // ADC score and the exact re-rank
+    "q_ann_ivf_pq_grown" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-gate-ivfpq-grown").toFile.getAbsolutePath
+      try {
+        Telemetry.timed("q_ann_ivf_pq_grown") {
+          graft.sim.IvfPqIndex.build(
+            emb.filter(pmod(col("vec_id"), lit(3)) === 0), stage)
+          graft.sim.IvfPqIndex.admit(s,
+            emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), stage)
+        }
+        graft.sim.IvfPqIndex.probe(s, stage, emb, queryVecId = 0L, k = 10)
+          .pinTier // materialize before the staging files are dropped
+      } finally {
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
+    }),
+    // STREAMING-MAINTAINED twin (VERDICT r12 #8): the same seed build,
+    // but the rest arrives as a file stream admitted per micro-batch
+    // (ledger-skipped redeliveries); shares q_ann_ivf_pq_grown's oracle
+    // verbatim — batching must not change one score
+    "q_ann_stream_indexed" -> ((s, d) => Telemetry.timed("q_ann_stream_indexed")(
+      graft.streaming.Streams.annMaintenanceStreamGate(s, d))),
     // Matryoshka truncation audit: recall@10 of prefix-dim cosine vs the
     // exact full-dim top-k over the %50 probe set (the knnLabelAudit
     // fixed-sample contract) — the hot/cold prefix-tier quality ladder
@@ -1630,16 +1659,25 @@ object SparkEntry {
     * so the chain can coexist with the coarse k-means unroll (whose
     * a1/c1/a2 names it would otherwise shadow). */
   private def pqIterSql(sv: String, p: String): String =
+    pqIterSqlT(sv, sv, p)
+
+  /** [[pqIterSql]] with the TRAINING subvector relation split from the
+    * final ENCODE relation (the [[kmeansIterSqlT]] rule applied to the
+    * per-subspace recurrence): seeding, the assign/update round and the
+    * codebook derive from `svTrain`; the published codes `${p}a2` encode
+    * `svAll` against the trained `${p}c1`. Equal relations reproduce the
+    * original text byte-for-byte. */
+  private def pqIterSqlT(svTrain: String, svAll: String, p: String): String =
     s"""${p}c0 AS MATERIALIZED (
       |  SELECT sub, vec_id AS cid, list_transform(svec, x -> round(x, 6)) AS centroid
-      |  FROM (SELECT *, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn FROM $sv)
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn FROM $svTrain)
       |  WHERE rn <= 8),
       |${p}a1 AS MATERIALIZED (
       |  SELECT vec_id, sub, cid FROM (
       |    SELECT s.vec_id, s.sub, c.cid,
       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
       |        ORDER BY round(list_distance(s.svec, c.centroid), 4), c.cid) AS rn
-      |    FROM $sv s JOIN ${p}c0 c USING (sub)) WHERE rn = 1),
+      |    FROM $svTrain s JOIN ${p}c0 c USING (sub)) WHERE rn = 1),
       |${p}c1 AS MATERIALIZED (
       |  SELECT sub, cid, list(mv ORDER BY dimn) AS centroid FROM (
       |    SELECT a.sub, a.cid, u.dimn,
@@ -1647,14 +1685,14 @@ object SparkEntry {
       |        / count(*), 6) AS mv
       |    FROM ${p}a1 a
       |    JOIN (SELECT vec_id, sub, unnest(range(1, len(svec)+1)) AS dimn,
-      |            unnest(svec) AS v FROM $sv) u USING (vec_id, sub)
+      |            unnest(svec) AS v FROM $svTrain) u USING (vec_id, sub)
       |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
       |${p}a2 AS MATERIALIZED (
       |  SELECT vec_id, sub, cid FROM (
       |    SELECT s.vec_id, s.sub, c.cid,
       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
       |        ORDER BY round(list_distance(s.svec, c.centroid), 4), c.cid) AS rn
-      |    FROM $sv s JOIN ${p}c1 c USING (sub)) WHERE rn = 1),
+      |    FROM $svAll s JOIN ${p}c1 c USING (sub)) WHERE rn = 1),
       |${p}codebook AS MATERIALIZED (
       |  SELECT sub, cid, centroid,
       |    CAST(row_number() OVER (PARTITION BY sub ORDER BY cid) - 1 AS INT) AS code
@@ -1724,6 +1762,66 @@ object SparkEntry {
       |  SELECT vec_id, sub, emb[(sub*16+1):(sub*16+16)] AS svec
       |  FROM resid CROSS JOIN (SELECT unnest(range(0, 4)) AS sub)),
       |${pqIterSql("rsv", "p_")},
+      |qv AS (SELECT emb AS q_emb FROM emb WHERE vec_id = 0),
+      |probed AS (
+      |  SELECT cid, centroid FROM c2 CROSS JOIN qv
+      |  ORDER BY round(list_cosine_similarity(centroid, q_emb), 4) DESC, cid
+      |  LIMIT 4),
+      |qres AS (
+      |  SELECT p.cid AS cell, sub,
+      |    (list_transform(range(1, len(q.q_emb)+1),
+      |      i -> q.q_emb[i] - p.centroid[i]))[(sub*16+1):(sub*16+16)] AS svec
+      |  FROM probed p CROSS JOIN qv q
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS sub)),
+      |lut AS (
+      |  SELECT qr.cell, cb.sub, cb.code,
+      |    CAST(round(list_inner_product(qr.svec, cb.centroid), 6) AS DECIMAL(18,6)) AS v
+      |  FROM qres qr JOIN p_codebook cb USING (sub)),
+      |adc AS (
+      |  SELECT a.vec_id, a3.cluster AS cell, CAST(sum(l.v) AS DOUBLE) AS adc_score
+      |  FROM p_a2 a
+      |  JOIN a3 USING (vec_id)
+      |  JOIN p_codebook cb ON cb.sub = a.sub AND cb.cid = a.cid
+      |  JOIN lut l ON l.cell = a3.cluster AND l.sub = a.sub AND l.code = cb.code
+      |  WHERE a.vec_id <> 0
+      |  GROUP BY 1, 2),
+      |pool AS (
+      |  SELECT vec_id AS neighbor_id, cell, adc_score FROM adc
+      |  ORDER BY adc_score DESC, vec_id LIMIT 50)
+      |SELECT CAST(0 AS BIGINT) AS query_id,
+      |  CAST(row_number() OVER (ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk,
+      |  neighbor_id, cell, adc_score, cos_sim
+      |FROM (
+      |  SELECT p.neighbor_id, p.cell, p.adc_score,
+      |    round(list_cosine_similarity(e.emb, (SELECT q_emb FROM qv)), 4) AS cos_sim
+      |  FROM pool p JOIN emb e ON e.vec_id = p.neighbor_id)
+      |QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin
+
+  /** GROWN-index IVF-PQ oracle (shared verbatim by q_ann_ivf_pq_grown and
+    * its streaming twin q_ann_stream_indexed — batching must not change
+    * one score): identical to [[annIvfPqSql]] except the quantizers are
+    * FROZEN on the seed third (vec_id % 3 = 0) — coarse k-means trains on
+    * `temb`, residual PQ trains on `rsv_t` — while the published cell
+    * assignment (a3) and codes (p_a2) cover EVERY vector, exactly what
+    * build-on-seed + frozen-quantizer admission of the rest computes. */
+  private val annIvfPqGrownSql: String =
+    s"""WITH emb AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |temb AS MATERIALIZED (SELECT * FROM emb WHERE vec_id % 3 = 0),
+      |c0 AS MATERIALIZED (
+      |  SELECT vec_id AS cid, list_transform(emb, x -> round(x, 6)) AS centroid
+      |  FROM temb ORDER BY vec_id LIMIT 16),
+      |${kmeansIterSqlT(3, "temb", "emb")},
+      |resid AS MATERIALIZED (
+      |  SELECT e.vec_id, a.cluster,
+      |    list_transform(range(1, len(e.emb)+1),
+      |      i -> e.emb[i] - c.centroid[i]) AS emb
+      |  FROM emb e JOIN a3 a USING (vec_id) JOIN c2 c ON c.cid = a.cluster),
+      |rsv AS MATERIALIZED (
+      |  SELECT vec_id, sub, emb[(sub*16+1):(sub*16+16)] AS svec
+      |  FROM resid CROSS JOIN (SELECT unnest(range(0, 4)) AS sub)),
+      |rsv_t AS MATERIALIZED (SELECT * FROM rsv WHERE vec_id % 3 = 0),
+      |${pqIterSqlT("rsv_t", "rsv", "p_")},
       |qv AS (SELECT emb AS q_emb FROM emb WHERE vec_id = 0),
       |probed AS (
       |  SELECT cid, centroid FROM c2 CROSS JOIN qv
@@ -2643,7 +2741,20 @@ object SparkEntry {
     * centroids as decimal-exact rounded per-dimension means (the
     * q_label_centroids formula). Empty clusters drop out. */
   private def kmeansIterSql(rounds: Int): String =
+    kmeansIterSqlT(rounds, "emb", "emb")
+
+  /** [[kmeansIterSql]] with the TRAINING relation split from the final
+    * ASSIGNMENT relation (the frozen-quantizer admission oracle): the
+    * intermediate assign/update rounds run over `trainRel` only, and the
+    * last assignment — the published cell of every vector — runs over
+    * `assignRel` against the final centroids, exactly what build-on-seed
+    * + admit-the-rest computes. Equal relations reproduce the original
+    * text byte-for-byte, so the shared whole-corpus oracles are
+    * untouched. */
+  private def kmeansIterSqlT(rounds: Int, trainRel: String,
+                             assignRel: String): String =
     (1 to rounds).map { i =>
+      val rel = if (i < rounds) trainRel else assignRel
       val assign =
         s"""a$i AS MATERIALIZED (
            |  SELECT vec_id, cluster, cos_sim FROM (
@@ -2652,7 +2763,7 @@ object SparkEntry {
            |      row_number() OVER (PARTITION BY e.vec_id
            |        ORDER BY round(list_cosine_similarity(e.emb, c.centroid), 4)
            |          DESC, c.cid) AS rn
-           |    FROM emb e CROSS JOIN c${i - 1} c) WHERE rn = 1),""".stripMargin
+           |    FROM $rel e CROSS JOIN c${i - 1} c) WHERE rn = 1),""".stripMargin
       val update =
         s"""c$i AS MATERIALIZED (
            |  SELECT cluster AS cid, list(mv ORDER BY dim) AS centroid FROM (
@@ -2661,7 +2772,7 @@ object SparkEntry {
            |        / count(*), 6) AS mv
            |    FROM a$i a
            |    JOIN (SELECT vec_id, unnest(range(1, len(emb)+1)) AS dim,
-           |            unnest(emb) AS v FROM emb) u USING (vec_id)
+           |            unnest(emb) AS v FROM $trainRel) u USING (vec_id)
            |    GROUP BY 1, 2) GROUP BY 1),""".stripMargin
       // the final assignment is the last CTE in the list: no trailing comma
       if (i < rounds) assign + "\n" + update else assign.dropRight(1)
@@ -3637,6 +3748,10 @@ object SparkEntry {
     "q_ann_pq" -> annPqSql,
     "q_ann_ivf_pq" -> annIvfPqSql,
     "q_ann_ivf_pq_indexed" -> annIvfPqSql,
+    // grown + streaming-maintained twins share ONE seed-trained oracle:
+    // neither admission batching nor the ledger may change a score
+    "q_ann_ivf_pq_grown" -> annIvfPqGrownSql,
+    "q_ann_stream_indexed" -> annIvfPqGrownSql,
     "q_mrl_audit" -> mrlAuditSql,
     "q_isotropy" -> isotropySql,
     // hybrid RRF: BM25 CTEs + one broadcast query vector against the

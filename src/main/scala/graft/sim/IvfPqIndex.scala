@@ -180,4 +180,36 @@ object IvfPqIndex {
     }
     n
   }
+
+  /** STREAMING admission (VERDICT r12 #8 — the last standing tier without
+    * a foreachBatch twin): [[admit]] under foreachBatch's at-least-once
+    * delivery. Index STATE is already exactly-once through admit's
+    * anti-join (admission is idempotent per vec_id — set semantics, unlike
+    * the CMS counters), so the batch ledger here is an ECONOMY device,
+    * not the correctness carrier: a redelivered batchId is skipped
+    * without paying the pruned-index duplicate probe at all. Crash
+    * windows: after the append but before the ledger write, the replay
+    * re-runs admit and the anti-join drops every duplicate (state stays
+    * exactly-once, ledger heals); the ledger write itself is the one
+    * atomic [[graft.lake.Commit]] rename. batchIds must be monotonic per
+    * index (foreachBatch's contract). Returns vectors admitted (0 on a
+    * ledger-skipped replay). */
+  def admitBatch(spark: SparkSession, batch: DataFrame, path: String,
+                 batchId: Long, m: Int = 4, dim: Int = 64): Long = {
+    val ledger = new Path(path, "_admit_ledger")
+    val f = fs(spark, ledger)
+    val last =
+      if (!f.exists(ledger)) -1L
+      else {
+        val in = f.open(ledger)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      }
+    if (batchId <= last) 0L
+    else {
+      val n = admit(spark, batch, path, m, dim)
+      graft.lake.Commit.atomicWrite(spark, ledger, batchId.toString)
+      n
+    }
+  }
 }

@@ -517,6 +517,45 @@ object Streams {
     }
   }
 
+  /** STREAMING MAINTENANCE of the standing IVF-PQ index (VERDICT r12 #8
+    * — the ANN side gains the foreachBatch twin the inverted index, CMS
+    * and shingle index already have): quantizers are FROZEN on the seed
+    * third of the corpus ([[graft.sim.IvfPqIndex.build]]), the remaining
+    * vectors arrive as a file stream and each micro-batch is admitted
+    * with [[graft.sim.IvfPqIndex.admitBatch]] (frozen-codebook encode +
+    * anti-join idempotence for state, version-number batch ledger so a
+    * redelivery skips without touching the index), and after the drain a
+    * probe must answer EXACTLY like the batch build-on-seed +
+    * one-shot-admit — the gate shares q_ann_ivf_pq_grown's oracle
+    * verbatim: neither arrival order, batch boundaries, redelivery nor
+    * the ledger may change one score. */
+  def annMaintenanceStreamGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sim.IvfPqIndex
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-stream-ivfpq").toFile.getAbsolutePath
+    val emb = graft.model.Tables.embeddings(spark, sfDir)
+    (1 to 2).foreach(i =>
+      emb.filter(pmod(col("vec_id"), lit(3)) === i)
+        .write.mode("overwrite").parquet(s"$stage/chunk=$i"))
+    try {
+      IvfPqIndex.build(emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+        s"$stage/idx")
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stage/chunk=*")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          IvfPqIndex.admitBatch(spark, batch, s"$stage/idx", batchId); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      IvfPqIndex.probe(spark, s"$stage/idx", emb, queryVecId = 0L, k = 10)
+        .pinTier // materialize before the staging files drop
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+      ()
+    }
+  }
+
   /** Batch session windows (session_window works in batch mode too). */
   def userSessionsBatch(events: DataFrame, gap: String = "5 minutes"): DataFrame =
     events

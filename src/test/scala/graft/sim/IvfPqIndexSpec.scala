@@ -101,4 +101,59 @@ class IvfPqIndexSpec extends SparkSpec {
       assert(rebuilt == before, "an identical rebuild changed probe results")
     }
   }
+
+  test("currentVersion recovers the highest complete version when _current is missing") {
+    val emb = Tables.embeddings(spark, sf)
+    staged { path =>
+      IvfPqIndex.build(emb, path)
+      IvfPqIndex.build(emb, path) // v=2 committed, v=1 retained
+      assert(IvfPqIndex.currentVersion(spark, path) == 2L)
+      // an operator rm (or a legacy delete-then-rename crash) loses the
+      // pointer: resolution must fall back to the highest version whose
+      // last-written part is complete, NOT to an outage at v=0
+      assert(new java.io.File(s"$path/_current").delete())
+      assert(IvfPqIndex.currentVersion(spark, path) == 2L)
+      // and the index still serves
+      assert(IvfPqIndex.probe(spark, path, emb, queryVecId = 0L).count() == 10)
+    }
+  }
+
+  test("admitBatch ledger: redelivery skipped, crash before ledger write heals exactly-once") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val b1 = emb.filter(pmod(col("vec_id"), lit(3)) === 1)
+    val b2 = emb.filter(pmod(col("vec_id"), lit(3)) === 2)
+    staged { path =>
+      IvfPqIndex.build(corpus, path)
+      assert(IvfPqIndex.admitBatch(spark, b1, path, batchId = 0L) == b1.count())
+      // redelivered batchId: ledger-skipped, nothing admitted
+      assert(IvfPqIndex.admitBatch(spark, b1, path, batchId = 0L) == 0L)
+      // crash window — batch 1's rows landed but the ledger write died:
+      // simulate by admitting directly (no ledger), then redelivering
+      // through the ledger path; the anti-join drops every duplicate and
+      // the ledger heals forward
+      assert(IvfPqIndex.admit(spark, b2, path) == b2.count())
+      assert(IvfPqIndex.admitBatch(spark, b2, path, batchId = 1L) == 0L)
+      // state is exactly-once: every vector indexed exactly once
+      val counts = spark.read.parquet(s"$path/v=1/codes")
+        .groupBy(col("vec_id")).count().filter(col("count") > 1).count()
+      assert(counts == 0L, "a vector was double-indexed")
+      assert(spark.read.parquet(s"$path/v=1/codes").count() == emb.count())
+    }
+  }
+
+  test("streaming maintenance equals the one-shot grown index row-for-row") {
+    val emb = Tables.embeddings(spark, sf)
+    staged { path =>
+      IvfPqIndex.build(emb.filter(pmod(col("vec_id"), lit(3)) === 0), path)
+      IvfPqIndex.admit(spark, emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), path)
+      val oneShot = IvfPqIndex.probe(spark, path, emb, queryVecId = 0L)
+        .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+      val streamed = graft.streaming.Streams
+        .annMaintenanceStreamGate(spark, sf)
+        .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+      assert(streamed == oneShot,
+        "micro-batched admission changed a probe score")
+    }
+  }
 }
