@@ -92,9 +92,31 @@ object Triangles {
     val wedges = oriented
       .join(mb(oriented.withColumnsRenamed(Map("v" -> "w")), bcastEdges), Seq("u"))
       .filter(col("v") < col("w"))
+    // Past the broadcast budget the exact semi join must shuffle its probe
+    // side — the Σ outDeg²-sized wedge stream, the ONE intermediate this
+    // operator may not exchange (r12 ×32: a 38M-row wedge shuffle spilled
+    // at 13.6 GB and inflated per-unit work ~1.5×). A bloom filter of the
+    // edge set is a few MB however big the graph, ships as a literal, and
+    // drops non-closing wedges MAP-SIDE inside codegen — so the exchange
+    // carries ~triangles + the false-positive trickle, not wedges; the
+    // exact semi join then removes every false positive (the
+    // q_decontaminate_bloom composition — bit-identical output, pinned in
+    // TrianglesSpec). Sized ~12 bits/edge, capped at Spark's runtime-
+    // filter ceiling (past ~5M edges the FP rate degrades gracefully and
+    // the verify join absorbs it).
+    val closureProbe =
+      if (bcastEdges) wedges
+      else {
+        val bloom = graft.functions.BloomFunctions.buildBloom(
+          und.select(struct(col("a").as("v"), col("b").as("w")).as("k")),
+          col("k"), estItems = math.max(nEdges, 1L),
+          numBits = math.min(1L << 26, math.max(1L << 23, 12L * nEdges)))
+        wedges.filter(graft.functions.BloomFunctions.mightContain(
+          bloom, struct(col("v"), col("w"))))
+      }
     // closure: (v, w) has v < w by id, and und IS the a < b edge set —
     // membership there is exactly "the undirected edge exists"
-    val tris = wedges.join(
+    val tris = closureProbe.join(
       mb(und.select(col("a").as("v"), col("b").as("w")), bcastEdges),
       Seq("v", "w"), "leftsemi")
     // each triangle credits all three corners

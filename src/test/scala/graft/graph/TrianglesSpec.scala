@@ -26,6 +26,22 @@ class TrianglesSpec extends SparkSpec {
     assert(got(5L) == ((1L, 0L, 0.0)) && got(7L) == ((1L, 0L, 0.0)))
   }
 
+  test("bloom-prefiltered closure (shuffle path) is bit-identical to the broadcast path") {
+    // the real co-occurrence graph, both branch shapes: the broadcast
+    // budget at 0 forces the scale path — wedge stream bloom-dropped
+    // map-side, exact semi join on the survivors — which must not change
+    // one row vs the all-broadcast plan (bloom FPs are removed exactly)
+    val edges = Edges.partCoOccurrence(
+      graft.model.Tables.lineitem(spark, sf))
+    val want = Triangles.vertexTriangles(edges).collect().toSeq
+    val key = StateBroadcast.ConfKey
+    spark.conf.set(key, "0")
+    try {
+      val got = Triangles.vertexTriangles(edges).collect().toSeq
+      assert(got == want, "shuffle+bloom closure diverged from broadcast closure")
+    } finally spark.conf.unset(key)
+  }
+
   test("globalTriangleStats: K4 has 4 triangles, clustering 1 everywhere") {
     val k4 = (for {
       a <- 1L to 4L; b <- 1L to 4L if a != b
