@@ -67,6 +67,11 @@ object Triangles {
     val bcastDeg = StateBroadcast.fits(deg, 2L * nEdges, "triangles.deg")
     val bcastEdges = StateBroadcast.fits(und, nEdges, "triangles.closure")
     def mb(df: DataFrame, b: Boolean): DataFrame = if (b) broadcast(df) else df
+    // shuffle-path build side: per-partition hash map instead of the
+    // default sort-merge — edge-sized builds are cheap, and the probe
+    // side (the wedge stream) must never be SORTED (the ×32 spill)
+    def mbh(df: DataFrame, b: Boolean): DataFrame =
+      if (b) broadcast(df) else df.hint("shuffle_hash")
     // orient by (degree, id): u -> v iff (deg(u), u) < (deg(v), v)
     val oriented = und
       .join(mb(deg.select(col("id").as("a"), col("degree").as("da")), bcastDeg), Seq("a"))
@@ -78,19 +83,29 @@ object Triangles {
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .pinTier // both wedge legs read it
-      // CPU-proportional parallelism for the wedge stage: AQE coalesces by
-      // BYTES, and a few-MB edge list coalesces to ~2 tasks — but each edge
-      // row fans out into O(outDeg) wedges of pure CPU, the classic AQE
-      // blind spot. One cheap exchange of the edge list buys every core a
-      // share of the Σ outDeg² work.
-      .repartition(undirected.sparkSession.sparkContext.defaultParallelism, col("u"))
+      // Parallelism ∝ scale for the wedge stage: AQE coalesces by BYTES,
+      // and a few-MB edge list coalesces to ~2 tasks — but each edge row
+      // fans out into O(outDeg) wedges of pure CPU, the classic AQE blind
+      // spot. One cheap exchange of the edge list buys every task a share
+      // of the Σ outDeg² work; the fan-out follows the session's shuffle
+      // partitions (the Stress/cluster rule: partitions scale with data),
+      // floored at the core count.
+      .repartition(math.max(
+          undirected.sparkSession.sparkContext.defaultParallelism,
+          undirected.sparkSession.sessionState.conf.numShufflePartitions),
+        col("u"))
     // wedges u -> (v, w), v < w by id: two oriented out-edges of one pivot.
     // The wedge stream NEVER hits an exchange: the pair-generation join
     // broadcasts one copy of the (edge-sized) oriented list, and the
     // closure check broadcasts und — wedges flow straight from generation
     // through the semi join into the partial aggregate.
+    // On the shuffle path the pair-generation leg carries a shuffle_hash
+    // hint: the build side is edge-sized (hash map per partition, no
+    // sort), where the default sort-merge would SORT both legs — at ×32
+    // that sort, not the join itself, was the spill.
     val wedges = oriented
-      .join(mb(oriented.withColumnsRenamed(Map("v" -> "w")), bcastEdges), Seq("u"))
+      .join(mbh(oriented.withColumnsRenamed(Map("v" -> "w")), bcastEdges),
+        Seq("u"))
       .filter(col("v") < col("w"))
     // Past the broadcast budget the exact semi join must shuffle its probe
     // side — the Σ outDeg²-sized wedge stream, the ONE intermediate this
@@ -115,9 +130,13 @@ object Triangles {
           bloom, struct(col("v"), col("w"))))
       }
     // closure: (v, w) has v < w by id, and und IS the a < b edge set —
-    // membership there is exactly "the undirected edge exists"
+    // membership there is exactly "the undirected edge exists". The
+    // shuffle_hash hint keeps the wedge stream UNSORTED through the semi
+    // join: the edge side builds a per-partition hash map, the
+    // bloom-surviving wedges stream past it — a sort-merge semi join
+    // would sort the whole probe side, which is the ×32 spill.
     val tris = closureProbe.join(
-      mb(und.select(col("a").as("v"), col("b").as("w")), bcastEdges),
+      mbh(und.select(col("a").as("v"), col("b").as("w")), bcastEdges),
       Seq("v", "w"), "leftsemi")
     // each triangle credits all three corners
     val perVertex = tris
