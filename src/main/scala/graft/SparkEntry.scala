@@ -2359,7 +2359,7 @@ object SparkEntry {
         |  FROM t FULL OUTER JOIN r USING (bucket) CROSS JOIN tot)""".stripMargin
 
   private val dsirSql: String = dsirCtes + """
-    |SELECT doc_id, count(*) AS n_feats, round(sum(lr), 4) AS llr,
+    |SELECT doc_id, count(*) AS n_feats, round(sum(lr), 4) + 0 AS llr,
     |  round(sum(lr), 4) > 0 AS keep
     |FROM feats JOIN ratio USING (bucket)
     |GROUP BY 1 ORDER BY doc_id""".stripMargin
@@ -3872,8 +3872,8 @@ object SparkEntry {
         |tf AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1),
         |total AS (SELECT sum(freq) AS n_total FROM tf)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(CAST(sum(CAST(round(-ln(freq * 1.0 / n_total), 6) AS DECIMAL(28,10))) AS DOUBLE)
-        |        / count(*), 4) AS mean_surprisal
+        |  floor(CAST(sum(CAST(round(-ln(freq * 1.0 / n_total), 6) AS DECIMAL(28,10))) AS DOUBLE)
+        |        / count(*) * 10000 + 0.5) / 10000.0 AS mean_surprisal
         |FROM toks JOIN tf USING (term), total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_source_report" ->
@@ -4438,7 +4438,7 @@ object SparkEntry {
         |scored AS (
         |  SELECT e.vec_id, e.label,
         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                 c.centroid), 4) AS cos_centroid
+        |                                 c.centroid), 4) + 0 AS cos_centroid
         |  FROM embeddings e JOIN carr c USING (label)),
         |stats AS (
         |  SELECT label, round(avg(cos_centroid), 4) AS mean_cos,
@@ -4447,7 +4447,7 @@ object SparkEntry {
         |  FROM scored GROUP BY 1)
         |SELECT s.vec_id, s.label, s.cos_centroid,
         |  CASE WHEN std_cos > 0
-        |       THEN round((cos_centroid - mean_cos) / std_cos, 4) END AS z_score,
+        |       THEN round((cos_centroid - mean_cos) / std_cos, 4) + 0 END AS z_score,
         |  coalesce(CASE WHEN std_cos > 0
         |       THEN round((cos_centroid - mean_cos) / std_cos, 4) END <= -3.0,
         |    false) AS is_outlier
@@ -4649,10 +4649,11 @@ object SparkEntry {
         |r0 AS (SELECT id, 1.0 AS rank FROM verts),
         |${pageRankIterSql("edges")}
         |norm AS (SELECT count(*)::DOUBLE / sum(rank) AS s FROM r10),
-        |top AS (SELECT id, rank * (SELECT s FROM norm) AS pagerank FROM r10
-        |        ORDER BY pagerank DESC, id LIMIT 100)
-        |SELECT row_number() OVER (ORDER BY pagerank DESC, id) AS rank,
-        |  t.id, p.p_brand, p.p_name, round(pagerank, 6) AS influence_score
+        |top AS (SELECT id, round(rank * (SELECT s FROM norm), 6) AS influence_score
+        |        FROM r10
+        |        ORDER BY influence_score DESC, id LIMIT 100)
+        |SELECT row_number() OVER (ORDER BY influence_score DESC, id) AS rank,
+        |  t.id, p.p_brand, p.p_name, influence_score
         |FROM top t LEFT JOIN part p ON t.id = p.p_partkey
         |ORDER BY rank""".stripMargin,
     // the warm-start chain: 10 unrolled rounds on the old (90%-of-orders)

@@ -349,16 +349,21 @@ object PageRankOp {
   def topInfluencers(spark: SparkSession, edges: DataFrame, dim: DataFrame,
                      k: Int, numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
     val ranks = runLongIds(spark, edges, numIter, resetProb)
+    // the cut and the rank numbers order on the ROUNDED score (id
+    // tiebreak — the YouTube.influencers rule): full-precision pagerank
+    // carries last-ulp sum-order drift across engines, so two
+    // rounded-equal vertices could otherwise swap ordinals between this
+    // and the oracle's unroll (observed at sf1, 85/100 ordinals shifted)
     val top = ranks
-      .orderBy(col("pagerank").desc, col("id"))
+      .withColumn("influence_score", round(col("pagerank"), 6))
+      .orderBy(col("influence_score").desc, col("id"))
       .limit(k)
     graft.ops.Joins.enrichWithPrunedDim(top, dim, "id")
-      .withColumn("influence_score", round(col("pagerank"), 6))
       // k-row input by construction — the unpartitioned window is a single
       // task over ≤k rows, which is the intent (a global rank number).
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("pagerank").desc, col("id"))).cast("bigint"))
+          .orderBy(col("influence_score").desc, col("id"))).cast("bigint"))
       .drop("pagerank")
   }
 }

@@ -435,11 +435,14 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("dim"), col("mean_val")))).as("c"))
       .select(col("label"),
         transform(col("c"), s => s.getField("mean_val")).as("centroid"))
+    // + 0.0 normalizes IEEE negative zero: a cosine (or z) a hair below
+    // zero rounds to -0.0 on one engine and 0.0 on the other (observed at
+    // sf1, 5/20000 vectors) — numerically equal, printed differently
     val scored = embeddings
       .join(broadcast(cent), Seq("label"))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding").cast("array<double>"), col("centroid")), 4)
-          .as("cos_centroid"))
+        (round(cosine(col("embedding").cast("array<double>"), col("centroid")), 4)
+          + lit(0.0)).as("cos_centroid"))
     val w = Window.partitionBy(col("label"))
     scored
       .withColumn("mean_cos", round(avg(col("cos_centroid")).over(w), 4))
@@ -448,7 +451,8 @@ object Similarity {
           round(stddev_samp(col("cos_centroid")).over(w), 4)))
       .select(col("vec_id"), col("label"), col("cos_centroid"),
         when(col("std_cos") > 0.0,
-          round((col("cos_centroid") - col("mean_cos")) / col("std_cos"), 4))
+          round((col("cos_centroid") - col("mean_cos")) / col("std_cos"), 4)
+            + lit(0.0))
           .as("z_score"))
       .withColumn("is_outlier", coalesce(col("z_score") <= -3.0, lit(false)))
       .orderBy(col("vec_id"))

@@ -346,9 +346,16 @@ object TextAnalysis {
           .cast("decimal(28,10)").as("lp"))
       .groupBy(col("doc_id"))
       // cast the exact decimal sum to double BEFORE dividing: decimal
-      // division scale rules differ per engine, double division does not
+      // division scale rules differ per engine, double division does not.
+      // The final 4-dp cut is floor(x·10⁴ + 0.5)/10⁴, NOT round(): on a
+      // half-boundary double (sf1 hit mean = 4.00095 exactly) Spark's
+      // round half-ups the decimal STRING repr (→ 4.0010) while DuckDB
+      // rounds the binary value (→ 4.0009); the floor form is the same
+      // IEEE ops on both engines, so identical inputs give identical
+      // outputs by construction.
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("mean_surprisal"))
+        (floor(sum(col("lp")).cast("double") / count(lit(1)) * 10000 + 0.5)
+          / lit(10000.0)).as("mean_surprisal"))
       .orderBy(col("doc_id"))
   }
 
@@ -1172,7 +1179,11 @@ object TextAnalysis {
     feats
       .join(broadcast(ratio), Seq("bucket"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), round(sum(col("lr")), 4).as("llr"))
+      // + 0.0 normalizes IEEE negative zero: a sum a hair below zero
+      // rounds to -0.0 on one engine and 0.0 on the other (observed at
+      // sf1), and the two print differently while comparing equal
+      .agg(count(lit(1)).as("n_feats"),
+        (round(sum(col("lr")), 4) + lit(0.0)).as("llr"))
       .select(col("doc_id"), col("n_feats"), col("llr"),
         (col("llr") > 0).as("keep"))
       .orderBy(col("doc_id"))

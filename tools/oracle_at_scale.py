@@ -8,7 +8,7 @@ dropped.
 
 Usage: oracle_at_scale.py <sfDir> <verifyOut> <resultJson> [onlyQuery...]
 """
-import duckdb, json, glob, re, sys, time, traceback
+import duckdb, json, glob, os, re, sys, time
 
 sf, vout, out = sys.argv[1], sys.argv[2], sys.argv[3]
 only = set(sys.argv[4:])
@@ -31,7 +31,10 @@ con.sql("SET memory_limit='48GB'")
 con.sql("SET threads=32")
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    p = f'{sf}/{t}.parquet'
+    if os.path.isdir(p):  # Spark-written table: a directory of part files
+        p = f'{p}/*.parquet'
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 oracle = json.load(open(f'{vout}/oracle_sql.json'))
 
 res = {}
