@@ -63,16 +63,24 @@ object SparkEntry {
     * custkeys, length spans all three reference length buckets, views
     * span all five view buckets, rate steps in exact halves (avg is
     * order-independent IEEE), and `related` is a 0–8 entry array whose
-    * targets hash into [1, |corpus|] — the modulus SCALES with the
-    * corpus (a one-row count broadcast; = 1500 at the sf0.01 gate, so
-    * oracle values are unchanged there), because a fixed modulus made
-    * the graph DENSIFY at sf1 instead of growing — the reference graph's
-    * actual scale property is vertex growth (`PageRank_Spark_v5.py:61`;
-    * VERDICT r12 #3). Dst ids outside the crawled id set are legitimate
-    * (the reference graph links to uncrawled videos; the unfiltered
-    * constructor keeps them). */
+    * targets hash into the source video's own KEY ISLAND — the
+    * scaled/mutated corpora shift each replica's keys by a sparse 10M
+    * stride (Stress.mutateTables' collision guard), so a flat modulus
+    * either densifies a fixed range (the r12 artifact) or sprays targets
+    * at ids 9/10 of which don't exist; per-island targets make BOTH
+    * vertices AND internal edges grow ∝ corpus — the reference graph's
+    * actual scale property (`PageRank_Spark_v5.py:61`; VERDICT r12 #3) —
+    * and model a crawl linking to contemporaneous videos. At sf0.01
+    * there is one island of 1500 keys, so every gate oracle value is
+    * unchanged. Island size = count/islands (equal by the generator's
+    * construction), both from ONE one-row broadcast. Dst ids outside the
+    * crawled id set remain legitimate (the reference graph links to
+    * uncrawled videos; the unfiltered constructor keeps them). */
   private def ytVideos(s: SparkSession, d: String): DataFrame = {
-    val idMod = Tables.customer(s, d).agg(count(lit(1)).as("id_mod"))
+    val Stride = 10000000L // Stress.mutateTables' KeyShift
+    val islandOf = col("c_custkey") - pmod(col("c_custkey"), lit(Stride))
+    val idMod = Tables.customer(s, d).agg(
+      (count(lit(1)) / countDistinct(islandOf)).cast("long").as("island_n"))
     Tables.customer(s, d).crossJoin(broadcast(idMod)).select(
       col("c_custkey").cast("string").as("id"),
       col("c_name").as("uploader"),
@@ -84,7 +92,9 @@ object SparkEntry {
       when(col("c_custkey") % 9 === 0, array().cast("array<string>"))
         .otherwise(transform(
           sequence(lit(1), (col("c_custkey") % 9).cast("int")),
-          i => ((col("c_custkey") * 31 + i * 17) % col("id_mod") + 1).cast("string")))
+          i => (islandOf
+            + (col("c_custkey") * 31 + i * 17) % col("island_n") + 1)
+            .cast("string")))
         .as("related"))
   }
 
@@ -2587,8 +2597,11 @@ object SparkEntry {
       |    CAST(c_custkey * 7919 % 2000000 AS BIGINT) AS views,
       |    (c_custkey % 11) / 2.0 AS rate,
       |    list_transform(range(1, CAST(c_custkey % 9 AS INT) + 1),
-      |      i -> CAST((c_custkey * 31 + i * 17) % id_mod + 1 AS VARCHAR)) AS related
-      |  FROM customer, (SELECT count(*) AS id_mod FROM customer) m),
+      |      i -> CAST((c_custkey - c_custkey % 10000000)
+      |        + (c_custkey * 31 + i * 17) % island_n + 1 AS VARCHAR)) AS related
+      |  FROM customer,
+      |    (SELECT CAST(count(*) / count(DISTINCT c_custkey - c_custkey % 10000000)
+      |       AS BIGINT) AS island_n FROM customer) m),
       |yedges AS MATERIALIZED (
       |  SELECT src, dst FROM (
       |    SELECT id AS src, unnest(related) AS dst FROM videos)
