@@ -277,6 +277,12 @@ object Stress {
     // BPR negatives (|C|·k·oversample candidates — linear in customers,
     // never |C|·|P|) and the one-pass isotropy aggregate
     "q_bpr_negatives", "q_isotropy",
+    // round 13: the rendezvous-sharded tier reshard (tokenize + write +
+    // B metadata renames — must trend with the corpus tokenization) and
+    // the grown IVF-PQ (seed-train + frozen-quantizer admit — the kMeans
+    // cost class; the streaming twin is excluded: its compute IS this
+    // gate plus fixed checkpointed-micro-batch machinery)
+    "q_rendezvous_tier", "q_ann_ivf_pq_grown",
     // both pools TakeOrdered over pruned/map-side scans; anti join of
     // two <=poolK pools
     "q_hard_negatives",
