@@ -1342,6 +1342,33 @@ object SparkEntry {
     // verbatim — batching must not change one score
     "q_ann_stream_indexed" -> ((s, d) => Telemetry.timed("q_ann_stream_indexed")(
       graft.streaming.Streams.annMaintenanceStreamGate(s, d))),
+    // REBUILD policy closes the maintenance loop (the compaction
+    // analogue for quantized ANN): seed build + admit 2/3 pushes the
+    // admitted fraction past 0.5, maintainRebuild republishes from the
+    // full corpus — so the probe is BYTE-equal to a from-scratch
+    // whole-corpus build and the gate shares q_ann_ivf_pq_indexed's
+    // oracle verbatim (the policy may never change a score, only
+    // refresh recall)
+    "q_ann_ivf_pq_rebuilt" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-gate-ivfpq-rebuilt").toFile.getAbsolutePath
+      try {
+        Telemetry.timed("q_ann_ivf_pq_rebuilt") {
+          graft.sim.IvfPqIndex.build(
+            emb.filter(pmod(col("vec_id"), lit(3)) === 0), stage)
+          graft.sim.IvfPqIndex.admit(s,
+            emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), stage)
+          require(graft.sim.IvfPqIndex.maintainRebuild(s, emb, stage),
+            "admitted fraction 2.0 must trigger the rebuild")
+        }
+        graft.sim.IvfPqIndex.probe(s, stage, emb, queryVecId = 0L, k = 10)
+          .pinTier // materialize before the staging files are dropped
+      } finally {
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+        ()
+      }
+    }),
     // Matryoshka truncation audit: recall@10 of prefix-dim cosine vs the
     // exact full-dim top-k over the %50 probe set (the knnLabelAudit
     // fixed-sample contract) — the hot/cold prefix-tier quality ladder
@@ -3765,6 +3792,10 @@ object SparkEntry {
     // neither admission batching nor the ledger may change a score
     "q_ann_ivf_pq_grown" -> annIvfPqGrownSql,
     "q_ann_stream_indexed" -> annIvfPqGrownSql,
+    // the rebuild gate shares the WHOLE-CORPUS oracle verbatim: after the
+    // drift-triggered republish the index must be indistinguishable from
+    // a from-scratch build
+    "q_ann_ivf_pq_rebuilt" -> annIvfPqSql,
     "q_mrl_audit" -> mrlAuditSql,
     "q_isotropy" -> isotropySql,
     // hybrid RRF: BM25 CTEs + one broadcast query vector against the

@@ -97,7 +97,9 @@ object IvfPqIndex {
 
   /** Build (republish) the standing index at `path`: write all three
     * parts under the next version directory, then flip the pointer —
-    * one commit, never torn. */
+    * one commit, never torn. Also records the build-time corpus size in
+    * `_base_count` (atomic commit) — the denominator of
+    * [[maintainRebuild]]'s admitted-fraction policy. */
   def build(embeddings: DataFrame, path: String,
             nlist: Int = 16, m: Int = 4, ksub: Int = 8,
             rounds: Int = 2, kmRounds: Int = 3, dim: Int = 64): Unit = {
@@ -127,6 +129,14 @@ object IvfPqIndex {
     // the old pointer or the new one, not a missing pointer
     graft.lake.Commit.atomicWrite(spark, new Path(path, "_current"),
       next.toString)
+    // the maintenance denominator: how many vectors the quantizers were
+    // TRAINED on. Committed AFTER the pointer: a crash between the two
+    // leaves a fresh version with a stale (smaller) base, which inflates
+    // the admitted fraction and at worst triggers one spurious rebuild —
+    // the self-healing failure direction (a too-large base would instead
+    // silently mute the drift policy).
+    graft.lake.Commit.atomicWrite(spark, new Path(path, "_base_count"),
+      resid.count().toString)
     // retire the superseded version: readers that resolved the pointer
     // just before the flip may still be scanning N−1, so keep one back
     if (next >= 3) f.delete(new Path(path, s"v=${next - 2}"), true)
@@ -211,5 +221,45 @@ object IvfPqIndex {
       graft.lake.Commit.atomicWrite(spark, ledger, batchId.toString)
       n
     }
+  }
+
+  private def readCount(spark: SparkSession, p: Path): Long = {
+    val f = fs(spark, p)
+    if (!f.exists(p)) 0L
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    }
+  }
+
+  /** The REBUILD half of the maintenance loop (the compaction analogue
+    * for quantized ANN): frozen-quantizer admission is the documented
+    * recall tradeoff — every admitted vector is encoded against
+    * quantizers that never saw it, so a corpus that grows mostly by
+    * admission drifts away from its codebooks. This policy closes the
+    * loop: when the admitted fraction (indexed − trained-base, over
+    * trained-base) exceeds `maxAdmittedFraction`, republish the whole
+    * index from `corpus` — one [[build]], atomic version flip, fresh
+    * quantizers, base reset. Below the threshold it is a metadata-only
+    * check (two count files + one pruned count of the codes tier — no
+    * data rewrite). Returns true when a rebuild was published.
+    *
+    * Post-rebuild probes are BYTE-equal to a from-scratch build's (same
+    * deterministic training on the same corpus), which is why the
+    * q_ann_ivf_pq_rebuilt gate shares the whole-corpus oracle verbatim:
+    * the policy may never change a score, only refresh recall. */
+  def maintainRebuild(spark: SparkSession, corpus: DataFrame, path: String,
+                      maxAdmittedFraction: Double = 0.5,
+                      nlist: Int = 16, m: Int = 4, ksub: Int = 8,
+                      rounds: Int = 2, kmRounds: Int = 3,
+                      dim: Int = 64): Boolean = {
+    val v = currentVersion(spark, path)
+    val base = readCount(spark, new Path(path, "_base_count"))
+    val indexed = spark.read.parquet(partDir(path, v, "codes"))
+      .select(col("vec_id")).count()
+    val drifted = base <= 0 ||
+      (indexed - base).toDouble / base > maxAdmittedFraction
+    if (drifted) build(corpus, path, nlist, m, ksub, rounds, kmRounds, dim)
+    drifted
   }
 }

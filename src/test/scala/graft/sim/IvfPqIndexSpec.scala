@@ -142,6 +142,39 @@ class IvfPqIndexSpec extends SparkSpec {
     }
   }
 
+  test("maintainRebuild: metadata-only below threshold, republishes past it, probe equals fresh build") {
+    val emb = Tables.embeddings(spark, sf)
+    val seed = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    staged { path =>
+      IvfPqIndex.build(seed, path)
+      assert(IvfPqIndex.currentVersion(spark, path) == 1L)
+      // no admissions yet: fraction 0 — no rebuild, version unchanged
+      assert(!IvfPqIndex.maintainRebuild(spark, emb, path))
+      assert(IvfPqIndex.currentVersion(spark, path) == 1L)
+      // admit 2x the base: fraction 2.0 > 0.5 — rebuild publishes v=2
+      IvfPqIndex.admit(spark, emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), path)
+      assert(IvfPqIndex.maintainRebuild(spark, emb, path))
+      assert(IvfPqIndex.currentVersion(spark, path) == 2L)
+      // the base reset: immediately re-checking is a no-op again
+      assert(!IvfPqIndex.maintainRebuild(spark, emb, path))
+      assert(IvfPqIndex.currentVersion(spark, path) == 2L)
+      // post-rebuild probe is byte-equal to a from-scratch corpus build
+      val got = IvfPqIndex.probe(spark, path, emb, queryVecId = 0L)
+        .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+      val fresh = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-fresh").toFile.getAbsolutePath
+      try {
+        IvfPqIndex.build(emb, fresh)
+        val want = IvfPqIndex.probe(spark, fresh, emb, queryVecId = 0L)
+          .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+        assert(got == want, "drift rebuild diverged from a fresh build")
+      } finally {
+        new scala.reflect.io.Directory(new java.io.File(fresh)).deleteRecursively()
+        ()
+      }
+    }
+  }
+
   test("streaming maintenance equals the one-shot grown index row-for-row") {
     val emb = Tables.embeddings(spark, sf)
     staged { path =>
