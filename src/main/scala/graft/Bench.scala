@@ -15,9 +15,11 @@ package graft
   *      whole stdout;
   *   3. LAST, a compact summary line with the same contract keys but only
   *      the top-10-slowest (plus every errored) query map, plus backend
-  *      telemetry (`blas`, gc totals) — short enough that it ALWAYS
-  *      survives a tail truncation, so a failing or pathological query can
-  *      never be invisible in the artifact again.
+  *      telemetry (`blas`, gc totals). Since r14 ([[summaryLine]]) the
+  *      headline fields sit at the END of that line and the attribution
+  *      maps are capped at top-10 with explicit `*_dropped` counts —
+  *      r13's artifact lost its headline when `index_split` outgrew the
+  *      ~2 KB tail window the old head-first order was sized for.
   */
 object Bench {
 
@@ -59,6 +61,77 @@ object Bench {
       case (name, ts) if ts.size >= 2 && ts.min > 0 &&
         ts.max > minSec && ts.max / ts.min > ratio => name
     }.sorted
+
+  /** Inter-query hygiene-sweep decision (VERDICT r13 #6). A sweep fires
+    * when ANY of:
+    *   - the amortized cadence is due (`sinceSweep >= sweepEvery`);
+    *   - residual storage AFTER the cache clear still exceeds the
+    *     residency budget (multi-query accumulation runaway);
+    *   - the query that JUST ran drove storage past the peak budget — at
+    *     ×32 a 7.7 GB q_triangles predecessor bled GC/storage pressure
+    *     into q_kcore for up to K−1 queries under the cadence-only policy
+    *     (118.6 s in-sequence vs 54.9 s solo, BENCH_SF32_r13); a
+    *     high-water query now pays for its own cleanup immediately
+    *     instead of taxing its successors.
+    * Pure over the sampled numbers so BenchSpec pins the boundaries. */
+  def sweepAfter(sinceSweep: Int, sweepEvery: Int,
+                 residentMb: Long, residentBudgetMb: Long,
+                 peakMb: Long, peakBudgetMb: Long): Boolean =
+    sinceSweep >= sweepEvery || residentMb >= residentBudgetMb ||
+      peakMb >= peakBudgetMb
+
+  /** The compact summary line (r14 contract, VERDICT r13 #1): the driver
+    * artifact keeps only the LAST ~2 KB of stdout, and in r13 the
+    * headline fields — emitted FIRST on the line since r5 — were pushed
+    * out of that window when `index_split` grew to 25 entries. Two fixes,
+    * both here and both spec-pinned:
+    *   - the variable-size maps (`gc_ms`, `tier_build`, `index_split`,
+    *     `queries`, `errors`) are emitted FIRST and the headline fields
+    *     (`suspect_stall`, `blas`, `n_errors`, `n_queries`, `unit`, `sf`,
+    *     `metric`, `value`) LAST, so a tail cut eats attribution detail,
+    *     never the authoritative number;
+    *   - `tier_build` and `index_split` are capped at the top-10 most
+    *     expensive entries with an explicit `*_dropped` count (no silent
+    *     caps), bounding the attribution span between the query map and
+    *     the headline.
+    * `split` entries carry optional NAMED sub-stages (VERDICT r13 #5 —
+    * e.g. q_als_recommend's train/recommend/resolve), with `probe` always
+    * the remainder `total − build`. Pure so BenchSpec can pin the field
+    * order and the tail-survival budget. */
+  def summaryLine(totalSec: Double, nQueries: Int, nErrors: Int, runs: Int,
+                  blas: String, gcMsTotal: Long, gcMsSweep: Long,
+                  gcSweeps: Long, gcSweepEvery: Int, stalls: Seq[String],
+                  tierBuild: Seq[(String, (String, Double))],
+                  split: Seq[(String, Double, Seq[(String, Double)], Double)],
+                  topGc: Seq[(String, Long)], topQueries: Seq[(String, Double)],
+                  errors: Seq[(String, String)], sf: String): String = {
+    def jmap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val gcJ = jmap(topGc.map { case (k, v) => k -> v.toString })
+    val tiersTop = tierBuild.sortBy(-_._2._2).take(10)
+    val tiersJ = jmap(tiersTop.sortBy(_._1).map { case (k, (q, sec)) =>
+      k -> s"""{"q":"$q","sec":${f3(sec)}}"""
+    })
+    val splitTop = split.sortBy(-_._2).take(10)
+    val splitJ = jmap(splitTop.sortBy(_._1).map { case (q, b, stages, total) =>
+      q -> (s"""{"build":${f3(b)}""" +
+        stages.sortBy(_._1).map { case (s, v) => s""","$s":${f3(v)}""" }.mkString +
+        s""","probe":${f3(total - b)}}""")
+    })
+    val stallsJ = stalls.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val qsJ = jmap(topQueries.map { case (k, v) => k -> f3(v) })
+    val errsJ = jmap(errors.map { case (k, m) => k -> ("\"" + m + "\"") })
+    s"""{"gc_ms":$gcJ,"tier_build":$tiersJ,""" +
+      s""""tier_build_dropped":${tierBuild.size - tiersTop.size},""" +
+      s""""index_split":$splitJ,""" +
+      s""""index_split_dropped":${split.size - splitTop.size},""" +
+      s""""queries":$qsJ,"errors":$errsJ,""" +
+      s""""gc_ms_total":$gcMsTotal,"gc_ms_sweep":$gcMsSweep,""" +
+      s""""gc_sweeps":$gcSweeps,"gc_sweep_every":$gcSweepEvery,""" +
+      s""""runs":$runs,"suspect_stall":$stallsJ,"blas":"$blas",""" +
+      s""""n_errors":$nErrors,"n_queries":$nQueries,"unit":"sec",""" +
+      s""""sf":"$sf","metric":"total","value":${f3(totalSec)}}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,6 +187,9 @@ object Bench {
     // noise) is attributable from the truncation-surviving artifact alone
     // (VERDICT r7: two 3-9x driver regressions were unprovable either way)
     val bestGc = scala.collection.mutable.Map[String, Long]()
+    // named sub-stages of the best pass's build (drained keys of the form
+    // `<query>.<stage>`, e.g. q_als_recommend.train) — VERDICT r13 #5
+    val bestStages = scala.collection.mutable.Map[String, Seq[(String, Double)]]()
     val failedAt = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()
     // every successful pass time per query — feeds the suspect_stall flag
@@ -144,6 +220,13 @@ object Bench {
     // accumulation runaway.
     val gcSweepMb =
       sys.env.getOrElse("SPARK_GRAFT_GC_SWEEP_MB", "2048").toLong
+    // the peak budget (VERDICT r13 #6, see sweepAfter): a query whose own
+    // storage high-water crossed this sweeps IMMEDIATELY after itself —
+    // sized above every sf0.1 peak (broadcast+pin residency there stays
+    // well under 1 GiB) so it only fires on the ×-scale heavies it exists
+    // for (q_triangles read 7.7 GB at ×32)
+    val gcSweepPeakMb =
+      sys.env.getOrElse("SPARK_GRAFT_GC_SWEEP_PEAK_MB", "4096").toLong
     var sinceSweep = 0
     var gcSweeps = 0L
     var gcSweepMs = 0L
@@ -165,8 +248,14 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       val drained = Telemetry.drain()
       val buildSec = drained.get(name)
+      // `<query>.<stage>` keys are the query's OWN sub-stages, not tiers
+      val stageSecs = drained.collect {
+        case (k, sec) if k.startsWith(name + ".") =>
+          k.stripPrefix(name + ".") -> sec
+      }.toSeq.sortBy(_._1)
       (drained - name).foreach { case (k, sec) =>
-        if (!tierBuilds.contains(k)) tierBuilds(k) = (name, sec)
+        if (!k.startsWith(name + ".") && !tierBuilds.contains(k))
+          tierBuilds(k) = (name, sec)
       }
       if (err.isEmpty) passTimes(name) = dt :: passTimes(name)
       if (err.isEmpty && dt < best.getOrElse(name, Double.MaxValue)) {
@@ -176,6 +265,7 @@ object Bench {
           case Some(b) => bestBuild(name) = b
           case None => ()
         }
+        if (stageSecs.nonEmpty) bestStages(name) = stageSecs
       }
       if (err.nonEmpty) failedAt(name) = dt
       err.foreach(errors(name) = _)
@@ -209,7 +299,8 @@ object Bench {
           .map(i => i.usedOnHeapStorageMemory + i.usedOffHeapStorageMemory)
           .sum / (1024 * 1024)
         catch { case _: Throwable => 0L }
-      if (sinceSweep >= gcSweepEvery || residentMb >= gcSweepMb) {
+      if (sweepAfter(sinceSweep, gcSweepEvery, residentMb, gcSweepMb,
+            storagePeak.get() / (1024 * 1024), gcSweepPeakMb)) {
         val gcSweep0 = gcMillis
         System.gc()
         gcSweepMs += gcMillis - gcSweep0
@@ -235,30 +326,25 @@ object Bench {
     // kept whole; its head is what a 2 KB tail cut sacrifices)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // compact summary LAST — inside any tail window: top-10 slowest plus
-    // every errored query, totals, pass count and the BLAS backend proof
+    // every errored query, capped attribution maps, and the headline
+    // fields at the very END of the line (see summaryLine's contract)
     val top = (results.filter(_._3.isDefined) ++
         results.filter(_._3.isEmpty).sortBy(-_._2).take(10)).distinct
-    val topQs = jmap(top.map { case (k, v, _) => k -> f3(v) })
-    // staged-index attribution: each composite gate's best pass split into
-    // index build vs probe (probe = total − build) so the artifact shows
-    // the standing-index probe cost round-over-round
-    val split = jmap(bestBuild.toSeq.sortBy(_._1).map { case (k, b) =>
-      k -> s"""{"build":${f3(b)},"probe":${f3(best(k) - b)}}"""
-    })
-    // per-query GC delta (best pass) for the same top-10 set — reads as
-    // "this query's number includes N ms of GC" next to its seconds
-    val topGc = jmap(top.collect { case (k, _, None) if bestGc.contains(k) =>
-      k -> bestGc(k).toString })
-    // one-time standing-tier builds, attributed to their triggering query
-    val tiers = jmap(tierBuilds.toSeq.sortBy(_._1).map { case (k, (q, sec)) =>
-      k -> s"""{"q":"$q","sec":${f3(sec)}}"""
-    })
-    // cross-pass stall attribution (see suspectStalls): queries whose pass
-    // times diverged >3x with a >5 s slow pass — environmental noise the
-    // min-of-passes protocol rejected, named in the artifact
-    val stalls = suspectStalls(passTimes.toMap)
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${names.size},"n_errors":${errors.size},"runs":$runs,"blas":"$blasBackend","gc_ms_total":${gcMillis - gcTotal0},"gc_ms_sweep":$gcSweepMs,"gc_sweeps":$gcSweeps,"gc_sweep_every":$gcSweepEvery,"suspect_stall":$stalls,"tier_build":$tiers,"index_split":$split,"gc_ms":$topGc,"queries":$topQs,"errors":$errs,"sf":"$sfDir"}""")
+    val split = bestBuild.toSeq.map { case (k, b) =>
+      (k, b, bestStages.getOrElse(k, Nil), best(k))
+    }
+    println(summaryLine(
+      totalSec = total, nQueries = names.size, nErrors = errors.size,
+      runs = runs, blas = blasBackend, gcMsTotal = gcMillis - gcTotal0,
+      gcMsSweep = gcSweepMs, gcSweeps = gcSweeps, gcSweepEvery = gcSweepEvery,
+      stalls = suspectStalls(passTimes.toMap),
+      tierBuild = tierBuilds.toSeq,
+      split = split,
+      topGc = top.collect { case (k, _, None) if bestGc.contains(k) =>
+        k -> bestGc(k) },
+      topQueries = top.map { case (k, v, _) => k -> v },
+      errors = results.collect { case (k, _, Some(m)) => k -> m },
+      sf = sfDir))
     spark.stop()
   }
 }

@@ -80,7 +80,12 @@ object SparkEntry {
     val Stride = 10000000L // Stress.mutateTables' KeyShift
     val islandOf = col("c_custkey") - pmod(col("c_custkey"), lit(Stride))
     val idMod = Tables.customer(s, d).agg(
-      (count(lit(1)) / countDistinct(islandOf)).cast("long").as("island_n"))
+      // floor() explicitly (ADVICE r13): a bare cast("long") TRUNCATES in
+      // Spark while DuckDB's CAST(... AS BIGINT) ROUNDS — equal-sized
+      // islands make the quotient exact today, but a future unequal-island
+      // corpus must fail loudly on value drift, not by engine-divergent
+      // rounding of the same quotient
+      floor(count(lit(1)) / countDistinct(islandOf)).cast("long").as("island_n"))
     Tables.customer(s, d).crossJoin(broadcast(idMod)).select(
       col("c_custkey").cast("string").as("id"),
       col("c_name").as("uploader"),
@@ -624,10 +629,12 @@ object SparkEntry {
     // run eagerly inside alsAudit, i.e. inside this timed block; the audit
     // aggregations over the checkpointed recs run lazily at the sink. The
     // bench artifact therefore splits train vs audit cost.
+    // stagePrefix names the build's train/recommend/resolve sub-phases in
+    // the bench artifact's index_split entry (VERDICT r13 #5)
     "q_als_recommend" -> ((s, d) => Telemetry.timed("q_als_recommend") {
       Recommend.alsAudit(
         s, Recommend.ratingTriples(Tables.orders(s, d), Tables.lineitem(s, d)),
-        nUsers = 100)
+        nUsers = 100, stagePrefix = Some("q_als_recommend"))
     }),
     // ---- typed ingest (SURVEY §2.1 S2 — users leg): the reference user
     // schema's -1-sentinel coercion over raw strings; raw shape derived
@@ -2627,7 +2634,7 @@ object SparkEntry {
       |      i -> CAST((c_custkey - c_custkey % 10000000)
       |        + (c_custkey * 31 + i * 17) % island_n + 1 AS VARCHAR)) AS related
       |  FROM customer,
-      |    (SELECT CAST(count(*) / count(DISTINCT c_custkey - c_custkey % 10000000)
+      |    (SELECT CAST(floor(count(*) / count(DISTINCT c_custkey - c_custkey % 10000000))
       |       AS BIGINT) AS island_n FROM customer) m),
       |yedges AS MATERIALIZED (
       |  SELECT src, dst FROM (

@@ -276,7 +276,17 @@ object ShingleIndex {
     * changed, flip the `_shards` pointer. Returns (buckets moved,
     * buckets present) — the movement economics the gate pins: expected
     * moved/present ≈ 1/(toShards) on a grow-by-one, vs ~(N-1)/N for a
-    * mod-N re-home. No data file is opened, let alone rewritten. */
+    * mod-N re-home. No data file is opened, let alone rewritten.
+    *
+    * Crash recovery (ADVICE r13): there is no per-bucket journal — a
+    * crash mid-loop leaves mixed placement (some buckets at the new
+    * argmax, the rest at the old) with `_shards` still reading the OLD
+    * count. Recovery is RERUNNING the same reshard: the `f.exists(src)`
+    * skip treats already-moved buckets as done and the rerun completes
+    * the remainder, then flips the pointer. On such a healing rerun the
+    * returned counts cover only the buckets the RERUN found in place —
+    * (moved, present) are meaningful for a crash-free pass, an audit
+    * trail, not an invariant. */
   def reshard(spark: SparkSession, base: String, toShards: Int,
               buckets: Int = DefaultBuckets): (Long, Long) = {
     val fromShards = currentShards(spark, base)

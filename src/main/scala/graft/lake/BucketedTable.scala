@@ -107,8 +107,13 @@ object BucketedTable {
       val in = f.open(marker)
       val prior =
         try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      // the marker body is a QUALIFIED uri (oldLoc.toString, e.g.
+      // file:/...) — qualify stagedPath the same way or the staged-path
+      // guard can never match (ADVICE r13: an unqualified compare made
+      // the belt-and-braces check inert)
+      val qualifiedStaged = f.makeQualified(new Path(stagedPath)).toString
       if (prior.nonEmpty && prior != oldLoc.toString &&
-          prior != stagedPath) f.delete(new Path(prior), true)
+          prior != qualifiedStaged) f.delete(new Path(prior), true)
     }
     Commit.atomicWrite(spark, marker, oldLoc.toString)
     (before, fileCount(spark, table))

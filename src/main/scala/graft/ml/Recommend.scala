@@ -64,12 +64,26 @@ object Recommend {
                         sampleFraction: Double = 0.10, seed: Long = 42L): DataFrame =
     trainAndRecommend(spark, triples, nUsers, nRecs, sampleFraction, seed)._1
 
+  /** Record `f`'s wall seconds as a named bench sub-stage when a stage
+    * prefix is set — [[graft.Bench]] folds `<prefix>.<stage>` keys into
+    * the query's `index_split` entry (VERDICT r13 #5: at sf1 the ALS gate
+    * is the single most expensive query, and "it's linear in ratings" was
+    * inference; now the dominant term — train vs recommend vs resolve, the
+    * same phase boundary as `run_alsrecs_job.py:84-104` — is named in the
+    * artifact). No-op without a prefix (Verify, production callers). */
+  private def stageTimed[T](prefix: Option[String], stage: String)(f: => T): T =
+    prefix match {
+      case Some(p) => graft.Telemetry.timed(s"$p.$stage")(f)
+      case None    => f
+    }
+
   /** The pipeline body, also handing back the fitted model and the indexed
     * training frame so [[alsAudit]] can score the fit without training a
     * second model. */
   private def trainAndRecommend(
       spark: SparkSession, triples: DataFrame,
-      nUsers: Int, nRecs: Int, sampleFraction: Double, seed: Long)
+      nUsers: Int, nRecs: Int, sampleFraction: Double, seed: Long,
+      stagePrefix: Option[String] = None)
       : (DataFrame, org.apache.spark.ml.recommendation.ALSModel, DataFrame) = {
     logBlasOnce
     // cache() pins the sampled rows: without it each downstream job recomputes
@@ -92,15 +106,23 @@ object Recommend {
         col("rating"))
       .cache()
 
-    val model = new ALS()
+    // stage boundaries mirror the reference job's phases
+    // (`run_alsrecs_job.py:84-104`): fit() is eager; recommendForUserSubset
+    // is lazy, so its stage pins the (tiny — nUsers·nRecs rows) result to
+    // take an honest timing and spare the resolve leg a recompute
+    val model = stageTimed(stagePrefix, "train")(new ALS()
       .setMaxIter(10).setRegParam(0.1).setSeed(seed)
       .setUserCol("userId").setItemCol("itemId").setRatingCol("rating")
       .setColdStartStrategy("drop")
-      .fit(indexed)
+      .fit(indexed))
 
     val users = indexed.select(col("userId")).distinct()
       .orderBy(col("userId")).limit(nUsers)
-    val recs = model.recommendForUserSubset(users, nRecs)
+    val recs0 = model.recommendForUserSubset(users, nRecs)
+    val recs = stagePrefix match {
+      case Some(_) => stageTimed(stagePrefix, "recommend")(recs0.pinTier)
+      case None    => recs0
+    }
 
     // R2: explode struct-array; J2: dim join back to original keys via the
     // pruned-dim pattern (the key dictionaries are sample-cardinality —
@@ -143,10 +165,14 @@ object Recommend {
     * One training run serves both the audit and the output shape. */
   def alsAudit(spark: SparkSession, triples: DataFrame,
                nUsers: Int = 100, nRecs: Int = 5,
-               sampleFraction: Double = 0.10, seed: Long = 42L): DataFrame = {
+               sampleFraction: Double = 0.10, seed: Long = 42L,
+               stagePrefix: Option[String] = None): DataFrame = {
     val (recs0, model, indexed) =
-      trainAndRecommend(spark, triples, nUsers, nRecs, sampleFraction, seed)
-    val recs = recs0.pinTier
+      trainAndRecommend(spark, triples, nUsers, nRecs, sampleFraction, seed,
+        stagePrefix)
+    // the pin executes the explode + pruned-dim joins + re-nest = the
+    // RESOLVE phase (`run_alsrecs_job.py:104-145`)
+    val recs = stageTimed(stagePrefix, "resolve")(recs0.pinTier)
     val structure = recs.agg(
       count(lit(1)).as("n_users"),
       (count(when(size(col("recommendations")) === nRecs &&

@@ -72,7 +72,12 @@ object IvfPqIndex {
     * committed `v=N` directories exist. Rather than resolve to 0 and
     * turn stale-pointer into an outage, fall back to the HIGHEST version
     * whose last-written part (`codebooks/_SUCCESS` — build writes codes,
-    * centroids, codebooks in that order) is complete. */
+    * centroids, codebooks in that order) is complete. A stray
+    * non-numeric `v=*` directory is SKIPPED, not a crash (ADVICE r13).
+    * Caveat, by design: recovery may surface a fully-WRITTEN version
+    * whose pointer flip never executed — "complete on disk" is the best
+    * signal available once the pointer itself is gone, and serving the
+    * newest complete build beats serving nothing. */
   def currentVersion(spark: SparkSession, path: String): Long = {
     val cur = new Path(path, "_current")
     val f = fs(spark, cur)
@@ -85,9 +90,10 @@ object IvfPqIndex {
       if (!f.exists(root)) 0L
       else f.listStatus(root).iterator.collect {
         case s if s.isDirectory && s.getPath.getName.startsWith("v=") =>
-          s.getPath.getName.stripPrefix("v=").toLong
-      }.filter(v => f.exists(
-        new Path(partDir(path, v, "codebooks"), "_SUCCESS")))
+          s.getPath.getName.stripPrefix("v=")
+      }.flatMap(n => scala.util.Try(n.toLong).toOption)
+        .filter(v => f.exists(
+          new Path(partDir(path, v, "codebooks"), "_SUCCESS")))
         .foldLeft(0L)(math.max)
     }
   }

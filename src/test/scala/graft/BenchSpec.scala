@@ -40,4 +40,85 @@ class BenchSpec extends AnyFunSuite {
       "q_b" -> Seq(20.0, 2.0), "q_a" -> Seq(30.0, 3.0)))
     assert(got == Seq("q_a", "q_b"))
   }
+
+  // ---- summaryLine: the r14 headline-last contract (VERDICT r13 #1) ----
+
+  /** A deliberately bloated artifact: 40 split entries with sub-stages, 40
+    * tier builds, long names — the growth pattern that truncated r13's
+    * headline out of the ~2 KB tail window. */
+  private def bloatedLine: String = Bench.summaryLine(
+    totalSec = 419.217, nQueries = 223, nErrors = 1, runs = 2,
+    blas = "VectorBLAS", gcMsTotal = 123456, gcMsSweep = 7890, gcSweeps = 60,
+    gcSweepEvery = 4, stalls = Seq("q_kcore_in_sequence"),
+    tierBuild = (1 to 40).map(i =>
+      s"edge_tier_variant_number_$i" -> (s"q_trigger_query_$i", i * 0.37)),
+    split = (1 to 40).map(i => (s"q_standing_index_gate_number_$i", i * 0.21,
+      if (i == 40) Seq("train" -> 6.0, "recommend" -> 0.4) else Nil,
+      i * 0.21 + 1.5)),
+    topGc = (1 to 10).map(i => s"q_heavy_$i" -> (i * 100L)),
+    topQueries = (1 to 10).map(i => s"q_heavy_$i" -> (10.0 - i * 0.5)) :+
+      ("q_broken" -> -3.2),
+    errors = Seq("q_broken" -> "SparkException: boom"),
+    sf = "/root/testdata/sf0.1")
+
+  test("headline fields survive a 2 KB tail truncation, however bloated the maps") {
+    val tail = bloatedLine.takeRight(2048)
+    for (frag <- Seq("\"metric\":\"total\"", "\"value\":419.217",
+        "\"n_queries\":223", "\"n_errors\":1", "\"blas\":\"VectorBLAS\"",
+        "\"suspect_stall\":[\"q_kcore_in_sequence\"]", "\"unit\":\"sec\"",
+        "\"sf\":\"/root/testdata/sf0.1\""))
+      assert(tail.contains(frag), s"tail lost $frag")
+  }
+
+  test("headline fields are the LAST keys on the line, in pinned order") {
+    val line = bloatedLine
+    val order = Seq("\"runs\":", "\"suspect_stall\":", "\"blas\":",
+      "\"n_errors\":", "\"n_queries\":", "\"unit\":", "\"sf\":",
+      "\"metric\":", "\"value\":")
+    val idx = order.map(line.lastIndexOf)
+    assert(idx.forall(_ >= 0))
+    assert(idx == idx.sorted, "headline keys out of pinned order")
+    assert(line.endsWith("}") && idx.last > line.length - 30,
+      "value must close the line")
+  }
+
+  test("attribution maps are capped at top-10 with explicit dropped counts") {
+    val line = bloatedLine
+    assert(line.contains("\"index_split_dropped\":30"))
+    assert(line.contains("\"tier_build_dropped\":30"))
+    // the cap keeps the most expensive entries: #40 (8.4 s build) stays,
+    // #5 (1.05 s) is dropped
+    assert(line.contains("q_standing_index_gate_number_40"))
+    assert(!line.contains("q_standing_index_gate_number_5\""))
+  }
+
+  test("named sub-stages ride in the split entry with probe = total - build") {
+    val line = bloatedLine
+    assert(line.contains(
+      """"q_standing_index_gate_number_40":{"build":8.400,"recommend":0.400,"train":6.000,"probe":1.500}"""))
+  }
+
+  test("the summary line is one valid JSON object") {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(bloatedLine)
+    assert(node.get("value").asDouble() == 419.217)
+    assert(node.get("n_queries").asInt() == 223)
+    assert(node.get("index_split").size() == 10)
+    assert(node.get("errors").get("q_broken").asText().startsWith("SparkException"))
+  }
+
+  // ---- sweepAfter: the peak-triggered hygiene sweep (VERDICT r13 #6) ----
+
+  test("sweep fires on cadence, residency, or the just-ran query's peak") {
+    // cadence due
+    assert(Bench.sweepAfter(4, 4, 0, 2048, 0, 4096))
+    assert(!Bench.sweepAfter(3, 4, 0, 2048, 0, 4096))
+    // residual storage past budget
+    assert(Bench.sweepAfter(1, 4, 2048, 2048, 0, 4096))
+    // the ×32 q_triangles shape: 7.7 GB high-water sweeps immediately
+    // instead of bleeding into the next query for up to K-1 slots
+    assert(Bench.sweepAfter(1, 4, 100, 2048, 7700, 4096))
+    // an ordinary sf0.1 query (sub-GiB peak) does not
+    assert(!Bench.sweepAfter(1, 4, 100, 2048, 900, 4096))
+  }
 }

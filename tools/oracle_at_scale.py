@@ -49,7 +49,10 @@ for name in sorted(rows):
         continue
     t0 = time.time()
     try:
-        got = con.sql(f"SELECT * FROM '{pq[0]}'").df()
+        # read the WHOLE part-file glob (ADVICE r13): a multi-part Spark
+        # dump at larger SF compared via pq[0] alone would flag a spurious
+        # hash-mismatch on a partial read
+        got = con.sql(f"SELECT * FROM '{vout}/{name}/*.parquet'").df()
         exp = con.sql(oracle[name]).df()
         got, exp = got[sorted(got.columns)], exp[sorted(exp.columns)]
         if list(got.columns) != list(exp.columns):
