@@ -250,7 +250,12 @@ object ShingleIndex {
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
 
   /** Build (overwrite) the sharded tier: `base/shard=<s>/bucket=<b>/…`
-    * plus a `_shards` pointer holding the current shard count. */
+    * plus a `_shards` pointer holding the current shard count and a
+    * `_buckets` manifest of the PRESENT bucket ids. Bucket presence is
+    * reshard-INVARIANT (reshard renames whole bucket dirs, never
+    * creates or empties one), which is exactly what makes the manifest
+    * usable as a probe-time completeness check ([[probeSharded]],
+    * VERDICT r13 #4): any append path added later must refresh it. */
   def buildSharded(documents: DataFrame, base: String, nShards: Int,
                    k: Int = 3, buckets: Int = DefaultBuckets): Unit = {
     val spark = documents.sparkSession
@@ -259,9 +264,30 @@ object ShingleIndex {
       .withColumn("shard",
         graft.ops.Sampling.rendezvousShard(col("bucket"), nShards))
       .write.mode("overwrite").partitionBy("shard", "bucket").parquet(base)
+    val f = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = f.globStatus(new Path(base, "shard=*/bucket=*"))
+      .map(_.getPath.getName.stripPrefix("bucket=").toInt).sorted
+    graft.lake.Commit.atomicWrite(spark, new Path(base, "_buckets"),
+      present.mkString(","))
     graft.lake.Commit.atomicWrite(spark, new Path(base, "_shards"),
       nShards.toString)
   }
+
+  /** The committed present-bucket set of a sharded tier. */
+  def committedBuckets(spark: SparkSession, base: String): Set[Int] = {
+    val p = new Path(base, "_buckets")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    val body = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    if (body.isEmpty) Set.empty else body.split(",").map(_.toInt).toSet
+  }
+
+  /** The bucket ids a captured file listing covers — pure over the leaf
+    * paths so the spec can pin the detection logic on synthetic races. */
+  def bucketCoverage(files: Seq[String]): Set[Int] =
+    files.flatMap { f =>
+      "/bucket=(\\d+)/".r.findFirstMatchIn(f).map(_.group(1).toInt)
+    }.toSet
 
   /** The committed shard count of a sharded tier. */
   def currentShards(spark: SparkSession, base: String): Int = {
@@ -315,16 +341,60 @@ object ShingleIndex {
 
   /** The sharded tier as a frame: partition discovery restores `shard`
     * and `bucket` from the directory names, so the reported placement IS
-    * the physical one. */
+    * the physical one. Raw form — no reshard-concurrency protection; the
+    * probe paths go through [[probeSharded]]. */
   def readSharded(spark: SparkSession, base: String): DataFrame =
     spark.read.parquet(base)
 
+  /** Probe-safe read under a concurrent [[reshard]] (VERDICT r13 #4).
+    *
+    * Reshard renames bucket directories in the LIVE layout, and a
+    * keep-one-back rule can't apply — rename moves the only copy, so
+    * old and new placements cannot coexist without rewriting bytes
+    * (which would forfeit the zero-rewrite economics the layout exists
+    * for). What CAN be guaranteed, and is, is fail-loud-never-silent:
+    *
+    *  - **silent miss is detected at resolve time**: partition discovery
+    *    that raced a rename (listed a shard dir the instant its bucket
+    *    left, before it appeared under the new shard) yields a snapshot
+    *    MISSING a whole bucket. The captured listing (`df.inputFiles` —
+    *    the exact files the scan will read, no second racy listing) is
+    *    checked against the reshard-invariant `_buckets` manifest; an
+    *    uncovered bucket retries the resolve, so no verdict is ever
+    *    computed over a silently-partial corpus;
+    *  - **mid-scan rename fails loudly**: a rename AFTER a complete
+    *    resolve makes the execution throw FileNotFoundException
+    *    (`spark.sql.files.ignoreMissingFiles` stays false) — the
+    *    spec-pinned failure direction; recovery is re-running the probe,
+    *    which resolves the post-reshard layout.
+    * Single-RESHARDER contract (same as the admits); probes are the
+    * concurrent party this covers. */
+  def probeSharded(spark: SparkSession, base: String,
+                   maxAttempts: Int = 3): DataFrame = {
+    val committed = committedBuckets(spark, base)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val df = readSharded(spark, base)
+      val seen = bucketCoverage(df.inputFiles.toSeq)
+      if (committed.subsetOf(seen)) return df
+      if (attempt >= maxAttempts)
+        throw new IllegalStateException(
+          s"probeSharded: listing missed buckets ${(committed -- seen).toSeq.sorted
+            .mkString(",")} after $maxAttempts attempts (reshard in flight?)")
+      Thread.sleep(50L * attempt)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** [[admit]] against the sharded layout — classify never reads the
-    * placement columns, so verdicts are reshard-invariant (spec-pinned). */
+    * placement columns, so verdicts are reshard-invariant (spec-pinned).
+    * The corpus side resolves through [[probeSharded]]: complete-coverage
+    * verified against the `_buckets` manifest, loud on a raced rename. */
   def admitSharded(spark: SparkSession, batch: DataFrame, base: String,
                    k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val verdicts = classify(tier(batch, k),
-      readSharded(spark, base).select(col("doc_id"), col("n"), col("shingle")),
+      probeSharded(spark, base).select(col("doc_id"), col("n"), col("shingle")),
       threshold)
     batch.select(col("doc_id")).distinct()
       .join(verdicts, Seq("doc_id"), "left")

@@ -67,6 +67,69 @@ class RendezvousTierSpec extends SparkSpec {
     }
   }
 
+  // ---- probe-during-reshard safety (VERDICT r13 #4): rename moves the
+  // only copy, so old/new layouts can't coexist — the guarantee is
+  // fail-loud-never-silent, in both race directions ----
+
+  test("a probe snapshot resolved JUST BEFORE a reshard fails loudly, never silently partial") {
+    val docs = Tables.documents(spark, sf)
+    withBase { base =>
+      ShingleIndex.buildSharded(docs, base, nShards = 8)
+      // resolve the snapshot (captures the physical file listing), verify
+      // it covers every committed bucket — this is the pre-reshard probe
+      val snapshot = ShingleIndex.probeSharded(spark, base)
+      val committed = ShingleIndex.committedBuckets(spark, base)
+      assert(ShingleIndex.bucketCoverage(snapshot.inputFiles.toSeq) == committed)
+      // the reshard lands while the probe is "mid-scan"
+      val (moved, _) = ShingleIndex.reshard(spark, base, toShards = 9)
+      assert(moved > 0, "grow must relocate at least one bucket for this test")
+      // executing the stale snapshot now throws (FileNotFound wrapped in
+      // Spark's execution exception) — the LOUD direction; a silent
+      // partial result would be wrong verdicts
+      val e = intercept[Exception](snapshot.count())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        c.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(c.getMessage).exists(_.contains("FileNotFound"))),
+        s"expected a FileNotFound failure, got: $e")
+      // recovery = re-probe: the fresh resolve covers the grown layout
+      val healed = ShingleIndex.probeSharded(spark, base)
+      assert(ShingleIndex.bucketCoverage(healed.inputFiles.toSeq) == committed)
+      assert(healed.count() > 0)
+    }
+  }
+
+  test("coverage check detects a listing that silently missed a bucket") {
+    // pure-function pin: a raced partition discovery that lost bucket 7
+    // (renamed away after its old shard dir was listed, before its new
+    // shard dir was) yields a file list with no bucket=7 leaf — the
+    // manifest subset check must catch exactly that
+    val full = (0 until 32).map(b => s"/tier/shard=${b % 8}/bucket=$b/part-0.parquet")
+    val raced = full.filterNot(_.contains("/bucket=7/"))
+    assert(ShingleIndex.bucketCoverage(full) == (0 until 32).toSet)
+    assert(ShingleIndex.bucketCoverage(raced) == (0 until 32).toSet - 7)
+    assert(!(0 until 32).toSet.subsetOf(ShingleIndex.bucketCoverage(raced)))
+  }
+
+  test("probeSharded retries a partial resolve and gives a diagnosable error when it persists") {
+    val docs = Tables.documents(spark, sf)
+    withBase { base =>
+      ShingleIndex.buildSharded(docs, base, nShards = 4)
+      // simulate a PERSISTENTLY missing bucket (not a transient race):
+      // physically remove one bucket dir the manifest still commits
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(base)
+      val f = p.getFileSystem(conf)
+      val victim = f.globStatus(
+        new org.apache.hadoop.fs.Path(base, "shard=*/bucket=3")).head.getPath
+      assert(f.delete(victim, true))
+      val e = intercept[IllegalStateException](
+        ShingleIndex.probeSharded(spark, base, maxAttempts = 2))
+      assert(e.getMessage.contains("missed buckets 3"))
+    }
+  }
+
   test("verdicts are placement-blind: equal before/after reshard and vs the unsharded index") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
