@@ -1454,6 +1454,12 @@ object SparkEntry {
     // profile whose final value is order-independent; parity-split chunks
     // force the fold to resume from cross-batch GroupState
     "q_profile_stream" -> ((s, d) => Streams.runningProfileStreamGate(s, d)),
+    // the watermark CONTRACT itself (append mode + real late data): which
+    // late rows drop, which merge, which windows finalize — all re-derived
+    // by the oracle from both watermarks (ms-floored max-ts minus delay,
+    // <= comparators pinned in LateDataSpec against a crafted
+    // watermark-equals-window-end corpus)
+    "q_late_window_stream" -> ((s, d) => Streams.lateDataWindowStreamGate(s, d)),
     "q_top_event_types" -> ((s, d) => Streams.topEventTypesPerHour(Tables.events(s, d))),
     // ---- lake layout (LayoutSpec measures the row-group skipping and the
     // file-count shrink; these gates pin that a relayout never changes
@@ -5173,6 +5179,35 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // the watermark contract replayed from the parquet (empirically
+    // pinned comparators — LateDataSpec): W0 = ms-floored max chunk-0
+    // event time minus the 10-day delay (Spark tracks event-time stats
+    // in ms, micros/1000), Wall = same over ALL events. Chunk-2 rows
+    // (the only batch the ONE-BATCH-LAGGED late filter, SPARK-40925, can
+    // drop) survive iff window end > W0; a window is emitted iff its end
+    // <= Wall (LessThanOrEqual eviction). Hour ends are exact in ms, so
+    // ms comparators equal the engine's micros comparators.
+    "q_late_window_stream" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value,
+        |    date_trunc('hour', ts) AS wstart,
+        |    epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS wend_ms
+        |  FROM events),
+        |wm AS (
+        |  SELECT
+        |    max(CASE WHEN event_id % 3 = 0 THEN epoch_ms(ts) END)
+        |      - 864000000 AS w0_ms,
+        |    max(epoch_ms(ts)) - 864000000 AS wall_ms
+        |  FROM events),
+        |kept AS (
+        |  SELECT e.* FROM ev e, wm
+        |  WHERE e.event_id % 3 < 2 OR e.wend_ms > wm.w0_ms)
+        |SELECT wstart AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM kept, wm
+        |WHERE wend_ms <= wm.wall_ms
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // relayout gates: the rewritten copies must answer exactly like the
     // raw table (content preservation is the whole contract of a layout op)
     "q_zorder_scan" ->

@@ -401,6 +401,55 @@ object Streams {
         col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type")))
 
+  /** Driver-gated APPEND-mode tumbling-window aggregation with REAL late
+    * data (VERDICT r13 #8) — the watermark CONTRACT is the property under
+    * test, where the complete-mode gates could only test accumulation:
+    * which late rows are dropped, which merge, and which windows are
+    * finalized are all decided by the engine's watermark, and the DuckDB
+    * oracle re-derives every one of those decisions from the parquet.
+    *
+    * The semantics being replayed, pinned EMPIRICALLY by LateDataSpec
+    * against a crafted watermark-equals-window-end corpus (all three
+    * comparators observed, not assumed):
+    *
+    *  - the watermark is the ms-FLOORED max event time minus the delay
+    *    (event-time stats track micros/1000);
+    *  - a window is finalized/emitted when `window.end <= watermark`
+    *    (LessThanOrEqual — a window ending exactly AT the watermark is
+    *    emitted);
+    *  - late-record filtering LAGS eviction by one batch (SPARK-40925,
+    *    so chained stateful operators see consistent watermarks): batch
+    *    k drops input with `window.end <= eviction watermark of batch
+    *    k−1`. A two-chunk gate therefore NEVER drops anything — the
+    *    lagged filter is still 0 when the only late batch arrives.
+    *
+    * Arrival plan, three chunks by `event_id % 3`, each spanning the
+    * fixture's whole 30 days, one file per trigger: batch 0 seeds the
+    * watermark (W0 = max(chunk-0 ts)ms − delay); batch 1's rows all merge
+    * (lagged filter still 0) and windows ≤ W0 finalize; batch 2's rows
+    * are dropped exactly when their window end ≤ W0 and merge otherwise;
+    * the trailing no-data batches (processAllAvailable waits for them —
+    * constructNextBatch keeps running while the advancing watermark
+    * requires another batch) finalize everything up to
+    * `Wall = max(all ts)ms − delay`, withholding later windows in state.
+    * Final content is thus: chunks 0/1 in full, chunk 2 where
+    * `end > W0`, over windows with `end <= Wall` — which is the DuckDB
+    * oracle verbatim. The 10-day delay splits the 30-day span so every
+    * population is large at every SF: most chunk-2 rows arrive too late,
+    * the last ~10 days' merge, the last ~10 days' windows are withheld. */
+  def lateDataWindowStreamGate(spark: SparkSession, sfDir: String,
+                               delay: String = "10 days"): DataFrame =
+    drainAppendStreamGate(spark, sfDir, events =>
+      (0 until 3).map(i => events.filter(pmod(col("event_id"), lit(3)) === i)),
+      oneFilePerChunk = true)(stream => stream
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.Aggregations.dsum(col("value")).as("sum_value")))(t => t
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type")))
+
   /** Streaming daily activity matrix — [[graft.ops.Temporal.dailyTypePivot]]'s
     * streaming twin: `pivot()` is unsupported on streaming frames, so the
     * wide matrix runs as the pinned-type conditional-count aggregate Spark
