@@ -261,11 +261,20 @@ object Bench {
       if (err.isEmpty && dt < best.getOrElse(name, Double.MaxValue)) {
         best(name) = dt
         bestGc(name) = gcMillis - gc0
+        // build/stages must come from the SAME pass as the total they are
+        // subtracted from: a build-once gate (standing state persists
+        // across passes) records no build on its fast later passes, and
+        // keeping the stale pass-1 build against a pass-2 total printed a
+        // NEGATIVE probe (observed: q_pagerank_incremental at sf1,
+        // build 28.3 vs total 11.4). A best pass without its own build
+        // telemetry gets no split entry — the one-time build stays
+        // visible in the per-pass lines and the suspect_stall flag.
         buildSec match {
           case Some(b) => bestBuild(name) = b
-          case None => ()
+          case None    => bestBuild.remove(name)
         }
         if (stageSecs.nonEmpty) bestStages(name) = stageSecs
+        else bestStages.remove(name)
       }
       if (err.nonEmpty) failedAt(name) = dt
       err.foreach(errors(name) = _)
