@@ -1,0 +1,104 @@
+#!/usr/bin/env bash
+# Round-14 scale-evidence campaign — the full protocol in one script so a
+# round's binding record derives from ONE reproducible procedure
+# (VERDICT r13 #7) instead of ad-hoc shell history.
+#
+# Stages (each skippable via $1 to resume a partial campaign):
+#   corpora  : ScaleCorpus x10 (sf1) + x32 over sf0.1 (mutated replicas,
+#              natural dup density — no planted clones)
+#   sf1      : Verify every scale-path query at sf1 -> full DuckDB oracle
+#              (ORACLE_SF1_rN.json), then the 37-query bench pair
+#              (sf0.1 comparator + sf1) -> BENCH_SF1_rN.json inputs
+#   sf32     : Verify the spot set at x32 -> DuckDB oracle incl. the
+#              staged round-by-round q_kcore (ORACLE_SF32_rN.json), then
+#              the 10-heavy bench pair -> BENCH_SF32_rN.json inputs
+#
+# Bench JSON lines land in /tmp/graft_campaign/*.bench.log; the round
+# artifact files are assembled from them by hand (they carry protocol
+# prose the harness can't know).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+STAGE="${1:-all}"
+OUT=/tmp/graft_campaign
+mkdir -p "$OUT"
+
+# the 37-query sf1 bench subset (r12 lineage + the r13 gates): heavies
+# spanning every scale-path family — dedup funnels, ANN tiers, text
+# indexes, graph fixpoints, sessions, ALS
+SF1_BENCH="q_minhash_neardups q_minhash_neardups_wide q_winnow_neardups
+q_simhash_neardups q_exact_dedup q_incremental_dedup_bucketed
+q_components_admit q_dup_clusters q_dup_survivors q_cosine_near_dups_lsh
+q_token_stats q_tfidf q_quality_deciles q_perplexity_buckets
+q_bm25_indexed q_bm25_compacted q_phrase_indexed
+q_ann_ivf_indexed q_ann_ivf_pq_indexed q_ann_ivf_pq_grown q_ann_stream_indexed
+q_rendezvous_tier q_triangles q_triangle_stats q_kcore
+q_pagerank_filtered q_pagerank_weighted q_pagerank_parts
+q_pagerank_incremental q_hits_parts q_ppr q_yt_influencers
+q_cooccur_edges q_user_sessions q_hourly_events q_asof_join q_als_recommend"
+
+# the x32 spot-oracle set: r13's five plus six more — index probes, a
+# dedup funnel, flat aggregates, and one 10-round fixpoint
+# (q_pagerank_parts: its unrolled CTE materializes only VERTEX-sized rank
+# tables per round, unlike q_kcore's edge-sized induced subgraphs, so the
+# unroll should stay inside DuckDB's pool at x32)
+SF32_ORACLE="q_bm25_compacted q_components_admit q_heavy_hitters_cms
+q_kcore q_user_sessions q_bm25_indexed q_incremental_dedup_bucketed
+q_exact_dedup q_minhash_neardups q_token_stats q_pagerank_parts"
+
+# the x32 bench heavies (VERDICT r13 #3): the r13 four plus the fixpoint
+# family and the standing-index probes
+SF32_BENCH="q_triangles q_kcore q_components_admit q_bm25_compacted
+q_pagerank_filtered q_ppr q_hits_parts
+q_ann_ivf_pq_indexed q_incremental_dedup_bucketed q_bm25_indexed"
+
+# every scale-path query with a full-recompute oracle, from the catalog
+# (same derivation as tools/oracle_at_scale.py)
+scale_path_queries() {
+  python3 - <<'EOF'
+import re
+names = []
+for line in open('CATALOG.md'):
+    m = re.match(r'\| `(q_\w+)` \|.*', line)
+    if not m: continue
+    cells = [c.strip() for c in line.split('|')]
+    if cells[5] == 'yes' and cells[4].startswith('full recompute'):
+        names.append(cells[1].strip('`'))
+print(' '.join(names))
+EOF
+}
+
+if [[ "$STAGE" == all || "$STAGE" == corpora ]]; then
+  rm -rf /tmp/graft_sf1 /tmp/graft_sf32
+  SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g sbt -batch \
+    "runMain graft.ScaleCorpus /root/testdata/sf0.1 /tmp/graft_sf1 10; runMain graft.ScaleCorpus /root/testdata/sf0.1 /tmp/graft_sf32 32"
+fi
+
+if [[ "$STAGE" == all || "$STAGE" == sf1 ]]; then
+  SCALE_Q="$(scale_path_queries)"
+  echo "sf1 verify over $(wc -w <<<"$SCALE_Q") scale-path queries"
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE_PARTITIONS=320 SPARK_DRIVER_MEM=48g \
+    sbt -batch "runMain graft.Verify /tmp/graft_sf1 $OUT/verify_sf1 $SCALE_Q"
+  python3 tools/oracle_at_scale.py /tmp/graft_sf1 "$OUT/verify_sf1" \
+    "$OUT/ORACLE_SF1.json" | tee "$OUT/oracle_sf1.log"
+  # bench pair: sf0.1 comparator (partitions 32) then sf1 (320)
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=32 SPARK_DRIVER_MEM=48g \
+    sbt -batch "runMain graft.Bench $SF1_BENCH" 2>&1 | tee "$OUT/sf01_for_sf1.bench.log" | tail -2
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=320 SPARK_DRIVER_MEM=48g \
+    sbt -batch "runMain graft.Bench $SF1_BENCH" 2>&1 | tee "$OUT/sf1.bench.log" | tail -2
+fi
+
+if [[ "$STAGE" == all || "$STAGE" == sf32 ]]; then
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE_PARTITIONS=1024 SPARK_DRIVER_MEM=64g \
+    sbt -batch "runMain graft.Verify /tmp/graft_sf32 $OUT/verify_sf32 $SF32_ORACLE"
+  TMPDIR=/tmp python3 tools/oracle_at_scale.py /tmp/graft_sf32 "$OUT/verify_sf32" \
+    "$OUT/ORACLE_SF32.json" $SF32_ORACLE | tee "$OUT/oracle_sf32.log"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=32 SPARK_DRIVER_MEM=64g \
+    sbt -batch "runMain graft.Bench $SF32_BENCH" 2>&1 | tee "$OUT/sf01_for_sf32.bench.log" | tail -2
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf32 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=1024 SPARK_DRIVER_MEM=64g \
+    sbt -batch "runMain graft.Bench $SF32_BENCH" 2>&1 | tee "$OUT/sf32.bench.log" | tail -2
+fi
+echo "campaign stage '$STAGE' done -> $OUT"
