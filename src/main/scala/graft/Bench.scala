@@ -80,6 +80,32 @@ object Bench {
     sinceSweep >= sweepEvery || residentMb >= residentBudgetMb ||
       peakMb >= peakBudgetMb
 
+  /** Bounded post-sweep drain-wait (round 14). The sweep's
+    * `unpersist(blocking = false)` + `System.gc()` only ENQUEUE the
+    * release: a multi-GB tier then drains (block eviction, cleaner I/O,
+    * shuffle-file deletion) CONCURRENTLY with the next query under the
+    * fire-and-forget policy. Measured at ×32: q_kcore read 131.6 s
+    * in-sequence behind q_triangles' 11.7 GB residue vs 52.2 s solo —
+    * with only +2.8 s of GC delta, so the tax was eviction/cleaner
+    * contention, not collection (BENCH_SF32_r14; the r13 cadence-only
+    * policy had the same signature at 118.6 vs 54.9). Polling resident
+    * storage until it falls under the residency budget (or the deadline)
+    * makes the release synchronous, so the next query measures its own
+    * plan. Takes the reader and sleeper as functions so BenchSpec pins
+    * the three behaviors: immediate return under budget, poll-until-
+    * drained, bounded give-up at the deadline. Returns ms waited. */
+  def drainWait(deadlineMs: Long, budgetMb: Long, pollMs: Long = 200L,
+                readResidentMb: () => Long,
+                sleep: Long => Unit = Thread.sleep): Long = {
+    var waited = 0L
+    while (waited < deadlineMs && readResidentMb() >= budgetMb) {
+      val step = math.min(pollMs, deadlineMs - waited)
+      sleep(step)
+      waited += step
+    }
+    waited
+  }
+
   /** The compact summary line (r14 contract, VERDICT r13 #1): the driver
     * artifact keeps only the LAST ~2 KB of stdout, and in r13 the
     * headline fields — emitted FIRST on the line since r5 — were pushed
@@ -100,6 +126,7 @@ object Bench {
     * order and the tail-survival budget. */
   def summaryLine(totalSec: Double, nQueries: Int, nErrors: Int, runs: Int,
                   blas: String, gcMsTotal: Long, gcMsSweep: Long,
+                  drainMs: Long,
                   gcSweeps: Long, gcSweepEvery: Int, stalls: Seq[String],
                   tierBuild: Seq[(String, (String, Double))],
                   split: Seq[(String, Double, Seq[(String, Double)], Double)],
@@ -127,6 +154,7 @@ object Bench {
       s""""index_split_dropped":${split.size - splitTop.size},""" +
       s""""queries":$qsJ,"errors":$errsJ,""" +
       s""""gc_ms_total":$gcMsTotal,"gc_ms_sweep":$gcMsSweep,""" +
+      s""""drain_ms":$drainMs,""" +
       s""""gc_sweeps":$gcSweeps,"gc_sweep_every":$gcSweepEvery,""" +
       s""""runs":$runs,"suspect_stall":$stallsJ,"blas":"$blas",""" +
       s""""n_errors":$nErrors,"n_queries":$nQueries,"unit":"sec",""" +
@@ -230,6 +258,10 @@ object Bench {
     var sinceSweep = 0
     var gcSweeps = 0L
     var gcSweepMs = 0L
+    // post-sweep drain-wait deadline (see drainWait); 0 disables
+    val drainDeadlineMs =
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_WAIT_MS", "15000").toLong
+    var drainMsTotal = 0L
     val gcTotal0 = gcMillis
     Telemetry.drain() // discard warmup-era recordings
     for (pass <- 1 to runs; name <- names if !errors.contains(name)) {
@@ -315,6 +347,17 @@ object Bench {
         gcSweepMs += gcMillis - gcSweep0
         gcSweeps += 1
         sinceSweep = 0
+        // the sweep only ENQUEUES the release (see drainWait): hold the
+        // suite until resident storage actually falls under the residency
+        // budget so the next query never measures its predecessor's
+        // eviction I/O. Bounded; env-tunable; 0 disables (A/B knob).
+        drainMsTotal += drainWait(
+          deadlineMs = drainDeadlineMs, budgetMb = gcSweepMb,
+          readResidentMb = () =>
+            try spark.sparkContext.statusTracker.getExecutorInfos
+              .map(i => i.usedOnHeapStorageMemory + i.usedOffHeapStorageMemory)
+              .sum / (1024 * 1024)
+            catch { case _: Throwable => 0L })
       }
     }
     // a failed query reports NEGATIVE elapsed — visibly broken, never a
@@ -345,7 +388,8 @@ object Bench {
     println(summaryLine(
       totalSec = total, nQueries = names.size, nErrors = errors.size,
       runs = runs, blas = blasBackend, gcMsTotal = gcMillis - gcTotal0,
-      gcMsSweep = gcSweepMs, gcSweeps = gcSweeps, gcSweepEvery = gcSweepEvery,
+      gcMsSweep = gcSweepMs, drainMs = drainMsTotal,
+      gcSweeps = gcSweeps, gcSweepEvery = gcSweepEvery,
       stalls = suspectStalls(passTimes.toMap),
       tierBuild = tierBuilds.toSeq,
       split = split,

@@ -48,7 +48,8 @@ class BenchSpec extends AnyFunSuite {
     * headline out of the ~2 KB tail window. */
   private def bloatedLine: String = Bench.summaryLine(
     totalSec = 419.217, nQueries = 223, nErrors = 1, runs = 2,
-    blas = "VectorBLAS", gcMsTotal = 123456, gcMsSweep = 7890, gcSweeps = 60,
+    blas = "VectorBLAS", gcMsTotal = 123456, gcMsSweep = 7890,
+    drainMs = 4321, gcSweeps = 60,
     gcSweepEvery = 4, stalls = Seq("q_kcore_in_sequence"),
     tierBuild = (1 to 40).map(i =>
       s"edge_tier_variant_number_$i" -> (s"q_trigger_query_$i", i * 0.37)),
@@ -120,5 +121,44 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.sweepAfter(1, 4, 100, 2048, 7700, 4096))
     // an ordinary sf0.1 query (sub-GiB peak) does not
     assert(!Bench.sweepAfter(1, 4, 100, 2048, 900, 4096))
+  }
+
+  // ---- drainWait: the post-sweep synchronous release (round 14) ----
+  // At ×32, q_kcore read 131.6 s in-sequence behind q_triangles' 11.7 GB
+  // residue vs 52.2 s solo with only +2.8 s of GC delta: the sweep's
+  // fire-and-forget unpersist let the eviction/cleaner I/O run
+  // CONCURRENTLY with the next query. drainWait holds the suite until
+  // resident storage is actually under the residency budget.
+
+  test("drain-wait returns immediately when residency is already under budget") {
+    var polls = 0
+    val waited = Bench.drainWait(deadlineMs = 15000, budgetMb = 2048,
+      readResidentMb = () => { polls += 1; 100L }, sleep = _ => ())
+    assert(waited == 0 && polls == 1)
+  }
+
+  test("drain-wait polls until the release lands, then stops") {
+    val readings = Iterator(11700L, 8000L, 3000L, 500L, 100L)
+    var slept = 0L
+    val waited = Bench.drainWait(deadlineMs = 15000, budgetMb = 2048,
+      pollMs = 200, readResidentMb = () => readings.next(),
+      sleep = slept += _)
+    // three sleeps cover the 11700 -> 8000 -> 3000 readings; the 500
+    // reading ends the wait without consuming the 100
+    assert(waited == 600 && slept == 600 && readings.next() == 100L)
+  }
+
+  test("drain-wait gives up at the deadline when residency never drains") {
+    var slept = 0L
+    val waited = Bench.drainWait(deadlineMs = 1000, budgetMb = 2048,
+      pollMs = 300, readResidentMb = () => 11700L, sleep = slept += _)
+    // 300+300+300+100: the last step is clamped to the deadline remainder
+    assert(waited == 1000 && slept == 1000)
+  }
+
+  test("a zero deadline disables the drain-wait entirely (A/B knob)") {
+    val waited = Bench.drainWait(deadlineMs = 0, budgetMb = 2048,
+      readResidentMb = () => sys.error("must not poll"), sleep = _ => ())
+    assert(waited == 0)
   }
 }
