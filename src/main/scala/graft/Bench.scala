@@ -106,6 +106,77 @@ object Bench {
     waited
   }
 
+  /** Give-up back-off for the drain-wait (ADVICE r14): when a drain hit
+    * its deadline with residency still above budget (an undrainable
+    * residue — e.g. a leak, or state the cleaner cannot release), every
+    * later sweep would re-fire the full wait on the same reading and pay
+    * up to deadline×nQueries of unattributed wall time. A drain is
+    * re-attempted only when residency has FALLEN below the level the
+    * give-up recorded (something released since — the wait can make
+    * progress again); at or above it, the wait is skipped and counted
+    * (`drain_skips`). Pure so BenchSpec pins both branches. */
+  def shouldAttemptDrain(lastGiveUpMb: Option[Long], residentMb: Long): Boolean =
+    lastGiveUpMb.forall(residentMb < _)
+
+  /** Bounded cleaner quiesce (VERDICT r14 #4). The storage drain-wait
+    * above proves RESIDENT MEMORY is released, but shuffle-file deletion
+    * runs in the ContextCleaner thread and keeps taxing the next query's
+    * disk I/O after residency is back under budget — measured ~1.7× on
+    * ×32 heavies behind a big-shuffle predecessor (139.7 s in-sequence
+    * vs 82.0 s same-window solo, BENCH_SF32_r14
+    * `kcore_sequence_attribution`). This waits until the cleanup-event
+    * counter ([[org.apache.spark.graft.CleanerBridge]], counting
+    * COMPLETED cleanups — the bench session pins
+    * `spark.cleaner.referenceTracking.blocking.shuffle=true` so a
+    * shuffle event fires only after its files are gone) has been QUIET
+    * for `quietMs`, bounded by `deadlineMs`. Floor cost when there is
+    * nothing to clean is one quiet window, so the harness only invokes
+    * it on peak-/residency-triggered sweeps (the heavy-predecessor
+    * case), never on cadence sweeps. Returns ms waited; a zero deadline
+    * disables (A/B knob). Pure over the injected reader/sleeper. */
+  def quiesce(deadlineMs: Long, quietMs: Long, pollMs: Long = 100L,
+              readCount: () => Long,
+              sleep: Long => Unit = Thread.sleep): Long = {
+    if (deadlineMs <= 0 || quietMs <= 0) return 0L
+    var waited = 0L
+    var last = readCount()
+    var quiet = 0L
+    while (waited < deadlineMs && quiet < quietMs) {
+      val step = math.min(pollMs, deadlineMs - waited)
+      sleep(step)
+      waited += step
+      val now = readCount()
+      if (now != last) { last = now; quiet = 0L } else quiet += step
+    }
+    waited
+  }
+
+  /** The same-session canary set (VERDICT r14 #3): three tiny fixed
+    * plan-invariant probes — pure codegen CPU, one small shuffle, one
+    * parquet scan+agg — run at the START of every pass. Their cost
+    * moves with the box (shared-VM drift, disk contention), never with
+    * the library (no graft operator in any of them), so heavies
+    * reported as a RATIO to the canary floor separate environment drift
+    * from plan regressions using the artifact alone: r13→r14 the top-10
+    * heavies moved +15–48 % on identical plans while the suite total
+    * moved +4.7 %, and the attribution had to live in prose. Each
+    * canary is noop-sunk like a real query; sizes are fixed constants
+    * independent of `sfDir`'s scale except the scan (whose input is the
+    * comparator corpus itself — the I/O floor of the box that session). */
+  def canaries(spark: org.apache.spark.sql.SparkSession,
+               sfDir: String): Seq[(String, () => Unit)] = Seq(
+    "canary_cpu" -> (() =>
+      spark.range(20000000L).selectExpr("sum(id * 3 + 7) AS s")
+        .write.format("noop").mode("overwrite").save()),
+    "canary_shuffle" -> (() =>
+      spark.range(2000000L).selectExpr("id % 1000 AS k")
+        .groupBy("k").count()
+        .write.format("noop").mode("overwrite").save()),
+    "canary_scan" -> (() =>
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_quantity) AS s")
+        .write.format("noop").mode("overwrite").save()))
+
   /** The compact summary line (r14 contract, VERDICT r13 #1): the driver
     * artifact keeps only the LAST ~2 KB of stdout, and in r13 the
     * headline fields — emitted FIRST on the line since r5 — were pushed
@@ -126,7 +197,9 @@ object Bench {
     * order and the tail-survival budget. */
   def summaryLine(totalSec: Double, nQueries: Int, nErrors: Int, runs: Int,
                   blas: String, gcMsTotal: Long, gcMsSweep: Long,
-                  drainMs: Long,
+                  drainMs: Long, drainTimeouts: Int = 0, drainSkips: Int = 0,
+                  cleanerMs: Long = 0L, cleanerEvents: Long = 0L,
+                  canary: Seq[(String, Double)] = Nil,
                   gcSweeps: Long, gcSweepEvery: Int, stalls: Seq[String],
                   tierBuild: Seq[(String, (String, Double))],
                   split: Seq[(String, Double, Seq[(String, Double)], Double)],
@@ -148,14 +221,23 @@ object Bench {
     val stallsJ = stalls.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qsJ = jmap(topQueries.map { case (k, v) => k -> f3(v) })
     val errsJ = jmap(errors.map { case (k, m) => k -> ("\"" + m + "\"") })
+    val canaryJ = jmap(canary.map { case (k, v) => k -> f3(v) })
+    val canarySum = canary.map(_._2).sum
     s"""{"gc_ms":$gcJ,"tier_build":$tiersJ,""" +
       s""""tier_build_dropped":${tierBuild.size - tiersTop.size},""" +
       s""""index_split":$splitJ,""" +
       s""""index_split_dropped":${split.size - splitTop.size},""" +
       s""""queries":$qsJ,"errors":$errsJ,""" +
       s""""gc_ms_total":$gcMsTotal,"gc_ms_sweep":$gcMsSweep,""" +
-      s""""drain_ms":$drainMs,""" +
+      s""""drain_ms":$drainMs,"drain_timeouts":$drainTimeouts,""" +
+      s""""drain_skips":$drainSkips,""" +
+      s""""cleaner_drain_ms":$cleanerMs,"cleaner_events":$cleanerEvents,""" +
       s""""gc_sweeps":$gcSweeps,"gc_sweep_every":$gcSweepEvery,""" +
+      // `canaries` is FIXED-cardinality (the three probes), so it may
+      // live in the truncation-surviving headline zone: heavies-as-
+      // ratio-to-canary = queries[q] / canary_sum, derivable from any
+      // tail cut that keeps the headline (VERDICT r14 #3)
+      s""""canaries":$canaryJ,"canary_sum":${f3(canarySum)},""" +
       s""""runs":$runs,"suspect_stall":$stallsJ,"blas":"$blas",""" +
       s""""n_errors":$nErrors,"n_queries":$nQueries,"unit":"sec",""" +
       s""""sf":"$sf","metric":"total","value":${f3(totalSec)}}"""
@@ -164,7 +246,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.local(cpus.toInt, appName = "graft-bench")
+    // synchronous shuffle cleanup: a cleaner `shuffleCleaned` event then
+    // fires only AFTER the shuffle's files are deleted, which is what
+    // makes the post-sweep quiesce a real disk-I/O barrier (see
+    // [[quiesce]]; harness-only — the library contract in GraftSession
+    // is untouched)
+    val spark = GraftSession.local(cpus.toInt, appName = "graft-bench",
+      extraConf = Map(
+        "spark.cleaner.referenceTracking.blocking.shuffle" -> "true"))
     // warmup outside the timed region: without it the first measured query
     // absorbs several seconds of classloader + codegen-compiler startup and
     // its number is position-dependent, not workload-dependent. Best-effort:
@@ -262,9 +351,43 @@ object Bench {
     val drainDeadlineMs =
       sys.env.getOrElse("SPARK_GRAFT_DRAIN_WAIT_MS", "15000").toLong
     var drainMsTotal = 0L
+    var drainTimeouts = 0
+    var drainSkips = 0
+    // give-up back-off state (ADVICE r14, see shouldAttemptDrain)
+    var drainGiveUpMb: Option[Long] = None
+    // cleaner quiesce (VERDICT r14 #4): event counter + budget knobs;
+    // only invoked on peak-/residency-triggered sweeps (the heavy-
+    // predecessor case) so the quiet-window floor cost never taxes the
+    // cadence sweeps of a small-query suite
+    val cleanerCount =
+      org.apache.spark.graft.CleanerBridge.attachCounter(spark.sparkContext)
+    val cleanerDeadlineMs =
+      sys.env.getOrElse("SPARK_GRAFT_CLEANER_DRAIN_MS", "20000").toLong
+    val cleanerQuietMs =
+      sys.env.getOrElse("SPARK_GRAFT_CLEANER_QUIET_MS", "500").toLong
+    var cleanerMsTotal = 0L
+    val cleanerEvents0 = cleanerCount.map(_.apply()).getOrElse(0L)
+    // canary floors (VERDICT r14 #3): min across passes per canary
+    val canaryBest = scala.collection.mutable.Map[String, Double]()
     val gcTotal0 = gcMillis
     Telemetry.drain() // discard warmup-era recordings
-    for (pass <- 1 to runs; name <- names if !errors.contains(name)) {
+    def readResidentMb(): Long =
+      try spark.sparkContext.statusTracker.getExecutorInfos
+        .map(i => i.usedOnHeapStorageMemory + i.usedOffHeapStorageMemory)
+        .sum / (1024 * 1024)
+      catch { case _: Throwable => 0L }
+    for (pass <- 1 to runs) {
+    // pass-start canaries: the box-noise floor measured in the SAME
+    // session minutes as the heavies they normalize (see canaries)
+    for ((cname, run) <- canaries(spark, sfDir)) {
+      val c0 = System.nanoTime()
+      try run() catch { case _: Throwable => () }
+      val cdt = (System.nanoTime() - c0) / 1e9
+      if (cdt < canaryBest.getOrElse(cname, Double.MaxValue))
+        canaryBest(cname) = cdt
+      println(s"""{"bench_canary":$pass,"q":"$cname","sec":${f3(cdt)}}""")
+    }
+    for (name <- names if !errors.contains(name)) {
       val fn = selected(name)
       storagePeak.set(0L)
       val gc0 = gcMillis
@@ -335,13 +458,13 @@ object Bench {
       // whose unpersist hasn't landed, broadcasts awaiting the cleaner)
       // stays above the budget after the cache clear
       sinceSweep += 1
-      val residentMb =
-        try spark.sparkContext.statusTracker.getExecutorInfos
-          .map(i => i.usedOnHeapStorageMemory + i.usedOffHeapStorageMemory)
-          .sum / (1024 * 1024)
-        catch { case _: Throwable => 0L }
+      val residentMb = readResidentMb()
+      val peakNowMb = storagePeak.get() / (1024 * 1024)
+      // a peak-/residency-triggered sweep is the heavy-predecessor case
+      // the cleaner quiesce exists for; a cadence sweep is hygiene only
+      val heavySweep = residentMb >= gcSweepMb || peakNowMb >= gcSweepPeakMb
       if (sweepAfter(sinceSweep, gcSweepEvery, residentMb, gcSweepMb,
-            storagePeak.get() / (1024 * 1024), gcSweepPeakMb)) {
+            peakNowMb, gcSweepPeakMb)) {
         val gcSweep0 = gcMillis
         System.gc()
         gcSweepMs += gcMillis - gcSweep0
@@ -351,14 +474,31 @@ object Bench {
         // suite until resident storage actually falls under the residency
         // budget so the next query never measures its predecessor's
         // eviction I/O. Bounded; env-tunable; 0 disables (A/B knob).
-        drainMsTotal += drainWait(
-          deadlineMs = drainDeadlineMs, budgetMb = gcSweepMb,
-          readResidentMb = () =>
-            try spark.sparkContext.statusTracker.getExecutorInfos
-              .map(i => i.usedOnHeapStorageMemory + i.usedOffHeapStorageMemory)
-              .sum / (1024 * 1024)
-            catch { case _: Throwable => 0L })
+        // After a deadline give-up the wait is SKIPPED until residency
+        // falls below the give-up level (ADVICE r14: an undrainable
+        // residue would otherwise pay deadline×nQueries), and give-ups
+        // are counted separately from productive waits.
+        if (shouldAttemptDrain(drainGiveUpMb, residentMb)) {
+          val waited = drainWait(
+            deadlineMs = drainDeadlineMs, budgetMb = gcSweepMb,
+            readResidentMb = readResidentMb _)
+          drainMsTotal += waited
+          val after = readResidentMb()
+          if (waited >= drainDeadlineMs && after >= gcSweepMb) {
+            drainTimeouts += 1
+            drainGiveUpMb = Some(after)
+          } else drainGiveUpMb = None
+        } else drainSkips += 1
+        // storage is drained; now make the predecessor's SHUFFLE-FILE
+        // deletion synchronous too (VERDICT r14 #4, see quiesce) — only
+        // after heavy sweeps, where the deletion I/O is the measured
+        // ~1.7× successor tax
+        if (heavySweep) cleanerCount.foreach { read =>
+          cleanerMsTotal += quiesce(deadlineMs = cleanerDeadlineMs,
+            quietMs = cleanerQuietMs, readCount = read)
+        }
       }
+    }
     }
     // a failed query reports NEGATIVE elapsed — visibly broken, never a
     // plausible "fast" measurement — using the FAILING attempt's own
@@ -389,6 +529,10 @@ object Bench {
       totalSec = total, nQueries = names.size, nErrors = errors.size,
       runs = runs, blas = blasBackend, gcMsTotal = gcMillis - gcTotal0,
       gcMsSweep = gcSweepMs, drainMs = drainMsTotal,
+      drainTimeouts = drainTimeouts, drainSkips = drainSkips,
+      cleanerMs = cleanerMsTotal,
+      cleanerEvents = cleanerCount.map(_.apply() - cleanerEvents0).getOrElse(0L),
+      canary = canaryBest.toSeq.sortBy(_._1),
       gcSweeps = gcSweeps, gcSweepEvery = gcSweepEvery,
       stalls = suspectStalls(passTimes.toMap),
       tierBuild = tierBuilds.toSeq,

@@ -126,7 +126,15 @@ object ShingleIndex {
     * lives where the caller stages it, not the session warehouse. */
   def buildBucketed(documents: DataFrame, table: String, path: String,
                     k: Int = 3, buckets: Int = 32): Unit =
-    tier(documents, k).write.mode("overwrite").format("parquet")
+    // repartition on the bucket column before the bucketed write: Spark's
+    // bucketed writer does not repartition, so P incoming tasks emit up
+    // to P×buckets files (the round-15 small-file finding on the
+    // inverted-index twin, InvertedIndex.bucketAligned); the explicit
+    // hash repartition matches the bucket placement (same Murmur3 pmod),
+    // so every build/append emits ONE sorted run per bucket at any
+    // shuffle-partition setting
+    tier(documents, k).repartition(buckets, col("shingle"))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "shingle").sortBy("shingle")
       .option("path", path).saveAsTable(table)
 
@@ -194,6 +202,7 @@ object ShingleIndex {
     val n = freshDocs.count()
     if (n > 0)
       tier(batch.join(freshDocs, Seq("doc_id"), "leftsemi"), k)
+        .repartition(buckets, col("shingle")) // one file/bucket per append
         .write.mode("append").format("parquet")
         .bucketBy(buckets, "shingle").sortBy("shingle").saveAsTable(table)
     n

@@ -16,10 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** One-time bucketed materialization (bucketBy requires the table
-    * catalog; `path` keeps the data external-table style). */
+    * catalog; `path` keeps the data external-table style). The explicit
+    * repartition on the bucket key aligns tasks with buckets (same
+    * Murmur3 pmod placement), so the write emits ONE sorted run per
+    * bucket instead of up-to-tasks×buckets files — the round-15
+    * small-file rule, see `InvertedIndex.bucketAligned`. `numBuckets`
+    * is thereby the write-parallelism unit: size it ∝ table. */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     key: String, numBuckets: Int): Unit =
-    df.write
+    df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+      .write
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .option("path", path)

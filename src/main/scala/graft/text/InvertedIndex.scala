@@ -93,13 +93,32 @@ object InvertedIndex {
   private def readStats(spark: SparkSession, statsPath: String): DataFrame =
     spark.read.parquet(s"$statsPath/v=${currentStatsVersion(spark, statsPath)}")
 
+  /** Align a frame with the table's bucket scheme before a bucketed
+    * write. Spark's bucketed writer does NOT repartition: every incoming
+    * task writes its own file per bucket it holds rows for, so a write
+    * fed by P shuffle partitions emits up to P×buckets files — at the
+    * ×32 campaign setting (P=1024) one admission left ~32k small files
+    * and three of them ~100k, and q_bm25_compacted's cost became
+    * file-metadata I/O, not data (BENCH_SF32_r14 watch item). One
+    * explicit hash repartition on the bucket column with numPartitions =
+    * buckets uses the SAME Murmur3 `pmod(hash(col), buckets)` placement
+    * as the bucket spec, so each task holds exactly one bucket and the
+    * write emits ONE sorted file per bucket at ANY shuffle-partition
+    * setting. Cost: one batch-sized shuffle — admission stays ∝ batch.
+    * `buckets` thereby becomes the write-parallelism unit, which is the
+    * standard bucketed-table sizing rule (size buckets ∝ corpus). */
+  private def bucketAligned(df: DataFrame, buckets: Int,
+                            bucketCol: String): DataFrame =
+    df.repartition(buckets, col(bucketCol))
+
   /** Build (overwrite) the standing index: term-bucketed sorted postings
     * as an external catalog table at `path/postings`, stats v=1 at
     * `path/stats`. */
   def build(documents: DataFrame, table: String, path: String,
             buckets: Int = 32): Unit = {
     documents.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
-    postings(documents).write.mode("overwrite").format("parquet")
+    bucketAligned(postings(documents), buckets, "term")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "term").sortBy("term")
       .option("path", s"$path/postings").saveAsTable(table)
     writeStats(statsOf(documents), s"$path/stats")
@@ -150,7 +169,8 @@ object InvertedIndex {
   def buildPositional(documents: DataFrame, table: String, path: String,
                       buckets: Int = 32): Unit = {
     documents.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
-    positionalPostings(documents).write.mode("overwrite").format("parquet")
+    bucketAligned(positionalPostings(documents), buckets, "term")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "term").sortBy("term")
       .option("path", s"$path/positions").saveAsTable(table)
   }
@@ -191,7 +211,8 @@ object InvertedIndex {
     val fresh = batch.join(existing, Seq("doc_id"), "left_anti").pinTier
     val n = fresh.select(col("doc_id")).distinct().count()
     if (n > 0) {
-      postings(fresh).write.mode("append").format("parquet")
+      bucketAligned(postings(fresh), buckets, "term")
+        .write.mode("append").format("parquet")
         .bucketBy(buckets, "term").sortBy("term").saveAsTable(table)
       val old = readStats(spark, s"$path/stats")
       val delta = statsOf(fresh)

@@ -49,7 +49,11 @@ class BenchSpec extends AnyFunSuite {
   private def bloatedLine: String = Bench.summaryLine(
     totalSec = 419.217, nQueries = 223, nErrors = 1, runs = 2,
     blas = "VectorBLAS", gcMsTotal = 123456, gcMsSweep = 7890,
-    drainMs = 4321, gcSweeps = 60,
+    drainMs = 4321, drainTimeouts = 2, drainSkips = 3,
+    cleanerMs = 9876, cleanerEvents = 1234,
+    canary = Seq("canary_cpu" -> 0.231, "canary_scan" -> 0.144,
+      "canary_shuffle" -> 0.302),
+    gcSweeps = 60,
     gcSweepEvery = 4, stalls = Seq("q_kcore_in_sequence"),
     tierBuild = (1 to 40).map(i =>
       s"edge_tier_variant_number_$i" -> (s"q_trigger_query_$i", i * 0.37)),
@@ -67,13 +71,20 @@ class BenchSpec extends AnyFunSuite {
     for (frag <- Seq("\"metric\":\"total\"", "\"value\":419.217",
         "\"n_queries\":223", "\"n_errors\":1", "\"blas\":\"VectorBLAS\"",
         "\"suspect_stall\":[\"q_kcore_in_sequence\"]", "\"unit\":\"sec\"",
-        "\"sf\":\"/root/testdata/sf0.1\""))
+        "\"sf\":\"/root/testdata/sf0.1\"",
+        // canary normalization (VERDICT r14 #3) must survive the same
+        // tail cut the headline does: a judge reads heavies-as-ratio =
+        // queries[q] / canary_sum from the kept tail alone
+        "\"canaries\":{\"canary_cpu\":0.231,\"canary_scan\":0.144," +
+          "\"canary_shuffle\":0.302}",
+        "\"canary_sum\":0.677"))
       assert(tail.contains(frag), s"tail lost $frag")
   }
 
   test("headline fields are the LAST keys on the line, in pinned order") {
     val line = bloatedLine
-    val order = Seq("\"runs\":", "\"suspect_stall\":", "\"blas\":",
+    val order = Seq("\"canaries\":", "\"canary_sum\":",
+      "\"runs\":", "\"suspect_stall\":", "\"blas\":",
       "\"n_errors\":", "\"n_queries\":", "\"unit\":", "\"sf\":",
       "\"metric\":", "\"value\":")
     val idx = order.map(line.lastIndexOf)
@@ -106,6 +117,12 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("n_queries").asInt() == 223)
     assert(node.get("index_split").size() == 10)
     assert(node.get("errors").get("q_broken").asText().startsWith("SparkException"))
+    // the ADVICE-r14 drain accounting and the VERDICT-r14-#4 cleaner
+    // quiesce ride as first-class fields
+    assert(node.get("drain_timeouts").asInt() == 2)
+    assert(node.get("drain_skips").asInt() == 3)
+    assert(node.get("cleaner_drain_ms").asLong() == 9876L)
+    assert(node.get("cleaner_events").asLong() == 1234L)
   }
 
   // ---- sweepAfter: the peak-triggered hygiene sweep (VERDICT r13 #6) ----
@@ -160,5 +177,60 @@ class BenchSpec extends AnyFunSuite {
     val waited = Bench.drainWait(deadlineMs = 0, budgetMb = 2048,
       readResidentMb = () => sys.error("must not poll"), sleep = _ => ())
     assert(waited == 0)
+  }
+
+  // ---- drain give-up back-off (ADVICE r14) ----
+  // A deadline give-up on an undrainable residue must not re-fire the
+  // full wait on every later sweep (deadline×nQueries in a pathological
+  // leak): re-attempt only when residency has FALLEN below the give-up
+  // level.
+
+  test("drain back-off: skip at or above the give-up level, retry below it") {
+    // no prior give-up: always attempt
+    assert(Bench.shouldAttemptDrain(None, 11700L))
+    // gave up at 5000 MB: the same (or higher) residency is the same
+    // undrainable residue — skip
+    assert(!Bench.shouldAttemptDrain(Some(5000L), 5000L))
+    assert(!Bench.shouldAttemptDrain(Some(5000L), 6200L))
+    // something released since the give-up: progress is possible again
+    assert(Bench.shouldAttemptDrain(Some(5000L), 4999L))
+  }
+
+  // ---- cleaner quiesce (VERDICT r14 #4) ----
+  // The storage drain-wait proves memory is released; shuffle-file
+  // deletion still runs in the ContextCleaner thread and taxed ×32
+  // successors ~1.7× (139.7 s in-sequence vs 82.0 s same-window solo,
+  // BENCH_SF32_r14). quiesce holds the suite until the cleanup-event
+  // counter has been quiet for quietMs, bounded by the deadline.
+
+  test("quiesce returns after one quiet window when nothing is being cleaned") {
+    var slept = 0L
+    val waited = Bench.quiesce(deadlineMs = 20000, quietMs = 500,
+      pollMs = 100, readCount = () => 42L, sleep = slept += _)
+    assert(waited == 500 && slept == 500)
+  }
+
+  test("quiesce keeps waiting while events advance, then stops one quiet window later") {
+    // counter advances on the first three polls (cleaner busy), then
+    // goes quiet: 3 busy polls + 5 quiet polls at 100 ms
+    val readings = Iterator(0L, 1L, 2L, 3L, 3L, 3L, 3L, 3L, 3L)
+    val waited = Bench.quiesce(deadlineMs = 20000, quietMs = 500,
+      pollMs = 100, readCount = () => readings.next(), sleep = _ => ())
+    assert(waited == 800)
+  }
+
+  test("quiesce gives up at the deadline under a continuous event storm") {
+    var n = 0L
+    val waited = Bench.quiesce(deadlineMs = 1000, quietMs = 500,
+      pollMs = 300, readCount = () => { n += 1; n }, sleep = _ => ())
+    // 300+300+300+100: the last step clamps to the deadline remainder
+    assert(waited == 1000)
+  }
+
+  test("a zero deadline or zero quiet window disables the quiesce (A/B knob)") {
+    assert(Bench.quiesce(deadlineMs = 0, quietMs = 500,
+      readCount = () => sys.error("must not poll"), sleep = _ => ()) == 0)
+    assert(Bench.quiesce(deadlineMs = 20000, quietMs = 0,
+      readCount = () => sys.error("must not poll"), sleep = _ => ()) == 0)
   }
 }

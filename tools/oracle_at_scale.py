@@ -7,24 +7,60 @@ or memory budget are recorded intractable-with-reason, not silently
 dropped.
 
 Usage: oracle_at_scale.py <sfDir> <verifyOut> <resultJson> [onlyQuery...]
+       oracle_at_scale.py --list
+
+--list prints the scale-path full-oracle query names (one line,
+space-separated) and exits — the single source tools/scale_campaign.sh
+derives its verify set from (ADVICE r14: the script used to duplicate
+this catalog parse, and a column change would have silently
+desynchronized the bench query set from the oracle set).
+
+When explicit [onlyQuery...] names are given, a requested query whose
+catalog oracle is "full recompute (shared)" is accepted even WITHOUT
+its own stress mark (the stress mark lives on its non-indexed twin,
+which shares the oracle SQL byte-identically — VERDICT r14 #1: the
+checker used to skip q_bm25_indexed / q_ann_*_indexed this way and the
+standing-index families had no at-scale correctness row).
 """
-import duckdb, json, glob, os, re, sys, time
+import json, glob, os, re, sys, time
+
+
+def catalog_rows():
+    """name -> oracle-class cell for every full-oracle catalog row,
+    plus the stress-marked subset (the default, no-args check set)."""
+    full, stressed = {}, {}
+    for line in open('CATALOG.md'):
+        m = re.match(r'\| `(q_\w+)` \|.*', line)
+        if not m:
+            continue
+        cells = [c.strip() for c in line.split('|')]
+        name, oracle, stress = cells[1].strip('`'), cells[4], cells[5]
+        if oracle.startswith('full recompute'):
+            full[name] = oracle
+            if stress == 'yes':
+                stressed[name] = oracle
+    return full, stressed
+
+
+if len(sys.argv) == 2 and sys.argv[1] == '--list':
+    _, stressed = catalog_rows()
+    print(' '.join(sorted(stressed)))
+    sys.exit(0)
+
+import duckdb
 
 sf, vout, out = sys.argv[1], sys.argv[2], sys.argv[3]
 only = set(sys.argv[4:])
 
-# scale-path queries with full oracles, from the generated catalog
-rows = {}
-for line in open('CATALOG.md'):
-    m = re.match(r'\| `(q_\w+)` \|.*', line)
-    if not m:
-        continue
-    cells = [c.strip() for c in line.split('|')]
-    name, oracle, stress = cells[1].strip('`'), cells[4], cells[5]
-    if stress == 'yes' and oracle.startswith('full recompute'):
-        rows[name] = oracle
+full_rows, stressed_rows = catalog_rows()
 if only:
-    rows = {k: v for k, v in rows.items() if k in only}
+    unknown = only - set(full_rows)
+    if unknown:
+        sys.exit(f"requested queries without a full-recompute catalog "
+                 f"oracle: {sorted(unknown)}")
+    rows = {k: full_rows[k] for k in only}
+else:
+    rows = stressed_rows
 
 con = duckdb.connect()
 con.sql("SET memory_limit='48GB'")
