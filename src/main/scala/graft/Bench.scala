@@ -124,16 +124,23 @@ object Bench {
     * disk I/O after residency is back under budget — measured ~1.7× on
     * ×32 heavies behind a big-shuffle predecessor (139.7 s in-sequence
     * vs 82.0 s same-window solo, BENCH_SF32_r14
-    * `kcore_sequence_attribution`). This waits until the cleanup-event
-    * counter ([[org.apache.spark.graft.CleanerBridge]], counting
-    * COMPLETED cleanups — the bench session pins
-    * `spark.cleaner.referenceTracking.blocking.shuffle=true` so a
-    * shuffle event fires only after its files are gone) has been QUIET
-    * for `quietMs`, bounded by `deadlineMs`. Floor cost when there is
-    * nothing to clean is one quiet window, so the harness only invokes
-    * it on peak-/residency-triggered sweeps (the heavy-predecessor
-    * case), never on cadence sweeps. Returns ms waited; a zero deadline
-    * disables (A/B knob). Pure over the injected reader/sleeper. */
+    * `kcore_sequence_attribution`). This waits until a monotone
+    * progress counter has been QUIET for `quietMs`, bounded by
+    * `deadlineMs`. The harness runs it TWICE after a heavy sweep, with
+    * two different counters: first the cleanup-event count
+    * ([[org.apache.spark.graft.CleanerBridge]] — quiet means the
+    * cleaner's reference queue drained, i.e. every removal was
+    * INITIATED), then the on-disk block-manager file count
+    * ([[localBlockFiles]] — stable means the asynchronous deletions
+    * themselves finished; with the cleaner's default non-blocking
+    * shuffle policy the event alone fires before the files are gone,
+    * and making it blocking was measured to starve broadcast cleanup —
+    * see the session-construction note in [[main]]). Floor cost when
+    * there is nothing to clean is one quiet window per phase, so the
+    * harness only invokes it on peak-/residency-triggered sweeps (the
+    * heavy-predecessor case), never on cadence sweeps. Returns ms
+    * waited; a zero deadline disables (A/B knob). Pure over the
+    * injected reader/sleeper. */
   def quiesce(deadlineMs: Long, quietMs: Long, pollMs: Long = 100L,
               readCount: () => Long,
               sleep: Long => Unit = Thread.sleep): Long = {
@@ -149,6 +156,25 @@ object Bench {
       if (now != last) { last = now; quiet = 0L } else quiet += step
     }
     waited
+  }
+
+  /** File count under the JVM's live block-manager directories — the
+    * deletion-progress signal for [[quiesce]]'s second phase: shuffle
+    * files are removed by an async executor pool AFTER the cleaner
+    * event fires (non-blocking policy), and a STABLE count is the
+    * filesystem's own statement that the predecessor's deletion I/O is
+    * done. Counts only `blockmgr-*` trees under the session's local
+    * dirs; stale trees from dead JVMs inflate the absolute value but
+    * not its stability, which is all quiesce reads. Metadata-only walk,
+    * invoked only after heavy sweeps. */
+  def localBlockFiles(localDirs: Seq[String]): Long = {
+    def countRec(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(countRec).sum
+      else 1L
+    localDirs.map(new java.io.File(_)).filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .filter(f => f.getName.startsWith("blockmgr-") && f.isDirectory)
+      .map(countRec).sum
   }
 
   /** The same-session canary set (VERDICT r14 #3): three tiny fixed
@@ -246,14 +272,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // synchronous shuffle cleanup: a cleaner `shuffleCleaned` event then
-    // fires only AFTER the shuffle's files are deleted, which is what
-    // makes the post-sweep quiesce a real disk-I/O barrier (see
-    // [[quiesce]]; harness-only — the library contract in GraftSession
-    // is untouched)
-    val spark = GraftSession.local(cpus.toInt, appName = "graft-bench",
-      extraConf = Map(
-        "spark.cleaner.referenceTracking.blocking.shuffle" -> "true"))
+    // NOTE: `spark.cleaner.referenceTracking.blocking.shuffle=true` was
+    // tried here first (it makes `shuffleCleaned` fire only after the
+    // files are gone — the ideal quiesce signal) and reverted the same
+    // round. The slowdown that first implicated it (sf1 ALS 63→220 s
+    // with 55–126 s GC) turned out to be SHARED-BOX drift, not the
+    // conf: the unchanged r14 binary read 56.8 s and 281.6 s in the
+    // same hour on the same corpus (host load 19+ from outside the VM)
+    // — exactly the drift class the pass canaries now quantify. The
+    // revert stands anyway: the default non-blocking policy never
+    // serializes the cleaner thread on deletion I/O, and the quiesce
+    // observes deletion completion directly on disk instead
+    // ([[localBlockFiles]]), which needs no cleaner-policy change.
+    val spark = GraftSession.local(cpus.toInt, appName = "graft-bench")
     // warmup outside the timed region: without it the first measured query
     // absorbs several seconds of classloader + codegen-compiler startup and
     // its number is position-dependent, not workload-dependent. Best-effort:
@@ -492,10 +523,21 @@ object Bench {
         // storage is drained; now make the predecessor's SHUFFLE-FILE
         // deletion synchronous too (VERDICT r14 #4, see quiesce) — only
         // after heavy sweeps, where the deletion I/O is the measured
-        // ~1.7× successor tax
-        if (heavySweep) cleanerCount.foreach { read =>
+        // ~1.7× successor tax. Phase 1: cleaner queue drained (every
+        // removal initiated); phase 2: on-disk block file count stable
+        // (the async deletions themselves finished).
+        if (heavySweep) {
+          cleanerCount.foreach { read =>
+            cleanerMsTotal += quiesce(deadlineMs = cleanerDeadlineMs,
+              quietMs = cleanerQuietMs, readCount = read)
+          }
+          val localDirs = sys.env.get("SPARK_LOCAL_DIRS")
+            .orElse(spark.sparkContext.getConf.getOption("spark.local.dir"))
+            .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+            .split(",").toSeq
           cleanerMsTotal += quiesce(deadlineMs = cleanerDeadlineMs,
-            quietMs = cleanerQuietMs, readCount = read)
+            quietMs = cleanerQuietMs, pollMs = 250L,
+            readCount = () => localBlockFiles(localDirs))
         }
       }
     }

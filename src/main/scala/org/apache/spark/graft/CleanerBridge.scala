@@ -28,10 +28,13 @@ object CleanerBridge {
     * number of completed cleanup events (RDD/shuffle/broadcast/accum/
     * checkpoint), or None when the context has no cleaner (e.g.
     * `spark.cleaner.referenceTracking=false`). The count advances when
-    * `doCleanupShuffle` etc. COMPLETE — with
-    * `spark.cleaner.referenceTracking.blocking.shuffle=true` (the bench
-    * session sets it) that is after the shuffle files are actually
-    * gone, which is the signal the post-sweep quiesce needs. */
+    * `doCleanupShuffle` etc. return — under the cleaner's DEFAULT
+    * non-blocking shuffle policy that is when the removal was
+    * INITIATED, not when the files are gone (the blocking policy was
+    * tried and reverted — see Bench's session-construction note). A
+    * quiet counter therefore means "reference queue drained"; Bench
+    * pairs it with an on-disk file-count stability phase for the
+    * deletion itself. */
   def attachCounter(sc: SparkContext): Option[() => Long] =
     sc.cleaner.map { c =>
       val n = new AtomicLong(0L)

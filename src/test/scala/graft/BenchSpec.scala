@@ -233,4 +233,17 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.quiesce(deadlineMs = 20000, quietMs = 0,
       readCount = () => sys.error("must not poll"), sleep = _ => ()) == 0)
   }
+
+  test("localBlockFiles counts only blockmgr-* trees and survives missing dirs") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bfc")
+    val bm = root.resolve("blockmgr-test-1");
+    java.nio.file.Files.createDirectories(bm.resolve("0a"))
+    java.nio.file.Files.write(bm.resolve("0a/shuffle_0_0_0.data"), Array[Byte](1))
+    java.nio.file.Files.write(bm.resolve("0a/shuffle_0_0_0.index"), Array[Byte](1))
+    // non-blockmgr content is not counted
+    java.nio.file.Files.createDirectories(root.resolve("spark-other"))
+    java.nio.file.Files.write(root.resolve("loose.txt"), Array[Byte](1))
+    assert(Bench.localBlockFiles(Seq(root.toString)) == 2L)
+    assert(Bench.localBlockFiles(Seq("/nonexistent-dir-xyz")) == 0L)
+  }
 }
