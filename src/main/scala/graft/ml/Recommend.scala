@@ -110,11 +110,27 @@ object Recommend {
     // (`run_alsrecs_job.py:84-104`): fit() is eager; recommendForUserSubset
     // is lazy, so its stage pins the (tiny — nUsers·nRecs rows) result to
     // take an honest timing and spare the resolve leg a recompute
-    val model = stageTimed(stagePrefix, "train")(new ALS()
+    //
+    // Block-layout experiment knob (VERDICT r14 #8): the reference binds
+    // the HYPERPARAMETERS (maxIter 10, regParam 0.1, seed), not how
+    // spark.ml partitions the factor matrices — numBlocks defaults to 10,
+    // which under-slices a 32-core box during the normal-equation sweeps.
+    // SPARK_GRAFT_ALS_BLOCKS overrides numUser/numItemBlocks for
+    // measurement passes ONLY; unset (every gated path) keeps the library
+    // default, so oracle/audit outputs are byte-identical to r14. The
+    // factor values change with the blocking (summation order in the
+    // least-squares assembly), which is why the knob cannot default on:
+    // the gate's structural audit would still pass, but cached recs would
+    // drift across configs — the campaign records both timings instead.
+    val alsBase = new ALS()
       .setMaxIter(10).setRegParam(0.1).setSeed(seed)
       .setUserCol("userId").setItemCol("itemId").setRatingCol("rating")
       .setColdStartStrategy("drop")
-      .fit(indexed))
+    val als = sys.env.get("SPARK_GRAFT_ALS_BLOCKS").map(_.toInt) match {
+      case Some(n) => alsBase.setNumBlocks(n)
+      case None    => alsBase
+    }
+    val model = stageTimed(stagePrefix, "train")(als.fit(indexed))
 
     val users = indexed.select(col("userId")).distinct()
       .orderBy(col("userId")).limit(nUsers)
