@@ -188,7 +188,13 @@ object Bench {
     * moved +4.7 %, and the attribution had to live in prose. Each
     * canary is noop-sunk like a real query; sizes are fixed constants
     * independent of `sfDir`'s scale except the scan (whose input is the
-    * comparator corpus itself — the I/O floor of the box that session). */
+    * comparator corpus itself — the I/O floor of the box that session).
+    * Comparability is therefore WITHIN a config/corpus window: the
+    * shuffle canary's task count follows the session's shuffle-partition
+    * setting and the scan follows the corpus, so canary ratios across
+    * different partition settings or SF dirs are not meaningful (the
+    * ×100 artifact records both windows' canaries side by side for
+    * exactly this reason). */
   def canaries(spark: org.apache.spark.sql.SparkSession,
                sfDir: String): Seq[(String, () => Unit)] = Seq(
     "canary_cpu" -> (() =>
@@ -412,11 +418,22 @@ object Bench {
     // session minutes as the heavies they normalize (see canaries)
     for ((cname, run) <- canaries(spark, sfDir)) {
       val c0 = System.nanoTime()
-      try run() catch { case _: Throwable => () }
+      // a FAILED canary must not feed the floor: its fast-fail elapsed
+      // (~10 ms) would become the min for the whole run and silently
+      // inflate every ratio-to-canary — the exact misattribution class
+      // the canaries exist to prevent. Record the error in-band instead.
+      val cerr = try { run(); None } catch {
+        case e: Throwable => Some(e.getClass.getSimpleName)
+      }
       val cdt = (System.nanoTime() - c0) / 1e9
-      if (cdt < canaryBest.getOrElse(cname, Double.MaxValue))
-        canaryBest(cname) = cdt
-      println(s"""{"bench_canary":$pass,"q":"$cname","sec":${f3(cdt)}}""")
+      cerr match {
+        case None =>
+          if (cdt < canaryBest.getOrElse(cname, Double.MaxValue))
+            canaryBest(cname) = cdt
+          println(s"""{"bench_canary":$pass,"q":"$cname","sec":${f3(cdt)}}""")
+        case Some(cls) =>
+          println(s"""{"bench_canary":$pass,"q":"$cname","err":"$cls"}""")
+      }
     }
     for (name <- names if !errors.contains(name)) {
       val fn = selected(name)
@@ -509,13 +526,21 @@ object Bench {
         // falls below the give-up level (ADVICE r14: an undrainable
         // residue would otherwise pay deadline×nQueries), and give-ups
         // are counted separately from productive waits.
-        if (shouldAttemptDrain(drainGiveUpMb, residentMb)) {
+        // the back-off decision must see POST-GC residency: the pre-GC
+        // reading includes fresh not-yet-collected blocks, so comparing
+        // it against a post-GC give-up level would skip drains that
+        // could now succeed (and never reset the back-off)
+        val residentAfterGc = readResidentMb()
+        if (shouldAttemptDrain(drainGiveUpMb, residentAfterGc)) {
           val waited = drainWait(
             deadlineMs = drainDeadlineMs, budgetMb = gcSweepMb,
             readResidentMb = readResidentMb _)
           drainMsTotal += waited
           val after = readResidentMb()
-          if (waited >= drainDeadlineMs && after >= gcSweepMb) {
+          // deadline 0 is the documented disable knob — a disabled wait
+          // is neither a timeout nor a give-up
+          if (drainDeadlineMs > 0 && waited >= drainDeadlineMs
+              && after >= gcSweepMb) {
             drainTimeouts += 1
             drainGiveUpMb = Some(after)
           } else drainGiveUpMb = None

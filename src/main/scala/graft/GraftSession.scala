@@ -59,21 +59,15 @@ object GraftSession {
     * corpus until a fixed heap OOMs (observed: the ×32 wedge join at 32
     * partitions). AQE coalesces small stages back down, so a high
     * fan-out does not tax small queries. */
-  def local(cores: Int, appName: String = "graft",
-            extraConf: Map[String, String] = Map.empty): SparkSession = {
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
     val partitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
       cores.toString)
-    val base = configure(SparkSession.builder()
+    val spark = configure(SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.ui.enabled", "false"))
-    // harness-specific overrides (e.g. Bench's synchronous shuffle
-    // cleanup) — applied last so a harness can tighten the contract,
-    // never loosened by it
-    val spark = extraConf.foldLeft(base) {
-      case (b, (k, v)) => b.config(k, v)
-    }.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

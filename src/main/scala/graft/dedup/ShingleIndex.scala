@@ -126,14 +126,9 @@ object ShingleIndex {
     * lives where the caller stages it, not the session warehouse. */
   def buildBucketed(documents: DataFrame, table: String, path: String,
                     k: Int = 3, buckets: Int = 32): Unit =
-    // repartition on the bucket column before the bucketed write: Spark's
-    // bucketed writer does not repartition, so P incoming tasks emit up
-    // to P×buckets files (the round-15 small-file finding on the
-    // inverted-index twin, InvertedIndex.bucketAligned); the explicit
-    // hash repartition matches the bucket placement (same Murmur3 pmod),
-    // so every build/append emits ONE sorted run per bucket at any
-    // shuffle-partition setting
-    tier(documents, k).repartition(buckets, col("shingle"))
+    // one sorted run per bucket at any shuffle-partition setting — the
+    // shared rule, graft.serve.Bucketing.bucketAligned
+    graft.serve.Bucketing.bucketAligned(tier(documents, k), buckets, "shingle")
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "shingle").sortBy("shingle")
       .option("path", path).saveAsTable(table)
@@ -201,8 +196,9 @@ object ShingleIndex {
       .pinTier
     val n = freshDocs.count()
     if (n > 0)
-      tier(batch.join(freshDocs, Seq("doc_id"), "leftsemi"), k)
-        .repartition(buckets, col("shingle")) // one file/bucket per append
+      graft.serve.Bucketing.bucketAligned( // one file/bucket per append
+          tier(batch.join(freshDocs, Seq("doc_id"), "leftsemi"), k),
+          buckets, "shingle")
         .write.mode("append").format("parquet")
         .bucketBy(buckets, "shingle").sortBy("shingle").saveAsTable(table)
     n

@@ -15,16 +15,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** Align a frame with a table's bucket scheme before a bucketed
+    * write — THE shared rule for every bucketed write in the library
+    * (inverted-index build/admit, shingle tier, this object). Spark's
+    * bucketed writer does NOT repartition: every incoming task writes
+    * its own file per bucket it holds rows for, so a write fed by P
+    * shuffle partitions emits up to P×buckets files — at the ×32
+    * campaign setting (P=1024) one admission left ~32k small files and
+    * compaction became file-metadata I/O, not data (BENCH_SF32_r14
+    * watch item, fixed r15). One explicit hash repartition on the
+    * bucket column with numPartitions = buckets uses the SAME Murmur3
+    * `pmod(hash(col), buckets)` placement as the bucket spec, so each
+    * task holds exactly one bucket and the write emits ONE sorted file
+    * per bucket at ANY shuffle-partition setting. Cost: one
+    * input-sized shuffle. `buckets` thereby becomes the
+    * write-parallelism unit — the standard bucketed-table sizing rule
+    * (size buckets ∝ corpus). */
+  def bucketAligned(df: DataFrame, buckets: Int, bucketCol: String): DataFrame =
+    df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+
   /** One-time bucketed materialization (bucketBy requires the table
-    * catalog; `path` keeps the data external-table style). The explicit
-    * repartition on the bucket key aligns tasks with buckets (same
-    * Murmur3 pmod placement), so the write emits ONE sorted run per
-    * bucket instead of up-to-tasks×buckets files — the round-15
-    * small-file rule, see `InvertedIndex.bucketAligned`. `numBuckets`
-    * is thereby the write-parallelism unit: size it ∝ table. */
+    * catalog; `path` keeps the data external-table style); write
+    * aligned via [[bucketAligned]]. */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     key: String, numBuckets: Int): Unit =
-    df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+    bucketAligned(df, numBuckets, key)
       .write
       .bucketBy(numBuckets, key)
       .sortBy(key)

@@ -93,23 +93,12 @@ object InvertedIndex {
   private def readStats(spark: SparkSession, statsPath: String): DataFrame =
     spark.read.parquet(s"$statsPath/v=${currentStatsVersion(spark, statsPath)}")
 
-  /** Align a frame with the table's bucket scheme before a bucketed
-    * write. Spark's bucketed writer does NOT repartition: every incoming
-    * task writes its own file per bucket it holds rows for, so a write
-    * fed by P shuffle partitions emits up to P×buckets files — at the
-    * ×32 campaign setting (P=1024) one admission left ~32k small files
-    * and three of them ~100k, and q_bm25_compacted's cost became
-    * file-metadata I/O, not data (BENCH_SF32_r14 watch item). One
-    * explicit hash repartition on the bucket column with numPartitions =
-    * buckets uses the SAME Murmur3 `pmod(hash(col), buckets)` placement
-    * as the bucket spec, so each task holds exactly one bucket and the
-    * write emits ONE sorted file per bucket at ANY shuffle-partition
-    * setting. Cost: one batch-sized shuffle — admission stays ∝ batch.
-    * `buckets` thereby becomes the write-parallelism unit, which is the
-    * standard bucketed-table sizing rule (size buckets ∝ corpus). */
+  /** The shared bucketed-write alignment rule — one sorted run per
+    * bucket at any shuffle-partition setting (the ×32 q_bm25_compacted
+    * small-file finding lives on the shared doc). */
   private def bucketAligned(df: DataFrame, buckets: Int,
                             bucketCol: String): DataFrame =
-    df.repartition(buckets, col(bucketCol))
+    graft.serve.Bucketing.bucketAligned(df, buckets, bucketCol)
 
   /** Build (overwrite) the standing index: term-bucketed sorted postings
     * as an external catalog table at `path/postings`, stats v=1 at

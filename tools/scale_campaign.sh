@@ -47,14 +47,34 @@ EOF
 # bench-only): q_ann_pq / q_ann_ivf_pq / q_ann_ivf_pq_grown carry their
 # own stress-marked full oracles, and q_ann_ivf_pq_indexed is accepted
 # via the explicit-request shared-oracle rule (its oracle SQL is the
-# non-indexed twin's byte-identical text under its own name)
+# non-indexed twin's byte-identical text under its own name).
+# Extended post-binding (r15): eight ML / multimodal / streaming rows
+# so EVERY family has an at-scale correctness row — q_knn_labels is
+# excluded by design (all-pairs 1-NN oracle, ~4e10 cosine ops at x32).
 SF32_ORACLE="$(tr '\n' ' ' <<'EOF'
 q_bm25_compacted q_components_admit q_heavy_hitters_cms
 q_kcore q_user_sessions q_bm25_indexed q_incremental_dedup_bucketed
 q_exact_dedup q_minhash_neardups q_token_stats q_pagerank_parts
 q_ann_pq q_ann_ivf_pq q_ann_ivf_pq_grown q_ann_ivf_pq_indexed
+q_kmeans q_label_centroids q_nb_classify q_media_meta q_media_frames
+q_dedup_stream q_profile_stream q_late_window_stream
 EOF
 )"
+
+# the x100 depth probe (r15): the standing-index probe paths — the
+# sublinear-probe story that IS the 100 TB design claim — plus one
+# cheap full oracle per family, all chosen so the DuckDB re-derivation
+# stays linear (predicted <= ~3.1x its x32 cost; q_user_sessions /
+# q_pagerank_parts / q_minhash_neardups stay at x32 where their
+# oracles already cost 70-1035 s)
+SF100_ORACLE="$(tr '\n' ' ' <<'EOF'
+q_token_stats q_exact_dedup q_bm25_indexed q_incremental_dedup_bucketed
+q_heavy_hitters_cms q_ann_ivf_pq_indexed q_kmeans q_media_meta
+q_dedup_stream q_late_window_stream
+EOF
+)"
+
+SF100_BENCH="q_ann_ivf_pq_indexed q_bm25_indexed q_incremental_dedup_bucketed"
 
 # the x32 bench heavies (VERDICT r13 #3): the r13 four plus the fixpoint
 # family and the standing-index probes
@@ -102,8 +122,11 @@ if [[ "$STAGE" == all || "$STAGE" == sf1 ]]; then
   # min-of-2 to reject one bad pass — re-measure ONLY those at runs=3 so
   # the min is robust to two noisy passes; the artifact records both
   # numbers with their runs
+  # `|| true`: an EMPTY suspect_stall list (the healthy run) makes the
+  # inner grep exit 1, which under pipefail would abort the whole
+  # campaign right here and silently skip the sf32/sf100 stages
   FLAGGED="$(grep -o '"suspect_stall":\[[^]]*\]' "$OUT/sf1.bench.log" \
-    | tail -1 | grep -o 'q_[a-z_0-9]*' | tr '\n' ' ')"
+    | tail -1 | grep -o 'q_[a-z_0-9]*' | tr '\n' ' ' || true)"
   if [[ -n "${FLAGGED// /}" ]]; then
     echo "sf1 flagged rerun (runs=3): $FLAGGED"
     SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 SPARK_GRAFT_CPUS=32 \
@@ -143,5 +166,30 @@ if [[ "$STAGE" == all || "$STAGE" == sf32 ]]; then
       sbt -batch "runMain graft.Bench $q" 2>&1 \
       | tee "$OUT/sf32_solo_$q.bench.log" | tail -2
   done
+fi
+
+# x100 depth probe (r15): the largest corpus we test. Partitions follow
+# the data (the x32 rule x3.1 -> 3200); wall-linear bound = ratio 100.
+if [[ "$STAGE" == all || "$STAGE" == sf100 ]]; then
+  # completion sentinel, not a bare -d check: an aborted ScaleCorpus
+  # leaves a partial directory, and Verify + the DuckDB oracle would
+  # both read the same partial parquet — green oracles over a corpus
+  # that silently isn't x100
+  if [[ ! -f /tmp/graft_sf100/.complete ]]; then
+    rm -rf /tmp/graft_sf100
+    SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g sbt -batch \
+      "runMain graft.ScaleCorpus /root/testdata/sf0.1 /tmp/graft_sf100 100"
+    touch /tmp/graft_sf100/.complete
+  fi
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE_PARTITIONS=3200 SPARK_DRIVER_MEM=64g \
+    sbt -batch "runMain graft.Verify /tmp/graft_sf100 $OUT/verify_sf100 $SF100_ORACLE"
+  TMPDIR=/tmp python3 tools/oracle_at_scale.py /tmp/graft_sf100 "$OUT/verify_sf100" \
+    "$OUT/ORACLE_SF100.json" $SF100_ORACLE | tee "$OUT/oracle_sf100.log"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=32 SPARK_DRIVER_MEM=64g \
+    sbt -batch "runMain graft.Bench $SF100_BENCH" 2>&1 | tee "$OUT/sf01_for_sf100.bench.log" | tail -2
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=3200 SPARK_DRIVER_MEM=64g \
+    sbt -batch "runMain graft.Bench $SF100_BENCH" 2>&1 | tee "$OUT/sf100.bench.log" | tail -2
 fi
 echo "campaign stage '$STAGE' done -> $OUT"
