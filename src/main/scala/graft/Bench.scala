@@ -118,6 +118,19 @@ object Bench {
   def shouldAttemptDrain(lastGiveUpMb: Option[Long], residentMb: Long): Boolean =
     lastGiveUpMb.forall(residentMb < _)
 
+  /** Did a drain-wait GIVE UP (hit its deadline with residency still
+    * over budget)? Distinct from merely reaching the deadline: a ZERO
+    * deadline is the documented A/B disable knob
+    * (`SPARK_GRAFT_DRAIN_WAIT_MS=0`), and a disabled wait is neither a
+    * timeout nor a give-up — counting it as one would poison exactly
+    * the drain-attribution comparison the knob exists for (every heavy
+    * sweep of an A/B run would report a 'timeout' though no wait ever
+    * ran, then engage the back-off). Pure so BenchSpec pins the
+    * disabled case alongside the genuine-timeout one. */
+  def drainTimedOut(deadlineMs: Long, waitedMs: Long,
+                    afterMb: Long, budgetMb: Long): Boolean =
+    deadlineMs > 0 && waitedMs >= deadlineMs && afterMb >= budgetMb
+
   /** Bounded cleaner quiesce (VERDICT r14 #4). The storage drain-wait
     * above proves RESIDENT MEMORY is released, but shuffle-file deletion
     * runs in the ContextCleaner thread and keeps taxing the next query's
@@ -537,10 +550,7 @@ object Bench {
             readResidentMb = readResidentMb _)
           drainMsTotal += waited
           val after = readResidentMb()
-          // deadline 0 is the documented disable knob — a disabled wait
-          // is neither a timeout nor a give-up
-          if (drainDeadlineMs > 0 && waited >= drainDeadlineMs
-              && after >= gcSweepMb) {
+          if (drainTimedOut(drainDeadlineMs, waited, after, gcSweepMb)) {
             drainTimeouts += 1
             drainGiveUpMb = Some(after)
           } else drainGiveUpMb = None

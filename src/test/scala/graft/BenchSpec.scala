@@ -196,6 +196,21 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.shouldAttemptDrain(Some(5000L), 4999L))
   }
 
+  test("drain give-up: deadline reached over budget is a timeout; the " +
+    "zero-deadline A/B disable never is") {
+    // genuine give-up: full deadline waited, residency still over budget
+    assert(Bench.drainTimedOut(15000L, 15000L, afterMb = 5000L, budgetMb = 2048L))
+    // drained successfully before the deadline
+    assert(!Bench.drainTimedOut(15000L, 3200L, afterMb = 900L, budgetMb = 2048L))
+    // deadline waited but residency fell under budget on the last poll
+    assert(!Bench.drainTimedOut(15000L, 15000L, afterMb = 900L, budgetMb = 2048L))
+    // SPARK_GRAFT_DRAIN_WAIT_MS=0: waited(0) >= deadline(0) trivially,
+    // but a DISABLED wait must not count as a timeout or arm the
+    // back-off — the A/B artifact would otherwise claim drain timeouts
+    // on a run where no wait ever executed
+    assert(!Bench.drainTimedOut(0L, 0L, afterMb = 5000L, budgetMb = 2048L))
+  }
+
   // ---- cleaner quiesce (VERDICT r14 #4) ----
   // The storage drain-wait proves memory is released; shuffle-file
   // deletion still runs in the ContextCleaner thread and taxed ×32
