@@ -118,7 +118,15 @@ object Triangles {
     // q_decontaminate_bloom composition — bit-identical output, pinned in
     // TrianglesSpec). Sized ~12 bits/edge, capped at Spark's runtime-
     // filter ceiling (past ~5M edges the FP rate degrades gracefully and
-    // the verify join absorbs it).
+    // the verify join absorbs it). The obvious "raise the cap" move was
+    // MEASURED AND REJECTED (r15, ×32 same-window A/B): a 2^28-bit
+    // sketch (7 bits/edge, FP ~3% vs ~43%) made the query 1.7× SLOWER —
+    // build 33→129 s (every map-side partial aggregate allocates the
+    // full 32 MB sketch, and P=1024 partials merge through one final
+    // task) and probe 197→270 s (the 33 MB literal rides the task
+    // binary of every downstream stage). The 8 MB ceiling is the right
+    // ceiling: FP wedges are cheap to re-verify, giant sketches are
+    // expensive everywhere.
     val closureProbe =
       if (bcastEdges) wedges
       else {
