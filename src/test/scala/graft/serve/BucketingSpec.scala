@@ -34,4 +34,26 @@ class BucketingSpec extends SparkSpec {
       assert(!Bucketing.isShuffleFree(plain))
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("bucketed write fed by many partitions emits one file per bucket") {
+    // the ×32 small-file regression (BENCH_SF32_r14 → fixed r15): Spark's
+    // bucketed writer emits one file per incoming TASK per bucket, so a
+    // 64-partition input writing 4 buckets would leave up to 256 files;
+    // bucketAligned pins it to ≤ 1 per bucket at any partition setting
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketal").toString
+    val wide = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .repartition(64) // deliberately misaligned input
+    Bucketing.writeBucketed(wide, "li_align", s"$wh/li", "l_orderkey", 4)
+    try {
+      val parts = new java.io.File(s"$wh/li").listFiles()
+        .count(f => f.isFile && f.getName.startsWith("part-"))
+      assert(parts <= 4, s"bucketed write left $parts files for 4 buckets")
+      // and the table still carries the full data
+      assert(spark.table("li_align").count() ==
+        Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_align"); ()
+    }
+  }
 }
