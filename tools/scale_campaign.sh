@@ -63,14 +63,15 @@ EOF
 
 # the x100 depth probe (r15): the standing-index probe paths — the
 # sublinear-probe story that IS the 100 TB design claim — plus one
-# cheap full oracle per family, all chosen so the DuckDB re-derivation
-# stays linear (predicted <= ~3.1x its x32 cost; q_user_sessions /
-# q_pagerank_parts / q_minhash_neardups stay at x32 where their
-# oracles already cost 70-1035 s)
+# cheap full oracle per family (q_kcore carries the graph family via
+# the staged round-by-round DuckDB peel), all chosen so the DuckDB
+# re-derivation stays tractable (predicted <= ~3.1x its x32 cost;
+# q_user_sessions / q_pagerank_parts / q_minhash_neardups stay at x32
+# where their oracles already cost 70-1035 s)
 SF100_ORACLE="$(tr '\n' ' ' <<'EOF'
 q_token_stats q_exact_dedup q_bm25_indexed q_incremental_dedup_bucketed
 q_heavy_hitters_cms q_ann_ivf_pq_indexed q_kmeans q_media_meta
-q_dedup_stream q_late_window_stream
+q_dedup_stream q_late_window_stream q_kcore
 EOF
 )"
 
