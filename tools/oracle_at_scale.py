@@ -116,6 +116,60 @@ def staged_kcore(k=80, rounds=10):
         coalesce(cd.core_degree, 0) AS core_degree
       FROM kc_s0 v LEFT JOIN kc_s s USING (id) LEFT JOIN cd USING (id)
       ORDER BY v.id""")
+def staged_pagerank_parts(rounds=10):
+    """q_pagerank_parts' oracle, round-by-round (VERDICT r15 #4): the
+    ×100 oracle set had no fixpoint row — the 10-round unrolled CTE is
+    tractable at ×32 (1035 s, ORACLE_SF32_r14) but its materialized
+    chain keeps every round alive at once, the same growth class that
+    OOMed the kcore unroll. Staged like staged_kcore: edges/verts/outdeg
+    once as temp tables, then one vertex-sized rank table re-created per
+    round with the SAME per-round SQL text as the CTE's r_i step, so the
+    staged result is the unrolled result by construction. A wall-clock
+    budget (ORACLE_PR_BUDGET_SEC, default 5400) turns a blown estimate
+    into a NAMED intractable row instead of an unbounded run."""
+    budget = float(os.environ.get('ORACLE_PR_BUDGET_SEC', '5400'))
+    t0 = time.time()
+    con.sql("""CREATE OR REPLACE TEMP TABLE pr_edges AS
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2""")
+    con.sql("""CREATE OR REPLACE TEMP TABLE pr_verts AS
+      SELECT DISTINCT src AS id FROM pr_edges
+      UNION SELECT DISTINCT dst FROM pr_edges""")
+    con.sql("""CREATE OR REPLACE TEMP TABLE pr_outdeg AS
+      SELECT src AS id, count(*) AS outdeg FROM pr_edges GROUP BY 1""")
+    con.sql("CREATE OR REPLACE TEMP TABLE pr_rank AS "
+            "SELECT id, 1.0 AS rank FROM pr_verts")
+    for i in range(1, rounds + 1):
+        if time.time() - t0 > budget:
+            raise RuntimeError(
+                f'pagerank oracle budget {budget}s exhausted at round {i} '
+                f'of {rounds} ({time.time() - t0:.0f}s elapsed)')
+        con.sql("""CREATE OR REPLACE TEMP TABLE pr_next AS
+          SELECT v.id, 0.15 + 0.85 * coalesce(c.contrib, 0.0) AS rank
+          FROM pr_verts v
+          LEFT JOIN (
+            SELECT e.dst AS id, sum(r.rank / d.outdeg) AS contrib
+            FROM pr_edges e JOIN pr_rank r ON e.src = r.id
+            JOIN pr_outdeg d ON e.src = d.id GROUP BY 1
+          ) c ON v.id = c.id""")
+        con.sql("DROP TABLE pr_rank")
+        con.sql("ALTER TABLE pr_next RENAME TO pr_rank")
+        print(f'  pagerank round {i}: {time.time() - t0:.0f}s elapsed',
+              flush=True)
+    return con.sql("""
+      WITH norm AS (SELECT count(*)::DOUBLE / sum(rank) AS s FROM pr_rank),
+      top AS (SELECT id, round(rank * (SELECT s FROM norm), 6)
+                AS influence_score
+              FROM pr_rank ORDER BY influence_score DESC, id LIMIT 100)
+      SELECT row_number() OVER (ORDER BY influence_score DESC, id) AS rank,
+        t.id, p.p_brand, p.p_name, influence_score
+      FROM top t LEFT JOIN part p ON t.id = p.p_partkey
+      ORDER BY rank""")
+
+
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
     p = f'{sf}/{t}.parquet'
@@ -145,6 +199,8 @@ for name in sorted(rows):
         # set); every other query runs its oracle_sql.json text verbatim
         if name == 'q_kcore':
             exp = staged_kcore().df()
+        elif name == 'q_pagerank_parts':
+            exp = staged_pagerank_parts().df()
         else:
             exp = con.sql(oracle[name]).df()
         got, exp = got[sorted(got.columns)], exp[sorted(exp.columns)]

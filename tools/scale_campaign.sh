@@ -66,12 +66,16 @@ EOF
 # cheap full oracle per family (q_kcore carries the graph family via
 # the staged round-by-round DuckDB peel), all chosen so the DuckDB
 # re-derivation stays tractable (predicted <= ~3.1x its x32 cost;
-# q_user_sessions / q_pagerank_parts / q_minhash_neardups stay at x32
-# where their oracles already cost 70-1035 s)
+# q_user_sessions / q_minhash_neardups stay at x32 where their oracles
+# already cost 70+ s). r16 (VERDICT r15 #4): q_pagerank_parts joins —
+# the fixpoint family's first x100 correctness row, via the staged
+# round-by-round DuckDB re-derivation (oracle_at_scale.py
+# staged_pagerank_parts, budget-bounded so a blown estimate records a
+# NAMED intractable row instead of running unbounded)
 SF100_ORACLE="$(tr '\n' ' ' <<'EOF'
 q_token_stats q_exact_dedup q_bm25_indexed q_incremental_dedup_bucketed
 q_heavy_hitters_cms q_ann_ivf_pq_indexed q_kmeans q_media_meta
-q_dedup_stream q_late_window_stream q_kcore
+q_dedup_stream q_late_window_stream q_kcore q_pagerank_parts
 EOF
 )"
 
@@ -89,8 +93,11 @@ EOF
 # x32 solo controls (VERDICT r14 #2/#4): same-window single-query runs
 # for the two heavies whose in-sequence numbers carried the predecessor
 # disk-I/O tax — with the round-15 cleaner quiesce live, in-sequence
-# should read ≈ solo, and the artifact records BOTH either way
-SF32_SOLO="q_kcore q_bm25_compacted"
+# should read ≈ solo, and the artifact records BOTH either way.
+# r16 (VERDICT r15 #2): q_triangles joins — the closest heavy to the
+# wall-linear bound (25.3 of 32 in r15, on a noisy-comparator caveat)
+# gets the q_kcore treatment: same-window solo + canary normalization
+SF32_SOLO="q_kcore q_bm25_compacted q_triangles"
 
 # every scale-path query with a full-recompute oracle — derived by the
 # oracle checker itself (ADVICE r14: one derivation, not two copies of
@@ -152,6 +159,12 @@ if [[ "$STAGE" == all || "$STAGE" == sf32 ]]; then
     sbt -batch "runMain graft.Verify /tmp/graft_sf32 $OUT/verify_sf32 $SF32_ORACLE"
   TMPDIR=/tmp python3 tools/oracle_at_scale.py /tmp/graft_sf32 "$OUT/verify_sf32" \
     "$OUT/ORACLE_SF32.json" $SF32_ORACLE | tee "$OUT/oracle_sf32.log"
+fi
+
+# the x32 BENCH half on its own (r16): the oracle half above stands
+# round-to-round once green; re-measuring the heavies + solos + flagged
+# reruns must not force the 23-query DuckDB re-derivation with it
+if [[ "$STAGE" == all || "$STAGE" == sf32 || "$STAGE" == sf32bench ]]; then
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=32 SPARK_DRIVER_MEM=64g \
     sbt -batch "runMain graft.Bench $SF32_BENCH" 2>&1 | tee "$OUT/sf01_for_sf32.bench.log" | tail -2
@@ -167,6 +180,34 @@ if [[ "$STAGE" == all || "$STAGE" == sf32 ]]; then
       sbt -batch "runMain graft.Bench $q" 2>&1 \
       | tee "$OUT/sf32_solo_$q.bench.log" | tail -2
   done
+  # VERDICT r15 #3: the x32 flags get the same runs=3 re-measure
+  # protocol the sf1 flags got in r15 — min over three full passes is
+  # robust to two noisy ones; the artifact records runs with the number
+  FLAGGED32="$(grep -o '"suspect_stall":\[[^]]*\]' "$OUT/sf32.bench.log" \
+    | tail -1 | grep -o 'q_[a-z_0-9]*' | tr '\n' ' ' || true)"
+  if [[ -n "${FLAGGED32// /}" ]]; then
+    echo "sf32 flagged rerun (runs=3): $FLAGGED32"
+    SPARK_GRAFT_SF_DIR=/tmp/graft_sf32 SPARK_GRAFT_CPUS=32 \
+      SPARK_GRAFT_SHUFFLE_PARTITIONS=1024 SPARK_DRIVER_MEM=64g \
+      SPARK_GRAFT_BENCH_RUNS=3 \
+      sbt -batch "runMain graft.Bench $FLAGGED32" 2>&1 \
+      | tee "$OUT/sf32_flagged_runs3.bench.log" | tail -2
+  fi
+fi
+
+# steady-state standing-index probes (VERDICT r15 #1/#5): build each
+# index ONCE, probe it SPARK_GRAFT_PROBE_REPS times, decompose the
+# executed plan (files/bytes/rows read, bucket pruning) — the paired
+# sf0.1 run is the same-protocol comparator for the probe-leg ratios
+if [[ "$STAGE" == all || "$STAGE" == probes ]]; then
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=32 SPARK_DRIVER_MEM=64g \
+    sbt -batch "runMain graft.ProbeProfile" 2>&1 \
+    | tee "$OUT/probes_sf01.log" | tail -2
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=3200 SPARK_DRIVER_MEM=64g \
+    sbt -batch "runMain graft.ProbeProfile" 2>&1 \
+    | tee "$OUT/probes_sf100.log" | tail -2
 fi
 
 # x100 depth probe (r15): the largest corpus we test. Partitions follow
