@@ -245,6 +245,8 @@ object Bench {
                   drainMs: Long, drainTimeouts: Int = 0, drainSkips: Int = 0,
                   cleanerMs: Long = 0L, cleanerEvents: Long = 0L,
                   canary: Seq[(String, Double)] = Nil,
+                  canaryErrors: Seq[(String, Long)] = Nil,
+                  stageMin: Seq[(String, Double)] = Nil,
                   gcSweeps: Long, gcSweepEvery: Int, stalls: Seq[String],
                   tierBuild: Seq[(String, (String, Double))],
                   split: Seq[(String, Double, Seq[(String, Double)], Double)],
@@ -268,10 +270,20 @@ object Bench {
     val errsJ = jmap(errors.map { case (k, m) => k -> ("\"" + m + "\"") })
     val canaryJ = jmap(canary.map { case (k, v) => k -> f3(v) })
     val canarySum = canary.map(_._2).sum
+    val stageTop = stageMin.sortBy(-_._2).take(10)
+    val stageJ = jmap(stageTop.sortBy(_._1).map { case (k, v) => k -> f3(v) })
     s"""{"gc_ms":$gcJ,"tier_build":$tiersJ,""" +
       s""""tier_build_dropped":${tierBuild.size - tiersTop.size},""" +
       s""""index_split":$splitJ,""" +
       s""""index_split_dropped":${split.size - splitTop.size},""" +
+      // per-STAGE min across passes (VERDICT r15 #7): index_split's
+      // build/stages come from the one best-TOTAL pass, so a single
+      // noisy stage inside an otherwise-calm pass still poisons the
+      // split (the sf1 ALS 280/51/78 spread). stage_min is each named
+      // stage's own min over every pass — the floor a stage costs when
+      // the box leaves it alone — robust to per-stage burst noise.
+      s""""stage_min":$stageJ,""" +
+      s""""stage_min_dropped":${stageMin.size - stageTop.size},""" +
       s""""queries":$qsJ,"errors":$errsJ,""" +
       s""""gc_ms_total":$gcMsTotal,"gc_ms_sweep":$gcMsSweep,""" +
       s""""drain_ms":$drainMs,"drain_timeouts":$drainTimeouts,""" +
@@ -283,12 +295,23 @@ object Bench {
       // ratio-to-canary = queries[q] / canary_sum, derivable from any
       // tail cut that keeps the headline (VERDICT r14 #3)
       s""""canaries":$canaryJ,"canary_sum":${f3(canarySum)},""" +
+      // a canary that failed EVERY pass drops out of `canaries` (its
+      // fast-fail elapsed must not feed the floor) — without this count
+      // the reduced cardinality is invisible in the headline and
+      // cross-round ratio baselines shift silently (ADVICE r15). Fixed
+      // cardinality (≤3), so it may live in the headline zone.
+      s""""canary_errors":${jmap(canaryErrors.map { case (k, v) =>
+        k -> v.toString })},""" +
       s""""runs":$runs,"suspect_stall":$stallsJ,"blas":"$blas",""" +
       s""""n_errors":$nErrors,"n_queries":$nQueries,"unit":"sec",""" +
       s""""sf":"$sf","metric":"total","value":${f3(totalSec)}}"""
   }
 
   def main(args: Array[String]): Unit = {
+    // declare the harness: measurement-only knobs (SPARK_GRAFT_ALS_BLOCKS)
+    // are consumed ONLY under this property — a Verify/oracle/gated run
+    // with such a knob set fails loud instead of drifting (ADVICE r15)
+    System.setProperty("graft.harness", "bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // NOTE: `spark.cleaner.referenceTracking.blocking.shuffle=true` was
@@ -417,8 +440,14 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_CLEANER_QUIET_MS", "500").toLong
     var cleanerMsTotal = 0L
     val cleanerEvents0 = cleanerCount.map(_.apply()).getOrElse(0L)
-    // canary floors (VERDICT r14 #3): min across passes per canary
+    // canary floors (VERDICT r14 #3): min across passes per canary; and
+    // per-canary error counts (ADVICE r15 — an always-failing canary
+    // must be VISIBLE in the headline, not silently absent)
     val canaryBest = scala.collection.mutable.Map[String, Double]()
+    val canaryErrs = scala.collection.mutable.Map[String, Long]()
+    // per-stage min across ALL passes (VERDICT r15 #7) — keyed
+    // `<query>.<stage>` (build recorded as `<query>.build`)
+    val stageMins = scala.collection.mutable.Map[String, Double]()
     val gcTotal0 = gcMillis
     Telemetry.drain() // discard warmup-era recordings
     def readResidentMb(): Long =
@@ -445,6 +474,7 @@ object Bench {
             canaryBest(cname) = cdt
           println(s"""{"bench_canary":$pass,"q":"$cname","sec":${f3(cdt)}}""")
         case Some(cls) =>
+          canaryErrs(cname) = canaryErrs.getOrElse(cname, 0L) + 1
           println(s"""{"bench_canary":$pass,"q":"$cname","err":"$cls"}""")
       }
     }
@@ -472,6 +502,19 @@ object Bench {
       (drained - name).foreach { case (k, sec) =>
         if (!k.startsWith(name + ".") && !tierBuilds.contains(k))
           tierBuilds(k) = (name, sec)
+      }
+      // every pass feeds the per-stage floors, not just the best-total
+      // pass (VERDICT r15 #7); only successful passes count — a failed
+      // pass's partial stage timings are not a floor
+      if (err.isEmpty) {
+        buildSec.foreach { b =>
+          val k = name + ".build"
+          if (b < stageMins.getOrElse(k, Double.MaxValue)) stageMins(k) = b
+        }
+        stageSecs.foreach { case (s, v) =>
+          val k = name + "." + s
+          if (v < stageMins.getOrElse(k, Double.MaxValue)) stageMins(k) = v
+        }
       }
       if (err.isEmpty) passTimes(name) = dt :: passTimes(name)
       if (err.isEmpty && dt < best.getOrElse(name, Double.MaxValue)) {
@@ -610,6 +653,8 @@ object Bench {
       cleanerMs = cleanerMsTotal,
       cleanerEvents = cleanerCount.map(_.apply() - cleanerEvents0).getOrElse(0L),
       canary = canaryBest.toSeq.sortBy(_._1),
+      canaryErrors = canaryErrs.toSeq.sortBy(_._1),
+      stageMin = stageMins.toSeq,
       gcSweeps = gcSweeps, gcSweepEvery = gcSweepEvery,
       stalls = suspectStalls(passTimes.toMap),
       tierBuild = tierBuilds.toSeq,

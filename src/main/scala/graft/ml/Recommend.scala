@@ -71,6 +71,29 @@ object Recommend {
     * inference; now the dominant term — train vs recommend vs resolve, the
     * same phase boundary as `run_alsrecs_job.py:84-104` — is named in the
     * artifact). No-op without a prefix (Verify, production callers). */
+  /** The SPARK_GRAFT_ALS_BLOCKS measurement-only contract, ENFORCED
+    * (ADVICE r15): blocking changes summation order in the least-squares
+    * assembly, so factor values drift with the knob while the structural
+    * audit still passes — a gated Verify/oracle run with the var set
+    * would publish silently config-dependent outputs. Only a harness
+    * that declares itself via the `graft.harness=bench` JVM property
+    * ([[graft.Bench.main]]) may consume it; anywhere else the knob is a
+    * loud failure, never a silent drift. A non-numeric value fails with
+    * a named message instead of a bare NumberFormatException. Pure over
+    * (env value, harness property) so RecommendSpec pins every branch. */
+  def alsBlocksOverride(envValue: Option[String],
+                        harness: Option[String]): Option[Int] =
+    envValue.map { raw =>
+      require(harness.contains("bench"),
+        "SPARK_GRAFT_ALS_BLOCKS is a bench-only measurement knob: unset " +
+          "it for Verify/oracle/gated runs (factor values are " +
+          "blocking-sensitive; outputs would drift across configs)")
+      try raw.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_ALS_BLOCKS must be an integer block count, got '$raw'")
+      }
+    }
+
   private def stageTimed[T](prefix: Option[String], stage: String)(f: => T): T =
     prefix match {
       case Some(p) => graft.Telemetry.timed(s"$p.$stage")(f)
@@ -126,7 +149,8 @@ object Recommend {
       .setMaxIter(10).setRegParam(0.1).setSeed(seed)
       .setUserCol("userId").setItemCol("itemId").setRatingCol("rating")
       .setColdStartStrategy("drop")
-    val als = sys.env.get("SPARK_GRAFT_ALS_BLOCKS").map(_.toInt) match {
+    val als = alsBlocksOverride(sys.env.get("SPARK_GRAFT_ALS_BLOCKS"),
+        sys.props.get("graft.harness")) match {
       case Some(n) => alsBase.setNumBlocks(n)
       case None    => alsBase
     }

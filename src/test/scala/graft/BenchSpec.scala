@@ -53,6 +53,8 @@ class BenchSpec extends AnyFunSuite {
     cleanerMs = 9876, cleanerEvents = 1234,
     canary = Seq("canary_cpu" -> 0.231, "canary_scan" -> 0.144,
       "canary_shuffle" -> 0.302),
+    canaryErrors = Seq("canary_scan" -> 1L),
+    stageMin = (1 to 15).map(i => s"q_staged_$i.build" -> i * 0.5),
     gcSweeps = 60,
     gcSweepEvery = 4, stalls = Seq("q_kcore_in_sequence"),
     tierBuild = (1 to 40).map(i =>
@@ -77,13 +79,16 @@ class BenchSpec extends AnyFunSuite {
         // queries[q] / canary_sum from the kept tail alone
         "\"canaries\":{\"canary_cpu\":0.231,\"canary_scan\":0.144," +
           "\"canary_shuffle\":0.302}",
-        "\"canary_sum\":0.677"))
+        "\"canary_sum\":0.677",
+        // a canary that errored on some pass must be countable from the
+        // kept tail (ADVICE r15: silent cardinality loss)
+        "\"canary_errors\":{\"canary_scan\":1}"))
       assert(tail.contains(frag), s"tail lost $frag")
   }
 
   test("headline fields are the LAST keys on the line, in pinned order") {
     val line = bloatedLine
-    val order = Seq("\"canaries\":", "\"canary_sum\":",
+    val order = Seq("\"canaries\":", "\"canary_sum\":", "\"canary_errors\":",
       "\"runs\":", "\"suspect_stall\":", "\"blas\":",
       "\"n_errors\":", "\"n_queries\":", "\"unit\":", "\"sf\":",
       "\"metric\":", "\"value\":")
@@ -98,6 +103,11 @@ class BenchSpec extends AnyFunSuite {
     val line = bloatedLine
     assert(line.contains("\"index_split_dropped\":30"))
     assert(line.contains("\"tier_build_dropped\":30"))
+    // stage_min (VERDICT r15 #7) is variable-size attribution: same cap,
+    // same explicit dropped count, keeps the most expensive entries
+    assert(line.contains("\"stage_min_dropped\":5"))
+    assert(line.contains("\"q_staged_15.build\":7.500"))
+    assert(!line.contains("q_staged_5.build"))
     // the cap keeps the most expensive entries: #40 (8.4 s build) stays,
     // #5 (1.05 s) is dropped
     assert(line.contains("q_standing_index_gate_number_40"))

@@ -32,7 +32,15 @@ class BucketingSpec extends SparkSpec {
       val plain = li.select(col("l_orderkey"), col("l_quantity"))
         .join(or.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"))
       assert(!Bucketing.isShuffleFree(plain))
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS or_bucketed")
+      // external-table data outlives the DROP — delete the temp
+      // warehouse tree too (ADVICE r15: parquet leaked per test run)
+      new scala.reflect.io.Directory(new java.io.File(wh)).deleteRecursively()
+      ()
+    }
   }
 
   test("bucketed write fed by many partitions emits one file per bucket") {
@@ -53,7 +61,9 @@ class BucketingSpec extends SparkSpec {
       assert(spark.table("li_align").count() ==
         Tables.lineitem(spark, sf).count())
     } finally {
-      spark.sql("DROP TABLE IF EXISTS li_align"); ()
+      spark.sql("DROP TABLE IF EXISTS li_align")
+      new scala.reflect.io.Directory(new java.io.File(wh)).deleteRecursively()
+      ()
     }
   }
 }
