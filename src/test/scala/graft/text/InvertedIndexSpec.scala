@@ -121,6 +121,36 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("bucket pruning holds at accreted file counts: probe reads only the query buckets' files") {
+    // VERDICT r15 #1, spec form: the x100 artifact proves pruning on the
+    // real corpus (BENCH_SF100_r16 selected_files); this pins the same
+    // property on the EXECUTED plan under admission accretion — many
+    // files per bucket, the state a long-lived index actually serves
+    // from — so a layout regression (e.g. a write path losing the
+    // name-encoded bucket id) fails here, not at the next campaign.
+    val docs = Tables.documents(spark, sf)
+    staged { (table, stage) =>
+      InvertedIndex.build(docs.limit(0), table, stage)
+      (0 until 4).foreach(i =>
+        InvertedIndex.admit(spark,
+          docs.filter(pmod(col("doc_id"), lit(4)) === i), table, stage))
+      val totalFiles = InvertedIndex.postingsFileCount(spark, table)
+      val probe = InvertedIndex.probe(spark, table, stage, terms)
+      probe.collect() // metrics live on the materialized plan
+      val s = graft.ScanProfile.perTable(probe)
+        .collectFirst { case (k, v) if k.endsWith("/postings") => v }.get
+      assert(s.totalBuckets.contains(32L))
+      val selB = s.selectedBuckets.get
+      assert(selB >= 1 && selB <= terms.size, s"selected $selB buckets")
+      // the physical read set is (selected buckets x accreted files per
+      // bucket), NOT the table's file count: pruning holds under accretion
+      val selF = s.selectedFiles.get
+      assert(selF <= selB * 4, s"probe read $selF files for $selB buckets")
+      assert(selF < totalFiles,
+        s"probe read all $totalFiles files -- pruning did not fire")
+    }
+  }
+
   test("positional tier: phrase probe equals the recompute form and prunes buckets") {
     val docs = Tables.documents(spark, sf)
     val phrase = Seq("merge", "window")
