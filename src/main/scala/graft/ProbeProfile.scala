@@ -67,12 +67,27 @@ object ProbeProfile {
       .createTempDirectory("graft-probe-profile").toFile.getAbsolutePath
     val results = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    /** Profile one index: `build` once (timed), then `reps` probe reps;
-      * scan decomposition read off the LAST rep's executed plan (all
-      * reps run the identical plan against the identical index). */
+    /** Profile one index: the Bench canary set first (the box-noise
+      * floor of THIS index's window, so steady-state ratios across
+      * ProbeProfile sessions are weather-attributable exactly like the
+      * bench heavies — same fixed probes, same within-config-window
+      * comparability rule), then `build` once (timed), then `reps`
+      * probe reps; scan decomposition read off the LAST rep's executed
+      * plan (all reps run the identical plan against the identical
+      * index). */
     def profile(name: String, build: () => Unit, probe: () => DataFrame,
                 tableFiles: () => Long,
                 extra: () => String = () => ""): Unit = {
+      val canarySecs = Bench.canaries(spark, sfDir).flatMap {
+        case (cname, run) =>
+          val c0 = System.nanoTime()
+          val ok = try { run(); true } catch { case _: Throwable => false }
+          if (ok) Some(cname -> (System.nanoTime() - c0) / 1e9) else None
+      }
+      val canaryJ = canarySecs
+        .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"probe_canaries":"$name","canaries":$canaryJ}""")
       val b0 = System.nanoTime()
       build()
       val buildSec = (System.nanoTime() - b0) / 1e9
@@ -98,7 +113,9 @@ object ProbeProfile {
         s"""{"build_sec":${f3(buildSec)},""" +
           s""""probe_secs":[${secs.map(f3).mkString(",")}],""" +
           s""""probe_sec_min":${f3(secs.min)},"result_rows":$rows,""" +
-          s""""table_files":${tableFiles()},"scans":$lastScans""" +
+          s""""table_files":${tableFiles()},"scans":$lastScans,""" +
+          s""""canaries":$canaryJ,""" +
+          s""""canary_sum":${f3(canarySecs.map(_._2).sum)}""" +
           extra() + "}"
     }
 
