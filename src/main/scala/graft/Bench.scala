@@ -270,7 +270,10 @@ object Bench {
     val errsJ = jmap(errors.map { case (k, m) => k -> ("\"" + m + "\"") })
     val canaryJ = jmap(canary.map { case (k, v) => k -> f3(v) })
     val canarySum = canary.map(_._2).sum
-    val stageTop = stageMin.sortBy(-_._2).take(10)
+    // name tiebreak: stageMin arrives from an unordered map, and a
+    // value-only sort would let equal-cost entries at the cap boundary
+    // swap across runs — spurious artifact diffs on identical measures
+    val stageTop = stageMin.sortBy { case (k, v) => (-v, k) }.take(10)
     val stageJ = jmap(stageTop.sortBy(_._1).map { case (k, v) => k -> f3(v) })
     s"""{"gc_ms":$gcJ,"tier_build":$tiersJ,""" +
       s""""tier_build_dropped":${tierBuild.size - tiersTop.size},""" +

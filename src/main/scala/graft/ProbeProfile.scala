@@ -78,16 +78,26 @@ object ProbeProfile {
     def profile(name: String, build: () => Unit, probe: () => DataFrame,
                 tableFiles: () => Long,
                 extra: () => String = () => ""): Unit = {
+      // a failed canary is counted, never silently dropped from the
+      // floor — the Bench canary_errors rule (ADVICE r15) applies here
+      // too: a reduced-cardinality canary_sum must be detectable from
+      // the artifact
+      var canaryErrs = List.empty[String]
       val canarySecs = Bench.canaries(spark, sfDir).flatMap {
         case (cname, run) =>
           val c0 = System.nanoTime()
-          val ok = try { run(); true } catch { case _: Throwable => false }
+          val ok = try { run(); true } catch {
+            case _: Throwable => canaryErrs ::= cname; false
+          }
           if (ok) Some(cname -> (System.nanoTime() - c0) / 1e9) else None
       }
       val canaryJ = canarySecs
         .map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
-      println(s"""{"probe_canaries":"$name","canaries":$canaryJ}""")
+      val canaryErrJ = canaryErrs.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"probe_canaries":"$name","canaries":$canaryJ,""" +
+        s""""canary_errors":$canaryErrJ}""")
       val b0 = System.nanoTime()
       build()
       val buildSec = (System.nanoTime() - b0) / 1e9
@@ -99,7 +109,10 @@ object ProbeProfile {
         val (dt, n, df) = timedRep(probe)
         times = dt :: times
         rows = n
-        lastScans = ScanProfile.json(df)
+        // all reps run the identical plan against the identical index —
+        // walk the plan (and, for bucketed scans, the table's file
+        // listing) once, on the last rep, not reps times
+        if (r == reps) lastScans = ScanProfile.json(df)
         println(s"""{"probe_rep":$r,"q":"$name","sec":${f3(dt)},"rows":$n}""")
         // only the standing index may persist between reps — a pinned
         // batch tier or cached intermediate would make rep 2+ measure a
@@ -115,12 +128,19 @@ object ProbeProfile {
           s""""probe_sec_min":${f3(secs.min)},"result_rows":$rows,""" +
           s""""table_files":${tableFiles()},"scans":$lastScans,""" +
           s""""canaries":$canaryJ,""" +
+          s""""canary_errors":$canaryErrJ,""" +
           s""""canary_sum":${f3(canarySecs.map(_._2).sum)}""" +
           extra() + "}"
     }
 
-    // --- BM25 inverted index (gate: q_bm25_indexed) -------------------
     val bm25Table = "graft_probe_inverted_index"
+    val dedupTable = "graft_probe_shingle_bucketed"
+    // a failed build/probe must not leak the corpus-scale staging tree,
+    // the probe tables, or the session (review r16: the gate queries all
+    // wrap the identical work in try/finally; the profiler must too)
+    try {
+
+    // --- BM25 inverted index (gate: q_bm25_indexed) -------------------
     profile("q_bm25_indexed",
       build = () => graft.text.InvertedIndex.build(
         Tables.documents(spark, sfDir), bm25Table, s"$stage/bm25"),
@@ -130,12 +150,15 @@ object ProbeProfile {
         graft.text.InvertedIndex.postingsFileCount(spark, bm25Table))
 
     // --- bucketed shingle index (gate: q_incremental_dedup_bucketed) --
-    val dedupTable = "graft_probe_shingle_bucketed"
+    // ONE constant feeds both the build and the coverage probe below, so
+    // the batch_buckets_hit modulus can never drift from the layout it
+    // measures (review r16)
+    val dedupBuckets = 32
     profile("q_incremental_dedup_bucketed",
       build = () => graft.dedup.ShingleIndex.buildBucketed(
         Tables.documents(spark, sfDir)
           .filter(pmod(col("doc_id"), lit(7)) =!= 0),
-        dedupTable, s"$stage/shingles"),
+        dedupTable, s"$stage/shingles", buckets = dedupBuckets),
       probe = () => graft.dedup.ShingleIndex.admitBucketed(
         spark,
         Tables.documents(spark, sfDir)
@@ -154,9 +177,9 @@ object ProbeProfile {
         val hit = graft.dedup.ShingleIndex.tier(
             Tables.documents(spark, sfDir)
               .filter(pmod(col("doc_id"), lit(7)) === 0))
-          .select(pmod(hash(col("shingle")), lit(32)).as("b"))
+          .select(pmod(hash(col("shingle")), lit(dedupBuckets)).as("b"))
           .distinct().count()
-        s""","batch_buckets_hit":$hit,"buckets":32"""
+        s""","batch_buckets_hit":$hit,"buckets":$dedupBuckets"""
       })
 
     // --- standing IVF-PQ (gate: q_ann_ivf_pq_indexed) -----------------
@@ -178,9 +201,11 @@ object ProbeProfile {
     println(s"""{"metric":"probe_profile","unit":"sec","reps":$reps,""" +
       s""""indexes":$body,"sf":"$sfDir"}""")
 
-    spark.sql(s"DROP TABLE IF EXISTS $bm25Table")
-    spark.sql(s"DROP TABLE IF EXISTS $dedupTable")
-    new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
-    spark.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $bm25Table")
+      spark.sql(s"DROP TABLE IF EXISTS $dedupTable")
+      new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
+      spark.stop()
+    }
   }
 }

@@ -35,7 +35,11 @@ object ScanProfile {
     * them from the selected partitions; the bucket filter applies at
     * RDD construction) — `selectedFiles` is the post-bucket-prune
     * physical read set (files whose name-encoded bucket id is in the
-    * selected set), and `rows` the scan's "numOutputRows" — what the
+    * selected set), counted over the table's whole listing: exact for
+    * the UNPARTITIONED bucketed layouts every graft tier uses; on a
+    * partitioned-AND-bucketed table it would count bucket matches
+    * across pruned-away partitions too (an overcount, not an
+    * undercount) — and `rows` the scan's "numOutputRows" — what the
     * scan actually READ: bucket-pruned and row-group-stat-skipped, but
     * at row-group granularity (a pushed filter cannot drop below one
     * row group), so it sits between the residual-filtered result and

@@ -64,13 +64,6 @@ object Recommend {
                         sampleFraction: Double = 0.10, seed: Long = 42L): DataFrame =
     trainAndRecommend(spark, triples, nUsers, nRecs, sampleFraction, seed)._1
 
-  /** Record `f`'s wall seconds as a named bench sub-stage when a stage
-    * prefix is set — [[graft.Bench]] folds `<prefix>.<stage>` keys into
-    * the query's `index_split` entry (VERDICT r13 #5: at sf1 the ALS gate
-    * is the single most expensive query, and "it's linear in ratings" was
-    * inference; now the dominant term — train vs recommend vs resolve, the
-    * same phase boundary as `run_alsrecs_job.py:84-104` — is named in the
-    * artifact). No-op without a prefix (Verify, production callers). */
   /** The SPARK_GRAFT_ALS_BLOCKS measurement-only contract, ENFORCED
     * (ADVICE r15): blocking changes summation order in the least-squares
     * assembly, so factor values drift with the knob while the structural
@@ -94,6 +87,13 @@ object Recommend {
       }
     }
 
+  /** Record `f`'s wall seconds as a named bench sub-stage when a stage
+    * prefix is set — [[graft.Bench]] folds `<prefix>.<stage>` keys into
+    * the query's `index_split` entry (VERDICT r13 #5: at sf1 the ALS gate
+    * is the single most expensive query, and "it's linear in ratings" was
+    * inference; now the dominant term — train vs recommend vs resolve, the
+    * same phase boundary as `run_alsrecs_job.py:84-104` — is named in the
+    * artifact). No-op without a prefix (Verify, production callers). */
   private def stageTimed[T](prefix: Option[String], stage: String)(f: => T): T =
     prefix match {
       case Some(p) => graft.Telemetry.timed(s"$p.$stage")(f)

@@ -195,21 +195,6 @@ if [[ "$STAGE" == all || "$STAGE" == sf32 || "$STAGE" == sf32bench ]]; then
   fi
 fi
 
-# steady-state standing-index probes (VERDICT r15 #1/#5): build each
-# index ONCE, probe it SPARK_GRAFT_PROBE_REPS times, decompose the
-# executed plan (files/bytes/rows read, bucket pruning) — the paired
-# sf0.1 run is the same-protocol comparator for the probe-leg ratios
-if [[ "$STAGE" == all || "$STAGE" == probes ]]; then
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-    SPARK_GRAFT_SHUFFLE_PARTITIONS=32 SPARK_DRIVER_MEM=64g \
-    sbt -batch "runMain graft.ProbeProfile" 2>&1 \
-    | tee "$OUT/probes_sf01.log" | tail -2
-  SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 SPARK_GRAFT_CPUS=32 \
-    SPARK_GRAFT_SHUFFLE_PARTITIONS=3200 SPARK_DRIVER_MEM=64g \
-    sbt -batch "runMain graft.ProbeProfile" 2>&1 \
-    | tee "$OUT/probes_sf100.log" | tail -2
-fi
-
 # x100 depth probe (r15): the largest corpus we test. Partitions follow
 # the data (the x32 rule x3.1 -> 3200); wall-linear bound = ratio 100.
 if [[ "$STAGE" == all || "$STAGE" == sf100 ]]; then
@@ -233,5 +218,28 @@ if [[ "$STAGE" == all || "$STAGE" == sf100 ]]; then
   SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=3200 SPARK_DRIVER_MEM=64g \
     sbt -batch "runMain graft.Bench $SF100_BENCH" 2>&1 | tee "$OUT/sf100.bench.log" | tail -2
+fi
+
+# steady-state standing-index probes (VERDICT r15 #1/#5): build each
+# index ONCE, probe it SPARK_GRAFT_PROBE_REPS times, decompose the
+# executed plan (files/bytes/rows read, bucket pruning, per-window
+# canaries) — the paired sf0.1 run is the same-protocol comparator for
+# the probe-leg ratios. AFTER the sf100 stage (review r16: a fresh
+# STAGE=all box has no x100 corpus until that stage builds it), and
+# gated on the same completion sentinel so a partial corpus is never
+# silently profiled as x100.
+if [[ "$STAGE" == all || "$STAGE" == probes ]]; then
+  [[ -f /tmp/graft_sf100/.complete ]] || {
+    echo "probes: /tmp/graft_sf100 missing or incomplete — run stage sf100 first" >&2
+    exit 1
+  }
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=32 SPARK_DRIVER_MEM=64g \
+    sbt -batch "runMain graft.ProbeProfile" 2>&1 \
+    | tee "$OUT/probes_sf01.log" | tail -2
+  SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=3200 SPARK_DRIVER_MEM=64g \
+    sbt -batch "runMain graft.ProbeProfile" 2>&1 \
+    | tee "$OUT/probes_sf100.log" | tail -2
 fi
 echo "campaign stage '$STAGE' done -> $OUT"
