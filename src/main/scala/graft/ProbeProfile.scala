@@ -21,11 +21,11 @@ import org.apache.spark.sql.functions._
   * postings length (rows ∝ corpus — the work the fixed query genuinely
   * asks for).
   *
-  * The three profiled legs mirror the gate queries byte-for-byte
+  * The four profiled legs mirror the gate queries byte-for-byte
   * ([[SparkEntry]] `q_bm25_indexed` / `q_incremental_dedup_bucketed` /
-  * `q_ann_ivf_pq_indexed` — same build parameters, same probe
-  * arguments), so a steady-state number here is the probe leg of the
-  * oracle-green gate, not a lookalike. Between reps the session cache
+  * `q_phrase_indexed` / `q_ann_ivf_pq_indexed` — same build parameters,
+  * same probe arguments), so a steady-state number here is the probe
+  * leg of the oracle-green gate, not a lookalike. Between reps the session cache
   * is cleared (only the standing index persists), so rep 2..K measure a
   * warm standing structure, never a cached result.
   *
@@ -135,6 +135,7 @@ object ProbeProfile {
 
     val bm25Table = "graft_probe_inverted_index"
     val dedupTable = "graft_probe_shingle_bucketed"
+    val phraseTable = "graft_probe_positional_index"
     // a failed build/probe must not leak the corpus-scale staging tree,
     // the probe tables, or the session (review r16: the gate queries all
     // wrap the identical work in try/finally; the profiler must too)
@@ -182,6 +183,15 @@ object ProbeProfile {
         s""","batch_buckets_hit":$hit,"buckets":$dedupBuckets"""
       })
 
+    // --- positional phrase tier (gate: q_phrase_indexed) --------------
+    profile("q_phrase_indexed",
+      build = () => graft.text.InvertedIndex.buildPositional(
+        Tables.documents(spark, sfDir), phraseTable, s"$stage/positions"),
+      probe = () => graft.text.InvertedIndex.probePhrase(
+        spark, phraseTable, Seq("merge", "window")),
+      tableFiles = () =>
+        graft.lake.BucketedTable.fileCount(spark, phraseTable))
+
     // --- standing IVF-PQ (gate: q_ann_ivf_pq_indexed) -----------------
     profile("q_ann_ivf_pq_indexed",
       build = () => graft.sim.IvfPqIndex.build(
@@ -204,6 +214,7 @@ object ProbeProfile {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $bm25Table")
       spark.sql(s"DROP TABLE IF EXISTS $dedupTable")
+      spark.sql(s"DROP TABLE IF EXISTS $phraseTable")
       new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
       spark.stop()
     }
