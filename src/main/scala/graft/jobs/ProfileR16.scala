@@ -157,10 +157,74 @@ object ProfileR16 {
         new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
       case "kmeans" =>
         val emb = graft.model.Tables.embeddings(spark, sfDir)
-        t("kMeansSphericalModel 16x3") {
-          val m = graft.sim.Similarity.kMeansSphericalModel(emb, 16, 3)
-          noop(m._1)
+        for (rep <- 1 to 2) {
+          t(s"kMeansSphericalModel 16x3 rep$rep") {
+            val m = graft.sim.Similarity.kMeansSphericalModel(emb, 16, 3)
+            noop(m._1)
+          }
+          val (assign, cents) = graft.sim.Similarity.kMeansSphericalModel(emb, 16, 3)
+          val resid = t(s"residuals rep$rep") {
+            // mirror of Pq.residuals (private[sim])
+            val r = emb
+              .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+              .join(assign.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+              .join(broadcast(cents
+                .select(col("cid").as("cluster"), col("centroid"))), Seq("cluster"))
+              .select(col("vec_id"), col("cluster"),
+                zip_with(col("emb"), col("centroid"), (a, b) => a - b).as("embedding"))
+            val p = graft.Tier.pin(r); p.count(); p
+          }
+          val cb = t(s"Pq.train 4x8x2 rep$rep") {
+            val c = graft.Tier.pin(graft.sim.Pq.train(resid))
+            c.count(); c
+          }
+          val codes = t(s"Pq.encode rep$rep") {
+            val c = graft.sim.Pq.encode(resid, cb)
+              .join(resid.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+            noop(c); c
+          }
+          val stage = java.nio.file.Files
+            .createTempDirectory("graft-prof-w").toFile.getAbsolutePath
+          t(s"codes write rep$rep") {
+            codes.select(col("vec_id"), col("codes"), col("cluster").as("cell"))
+              .write.mode("overwrite").partitionBy("cell").parquet(s"$stage/codes")
+          }
+          new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
         }
+      case "stream" =>
+        val events = graft.model.Tables.events(spark, sfDir)
+        println(s"[profile] events rows=${events.count()} " +
+          s"partitions=${events.rdd.getNumPartitions}")
+        val stage = java.nio.file.Files
+          .createTempDirectory("graft-prof-stream").toFile.getAbsolutePath
+        t("stage writes (no coalesce)") {
+          events.filter(pmod(col("event_id"), lit(2)) === 0)
+            .write.mode("overwrite").parquet(s"$stage/chunk=0")
+          events.filter(pmod(col("event_id"), lit(2)) === 1)
+            .write.mode("overwrite").parquet(s"$stage/chunk=1")
+        }
+        def pq(d: String): Int = Option(new java.io.File(d).listFiles())
+          .toSeq.flatten.count(_.getName.endsWith(".parquet"))
+        println(s"[profile] files chunk0=${pq(s"$stage/chunk=0")} chunk1=${pq(s"$stage/chunk=1")}")
+        val prior = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        t("drain complete-mode session agg") {
+          val stream = spark.readStream
+            .schema(events.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$stage/chunk=*")
+          val q = stream
+            .withWatermark("ts", "10 minutes")
+            .groupBy(col("user_id"),
+              session_window(col("ts"), "5 minutes").as("w"))
+            .agg(count(lit(1)).as("n_events"))
+            .writeStream.format("memory").queryName("prof_stream")
+            .outputMode("complete").start()
+          try q.processAllAvailable() finally q.stop()
+          println(s"[profile] batches=${q.recentProgress.length} " +
+            s"lastBatchId=${q.lastProgress.batchId}")
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+        new scala.reflect.io.Directory(new java.io.File(stage)).deleteRecursively()
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()
