@@ -341,8 +341,15 @@ object Dedup {
       .join(src.withColumnsRenamed(Map("doc_id" -> "doc_b", "source" -> "sb")), Seq("doc_b"))
       .select(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"))
+    // pinned: the share denominator below re-reads this aggregate, and
+    // without the pin its crossJoin subtree re-ran the ENTIRE shingle
+    // self-join + pair aggregate a second time (the pinned shingle tier
+    // only covers the tokenize stage) — r16, the one crossJoin-scalar
+    // site in the library whose scalar side shared an unpinned expensive
+    // subtree with the main output
     val counts = attributed.groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
+      .pinTier
     counts.crossJoin(broadcast(counts.agg(sum(col("n_pairs")).as("total"))))
       .select(col("source_a"), col("source_b"), col("n_pairs"),
         round(col("n_pairs") / col("total"), 4).as("pair_share"))

@@ -336,7 +336,10 @@ object TextAnalysis {
   def unigramSurprisal(documents: DataFrame): DataFrame = {
     val toks = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    // pinned: both the total and the scoring join read the term table,
+    // and each unpinned read re-ran tokenize → explode → aggregate over
+    // the corpus (r16; vocab-sized, so the pin is cheap)
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("freq")).pinTier
     val total = tf.agg(sum(col("freq")).as("n_total"))
     toks
       .join(tf, Seq("term"))

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.Tier.PinOps
 import graft.ops.Sampling
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -87,9 +88,15 @@ object TextClassifier {
     val split = Sampling.hashSplit(
       documents.select(col("doc_id"), col("source"), col("text")),
       "doc_id", seed)
+    // pinned: four consumers read the exploded token stream (the vocab
+    // TakeOrdered, the class totals, the per-(term, class) counts and the
+    // test-split tf aggregate), and without the pin each re-runs the
+    // tokenize → explode pipeline over the corpus — the ngramJaccardPairs
+    // shingle-tier rule (r16; measured 4 tokenization passes → 1)
     val toks = split.select(
       col("doc_id"), col("source"), col("split"),
       explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .pinTier
     val train = toks.filter(col("split") =!= "test")
 
     // closed vocabulary: top-V train terms by (freq desc, term) — the
