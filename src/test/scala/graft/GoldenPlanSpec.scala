@@ -50,8 +50,13 @@ class GoldenPlanSpec extends SparkSpec {
     "q_containment" -> Golden(
       required = Seq("partial_count"),
       forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // the pair-count aggregate runs at pin time since r16 (the counts
+    // table pins so the share denominator stops re-running the shingle
+    // self-join — the simhash pin precedent below); the post-pin plan
+    // must still two-phase the total (partial_sum) and never
+    // cross-product anything corpus-sized
     "q_source_overlap" -> Golden(
-      required = Seq("partial_count"),
+      required = Seq("partial_sum"),
       forbidden = Seq("CartesianProduct")),
     // minhash (r10, graduated to a full pair-set gate): map-side-combined
     // signature mins over the poly-hash tier, band candidates via an EQUI
