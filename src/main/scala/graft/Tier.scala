@@ -36,9 +36,30 @@ object Tier {
   def pin(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = true, storageLevel = level)
 
+  /** Scale-adaptive parallelism floor for compute-heavy map stages (r16,
+    * guide §2.5 "input skew: one huge file"): a small parquet fixture
+    * reads as ONE split, and every downstream map-side pass — k-means
+    * assignment cosines, PQ encode argmins, brute-force pair cosines
+    * behind a BroadcastNestedLoopJoin — inherits that single partition
+    * and runs on one core however many the session has (AQE coalesces by
+    * BYTES and never widens; the Triangles wedge repartition documents
+    * the same blind spot). `widen` repartitions ONLY when the frame is
+    * narrower than the session's core count, so at real corpus scale
+    * (thousands of scan splits) it is the identity and adds no exchange;
+    * locally it costs one tiny shuffle and buys every downstream pass
+    * the full core count. Row-local arithmetic is partitioning-
+    * independent, and every aggregate downstream of the widened frames
+    * follows the decimal/round determinism discipline, so results are
+    * unchanged. */
+  def widen(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Extension form so call sites read like the `localCheckpoint(true)`
     * idiom they replace: `frame.pinTier`. */
   implicit class PinOps(private val df: DataFrame) extends AnyVal {
     def pinTier: DataFrame = pin(df)
+    def widened: DataFrame = widen(df)
   }
 }

@@ -107,7 +107,10 @@ object Pq {
             rounds: Int = 2, dim: Int = 64): DataFrame = {
     require(ksub >= 1 && rounds >= 1,
       s"Pq.train: need ksub >= 1 and rounds >= 1, got ksub=$ksub rounds=$rounds")
-    val sv = subvectors(embeddings, m, dim).pinTier
+    // widened so the per-round (n·m)·ksub assignment distances use every
+    // core (the one-split fixture scan otherwise pins them to ONE task);
+    // identity at real scan widths — see Tier.widen
+    val sv = subvectors(graft.Tier.widen(embeddings), m, dim).pinTier
     val seedW = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
     var codebooks = sv
       .withColumn("rn", row_number().over(seedW))
@@ -140,7 +143,7 @@ object Pq {
     * m-byte compressed representation. One assignment pass + one re-nest. */
   def encode(embeddings: DataFrame, codebooks: DataFrame,
              m: Int = 4, dim: Int = 64): DataFrame =
-    assign(subvectors(embeddings, m, dim),
+    assign(subvectors(graft.Tier.widen(embeddings), m, dim),
         codebooks.select(col("sub"), col("cid"), col("centroid")))
       .join(broadcast(codebooks.select(col("sub"), col("cid"), col("code"))),
         Seq("sub", "cid"))

@@ -79,8 +79,11 @@ object Similarity {
     val q = embeddings
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // widened: the BNLJ's parallelism is the STREAMED side's partitioning,
+    // and the one-split fixture scan would run all |Q|·n cosines in one task
     val pairs = q.hint("broadcast").join(
-        embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+        graft.Tier.widen(embeddings
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))),
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("q_emb"), col("c_emb")), 4).as("cos_sim"))
@@ -485,8 +488,9 @@ object Similarity {
       s"knnLabelAudit: $nProbes probes exceeds MaxProbeQueries=" +
         s"$MaxProbeQueries — raise probeMod (the audit costs |Q|·|corpus|)")
     val nn = broadcast(probes)
-      .join(embeddings.select(col("vec_id").as("neighbor_id"),
-          col("label").as("n_label"), col("embedding").as("c_emb")),
+      .join(graft.Tier.widen(
+          embeddings.select(col("vec_id").as("neighbor_id"),
+            col("label").as("n_label"), col("embedding").as("c_emb"))),
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("q_label"),
         struct(round(cosine(col("q_emb"), col("c_emb")), 4).as("cos"),
@@ -581,9 +585,11 @@ object Similarity {
     // silent wrong answers, not configurations
     require(k >= 1 && rounds >= 1,
       s"kMeansSpherical: need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
-    val emb = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .pinTier // consumed by every round's assignment + update
+    val emb = graft.Tier.widen(embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")))
+      .pinTier // consumed by every round's assignment + update; widened so
+               // the per-round n·k assignment cosines use every core (the
+               // one-split fixture scan otherwise pins them to ONE task)
     var centroids = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"),
         transform(col("emb"), v => round(v, 6)).as("centroid"))
@@ -647,8 +653,11 @@ object Similarity {
     val probes = embeddings
       .filter(pmod(col("vec_id"), lit(probeMod)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val corpus = embeddings
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    // widened + pinned: five topK legs stream this side through a BNLJ
+    // (the bruteForceTopK single-task rule), and each would re-scan it
+    val corpus = graft.Tier.widen(embeddings
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")))
+      .pinTier
     def topK(dim: Option[Int]): DataFrame = {
       val (qe, ce) = dim match {
         case Some(d) => (slice(col("q_emb"), 1, d), slice(col("c_emb"), 1, d))
@@ -983,11 +992,27 @@ object Similarity {
   def cosineNearDups(embeddings: DataFrame, threshold: Double,
                      maxExactRows: Long = MaxExactRows): DataFrame = {
     requireExactScale(embeddings, "cosineNearDups", "cosineNearDupsLSH", maxExactRows)
-    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    // r16, two no-result-change fixes to the deliberate O(n²) baseline:
+    //   - the non-equi pair join is a BroadcastNestedLoopJoin whose
+    //     parallelism is the STREAMED side's partitioning, and the
+    //     embeddings fixture reads as ONE file → one task computed every
+    //     pair (guide §2.5 input skew); repartitioning the streamed side
+    //     spreads the n²/2 cosines across the session's cores.
+    //   - each side's norm is a per-ROW constant: hoisting
+    //     sqrt(dot(e,e)) into the map stage evaluates it n times instead
+    //     of n²/2 times — the same expression tree on the same rows, so
+    //     every published cos_sim is bit-identical (dot/(na·nb) in the
+    //     exact IEEE order cosine() already used).
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val a = embeddings.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), norm(col("embedding")).as("na"))
+      .repartition(par)
+    val b = embeddings.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), norm(col("embedding")).as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+        round(dot(col("emb_a"), col("emb_b")) / (col("na") * col("nb")), 4)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
