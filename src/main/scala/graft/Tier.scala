@@ -50,7 +50,23 @@ object Tier {
     * the full core count. Row-local arithmetic is partitioning-
     * independent, and every aggregate downstream of the widened frames
     * follows the decimal/round determinism discipline, so results are
-    * unchanged. */
+    * unchanged.
+    *
+    * Scope (r17, the VERDICT-r16 A/B): widen is worth its exchange ONLY
+    * where the downstream stage is a broadcast-probe nested-loop scan —
+    * |Q|·n cosines serialized onto one task (bruteForceTopK,
+    * knnLabelAudit). On iterative train passes (k-means rounds, PQ
+    * codebook rounds) the interleaved driver-config A/B measured it
+    * 1.2–1.9× SLOWER at fixture scale (per-round 32-task scheduling +
+    * the widened pin's repartition dwarf the single-task arithmetic),
+    * so those call sites were reverted.
+    *
+    * Caller contract (ADVICE r16): wrap only raw scans or pinned frames.
+    * The partition probe is `df.rdd`, which under AQE finalizes the plan
+    * and eagerly materializes any shuffle/broadcast stages in the
+    * lineage — the repartitioned result would then re-execute them
+    * (exchange reuse does not span executions). Every current call site
+    * is a scan projection, so the probe is free. */
   def widen(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df

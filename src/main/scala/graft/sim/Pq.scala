@@ -107,10 +107,16 @@ object Pq {
             rounds: Int = 2, dim: Int = 64): DataFrame = {
     require(ksub >= 1 && rounds >= 1,
       s"Pq.train: need ksub >= 1 and rounds >= 1, got ksub=$ksub rounds=$rounds")
-    // widened so the per-round (n·m)·ksub assignment distances use every
-    // core (the one-split fixture scan otherwise pins them to ONE task);
-    // identity at real scan widths — see Tier.widen
-    val sv = subvectors(graft.Tier.widen(embeddings), m, dim).pinTier
+    // NOT widened (r17 A/B, VERDICT r16 #1): the unmeasured r16 widen of
+    // this frame was re-measured at the driver config (sf0.1, local[32],
+    // runs=2, two interleaved legs each way) — the ivf_pq gate family ran
+    // 1.2–1.5× SLOWER with it (repartition + 32-task scheduling per train
+    // round dwarfs the single-task assignment cosines at fixture scale);
+    // at real scan widths widen was the identity anyway, so the revert
+    // loses nothing at scale. Widen stays only on the broadcast-probe
+    // BNLJ streamed sides (bruteForceTopK/knnLabelAudit), where the same
+    // A/B measured it faster.
+    val sv = subvectors(embeddings, m, dim).pinTier
     val seedW = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
     var codebooks = sv
       .withColumn("rn", row_number().over(seedW))
@@ -143,7 +149,7 @@ object Pq {
     * m-byte compressed representation. One assignment pass + one re-nest. */
   def encode(embeddings: DataFrame, codebooks: DataFrame,
              m: Int = 4, dim: Int = 64): DataFrame =
-    assign(subvectors(graft.Tier.widen(embeddings), m, dim),
+    assign(subvectors(embeddings, m, dim), // not widened — see train
         codebooks.select(col("sub"), col("cid"), col("centroid")))
       .join(broadcast(codebooks.select(col("sub"), col("cid"), col("code"))),
         Seq("sub", "cid"))

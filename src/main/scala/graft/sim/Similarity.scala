@@ -80,7 +80,11 @@ object Similarity {
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // widened: the BNLJ's parallelism is the STREAMED side's partitioning,
-    // and the one-split fixture scan would run all |Q|·n cosines in one task
+    // and the one-split fixture scan would run all |Q|·n cosines in one
+    // task. KEPT in the r17 A/B (VERDICT r16 #1): this is the one widen
+    // class that measured FASTER at the driver config — q_recall_audit
+    // (whose exact denominators run through here) 6.4 s widened vs
+    // 8.2–9.0 s not, consistently across interleaved legs.
     val pairs = q.hint("broadcast").join(
         graft.Tier.widen(embeddings
           .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))),
@@ -585,11 +589,15 @@ object Similarity {
     // silent wrong answers, not configurations
     require(k >= 1 && rounds >= 1,
       s"kMeansSpherical: need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
-    val emb = graft.Tier.widen(embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")))
-      .pinTier // consumed by every round's assignment + update; widened so
-               // the per-round n·k assignment cosines use every core (the
-               // one-split fixture scan otherwise pins them to ONE task)
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .pinTier // consumed by every round's assignment + update. NOT widened
+               // (r17 A/B, VERDICT r16 #1): the r16 widen here measured
+               // 1.3–1.5× slower at the driver config (q_kmeans 3.2 vs 2.2,
+               // q_semantic_dedup 3.7 vs 2.5 s) — per-round repartition +
+               // 32-task scheduling costs more than the one-task assignment
+               // saves at fixture scale, and at real scan widths widen was
+               // the identity anyway.
     var centroids = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"),
         transform(col("emb"), v => round(v, 6)).as("centroid"))
@@ -653,10 +661,14 @@ object Similarity {
     val probes = embeddings
       .filter(pmod(col("vec_id"), lit(probeMod)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    // widened + pinned: five topK legs stream this side through a BNLJ
-    // (the bruteForceTopK single-task rule), and each would re-scan it
-    val corpus = graft.Tier.widen(embeddings
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")))
+    // pinned: five topK legs stream this side through a BNLJ, and each
+    // would otherwise re-scan it. NOT widened (r17 A/B, VERDICT r16 #1):
+    // q_mrl_audit measured 3.4 s widened vs 1.8–2.5 s not — the five legs'
+    // per-task work at fixture scale is trivial, so 5×32 scheduled tasks
+    // cost more than 5×1 serial ones; at real scan widths widen was the
+    // identity anyway.
+    val corpus = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
       .pinTier
     def topK(dim: Option[Int]): DataFrame = {
       val (qe, ce) = dim match {
@@ -1009,7 +1021,11 @@ object Similarity {
       .repartition(par)
     val b = embeddings.select(col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), norm(col("embedding")).as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    // the broadcast hint pins the BNLJ roles (ADVICE r16): without it the
+    // planner picks the broadcast side from size estimates over two
+    // projections of the same table — if it broadcast `a`, the repartition
+    // above would buy nothing and just add a shuffle
+    a.join(b.hint("broadcast"), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("emb_a"), col("emb_b")) / (col("na") * col("nb")), 4)
           .as("cos_sim"))
