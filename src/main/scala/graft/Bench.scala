@@ -251,7 +251,8 @@ object Bench {
                   tierBuild: Seq[(String, (String, Double))],
                   split: Seq[(String, Double, Seq[(String, Double)], Double)],
                   topGc: Seq[(String, Long)], topQueries: Seq[(String, Double)],
-                  errors: Seq[(String, String)], sf: String): String = {
+                  errors: Seq[(String, String)], sf: String,
+                  queriesFile: String = ""): String = {
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val gcJ = jmap(topGc.map { case (k, v) => k -> v.toString })
@@ -305,6 +306,13 @@ object Bench {
       // cardinality (≤3), so it may live in the headline zone.
       s""""canary_errors":${jmap(canaryErrors.map { case (k, v) =>
         k -> v.toString })},""" +
+      // where the COMPLETE per-query map was written (VERDICT r16 #2:
+      // BENCH_r15 lost its round-over-round comparison because only the
+      // stdout tail survived and the full contract line's head was cut —
+      // the full map now also lands in this file, and the path is a
+      // fixed-size headline field so any tail cut that keeps the
+      // headline can reach all 225 per-query values)
+      s""""queries_file":"$queriesFile",""" +
       s""""runs":$runs,"suspect_stall":$stallsJ,"blas":"$blas",""" +
       s""""n_errors":$nErrors,"n_queries":$nQueries,"unit":"sec",""" +
       s""""sf":"$sf","metric":"total","value":${f3(totalSec)}}"""
@@ -639,7 +647,23 @@ object Bench {
     val total = results.collect { case (_, v, None) => v }.sum
     // full contract line: complete per-query map (parses when stdout is
     // kept whole; its head is what a 2 KB tail cut sacrifices)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // ALSO persist the full contract line to a file and advertise the path
+    // in the tail-surviving headline (VERDICT r16 #2): a truncated stdout
+    // artifact can then still reconstruct the per-query round-over-round
+    // comparison for every query, not just the top-10. Best-effort — a
+    // read-only cwd must not fail the measurement that already happened.
+    val queriesFile = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_QUERIES_FILE", "bench_queries.json")
+    val queriesFileWritten =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(queriesFile),
+          (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Paths.get(queriesFile).toAbsolutePath.toString
+      } catch { case _: Throwable => "" }
     // compact summary LAST — inside any tail window: top-10 slowest plus
     // every errored query, capped attribution maps, and the headline
     // fields at the very END of the line (see summaryLine's contract)
@@ -666,7 +690,7 @@ object Bench {
         k -> bestGc(k) },
       topQueries = top.map { case (k, v, _) => k -> v },
       errors = results.collect { case (k, _, Some(m)) => k -> m },
-      sf = sfDir))
+      sf = sfDir, queriesFile = queriesFileWritten))
     spark.stop()
   }
 }

@@ -66,7 +66,8 @@ class BenchSpec extends AnyFunSuite {
     topQueries = (1 to 10).map(i => s"q_heavy_$i" -> (10.0 - i * 0.5)) :+
       ("q_broken" -> -3.2),
     errors = Seq("q_broken" -> "SparkException: boom"),
-    sf = "/root/testdata/sf0.1")
+    sf = "/root/testdata/sf0.1",
+    queriesFile = "/root/repo/bench_queries.json")
 
   test("headline fields survive a 2 KB tail truncation, however bloated the maps") {
     val tail = bloatedLine.takeRight(2048)
@@ -82,14 +83,17 @@ class BenchSpec extends AnyFunSuite {
         "\"canary_sum\":0.677",
         // a canary that errored on some pass must be countable from the
         // kept tail (ADVICE r15: silent cardinality loss)
-        "\"canary_errors\":{\"canary_scan\":1}"))
+        "\"canary_errors\":{\"canary_scan\":1}",
+        // the full-per-query-map file pointer (VERDICT r16 #2): any tail
+        // cut that keeps the headline can reach all per-query values
+        "\"queries_file\":\"/root/repo/bench_queries.json\""))
       assert(tail.contains(frag), s"tail lost $frag")
   }
 
   test("headline fields are the LAST keys on the line, in pinned order") {
     val line = bloatedLine
     val order = Seq("\"canaries\":", "\"canary_sum\":", "\"canary_errors\":",
-      "\"runs\":", "\"suspect_stall\":", "\"blas\":",
+      "\"queries_file\":", "\"runs\":", "\"suspect_stall\":", "\"blas\":",
       "\"n_errors\":", "\"n_queries\":", "\"unit\":", "\"sf\":",
       "\"metric\":", "\"value\":")
     val idx = order.map(line.lastIndexOf)
