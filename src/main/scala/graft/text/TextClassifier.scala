@@ -88,21 +88,29 @@ object TextClassifier {
     val split = Sampling.hashSplit(
       documents.select(col("doc_id"), col("source"), col("text")),
       "doc_id", seed)
-    // pinned: four consumers read the exploded token stream (the vocab
-    // TakeOrdered, the class totals, the per-(term, class) counts and the
-    // test-split tf aggregate), and without the pin each re-runs the
-    // tokenize → explode pipeline over the corpus — the ngramJaccardPairs
-    // shingle-tier rule (r16; measured 4 tokenization passes → 1)
+    // pinned: four consumers read the token stream (the vocab TakeOrdered,
+    // the class totals, the per-(term, class) counts and the test-split tf
+    // aggregate), and without the pin each re-runs the tokenize → explode
+    // pipeline over the corpus — the ngramJaccardPairs shingle-tier rule
+    // (r16; measured 4 tokenization passes → 1). r17 (ADVICE r16): the pin
+    // is the per-(doc, term) tf AGGREGATE, not the raw exploded occurrence
+    // stream — the r16 pin was the one tier whose size grew linearly with
+    // total tokens, where the tf table is bounded by distinct terms per
+    // doc and serves all four consumers exactly (every downstream number
+    // is an exact-integer sum of tfs: Σ_docs tf = occurrence count).
     val toks = split.select(
-      col("doc_id"), col("source"), col("split"),
-      explode(TextAnalysis.tokens(col("text"))).as("term"))
+        col("doc_id"), col("source"), col("split"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("split"), col("term"))
+      .agg(count(lit(1)).as("tf"))
       .pinTier
     val train = toks.filter(col("split") =!= "test")
 
     // closed vocabulary: top-V train terms by (freq desc, term) — the
-    // TextAnalysis.vocabulary ordering, V-bounded TakeOrdered
+    // TextAnalysis.vocabulary ordering, V-bounded TakeOrdered; sum of
+    // per-doc tfs ≡ the occurrence count (exact integers, any order)
     val vocab = train.groupBy(col("term"))
-      .agg(count(lit(1)).as("freq"))
+      .agg(sum(col("tf")).as("freq"))
       .orderBy(col("freq").desc, col("term"))
       .limit(vocabSize)
       .select(col("term"))
@@ -110,7 +118,7 @@ object TextClassifier {
     val trainV = train.join(broadcast(vocab), Seq("term"))
     // per-class in-vocab token totals and document priors (one row/class)
     val classTotals = trainV.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_tokens"))
+      .agg(sum(col("tf")).as("n_tokens"))
     val priors = split.filter(col("split") =!= "test")
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val classes = priors
@@ -124,7 +132,7 @@ object TextClassifier {
     // DENSE smoothed model: every (vocab term × class), tf >= 0 — V·C
     // rows by construction, broadcast to the scorer
     val counts = trainV.groupBy(col("term"), col("source"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(sum(col("tf")).as("tf"))
     val model = vocab.crossJoin(classes)
       .join(counts, Seq("term", "source"), "left")
       .select(col("term"), col("source"), col("log_prior"),
@@ -134,10 +142,11 @@ object TextClassifier {
 
     // score the held-out split: per (doc, class) exact decimal posterior.
     // tf widens to decimal(10,0) so the product stays in-precision
-    // ((18,6)·(10,0) → (29,6); the sum’s (38,6) never overflows)
+    // ((18,6)·(10,0) → (29,6); the sum’s (38,6) never overflows). The tf
+    // aggregate IS the pinned tier now — no per-gate shuffle left here.
     val test = toks.filter(col("split") === "test")
-      .groupBy(col("doc_id"), col("source"), col("term"))
-      .agg(count(lit(1)).cast("decimal(10,0)").as("tf"))
+      .select(col("doc_id"), col("source"), col("term"),
+        col("tf").cast("decimal(10,0)").as("tf"))
     val scored = test
       .join(broadcast(model.withColumnRenamed("source", "cls")), Seq("term"))
       .groupBy(col("doc_id"), col("source"), col("cls"))
