@@ -66,9 +66,15 @@ object PageRankOp {
     * edge WEIGHTS (repeat co-purchase strength) instead of treating every
     * edge equally; [[pageRank]] is the w ≡ 1 special case. Same fixpoint
     * scaffolding and sum-to-N normalization; only the transition matrix
-    * changes. Weights are integer counts carried in doubles, so the
+    * changes. The gate feeds integer counts carried in doubles, so its
     * per-source weight sums are exact (order-independent below 2^53) and
-    * both engines divide identical numerators by identical denominators. */
+    * both engines divide identical numerators by identical denominators.
+    * FRACTIONAL weights are accepted but carry the standard float-sum
+    * caveat (ADVICE r16): a partition-local sum over non-integral doubles
+    * is accumulation-order-sensitive in the last ulp, and the round(6)
+    * at the publish boundary only absorbs drift away from rounding
+    * edges — an oracle-gated caller with fractional weights should
+    * normalize or scale them to integers first. */
   def weightedPageRank(edges: DataFrame,
                        numIter: Int = 10, resetProb: Double = 0.15): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
@@ -100,10 +106,14 @@ object PageRankOp {
                              numIter: Int, resetProb: Double,
                              tag: String,
                              init0: Option[DataFrame] = None): DataFrame = {
-    // the contribs-carried rounds below unconditionally run round 1, so a
-    // zero-round call (which used to return the init state) must fail loud
-    require(numIter >= 1,
-      s"fixpointSumToN: need numIter >= 1, got numIter=$numIter")
+    // numIter == 0 is the documented graceful no-op (ADVICE r16: the r16
+    // require() broke resumeLongIds(extraIter = 0) — a plausible "admit
+    // edges, keep ranks" call that used to return the re-normalized init
+    // state); the contribs-carried rounds below are skipped entirely and
+    // the init state flows straight to the sum-to-N normalization,
+    // exactly the pre-r16 zero-round semantics.
+    require(numIter >= 0,
+      s"fixpointSumToN: need numIter >= 0, got numIter=$numIter")
     // ONE eager materialization pins the vertex set AND initializes rank
     // state AND supplies the vertex count — the count() below reads pinned
     // partitions, so it is near-free instead of the extra full-lineage job
@@ -162,28 +172,30 @@ object PageRankOp {
     // weighted edges' standing partitioning (guide §2.4), so only the
     // (vertex-sized) contribs side moves. Round 1 consumes the caller's
     // init rank state directly (warm starts keep their semantics).
-    var contribs = ew
-      .join(maybeBcast(ranks.withColumnRenamed("id", "src")), Seq("src"))
-      .groupBy(col("dst").as("id"))
-      .agg(sum(col("w") * col("rank")).as("contrib"))
-    for (i <- 2 to numIter) {
-      if ((i - 1) % checkpointEvery == 0)
-        contribs = contribs.coalesce(rankParts).pinTier
-      contribs = ew
-        .join(maybeBcast(contribs.withColumnRenamed("id", "src")),
-          Seq("src"), "left")
-        .select(col("dst"), (col("w") *
-          (lit(resetProb) + lit(1.0 - resetProb)
-            * coalesce(col("contrib"), lit(0.0)))).as("wc"))
+    if (numIter >= 1) {
+      var contribs = ew
+        .join(maybeBcast(ranks.withColumnRenamed("id", "src")), Seq("src"))
         .groupBy(col("dst").as("id"))
-        .agg(sum(col("wc")).as("contrib"))
+        .agg(sum(col("w") * col("rank")).as("contrib"))
+      for (i <- 2 to numIter) {
+        if ((i - 1) % checkpointEvery == 0)
+          contribs = contribs.coalesce(rankParts).pinTier
+        contribs = ew
+          .join(maybeBcast(contribs.withColumnRenamed("id", "src")),
+            Seq("src"), "left")
+          .select(col("dst"), (col("w") *
+            (lit(resetProb) + lit(1.0 - resetProb)
+              * coalesce(col("contrib"), lit(0.0)))).as("wc"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("wc")).as("contrib"))
+      }
+      contribs = contribs.coalesce(rankParts).pinTier
+      ranks = verts
+        .join(maybeBcast(contribs), Seq("id"), "left")
+        .select(col("id"),
+          (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("contrib"), lit(0.0)))
+            .as("rank"))
     }
-    contribs = contribs.coalesce(rankParts).pinTier
-    ranks = verts
-      .join(maybeBcast(contribs), Seq("id"), "left")
-      .select(col("id"),
-        (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("contrib"), lit(0.0)))
-          .as("rank"))
     ew.unpersist(blocking = false)
     // GraphX/GraphFrames normalize final scores to sum to the vertex count
     // (dangling vertices leak rank mass otherwise — SURVEY.md §2.8: top

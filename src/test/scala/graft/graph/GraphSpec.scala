@@ -75,6 +75,25 @@ class GraphSpec extends SparkSpec {
     assert(top(warm) == top(full), "warm-start changed the top-20 set")
   }
 
+  test("resumeLongIds(extraIter = 0): zero-round resume is the re-normalized init, not a throw") {
+    // ADVICE r16: the r16 require(numIter >= 1) broke the "admit edges,
+    // keep ranks" no-op resume; it must degrade gracefully again — the
+    // prior ranks pass through the sum-to-N normalization over the NEW
+    // vertex set (admitted vertices enter cold at 1.0).
+    val edges = (1L to 5L).map(i => (i, 0L)).toDF("src", "dst")
+    val prev = PageRankOp.runLongIds(spark, edges)
+    val resumed = PageRankOp.resumeLongIds(spark, edges, prev, extraIter = 0)
+      .as[(Long, Double)].collect().toMap
+    val prevMap = prev.as[(Long, Double)].collect().toMap
+    assert(resumed.keySet == prevMap.keySet)
+    // prev is already sum-to-N normalized, so a zero-round resume over the
+    // same graph re-normalizes a normalized state: values are unchanged
+    // up to float re-scaling noise
+    prevMap.foreach { case (id, r) =>
+      assert(math.abs(resumed(id) - r) < 1e-9, s"vertex $id moved: $r -> ${resumed(id)}")
+    }
+  }
+
   test("DataFrame pageRank matches GraphX on the same graph") {
     val edges = Edges.partCoOccurrence(graft.model.Tables.lineitem(spark, sf))
       .select(col("src"), col("dst"))
