@@ -1,7 +1,7 @@
 package graft.ml
 
 import graft.Tier.PinOps
-import org.apache.spark.ml.feature.StringIndexer
+import org.apache.spark.ml.feature.StringIndexerModel
 import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -55,6 +55,46 @@ object Recommend {
     * StringIndexer label arrays, `run_alsrecs_job.py:12-22` / R5). */
   def stripMetadata(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(c, Metadata.empty)).toSeq: _*)
+
+  /** StringIndexer's default `frequencyDesc` label order, derived from a
+    * (label, count) list: count DESCENDING, ties broken by label ASC —
+    * exactly `StringIndexer.getSortFunc(ascending = false)`. Pure so
+    * RecommendSpec can pin the tie cases against an actual
+    * `StringIndexer.fit` on the same data (the equivalence proof for the
+    * single-pass indexer below). */
+  def frequencyDescLabels(counts: Seq[(String, Long)]): Array[String] =
+    counts.sortWith { case ((la, fa), (lb, fb)) =>
+      if (fa == fb) la < lb else fa > fb
+    }.map(_._1).toArray
+
+  /** Both key dictionaries from ONE aggregate pass (r17, VERDICT r16 #6):
+    * `StringIndexer.fit` ×2 ran two full count passes over the sampled
+    * ratings (each a countByValue collected to the driver) for two
+    * frequency-ordered label arrays. One explode + groupBy computes both
+    * count maps in a single job — same driver-memory class as fit itself
+    * (dictionaries are sample-cardinality either way) — and the labels
+    * feed [[StringIndexerModel]]s directly, so the transform path (and
+    * therefore every downstream userId/itemId assignment, the ALS input,
+    * and the factor pipeline) is byte-identical to the double-fit's.
+    * Equivalence is spec-pinned: derived labels == fit labels on the gate
+    * corpus and on synthetic frequency ties. */
+  private[ml] def fitIndexersSinglePass(
+      sampled: DataFrame): (StringIndexerModel, StringIndexerModel) = {
+    val counts = sampled.select(explode(array(
+        struct(lit(0).as("c"), col("userKey").as("k")),
+        struct(lit(1).as("c"), col("itemKey").as("k")))).as("e"))
+      .groupBy(col("e.c").as("c"), col("e.k").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    def labelsOf(tag: Int): Array[String] = frequencyDescLabels(
+      counts.collect { case r if r.getInt(0) == tag =>
+        (r.getString(1), r.getLong(2)) }.toSeq)
+    val userModel = new StringIndexerModel(labelsOf(0))
+      .setInputCol("userKey").setOutputCol("userId")
+    val itemModel = new StringIndexerModel(labelsOf(1))
+      .setInputCol("itemKey").setOutputCol("itemId")
+    (userModel, itemModel)
+  }
 
   /** M1–M3: full train + recommend flow. Returns the reference cache shape
     * `{userId, userKey, recommendations: array<string>}`
@@ -118,10 +158,11 @@ object Recommend {
       .na.drop(Seq("userKey", "itemKey", "rating"))
       .cache()
 
-    val userIdx = new StringIndexer().setInputCol("userKey").setOutputCol("userId")
-    val itemIdx = new StringIndexer().setInputCol("itemKey").setOutputCol("itemId")
-    val indexed0 = itemIdx.fit(sampled).transform(
-      userIdx.fit(sampled).transform(sampled))
+    // both dictionaries from one pass (see fitIndexersSinglePass) — the
+    // transform path is the library StringIndexerModel, so indexed0 is
+    // byte-identical to the former double-fit's output
+    val (userIdx, itemIdx) = fitIndexersSinglePass(sampled)
+    val indexed0 = itemIdx.transform(userIdx.transform(sampled))
     val indexed = stripMetadata(indexed0)
       .select(
         col("userId").cast("int").as("userId"),

@@ -20,6 +20,41 @@ class RecommendSpec extends SparkSpec {
     assert(nullKeys == 0)
   }
 
+  test("single-pass indexer labels == StringIndexer.fit labels (gate data + frequency ties)") {
+    import org.apache.spark.ml.feature.StringIndexer
+    // the equivalence proof for the r17 single-pass indexer (VERDICT r16
+    // #6): identical label arrays ⇒ identical StringIndexerModel ⇒
+    // byte-identical userId/itemId assignment ⇒ the ALS factor pipeline
+    // sees the same input as the double-fit version.
+    val triples = Recommend.ratingTriples(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+      .na.drop(Seq("userKey", "itemKey", "rating")).cache()
+    val (um, im) = Recommend.fitIndexersSinglePass(triples)
+    val uf = new StringIndexer().setInputCol("userKey").setOutputCol("userId")
+      .fit(triples)
+    val itf = new StringIndexer().setInputCol("itemKey").setOutputCol("itemId")
+      .fit(triples)
+    assert(um.labels.toSeq == uf.labels.toSeq, "user labels diverge from fit")
+    assert(im.labels.toSeq == itf.labels.toSeq, "item labels diverge from fit")
+    triples.unpersist()
+    // synthetic frequency ties: fit breaks count ties by label ASC —
+    // frequencyDescLabels must match exactly
+    import spark.implicits._
+    val ties = Seq("b", "b", "a", "a", "z", "c").toDF("userKey")
+      .withColumn("itemKey", col("userKey")).withColumn("rating", lit(1.0))
+    val (um2, _) = Recommend.fitIndexersSinglePass(ties)
+    val uf2 = new StringIndexer().setInputCol("userKey").setOutputCol("userId")
+      .fit(ties)
+    assert(um2.labels.toSeq == uf2.labels.toSeq)
+    assert(um2.labels.toSeq == Seq("a", "b", "c", "z"))
+  }
+
+  test("frequencyDescLabels: count desc, ties by label asc (the fit sort contract)") {
+    val got = Recommend.frequencyDescLabels(
+      Seq("x" -> 2L, "m" -> 5L, "a" -> 2L, "q" -> 9L)).toSeq
+    assert(got == Seq("q", "m", "a", "x"))
+  }
+
   test("ratingTriples aggregates quantity per (customer, part)") {
     import spark.implicits._
     val orders = Seq((1L, 7L), (2L, 7L)).toDF("o_orderkey", "o_custkey")
