@@ -31,6 +31,50 @@ object Streams {
   def readEventsStream(spark: SparkSession, pathGlob: String): DataFrame =
     spark.readStream.schema(eventsSchema).parquet(pathGlob)
 
+  /** Bench-only state-store provider override (r17, VERDICT r16 #7 — the
+    * SPARK_GRAFT_ALS_BLOCKS treatment for the streaming gates): the state
+    * store backend is semantics-neutral (every gate's drained result is
+    * byte-identical under either provider — the store only persists
+    * operator state between micro-batches), but it is a config-class
+    * change, so it may be consumed ONLY by a harness that declares itself
+    * via the `graft.harness=bench` JVM property; anywhere else a set knob
+    * fails loud instead of letting a measurement config drift into a
+    * gated run. Values: `rocksdb` | `hdfs` (the default backend). Pure
+    * over (env value, harness property) so StreamsSpec pins the branches. */
+  def stateStoreOverride(envValue: Option[String],
+                         harness: Option[String]): Option[String] =
+    envValue.map { raw =>
+      require(harness.contains("bench"),
+        "SPARK_GRAFT_STATE_STORE is a bench-only measurement knob: unset " +
+          "it for Verify/oracle/gated runs (config-class change; the A/B " +
+          "discipline requires it never ride along silently)")
+      raw.trim match {
+        case "rocksdb" =>
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        case "hdfs" =>
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        case other => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STATE_STORE must be 'rocksdb' or 'hdfs', got '$other'")
+      }
+    }
+
+  /** Apply the override (if any) around a drained gate, restoring the
+    * prior provider after: the two stateful drain helpers call this so an
+    * A/B run flips every gate with one env var. */
+  private def withStateStore[T](spark: SparkSession)(body: => T): T =
+    stateStoreOverride(sys.env.get("SPARK_GRAFT_STATE_STORE"),
+        sys.props.get("graft.harness")) match {
+      case None => body
+      case Some(cls) =>
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prior = spark.conf.getOption(key)
+        spark.conf.set(key, cls)
+        try body finally prior match {
+          case Some(p) => spark.conf.set(key, p)
+          case None    => spark.conf.unset(key)
+        }
+    }
+
   /** Tumbling-window counts per event type with a 10-minute watermark.
     * Works identically on a batch DataFrame (the oracle path). */
   def tumblingCounts(events: DataFrame): DataFrame =
@@ -199,14 +243,16 @@ object Streams {
     // dominates at gate scale
     val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = agg(stream).writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
-      // the memory sink owns the result now; drop the staged copies
-      import scala.reflect.io.Directory
-      new Directory(new java.io.File(stage)).deleteRecursively()
+    withStateStore(spark) {
+      val q = agg(stream).writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+        // the memory sink owns the result now; drop the staged copies
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(stage)).deleteRecursively()
+      }
     }
     // detach from the memory sink eagerly and DROP its temp view: each
     // sink table pins the full complete-mode result in driver memory for
@@ -279,13 +325,15 @@ object Streams {
     // drained sink runs after the conf is restored.
     val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = xform(stream).writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
-      import scala.reflect.io.Directory
-      new Directory(new java.io.File(stage)).deleteRecursively()
+    withStateStore(spark) {
+      val q = xform(stream).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(stage)).deleteRecursively()
+      }
     }
     val out = finish(spark.table(name)).pinTier
     spark.catalog.dropTempView(name)

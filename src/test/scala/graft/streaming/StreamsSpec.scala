@@ -19,6 +19,28 @@ class StreamsSpec extends SparkSpec {
     ev(4, "2024-01-01 01:30:00", 1, "click", 4.0),
     ev(5, "2024-01-01 02:05:00", 2, "error", 5.0))
 
+  test("state-store knob is bench-only and parses loudly (the ALS-blocks treatment)") {
+    // unset: no override regardless of harness
+    assert(Streams.stateStoreOverride(None, None).isEmpty)
+    assert(Streams.stateStoreOverride(None, Some("bench")).isEmpty)
+    // set under the declared bench harness: resolves to the provider class
+    assert(Streams.stateStoreOverride(Some("rocksdb"), Some("bench"))
+      .contains("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    assert(Streams.stateStoreOverride(Some("hdfs"), Some("bench"))
+      .contains("org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"))
+    // set anywhere else: loud failure, never silent config drift
+    intercept[IllegalArgumentException] {
+      Streams.stateStoreOverride(Some("rocksdb"), None)
+    }
+    intercept[IllegalArgumentException] {
+      Streams.stateStoreOverride(Some("rocksdb"), Some("verify"))
+    }
+    // a typo'd value fails with a named message
+    intercept[IllegalArgumentException] {
+      Streams.stateStoreOverride(Some("rocksdbx"), Some("bench"))
+    }
+  }
+
   test("streaming tumblingCounts over two batches equals the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
